@@ -1,0 +1,138 @@
+"""URL resolution + crawl canonicalization.
+
+Parity targets (reference = yannham/mechaml):
+  * relative-reference resolution — `Uri.resolve "" base ref`
+    (reference src/page.ml:86, the ``resolver`` partial application);
+    implemented on stdlib ``urllib.parse.urljoin`` (RFC 3986).
+  * ``<base href>`` override handled in :mod:`mechaml_spark.extract`
+    (reference src/page.ml:69-77).
+
+Canonicalization (crawl-side addition, mandated by BASELINE.json
+north_rule: "canonicalized + murmur3-hashed URLs"):
+  lowercase scheme + host, strip fragment, drop default port,
+  remove dot-segments, empty path -> "/", preserve query verbatim.
+
+Everything here is pure Python over pandas Series so it runs inside
+Arrow-vectorized UDF batches (no per-row Python UDF at the Spark
+layer; the per-row work happens inside one pandas.map per batch,
+which is the standard shape for string algorithms that have no
+Column-expression equivalent).
+"""
+
+from __future__ import annotations
+
+from urllib.parse import urljoin, urlsplit, urlunsplit
+
+import pandas as pd
+
+_DEFAULT_PORTS = {"http": 80, "https": 443, "ftp": 21, "ws": 80, "wss": 443}
+
+
+def resolve(base: str, ref: str) -> str:
+    """Resolve ``ref`` against ``base`` (RFC 3986, Uri.resolve parity)."""
+    if not base:
+        return ref
+    try:
+        return urljoin(base, ref)
+    except ValueError:
+        return ref
+
+
+def _remove_dot_segments(path: str) -> str:
+    if not path:
+        return path
+    # posixpath.normpath collapses '//' and drops trailing '/'; do RFC
+    # dot-segment removal by hand to preserve those.
+    out: list[str] = []
+    for seg in path.split("/"):
+        if seg == ".":
+            continue
+        if seg == "..":
+            if out and out[-1] != "":
+                out.pop()
+                if not out:
+                    out = [""]
+            continue
+        out.append(seg)
+    # keep a trailing slash if the original ended with '/' or '/.' or '/..'
+    if path.endswith(("/.", "/..", "/")) and (not out or out[-1] != ""):
+        out.append("")
+    norm = "/".join(out)
+    if path.startswith("/") and not norm.startswith("/"):
+        norm = "/" + norm
+    return norm
+
+
+def canonicalize(url: str) -> str:
+    """Canonical crawl form of ``url``; idempotent."""
+    if url is None:
+        return None  # type: ignore[return-value]
+    try:
+        scheme, netloc, path, query, _frag = urlsplit(url.strip())
+    except ValueError:
+        return url.strip()
+    scheme = scheme.lower()
+    host = ""
+    userinfo = ""
+    port: str | None = None
+    if netloc:
+        rest = netloc
+        if "@" in rest:
+            userinfo, rest = rest.rsplit("@", 1)
+        if rest.startswith("["):  # IPv6 literal
+            end = rest.find("]")
+            host = rest[: end + 1].lower()
+            tail = rest[end + 1 :]
+            if tail.startswith(":"):
+                port = tail[1:]
+        elif ":" in rest:
+            host, port = rest.split(":", 1)
+            host = host.lower()
+        else:
+            host = rest.lower()
+    if port is not None and port != "":
+        try:
+            if _DEFAULT_PORTS.get(scheme) == int(port):
+                port = None
+        except ValueError:
+            pass
+    netloc = host
+    if port:
+        netloc = f"{host}:{port}"
+    if userinfo:
+        netloc = f"{userinfo}@{netloc}"
+    path = _remove_dot_segments(path)
+    if netloc and not path:
+        path = "/"
+    return urlunsplit((scheme, netloc, path, query, ""))
+
+
+def host_of(url: str) -> str:
+    """Lowercased host of ``url`` ('' when absent)."""
+    try:
+        return (urlsplit(url).hostname or "").lower()
+    except ValueError:
+        return ""
+
+
+def path_of(url: str) -> str:
+    try:
+        return urlsplit(url).path or ""
+    except ValueError:
+        return ""
+
+
+# ---------------------------------------------------------------- vectorized
+
+def resolve_series(base: pd.Series, ref: pd.Series) -> pd.Series:
+    return pd.Series(
+        [resolve(b, r) for b, r in zip(base, ref)], index=ref.index, dtype=object
+    )
+
+
+def canonicalize_series(urls: pd.Series) -> pd.Series:
+    return urls.map(canonicalize)
+
+
+def host_series(urls: pd.Series) -> pd.Series:
+    return urls.map(host_of)

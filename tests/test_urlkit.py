@@ -1,0 +1,70 @@
+"""urlkit unit + property tests (resolution parity, canonicalization)."""
+
+from __future__ import annotations
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mechaml_spark import urlkit
+
+
+def test_resolve_basic():
+    base = "http://example.com/dir/page.html"
+    assert urlkit.resolve(base, "img.png") == "http://example.com/dir/img.png"
+    assert urlkit.resolve(base, "/abs.png") == "http://example.com/abs.png"
+    assert urlkit.resolve(base, "../up.png") == "http://example.com/up.png"
+    assert urlkit.resolve(base, "http://other.org/x") == "http://other.org/x"
+    assert urlkit.resolve(base, "//cdn.org/x") == "http://cdn.org/x"
+    assert urlkit.resolve(base, "?q=1") == "http://example.com/dir/page.html?q=1"
+
+
+def test_canonicalize():
+    c = urlkit.canonicalize
+    assert c("HTTP://ExAmPle.COM/a") == "http://example.com/a"
+    assert c("http://example.com") == "http://example.com/"
+    assert c("http://example.com:80/a") == "http://example.com/a"
+    assert c("https://example.com:443/a") == "https://example.com/a"
+    assert c("http://example.com:8080/a") == "http://example.com:8080/a"
+    assert c("http://example.com/a/../b") == "http://example.com/b"
+    assert c("http://example.com/a/./b/") == "http://example.com/a/b/"
+    assert c("http://example.com/a#frag") == "http://example.com/a"
+    assert c("http://example.com/a?y=2&x=1") == "http://example.com/a?y=2&x=1"
+    assert c("http://example.com/%7Euser") == "http://example.com/%7Euser"
+
+
+def test_host_path():
+    assert urlkit.host_of("http://A.B.c/x") == "a.b.c"
+    assert urlkit.host_of("not a url") == ""
+    assert urlkit.path_of("http://h/x/y?q") == "/x/y"
+
+
+_hosts = st.from_regex(r"[a-z][a-z0-9]{0,8}(\.[a-z]{2,3}){1,2}", fullmatch=True)
+_paths = st.lists(
+    st.text(alphabet=string.ascii_lowercase + string.digits + "._-", min_size=1, max_size=8),
+    max_size=4,
+).map(lambda segs: "/" + "/".join(segs))
+
+
+@settings(max_examples=200, deadline=None)
+@given(host=_hosts, path=_paths, scheme=st.sampled_from(["http", "https"]))
+def test_canonicalize_idempotent(host, path, scheme):
+    url = f"{scheme}://{host}{path}"
+    once = urlkit.canonicalize(url)
+    assert urlkit.canonicalize(once) == once
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    host=_hosts,
+    path=_paths,
+    ref=st.text(
+        alphabet=string.ascii_lowercase + string.digits + "./-", min_size=1, max_size=16
+    ),
+)
+def test_resolve_absolute_is_fixpoint(host, path, ref):
+    base = f"http://{host}{path}"
+    resolved = urlkit.resolve(base, ref)
+    # resolving an already-absolute URL against the same base is a no-op
+    assert urlkit.resolve(base, resolved) == resolved
