@@ -1,0 +1,299 @@
+"""Cookie jar as a DataFrame + Set-Cookie parsing + request matching.
+
+Parity target: reference src/cookiejar.ml (plus Cohttp's
+``Set_cookie_hdr`` parsing behavior that the reference inherits).
+
+Replicated quirks (cited; do NOT "fix"):
+  * jar key = (name, domain, path); ordering = lexicographic on the
+    CONCATENATION ``name ^ domain ^ path`` (cookiejar.ml:94-96);
+  * ``add`` with ``Max_age 0`` DELETES the key; any other max-age is
+    stored but never expires — no clock anywhere (cookiejar.ml:110-113);
+  * ``domain_match host dom``: equal, or host ends with dom and the
+    char just before the suffix is '.'; a stored leading-dot domain
+    therefore never matches its subdomains (cookiejar.ml:48-54);
+  * ``path_match``: plain prefix; default path "" matches everything
+    (cookiejar.ml:56-59);
+  * the ``secure`` flag is stored but never consulted when matching
+    (cookiejar.ml:61-66);
+  * Set-Cookie values are split on BOTH ';' and ',' with the first
+    token the cookie pair and the rest attributes — a comma-joined
+    multi-cookie header yields only its first cookie (Cohttp parser
+    behavior, asserted by reference test.ml:159-166);
+  * absent Domain attr defaults to the request host, absent Path to
+    "" (cookiejar.ml:77-83, 17-19);
+  * the matched ``Cookie`` header is built in jar key order and is
+    added even when empty (cookiejar.ml:123-137).
+
+Scale notes: the jar is tiny relative to requests, so matching is an
+explicitly ``broadcast()`` theta-join (nested-loop on the broadcast
+side — no shuffle of the request stream); header synthesis is
+codegen'd ``array_sort`` + ``concat_ws`` after a single groupBy.
+"""
+
+from __future__ import annotations
+
+from urllib.parse import urlsplit
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+COOKIE_FIELDS = [
+    T.StructField("name", T.StringType()),
+    T.StructField("value", T.StringType()),
+    T.StructField("max_age", T.LongType()),  # NULL = session
+    T.StructField("domain", T.StringType()),
+    T.StructField("path", T.StringType()),
+    T.StructField("secure", T.BooleanType()),
+]
+COOKIE_T = T.StructType(COOKIE_FIELDS)
+
+
+def empty_jar(spark) -> DataFrame:
+    return spark.createDataFrame([], COOKIE_T)
+
+
+# ------------------------------------------------------------- pure parsing
+
+
+def parse_set_cookie(header_value: str, request_url: str) -> dict | None:
+    """One Set-Cookie header -> cookie dict (Cohttp-parity, see module
+    docstring)."""
+    if not header_value:
+        return None
+    tokens = [t.strip() for t in _split_multi(header_value)]
+    if not tokens or "=" not in tokens[0]:
+        return None
+    name, value = tokens[0].split("=", 1)
+    name = name.strip()
+    if not name:
+        return None
+    cookie = {
+        "name": name,
+        "value": value.strip(),
+        "max_age": None,
+        "domain": _host_from_url(request_url),
+        "path": "",
+        "secure": False,
+    }
+    for tok in tokens[1:]:
+        if "=" in tok:
+            k, v = tok.split("=", 1)
+            k = k.strip().lower()
+            v = v.strip()
+            if k == "domain":
+                cookie["domain"] = v
+            elif k == "path":
+                cookie["path"] = v
+            elif k == "max-age":
+                try:
+                    cookie["max_age"] = int(v)
+                except ValueError:
+                    pass
+        else:
+            if tok.strip().lower() == "secure":
+                cookie["secure"] = True
+    return cookie
+
+
+def _split_multi(s: str) -> list[str]:
+    out, cur = [], []
+    for ch in s:
+        if ch in ";,":
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    out.append("".join(cur))
+    return [t for t in out if t.strip()]
+
+
+def _host_from_url(url: str) -> str:
+    try:
+        return urlsplit(url).hostname or ""
+    except ValueError:
+        return ""
+
+
+def domain_match_py(host: str, dom: str) -> bool:
+    """cookiejar.ml:48-54 — equality, or dotted-suffix with the char
+    before the suffix being '.' (leading-dot quirk preserved)."""
+    if host == dom:
+        return True
+    delta = len(host) - len(dom)
+    return delta > 0 and host.endswith(dom) and host[delta - 1] == "."
+
+
+def path_match_py(uri_path: str, cookie_path: str) -> bool:
+    return uri_path.startswith(cookie_path)
+
+
+def match_uri_py(url: str, cookie: dict) -> bool:
+    host = _host_from_url(url)
+    if not host:
+        return False
+    return domain_match_py(host, cookie["domain"]) and path_match_py(
+        urlsplit(url).path or "", cookie["path"]
+    )
+
+
+class Jar:
+    """Pure-Python jar used by the sequential oracle and tests."""
+
+    def __init__(self) -> None:
+        self._map: dict[tuple[str, str, str], dict] = {}
+
+    @staticmethod
+    def _key(c: dict) -> tuple[str, str, str]:
+        return (c["name"], c["domain"], c["path"])
+
+    def add(self, c: dict) -> None:
+        if c["max_age"] == 0:
+            self._map.pop(self._key(c), None)
+        else:
+            self._map[self._key(c)] = c
+
+    def remove(self, c: dict) -> None:
+        self._map.pop(self._key(c), None)
+
+    def is_empty(self) -> bool:
+        return not self._map
+
+    def cookies(self) -> list[dict]:
+        """Jar key order: lexicographic on name^domain^path."""
+        return [
+            self._map[k]
+            for k in sorted(self._map, key=lambda k: "".join(k))
+        ]
+
+    def add_from_headers(self, url: str, set_cookie_values: list[str]) -> None:
+        for hv in set_cookie_values:
+            c = parse_set_cookie(hv, url)
+            if c is not None:
+                self.add(c)
+
+    def header_for(self, url: str) -> str:
+        """`Cookie` header value (may be ""), jar key order."""
+        return "; ".join(
+            f"{c['name']}={c['value']}"
+            for c in self.cookies()
+            if match_uri_py(url, c)
+        )
+
+
+# ------------------------------------------------------------- Spark layer
+
+
+def jar_upsert(jar_df: DataFrame, new_df: DataFrame) -> DataFrame:
+    """MERGE semantics of repeated ``Cookiejar.add``: new cookies win
+    on key (name,domain,path); ``max_age == 0`` deletes."""
+    key = ["name", "domain", "path"]
+    kept = jar_df.join(new_df.select(*key), on=key, how="left_anti")
+    merged = kept.unionByName(new_df)
+    return merged.where(F.col("max_age").isNull() | (F.col("max_age") != 0))
+
+
+def jar_remove(jar_df: DataFrame, remove_df: DataFrame) -> DataFrame:
+    key = ["name", "domain", "path"]
+    return jar_df.join(remove_df.select(*key), on=key, how="left_anti")
+
+
+_COOKIES_ARR_T = T.ArrayType(COOKIE_T)
+
+
+@F.pandas_udf(_COOKIES_ARR_T)
+def _parse_set_cookies_udf(url: pd.Series, values: pd.Series) -> pd.Series:
+    out = []
+    for u, vals in zip(url, values):
+        cookies = []
+        for hv in (vals if vals is not None else []):
+            c = parse_set_cookie(hv, u or "")
+            if c is not None:
+                cookies.append(c)
+        out.append(cookies)
+    return pd.Series(out)
+
+
+def cookies_from_responses(
+    responses: DataFrame, url_col: str = "url", headers_col: str = "headers"
+) -> DataFrame:
+    """Explode Set-Cookie headers of fetch responses into cookie rows.
+    ``headers`` is ``map<string, array<string>>`` (lowercased names);
+    later responses must be upserted after earlier ones — the caller
+    controls that by per-hop sequencing (src/agent.ml:84-88)."""
+    sc = F.coalesce(
+        F.element_at(F.col(headers_col), "set-cookie"),
+        F.expr("CAST(array() AS array<string>)"),
+    )
+    parsed = responses.select(
+        F.col(url_col).alias("_url"), _parse_set_cookies_udf(F.col(url_col), sc).alias("_cs")
+    )
+    return parsed.select(F.explode("_cs").alias("c")).select("c.*")
+
+
+def cookie_match_cond(host: Column, uri_path: Column, jar) -> Column:
+    """Theta-join condition (requests x jar) — cookiejar.ml:48-66."""
+    dom = jar["domain"]
+    delta = F.length(host) - F.length(dom)
+    char_before = F.substr(host, delta, F.lit(1))
+    domain_ok = (host == dom) | (
+        (delta > 0) & host.endswith(dom) & (char_before == ".")
+    )
+    path_ok = uri_path.startswith(jar["path"])
+    return domain_ok & path_ok
+
+
+def add_to_headers(
+    requests: DataFrame,
+    jar_df: DataFrame,
+    url_col: str = "url",
+    out_col: str = "cookie_header",
+) -> DataFrame:
+    """Append the matched ``Cookie`` header value (jar key order,
+    possibly "") to every request row.  Broadcast nested-loop join:
+    the jar is orders of magnitude smaller than the request stream,
+    so the stream never shuffles."""
+    from mechaml_spark.page import host_col
+
+    req = (
+        requests.select(F.col(url_col).alias("_u"))
+        .distinct()
+        .withColumn("_host", host_col(F.col("_u")))
+        .withColumn("_path", F.coalesce(_path_udf(F.col("_u")), F.lit("")))
+    )
+    jar = F.broadcast(jar_df.select("name", "value", "domain", "path"))
+    cond = cookie_match_cond(F.col("_host"), F.col("_path"), jar)
+    pair = F.when(
+        F.col("name").isNotNull(),
+        F.struct(
+            F.concat_ws("", "name", "domain", "path").alias("k"),
+            F.concat_ws("=", "name", "value").alias("kv"),
+        ),
+    )
+    per_url = (
+        req.join(jar, cond, "left")
+        .groupBy("_u")
+        .agg(F.array_sort(F.collect_list(pair)).alias("_pairs"))
+        .select(
+            F.col("_u"),
+            F.coalesce(
+                F.array_join(F.transform("_pairs", lambda x: x["kv"]), "; "),
+                F.lit(""),
+            ).alias(out_col),
+        )
+    )
+    return requests.join(
+        per_url, requests[url_col] == per_url["_u"], "left"
+    ).drop("_u")
+
+
+@F.pandas_udf(T.StringType())
+def _path_udf(url: pd.Series) -> pd.Series:
+    def p(u):
+        try:
+            return urlsplit(u or "").path or ""
+        except ValueError:
+            return ""
+
+    return url.map(p)

@@ -1,0 +1,338 @@
+"""Page-parse stage: HTML body -> (base_uri, links[], images[], forms[]).
+
+The reference parses lazily per page (``HttpResponse.page`` ->
+``Page.from_string``, src/agent.ml:46-48, src/page.ml:79-82) and
+re-walks the DOM per selector.  Spark-first we parse **once** per
+page inside an Arrow-batched ``mapInPandas`` UDF and emit typed
+arrays; every later selection is a JVM-side Column predicate over
+the exploded arrays (no re-parse, column pruning drops ``body``
+downstream automatically).
+
+Each extracted node carries enough structure for the CSS-subset
+combinators to run JVM-side:
+  ``anc``  — ancestor chain parent-first, each ``struct<tag, attrs>``
+  ``prev`` — previous element sibling, ``struct<tag, attrs>``
+
+Form rows additionally carry the full typed ``inputs`` array and the
+default-initialized ``state`` map (the reference initializes every
+selected form with ``reset_all``, src/page.ml:615-616; defaults per
+src/page.ml:410-417, 464-471, 528-535, 556-559).
+
+Base URI: ``<base href>`` overrides the fetch location
+(src/page.ml:69-77): ``base_uri = resolve(url, first base[href])``.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from mechaml_spark import urlkit
+from mechaml_spark.htmlkit.parser import Element, leaf_text, parse_html
+
+# ------------------------------------------------------------------ schemas
+
+ATTRS = T.MapType(T.StringType(), T.StringType())
+ANC_T = T.ArrayType(
+    T.StructType(
+        [T.StructField("tag", T.StringType()), T.StructField("attrs", ATTRS)]
+    )
+)
+PREV_T = T.StructType(
+    [T.StructField("tag", T.StringType()), T.StructField("attrs", ATTRS)]
+)
+
+LINK_T = T.StructType(
+    [
+        T.StructField("pos", T.IntegerType()),
+        T.StructField("tag", T.StringType()),
+        T.StructField("href", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("attrs", ATTRS),
+        T.StructField("anc", ANC_T),
+        T.StructField("prev", PREV_T),
+    ]
+)
+
+IMAGE_T = T.StructType(
+    [
+        T.StructField("pos", T.IntegerType()),
+        T.StructField("tag", T.StringType()),
+        T.StructField("src", T.StringType()),
+        T.StructField("attrs", ATTRS),
+        T.StructField("anc", ANC_T),
+        T.StructField("prev", PREV_T),
+    ]
+)
+
+OPTION_T = T.StructType(
+    [
+        T.StructField("value", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("selected", T.BooleanType()),
+    ]
+)
+
+INPUT_T = T.StructType(
+    [
+        T.StructField("pos", T.IntegerType()),
+        T.StructField("tag", T.StringType()),
+        T.StructField("itype", T.StringType()),  # `type` attr, null if absent
+        T.StructField("name", T.StringType()),
+        T.StructField("value", T.StringType()),
+        T.StructField("checked", T.BooleanType()),
+        T.StructField("multiple", T.BooleanType()),
+        T.StructField("text", T.StringType()),  # leaf_text (textarea default)
+        T.StructField("attrs", ATTRS),
+        T.StructField("options", T.ArrayType(OPTION_T)),
+    ]
+)
+
+STATE_T = T.MapType(T.StringType(), T.ArrayType(T.StringType()))
+
+FORM_T = T.StructType(
+    [
+        T.StructField("pos", T.IntegerType()),
+        T.StructField("tag", T.StringType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("action", T.StringType()),
+        T.StructField("method", T.StringType()),  # 'POST' | 'GET'
+        T.StructField("attrs", ATTRS),
+        T.StructField("anc", ANC_T),
+        T.StructField("prev", PREV_T),
+        T.StructField("inputs", T.ArrayType(INPUT_T)),
+        T.StructField("state", STATE_T),
+    ]
+)
+
+PARSED_FIELDS = [
+    T.StructField("base_uri", T.StringType()),
+    T.StructField("links", T.ArrayType(LINK_T)),
+    T.StructField("images", T.ArrayType(IMAGE_T)),
+    T.StructField("forms", T.ArrayType(FORM_T)),
+]
+
+
+# ---------------------------------------------------------- pure extraction
+
+def _node_ref(el: Element | None) -> dict | None:
+    if el is None or el.tag == "#document":
+        return None
+    return {"tag": el.tag, "attrs": dict(el.attrs)}
+
+
+def _ancestors(el: Element) -> list[dict]:
+    out = []
+    p = el.parent
+    while p is not None and p.tag != "#document":
+        out.append(_node_ref(p))
+        p = p.parent
+    return out
+
+
+FIELD_TYPES = frozenset({"text", "password", "hidden"})  # src/page.ml:38-42
+
+
+def _input_record(el: Element, pos: int) -> dict:
+    itype = el.attrs.get("type")
+    options = None
+    if el.tag == "select":
+        options = [
+            {
+                "value": o.attrs.get("value"),
+                "text": leaf_text(o) or "",
+                "selected": "selected" in o.attrs,
+            }
+            for o in el.iter_subtree()
+            if o.tag == "option"
+        ]
+    return {
+        "pos": pos,
+        "tag": el.tag,
+        "itype": itype,
+        "name": el.attrs.get("name"),
+        "value": el.attrs.get("value"),
+        "checked": "checked" in el.attrs,
+        "multiple": "multiple" in el.attrs,
+        "text": leaf_text(el) if el.tag == "textarea" else None,
+        "attrs": dict(el.attrs),
+        "options": options,
+    }
+
+
+def option_value(opt: dict) -> str:
+    """`value` attr defaulting to option text (src/page.ml:505-513)."""
+    return opt["value"] if opt["value"] is not None else (opt["text"] or "")
+
+
+def default_state(inputs: list[dict]) -> dict[str, list[str]]:
+    """``Form.reset_all`` parity (src/page.ml:574-586): reset order is
+    checkboxes -> radios -> selects -> fields; each reset recomputes
+    the whole named group from attribute defaults."""
+    state: dict[str, list[str]] = {}
+
+    def checkboxes():
+        return [i for i in inputs if i["tag"] == "input" and i["itype"] == "checkbox"]
+
+    def radios():
+        return [i for i in inputs if i["tag"] == "input" and i["itype"] == "radio"]
+
+    # checkboxes: all `checked` in the group, value default "on"
+    # (src/page.ml:410-419)
+    for cb in checkboxes():
+        name = cb["name"]
+        if name is None:
+            continue
+        vals = [
+            (c["value"] if c["value"] is not None else "on")
+            for c in checkboxes()
+            if c["name"] == name and c["checked"]
+        ]
+        if vals:
+            state[name] = vals
+        else:
+            state.pop(name, None)
+    # radios: FIRST `checked` in the group (src/page.ml:464-473)
+    for rb in radios():
+        name = rb["name"]
+        if name is None:
+            continue
+        first = next(
+            (
+                (c["value"] if c["value"] is not None else "on")
+                for c in radios()
+                if c["name"] == name and c["checked"]
+            ),
+            None,
+        )
+        if first is not None:
+            state[name] = [first]
+        else:
+            state.pop(name, None)
+    # select lists: options with `selected`, document order
+    # (src/page.ml:528-537)
+    for sl in inputs:
+        if sl["tag"] != "select" or sl["name"] is None:
+            continue
+        vals = [option_value(o) for o in (sl["options"] or []) if o["selected"]]
+        if vals:
+            state[sl["name"]] = vals
+        else:
+            state.pop(sl["name"], None)
+    # fields: textarea leaf text / input `value` attr
+    # (src/page.ml:543-561; field_filter src/page.ml:54-61)
+    for fd in inputs:
+        if fd["name"] is None:
+            continue
+        if fd["tag"] == "textarea":
+            dv = fd["text"]
+        elif fd["tag"] == "input" and fd["itype"] in FIELD_TYPES:
+            dv = fd["value"]
+        else:
+            continue
+        if dv is not None:
+            state[fd["name"]] = [dv]
+        else:
+            state.pop(fd["name"], None)
+    return state
+
+
+def parse_page(url: str, body: str | bytes | None) -> dict:
+    """Parse one page; returns {base_uri, links, images, forms}."""
+    if body is None:
+        body = ""
+    if isinstance(body, (bytes, bytearray)):
+        body = bytes(body).decode("utf-8", errors="replace")
+    root = parse_html(body)
+
+    base_uri = url or ""
+    links: list[dict] = []
+    images: list[dict] = []
+    forms: list[dict] = []
+    base_seen = False
+    for el in root.iter_subtree():
+        if el.tag == "#document":
+            continue
+        if el.tag == "base" and not base_seen and "href" in el.attrs:
+            # first <base href> wins (Soup.select_one, src/page.ml:70-76)
+            base_uri = urlkit.resolve(url or "", el.attrs["href"])
+            base_seen = True
+        elif el.tag == "a":
+            links.append(
+                {
+                    "pos": len(links),
+                    "tag": "a",
+                    "href": el.attrs.get("href"),
+                    "text": leaf_text(el),
+                    "attrs": dict(el.attrs),
+                    "anc": _ancestors(el),
+                    "prev": _node_ref(el.prev_elt),
+                }
+            )
+        elif el.tag == "img":
+            images.append(
+                {
+                    "pos": len(images),
+                    "tag": "img",
+                    "src": el.attrs.get("src"),
+                    "attrs": dict(el.attrs),
+                    "anc": _ancestors(el),
+                    "prev": _node_ref(el.prev_elt),
+                }
+            )
+        elif el.tag == "form":
+            inputs = []
+            for sub in el.iter_subtree():
+                if sub is el:
+                    continue
+                if sub.tag in ("input", "select", "textarea"):
+                    inputs.append(_input_record(sub, len(inputs)))
+            method_attr = (el.attrs.get("method") or "").strip().lower()
+            forms.append(
+                {
+                    "pos": len(forms),
+                    "tag": "form",
+                    "name": el.attrs.get("name"),
+                    "action": el.attrs.get("action"),
+                    # 'post' -> POST, anything else incl. missing -> GET
+                    # (src/page.ml:154-164)
+                    "method": "POST" if method_attr == "post" else "GET",
+                    "attrs": dict(el.attrs),
+                    "anc": _ancestors(el),
+                    "prev": _node_ref(el.prev_elt),
+                    "inputs": inputs,
+                    "state": default_state(inputs),
+                }
+            )
+    return {"base_uri": base_uri, "links": links, "images": images, "forms": forms}
+
+
+# ------------------------------------------------------------- Spark stage
+
+def parse_pages(
+    df: DataFrame, url_col: str = "url", body_col: str = "body"
+) -> DataFrame:
+    """Append ``base_uri, links, images, forms`` to ``df``.
+
+    Arrow-batched ``mapInPandas``; all input columns pass through.
+    """
+    in_schema = df.schema
+    out_schema = T.StructType(list(in_schema.fields) + PARSED_FIELDS)
+    passthrough = [f.name for f in in_schema.fields]
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = [
+                parse_page(u, b) for u, b in zip(pdf[url_col], pdf[body_col])
+            ]
+            out = pdf[passthrough].copy()
+            out["base_uri"] = [p["base_uri"] for p in parsed]
+            out["links"] = [p["links"] for p in parsed]
+            out["images"] = [p["images"] for p in parsed]
+            out["forms"] = [p["forms"] for p in parsed]
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)

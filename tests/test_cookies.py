@@ -1,0 +1,184 @@
+"""Cookie jar tests ported from the reference (test.ml:18-87, 147-200).
+
+The reference uses ``Random.self_init``; we fix seed=42 for
+determinism (FIXTURES.md §3).  Cases 1-5 run on the pure-Python jar
+(the oracle's data structure); the Spark-side jar table and the
+match/header join are then checked against it.
+"""
+
+from __future__ import annotations
+
+import random
+import string
+
+import pytest
+from pyspark.sql import functions as F
+
+from mechaml_spark import cookies as ck
+
+rng = random.Random(42)
+
+
+def rand_s(lo=5, hi=10):
+    return "".join(rng.choice(string.ascii_lowercase) for _ in range(rng.randint(lo, hi)))
+
+
+def make_cookie(domain, name=None, value=None, path="", max_age=None, secure=False):
+    return {
+        "name": name or rand_s(),
+        "value": value or rand_s(),
+        "max_age": max_age,
+        "domain": domain,
+        "path": path,
+        "secure": secure,
+    }
+
+
+URI = f"http://{rand_s()}.{rand_s(2,2)}/{rand_s()}"
+HOST = URI.split("//")[1].split("/")[0]
+COOKIES = [make_cookie(HOST) for _ in range(10)]
+
+
+def to_set_cookie(c):
+    return f"{c['name']}={c['value']}; Domain={c['domain']}"
+
+
+def jar_eq(cookie_list, jar: ck.Jar) -> bool:
+    have = {(c["name"], c["domain"], c["path"], c["value"]) for c in jar.cookies()}
+    want = {(c["name"], c["domain"], c["path"], c["value"]) for c in cookie_list}
+    return have == want and len(jar.cookies()) == len(cookie_list)
+
+
+def fresh_jar(cs=COOKIES) -> ck.Jar:
+    j = ck.Jar()
+    for c in cs:
+        j.add(c)
+    return j
+
+
+def test_add():
+    assert jar_eq(COOKIES, fresh_jar())
+
+
+def test_remove():
+    j = fresh_jar()
+    for c in COOKIES:
+        j.remove(c)
+    assert j.is_empty()
+
+
+def test_add_from_headers_combined():
+    """One comma-joined Set-Cookie header -> only the FIRST cookie
+    survives (test.ml:159-166)."""
+    combined = ", ".join(to_set_cookie(c) for c in COOKIES)
+    j = ck.Jar()
+    j.add_from_headers(URI, [combined])
+    assert jar_eq([COOKIES[0]], j)
+
+
+def test_add_from_headers_multiple():
+    j = ck.Jar()
+    j.add_from_headers(URI, [to_set_cookie(c) for c in COOKIES])
+    assert jar_eq(COOKIES, j)
+
+
+def test_add_from_headers_domainless():
+    c = make_cookie(HOST)
+    url = f"http://{c['domain']}/a.php"
+    j = ck.Jar()
+    j.add_from_headers(url, [f"{c['name']}={c['value']}"])
+    assert jar_eq([c], j)
+
+
+def test_max_age_zero_deletes():
+    j = fresh_jar()
+    dead = dict(COOKIES[0], max_age=0)
+    j.add(dead)
+    assert len(j.cookies()) == 9
+    # non-zero max-age never expires (no clock; cookiejar.ml:110-113)
+    j.add(dict(COOKIES[1], max_age=1))
+    assert len(j.cookies()) == 9
+
+
+def test_domain_match_quirks():
+    assert ck.domain_match_py("example.com", "example.com")
+    assert ck.domain_match_py("a.example.com", "example.com")
+    assert not ck.domain_match_py("aexample.com", "example.com")
+    # RFC 6265 deviation preserved: leading-dot domain never matches
+    # subdomains (the boundary char check hits the dot itself)
+    assert not ck.domain_match_py("a.example.com", ".example.com")
+    assert ck.domain_match_py(".example.com", ".example.com")
+    assert not ck.domain_match_py("example.com", "a.example.com")
+
+
+def test_path_match():
+    assert ck.path_match_py("/a/b", "/a")
+    assert ck.path_match_py("/a/b", "")
+    assert not ck.path_match_py("/a", "/a/b")
+
+
+def test_header_for_order():
+    """Cookie header in jar key order (name^domain^path ascending)."""
+    j = ck.Jar()
+    j.add(make_cookie("h.ex", name="zz", value="1"))
+    j.add(make_cookie("h.ex", name="aa", value="2"))
+    j.add(make_cookie("other.ex", name="mm", value="3"))
+    assert j.header_for("http://h.ex/x") == "aa=2; zz=1"
+    assert j.header_for("http://nomatch.ex/x") == ""
+
+
+# ------------------------------------------------------------- Spark parity
+
+
+@pytest.fixture(scope="module")
+def jar_df(spark):
+    return spark.createDataFrame(COOKIES, ck.COOKIE_T)
+
+
+def test_spark_upsert_and_delete(spark, jar_df):
+    upd = spark.createDataFrame(
+        [dict(COOKIES[0], value="NEW"), dict(COOKIES[1], max_age=0)],
+        ck.COOKIE_T,
+    )
+    out = {
+        (r["name"], r["domain"], r["path"]): r["value"]
+        for r in ck.jar_upsert(jar_df, upd).collect()
+    }
+    assert len(out) == 9
+    assert out[(COOKIES[0]["name"], COOKIES[0]["domain"], COOKIES[0]["path"])] == "NEW"
+    assert (COOKIES[1]["name"], COOKIES[1]["domain"], COOKIES[1]["path"]) not in out
+
+
+def test_spark_add_to_headers_matches_oracle(spark, jar_df):
+    urls = [
+        URI,
+        f"http://sub.{HOST}/deep/path",
+        f"http://{HOST}/",
+        "http://unrelated.zz/x",
+    ]
+    req = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {
+        r["url"]: r["cookie_header"]
+        for r in ck.add_to_headers(req, jar_df).collect()
+    }
+    oracle = fresh_jar()
+    for u in urls:
+        assert got[u] == oracle.header_for(u), u
+
+
+def test_spark_cookies_from_responses(spark):
+    rows = [
+        (
+            URI,
+            {"set-cookie": [to_set_cookie(c) for c in COOKIES[:3]]},
+        ),
+        (f"http://{HOST}/other", {"content-type": ["text/html"]}),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, headers map<string, array<string>>"
+    )
+    out = ck.cookies_from_responses(df).collect()
+    assert {(r["name"], r["value"]) for r in out} == {
+        (c["name"], c["value"]) for c in COOKIES[:3]
+    }
+    assert all(r["domain"] == HOST for r in out)

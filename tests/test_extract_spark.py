@@ -1,0 +1,237 @@
+"""Golden fixture tests through the SPARK pipeline.
+
+Same assertions as tests/test_htmlkit.py (ported from the reference
+test/test.ml) but exercised end-to-end: fixture HTML -> parse_pages
+mapInPandas -> explode -> JVM-side selector Column predicates.
+All selector counts of one node family are evaluated in ONE Spark
+job (a single agg of conditional sums) to keep the suite fast.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mechaml_spark import extract, forms, page
+from tests.test_htmlkit import FORM_CASES, IMAGE_CASES, LINK_CASES
+
+PAGE_URL = "http://fixture.example/index.html"
+
+
+@pytest.fixture(scope="module")
+def parsed(spark, fixture_html):
+    df = spark.createDataFrame(
+        [(PAGE_URL, fixture_html)], "url string, body string"
+    )
+    out = extract.parse_pages(df).cache()
+    out.count()
+    yield out
+    out.unpersist()
+
+
+def _family_counts(parsed, array_col, tag, cases):
+    node = F.explode(array_col).alias("node")
+    df = parsed.select(node)
+    aggs = []
+    for i, (sel, _expected) in enumerate(cases):
+        pred = page.selector_column(sel, F.col("node"), default_tag=tag)
+        pred = pred & (F.col("node")["tag"] == tag)
+        aggs.append(F.sum(pred.cast("int")).alias(f"c{i}"))
+    row = df.agg(*aggs).collect()[0]
+    return [row[f"c{i}"] for i in range(len(cases))]
+
+
+def test_form_selector_counts(parsed):
+    got = _family_counts(parsed, "forms", "form", FORM_CASES)
+    assert got == [c for _s, c in FORM_CASES]
+
+
+def test_link_selector_counts(parsed):
+    got = _family_counts(parsed, "links", "a", LINK_CASES)
+    assert got == [c for _s, c in LINK_CASES]
+
+
+def test_image_selector_counts(parsed):
+    got = _family_counts(parsed, "images", "img", IMAGE_CASES)
+    assert got == [c for _s, c in IMAGE_CASES]
+
+
+# golden input counts within form#form-one (test.ml:228-377 / FIXTURES.md §1.4)
+INPUT_CASES = [
+    ("checkbox", "[name=check1]", 3),
+    ("checkbox", "[name=check1][value=choice1]", 1),
+    ("checkbox", "[name=nothere]", 0),
+    ("checkbox", "", 6),
+    ("radio", "[name=radio1]", 3),
+    ("radio", "[name=radio1][value=choice1]", 1),
+    ("radio", "[name=nothere]", 0),
+    ("radio", "", 6),
+    ("select_list", "[name=select1]", 1),
+    ("select_list", "[name=select2]", 1),
+    ("select_list", "[name=nothere]", 0),
+    ("select_list", "", 2),
+    ("text", "[name=text1]", 1),
+    ("text", "[name=text2]", 1),
+    ("text", "[name=text-none]", 0),
+    ("text", "", 2),
+    ("field", "[name=text1]", 1),
+    ("field", "[name=password1]", 1),
+    ("field", "[name=area1]", 1),
+    ("field", "", 6),  # 2 texts + 2 passwords + 2 textareas (field_filter)
+    ("password", "[name=password1]", 1),
+    ("password", "[name=password2]", 1),
+    ("password", "[name=password-none]", 0),
+    ("password", "", 2),
+    ("textarea", "[name=area1]", 1),
+    ("textarea", "[name=area2]", 1),
+    ("textarea", "[name=area-none]", 0),
+    ("textarea", "", 2),
+]
+
+
+def test_input_counts_form_one(parsed):
+    form_one = page.forms_with(parsed, "[id=form-one]")
+    inputs = form_one.select(F.explode(F.col("node")["inputs"]).alias("node"))
+    aggs = []
+    for i, (family, sel, _expected) in enumerate(INPUT_CASES):
+        pred = forms.input_predicate(family, sel, F.col("node"))
+        aggs.append(F.sum(pred.cast("int")).alias(f"c{i}"))
+    row = inputs.agg(*aggs).collect()[0]
+    got = [row[f"c{i}"] for i in range(len(INPUT_CASES))]
+    assert got == [c for _f, _s, c in INPUT_CASES]
+
+
+def test_fields_include_textareas(parsed):
+    """fields_with 'textarea[name=area1]' finds the textarea; the bare
+    ``fields`` seq over form-one has 2 texts + 2 passwords + 2 textareas."""
+    form_one = page.forms_with(parsed, "[id=form-one]")
+    inputs = form_one.select(F.explode(F.col("node")["inputs"]).alias("node"))
+    n = inputs.where(
+        forms.input_predicate("field", "textarea[name=area1]", F.col("node"))
+    ).count()
+    assert n == 1
+    total = inputs.where(
+        forms.input_predicate("field", "*", F.col("node"))
+    ).count()
+    assert total == 6
+
+
+def test_default_state_form_two(parsed):
+    """FIXTURES.md §1.6 (test.ml:393-442)."""
+    form_two = page.forms_with(parsed, "[id=form-two]")
+    (row,) = form_two.select(F.col("node")["state"].alias("state")).collect()
+    state = {k: list(v) for k, v in row["state"].items()}
+    assert state == {
+        "hidden": ["hidden"],
+        "check3": ["choice2", "choice3"],
+        "radio3": ["choice1"],
+        "select3": ["choice1", "choice2"],
+        "text3": ["default"],
+        "area3": ["default"],
+    }
+
+
+def test_form_one_default_state(parsed):
+    """form-one has no checked/selected/value defaults, but its two
+    textareas DO have leaf text, which ``Field.reset`` restores
+    (src/page.ml:556-561) — so they appear in the default state."""
+    (row,) = (
+        page.forms_with(parsed, "[id=form-one]")
+        .select(F.col("node")["state"].alias("state"))
+        .collect()
+    )
+    state = {k: list(v) for k, v in row["state"].items()}
+    assert set(state) == {"area1", "area2"}
+    assert state["area1"][0].strip() == "This is a text area !"
+
+
+def test_state_transitions_column_ops(parsed):
+    """FIXTURES.md §1.5 state transitions via the Column algebra."""
+    f1 = page.forms_with(parsed, "[id=form-one]").select(
+        F.col("node")["state"].alias("s")
+    )
+    s = F.col("s")
+    s = forms.checkbox_check(s, "check1", "choice1")
+    s = forms.checkbox_check(s, "check1", "choice2")
+    s = forms.radio_select(s, "radio1", "choice1")
+    s = forms.radio_select(s, "radio1", "choice2")
+    s = forms.select_list_select(s, "select1", "choice1", F.lit(False))
+    s = forms.select_list_select(s, "select1", "choice2", F.lit(False))
+    s = forms.select_list_select(s, "select2", "choice1", F.lit(True))
+    s = forms.select_list_select(s, "select2", "choice2", F.lit(True))
+    s = forms.state_set(s, "text1", "hello world")
+    df = f1.select(
+        forms.is_checked(s, "check1", "choice1").alias("c1"),
+        forms.is_checked(s, "check1", "choice2").alias("c2"),
+        forms.is_checked(forms.checkbox_uncheck(s, "check1", "choice2"),
+                         "check1", "choice2").alias("c2_after_uncheck"),
+        forms.is_checked(forms.checkbox_uncheck(s, "check1", "choice2"),
+                         "check1", "choice1").alias("c1_after_uncheck"),
+        forms.is_checked(s, "radio1", "choice1").alias("r1"),
+        forms.is_checked(s, "radio1", "choice2").alias("r2"),
+        forms.is_checked(s, "select1", "choice1").alias("s1_i1"),
+        forms.is_checked(s, "select1", "choice2").alias("s1_i2"),
+        forms.is_checked(s, "select2", "choice1").alias("s2_i1"),
+        forms.is_checked(s, "select2", "choice2").alias("s2_i2"),
+        forms.is_checked(s, "select2", "choice3").alias("s2_i3"),
+        forms.state_get(s, "text1").alias("t1"),
+        forms.current_value(forms.select_list_unselect(s, "select1"),
+                            "select1").alias("s1_unsel"),
+    )
+    row = df.collect()[0]
+    assert row["c1"] and row["c2"]
+    assert not row["c2_after_uncheck"] and row["c1_after_uncheck"]
+    assert not row["r1"] and row["r2"]  # radio exclusivity
+    assert not row["s1_i1"] and row["s1_i2"]  # single select replaces
+    assert row["s2_i1"] and row["s2_i2"] and not row["s2_i3"]  # multi keeps
+    assert row["t1"] == "hello world"
+    assert row["s1_unsel"] is None  # unselect removes the whole key
+
+
+def test_submit_synthesis_py():
+    state = {"b": ["2"], "a": ["1", "x y"]}
+    # GET: query REPLACED, keys descending, values comma-joined
+    m, url, body = forms.synthesize_submit_py(
+        "http://h/act?old=1", "GET", state
+    )
+    assert (m, url, body) == ("GET", "http://h/act?b=2&a=1,x%20y", None)
+    m, url, body = forms.synthesize_submit_py("http://h/act", "POST", state)
+    assert (m, url, body) == ("POST", "http://h/act", "b=2&a=1,x%20y")
+
+
+def test_submit_synthesis_udf(parsed, spark):
+    f2 = page.forms_with(parsed, "[id=form-two]")
+    req = f2.select(
+        forms.synthesize_submit_udf(
+            F.col("uri"), F.col("node")["method"], F.col("node")["state"]
+        ).alias("req")
+    ).collect()[0]["req"]
+    assert req["method"] == "GET"
+    # action resolved against the page URL; query from default state
+    assert req["url"].startswith("http://fixture.example/action-two?")
+    assert "text3=default" in req["url"]
+    assert "check3=choice2,choice3" in req["url"]
+    assert req["body"] is None
+
+
+def test_base_href_and_resolution(spark):
+    html = (
+        '<html><head><base href="http://cdn.example/sub/"></head>'
+        '<body><a href="x.png">x</a><img src="../up.png"></body></html>'
+    )
+    df = spark.createDataFrame(
+        [("http://orig.example/page", html)], "url string, body string"
+    )
+    parsed = extract.parse_pages(df)
+    (link,) = page.links_with(parsed).select("uri").collect()
+    assert link["uri"] == "http://cdn.example/sub/x.png"
+    (img,) = page.images_with(parsed).select("uri").collect()
+    assert img["uri"] == "http://cdn.example/up.png"
+
+
+def test_first_and_nth(parsed):
+    links = page.links_with(parsed)
+    assert page.first(links).collect()[0]["node"]["attrs"]["id"] == "a-one"
+    # nth is 1-based (src/page.ml:110-116)
+    assert page.nth(links, 2).collect()[0]["node"]["attrs"]["id"] == "a-two"
+    assert page.nth(links, 4).collect() == []
