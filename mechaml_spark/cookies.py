@@ -199,6 +199,30 @@ def jar_remove(jar_df: DataFrame, remove_df: DataFrame) -> DataFrame:
     return jar_df.join(remove_df.select(*key), on=key, how="left_anti")
 
 
+@F.pandas_udf(COOKIE_T)
+def parse_set_cookie_udf(url: pd.Series, header_value: pd.Series) -> pd.DataFrame:
+    """One Set-Cookie header string -> cookie struct (NULL name when
+    unparseable)."""
+    rows = []
+    for u, hv in zip(url, header_value):
+        c = parse_set_cookie(hv or "", u or "")
+        rows.append(
+            c
+            if c is not None
+            else {
+                "name": None,
+                "value": None,
+                "max_age": None,
+                "domain": None,
+                "path": None,
+                "secure": None,
+            }
+        )
+    return pd.DataFrame(
+        rows, columns=["name", "value", "max_age", "domain", "path", "secure"]
+    )
+
+
 _COOKIES_ARR_T = T.ArrayType(COOKIE_T)
 
 

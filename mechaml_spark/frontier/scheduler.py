@@ -1,0 +1,419 @@
+"""Superstep crawl scheduler — the Spark implementation of the
+normative semantics in :mod:`mechaml_spark.frontier.oracle`.
+
+Execution model: one epoch = one batch superstep (the reference's
+sequential state threading, src/agent.ml:265-307, becomes a driver
+loop; its parallel fan-out ``map_p``, src/agent.ml:270-278, is the
+epoch's task parallelism).  All per-row work is DataFrame ops +
+Arrow-batched UDFs; the driver never iterates rows.
+
+Scale notes (10^10-URL design point):
+  * visit order is a SORT KEY ``(epoch, depth, discovered_epoch,
+    url_norm)`` — never a global counter; exporting the log is a
+    sort, and two cluster sizes produce identical order because the
+    key is total (north-rule exact-ordering requirement);
+  * politeness = per-host ``row_number`` window over the priority
+    key — the shuffle is by host, pre-salted by ``host_shard`` in
+    the seen set; hot hosts cannot skew the seen-set anti-join, and
+    AQE skew-join handles the window shuffle's tail;
+  * the redirect loop is a bounded driver loop (<= max_redirect+1
+    joins) over a shrinking set — the reference's bounded recursion
+    (src/agent.ml:65, 73-97);
+  * frontier/jar/logs are ``localCheckpoint``-ed per epoch to
+    truncate iterative lineage (on a cluster: checkpoint to the
+    snapshot store instead — same call site);
+  * robots rules are broadcast state (north rule), refreshed per
+    epoch from the corpus.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mechaml_spark import cookies as ck
+from mechaml_spark import extract, page
+from mechaml_spark.corpus import CorpusSpec, corpus_df, images_df, robots_rules
+from mechaml_spark.frontier.seen import SeenSet, host_shard_col
+from mechaml_spark.frontier.store import SnapshotStore
+
+MAX_REDIRECT = 5  # src/agent.ml:65
+
+FRONTIER_T = T.StructType(
+    [
+        T.StructField("url_norm", T.StringType(), False),
+        T.StructField("host", T.StringType()),
+        T.StructField("depth", T.IntegerType()),
+        T.StructField("discovered_epoch", T.IntegerType()),
+    ]
+)
+
+VISIT_T = T.StructType(
+    [
+        T.StructField("epoch", T.IntegerType()),
+        T.StructField("depth", T.IntegerType()),
+        T.StructField("discovered_epoch", T.IntegerType()),
+        T.StructField("url_norm", T.StringType()),
+        T.StructField("final_url", T.StringType()),
+        T.StructField("status", T.IntegerType()),
+    ]
+)
+
+PAGES_T = T.StructType(
+    [
+        T.StructField("epoch", T.IntegerType()),
+        T.StructField("url_norm", T.StringType()),
+        T.StructField("status", T.IntegerType()),
+    ]
+)
+
+
+@dataclass
+class CrawlResult:
+    visit_log: DataFrame  # order by (epoch, depth, discovered_epoch, url_norm)
+    pages_log: DataFrame
+    seen: SeenSet
+    payload: DataFrame
+    jar: DataFrame
+    epochs: int
+    store: SnapshotStore | None = None
+
+
+def _priority_window():
+    return Window.partitionBy("host").orderBy(
+        "depth", "discovered_epoch", "url_norm"
+    )
+
+
+def crawl(
+    spark: SparkSession,
+    spec: CorpusSpec,
+    seeds: list[str],
+    budget_per_host: int = 2,
+    max_epochs: int = 10,
+    max_redirect: int = MAX_REDIRECT,
+    n_shards: int = 16,
+    n_bits: int = 1 << 23,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
+) -> CrawlResult:
+    from mechaml_spark import urlkit
+
+    corpus = corpus_df(spark, spec).cache()
+    images = images_df(spark, spec).cache()
+    rules = robots_rules(spec)
+
+    store = SnapshotStore(checkpoint_dir) if checkpoint_dir else None
+    start_epoch = 0
+
+    if resume and store is not None and store.latest_epoch() is not None:
+        snap, dfs = store.load(spark)
+        start_epoch = snap.epoch + 1
+        frontier = dfs["frontier"]
+        seen = SeenSet(spark, n_shards, n_bits, dfs["seen"], dfs["bloom"])
+        jar = dfs["jar"]
+        visit_log = dfs["visit_log"]
+        pages_log = dfs["pages_log"]
+        payload = dfs["payload"]
+    else:
+        seed_rows = sorted(
+            {urlkit.canonicalize(s) for s in seeds}
+        )
+        frontier = spark.createDataFrame(
+            [
+                (u, urlkit.host_of(u), 0, 0)
+                for u in seed_rows
+            ],
+            FRONTIER_T,
+        )
+        seen = SeenSet(spark, n_shards, n_bits).add(frontier)
+        jar = ck.empty_jar(spark)
+        visit_log = spark.createDataFrame([], VISIT_T)
+        pages_log = spark.createDataFrame([], PAGES_T)
+        payload = images.limit(0).withColumn("alt", F.lit("")).withColumn(
+            "first_epoch", F.lit(0)
+        )
+
+    rules_b = spark.sparkContext.broadcast(rules)
+
+    @F.pandas_udf(T.BooleanType())
+    def robots_blocked(url: pd.Series) -> pd.Series:
+        from mechaml_spark import urlkit as uk
+
+        r = rules_b.value
+
+        def blocked(u):
+            prefixes = r.get(uk.host_of(u), [])
+            p = uk.path_of(u)
+            return any(p.startswith(x) for x in prefixes)
+
+        return url.map(blocked)
+
+    epochs_run = start_epoch
+    for epoch in range(start_epoch, max_epochs):
+        if frontier.isEmpty():
+            break
+        epochs_run = epoch + 1
+
+        # 1. robots filter (broadcast rules)
+        frontier = frontier.withColumn("_blocked", robots_blocked("url_norm"))
+        blocked = frontier.where("_blocked").select(
+            F.lit(epoch).alias("epoch"), "url_norm", F.lit(-1).alias("status")
+        )
+        pages_log = pages_log.unionByName(blocked)
+        frontier = frontier.where(~F.col("_blocked")).drop("_blocked")
+
+        # 2. politeness: top-B per host by the total priority key
+        ranked = frontier.withColumn("_rk", F.row_number().over(_priority_window()))
+        selected = ranked.where(F.col("_rk") <= budget_per_host).drop("_rk")
+        frontier = ranked.where(F.col("_rk") > budget_per_host).drop("_rk")
+
+        # 3. fetch with bounded redirect loop
+        cur = selected.select(
+            "url_norm",
+            "host",
+            "depth",
+            "discovered_epoch",
+            F.col("url_norm").alias("cur_url"),
+            F.lit(0).alias("hops"),
+        )
+        finals = None
+        cookie_events = None  # (depth, discovered_epoch, url_norm, hop, idx, url, hv)
+        hop_targets = None
+        for _hop in range(max_redirect + 1):
+            j = cur.join(corpus, cur["cur_url"] == corpus["url_norm"], "left").select(
+                cur["url_norm"],
+                "host",
+                "depth",
+                "discovered_epoch",
+                "cur_url",
+                "hops",
+                F.coalesce(corpus["status"], F.lit(404)).alias("status"),
+                corpus["location"],
+                corpus["set_cookie"],
+                corpus["body"],
+            )
+            ev = j.select(
+                "depth",
+                "discovered_epoch",
+                "url_norm",
+                F.col("hops").alias("hop"),
+                F.posexplode("set_cookie").alias("idx", "hv"),
+                F.col("cur_url").alias("src_url"),
+            )
+            cookie_events = ev if cookie_events is None else cookie_events.unionByName(ev)
+            redirecting = (
+                j.where(
+                    F.col("status").isin(301, 302)
+                    & F.col("location").isNotNull()
+                    & (F.col("hops") < max_redirect)
+                )
+                if _hop < max_redirect
+                else j.limit(0)
+            )
+            done = j.join(
+                redirecting.select("url_norm").withColumnRenamed("url_norm", "_r"),
+                j["url_norm"] == F.col("_r"),
+                "left_anti",
+            ).select(
+                "url_norm",
+                "host",
+                "depth",
+                "discovered_epoch",
+                F.col("cur_url").alias("final_url"),
+                "status",
+                "body",
+            )
+            finals = done if finals is None else finals.unionByName(done)
+            if _hop == max_redirect:
+                break
+            nxt = redirecting.select(
+                "url_norm",
+                "host",
+                "depth",
+                "discovered_epoch",
+                page.canonicalize_col(
+                    page.resolve_col(F.col("cur_url"), F.col("location"))
+                ).alias("cur_url"),
+                (F.col("hops") + 1).alias("hops"),
+            )
+            tgt = nxt.select(
+                F.col("cur_url").alias("url_norm"),
+                page.host_col(F.col("cur_url")).alias("host"),
+            )
+            hop_targets = tgt if hop_targets is None else hop_targets.unionByName(tgt)
+            cur = nxt.localCheckpoint(eager=False)
+
+        finals = finals.localCheckpoint(eager=True)
+
+        visit_log = visit_log.unionByName(
+            finals.select(
+                F.lit(epoch).alias("epoch"),
+                "depth",
+                "discovered_epoch",
+                "url_norm",
+                "final_url",
+                "status",
+            )
+        )
+        pages_log = pages_log.unionByName(
+            finals.select(F.lit(epoch).alias("epoch"), "url_norm", "status")
+        )
+
+        # 4. extract links + images from 200 responses
+        ok = finals.where((F.col("status") == 200) & F.col("body").isNotNull())
+        parsed = extract.parse_pages(
+            ok.select(
+                F.col("final_url").alias("url"),
+                "body",
+                "depth",
+                "discovered_epoch",
+                F.col("url_norm").alias("src_norm"),
+            ),
+            url_col="url",
+            body_col="body",
+        ).cache()
+
+        links = (
+            parsed.select(
+                "depth",
+                F.explode("links").alias("ln"),
+                "base_uri",
+            )
+            .where(F.col("ln")["href"].isNotNull())
+            .select(
+                "depth",
+                page.canonicalize_col(
+                    page.resolve_col(F.col("base_uri"), F.col("ln")["href"])
+                ).alias("url_norm"),
+            )
+            .where(
+                F.col("url_norm").startswith("http://")
+                | F.col("url_norm").startswith("https://")
+            )
+            .groupBy("url_norm")
+            .agg((F.min("depth") + 1).alias("depth"))
+            .withColumn("host", page.host_col(F.col("url_norm")))
+        )
+
+        # seen additions: redirect hop targets enter seen but NOT the
+        # frontier (spec step 3)
+        if hop_targets is not None and not hop_targets.isEmpty():
+            new_hops = seen.filter_new(hop_targets).distinct()
+            seen = seen.add(new_hops)
+
+        new_frontier = (
+            seen.filter_new(links)
+            .select(
+                "url_norm",
+                "host",
+                "depth",
+                F.lit(epoch).alias("discovered_epoch"),
+            )
+        ).localCheckpoint(eager=True)
+        seen = seen.add(new_frontier).persist()
+        frontier = frontier.unionByName(new_frontier).localCheckpoint(eager=True)
+
+        # 5. payload: first-seen image ids -> join images table
+        imgs = (
+            parsed.select(
+                "depth",
+                "discovered_epoch",
+                F.col("src_norm"),
+                F.explode("images").alias("im"),
+            )
+            .select(
+                "depth",
+                "discovered_epoch",
+                "src_norm",
+                F.col("im")["pos"].alias("pos"),
+                F.col("im")["src"].alias("src"),
+                F.element_at(F.col("im")["attrs"], "alt").alias("alt"),
+            )
+            .where(F.col("src").startswith("http://images.test/im/"))
+            .withColumn(
+                "image_id",
+                F.regexp_extract("src", r"/im/([^/]+)\.[a-z]+$", 1),
+            )
+        )
+        first_occurrence = imgs.groupBy("image_id").agg(
+            F.min(
+                F.struct("depth", "discovered_epoch", "src_norm", "pos", "alt")
+            ).alias("o")
+        ).select("image_id", F.col("o")["alt"].alias("alt"))
+        new_ids = first_occurrence.join(
+            payload.select("image_id"), "image_id", "left_anti"
+        )
+        new_payload = (
+            new_ids.join(images, "image_id", "inner")
+            .select(*images.columns, "alt", F.lit(epoch).alias("first_epoch"))
+        )
+        payload = payload.unionByName(new_payload).localCheckpoint(eager=True)
+        parsed.unpersist()
+
+        # 6. cookie fold: last write per key in (visit order, hop, idx)
+        parsed_cookies = cookie_events.select(
+            "depth",
+            "discovered_epoch",
+            "url_norm",
+            "hop",
+            "idx",
+            ck.parse_set_cookie_udf(F.col("src_url"), F.col("hv")).alias("c"),
+        ).where(F.col("c").isNotNull() & F.col("c")["name"].isNotNull())
+        w = Window.partitionBy(
+            F.col("c")["name"], F.col("c")["domain"], F.col("c")["path"]
+        ).orderBy(
+            F.desc("depth"),
+            F.desc("discovered_epoch"),
+            F.desc("url_norm"),
+            F.desc("hop"),
+            F.desc("idx"),
+        )
+        winners = (
+            parsed_cookies.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("c.*")
+        )
+        jar = ck.jar_upsert(jar, winners).localCheckpoint(eager=True)
+
+        visit_log = visit_log.localCheckpoint(eager=True)
+        pages_log = pages_log.localCheckpoint(eager=True)
+
+        if store is not None:
+            shard_metrics = {
+                str(r["host_shard"]): r["n"]
+                for r in seen.seen_df.groupBy("host_shard")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+            store.commit(
+                epoch,
+                {
+                    "frontier": frontier,
+                    "seen": seen.seen_df,
+                    "bloom": seen.bloom_df,
+                    "jar": jar,
+                    "visit_log": visit_log,
+                    "pages_log": pages_log,
+                    "payload": payload,
+                },
+                metrics={
+                    "frontier_epoch": epoch,
+                    "rows_per_host_shard": shard_metrics,
+                },
+                partition_by={"seen": ["host_shard"]},
+            )
+
+    return CrawlResult(
+        visit_log=visit_log,
+        pages_log=pages_log,
+        seen=seen,
+        payload=payload,
+        jar=jar,
+        epochs=epochs_run,
+        store=store,
+    )

@@ -1,0 +1,118 @@
+"""Snapshot store: Iceberg-style checkpoints on plain parquet.
+
+The sandbox Spark has no Iceberg jar (SURVEY.md §4), so snapshots
+are a manifest-JSON chain over parquet directories implementing the
+same contract: atomic commit (write-tmp + rename), parent pointer,
+per-partition lineage metrics (frontier-epoch, host-shard,
+rows-emitted), resume-from-latest.  The API is deliberately thin so
+an Iceberg backend is a config switch on a real cluster
+(``spark.write.format("iceberg")`` + snapshot metadata instead of
+the manifest file).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class Snapshot:
+    epoch: int
+    parent: int | None
+    tables: dict[str, str]  # name -> parquet path
+    metrics: dict
+    wall_time: float
+
+
+class SnapshotStore:
+    def __init__(self, root: str) -> None:
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _manifest_path(self, epoch: int) -> str:
+        return os.path.join(self.root, f"manifest-{epoch:06d}.json")
+
+    def latest_epoch(self) -> int | None:
+        epochs = [
+            int(f[len("manifest-") : -len(".json")])
+            for f in os.listdir(self.root)
+            if f.startswith("manifest-") and f.endswith(".json")
+        ]
+        return max(epochs) if epochs else None
+
+    def commit(
+        self,
+        epoch: int,
+        tables: dict[str, DataFrame],
+        metrics: dict | None = None,
+        partition_by: dict[str, list[str]] | None = None,
+    ) -> Snapshot:
+        """Write every table to parquet and atomically publish the
+        manifest.  ``metrics`` should include per-partition lineage
+        (host_shard -> rows) supplied by the scheduler."""
+        t0 = time.time()
+        paths: dict[str, str] = {}
+        for name, df in tables.items():
+            path = os.path.join(self.root, f"epoch={epoch:06d}", name)
+            writer = df.write.mode("overwrite")
+            for col in (partition_by or {}).get(name, []):
+                writer = writer.partitionBy(col)
+            writer.parquet(path)
+            paths[name] = path
+        parent = self.latest_epoch()
+        snap = Snapshot(
+            epoch=epoch,
+            parent=parent,
+            tables=paths,
+            metrics=metrics or {},
+            wall_time=time.time() - t0,
+        )
+        manifest = {
+            "epoch": snap.epoch,
+            "parent": snap.parent,
+            "tables": snap.tables,
+            "metrics": snap.metrics,
+            "wall_time_sec": snap.wall_time,
+        }
+        fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, self._manifest_path(epoch))  # atomic publish
+        return snap
+
+    def load(self, spark: SparkSession, epoch: int | None = None
+             ) -> tuple[Snapshot, dict[str, DataFrame]]:
+        if epoch is None:
+            epoch = self.latest_epoch()
+            if epoch is None:
+                raise FileNotFoundError(f"no snapshots under {self.root}")
+        with open(self._manifest_path(epoch)) as f:
+            m = json.load(f)
+        snap = Snapshot(
+            epoch=m["epoch"],
+            parent=m["parent"],
+            tables=m["tables"],
+            metrics=m["metrics"],
+            wall_time=m["wall_time_sec"],
+        )
+        dfs = {name: spark.read.parquet(path) for name, path in snap.tables.items()}
+        return snap, dfs
+
+    def lineage(self) -> list[dict]:
+        """Full manifest chain, oldest first."""
+        out = []
+        e = self.latest_epoch()
+        seen_epochs = set()
+        while e is not None and e not in seen_epochs:
+            seen_epochs.add(e)
+            with open(self._manifest_path(e)) as f:
+                m = json.load(f)
+            out.append(m)
+            e = m["parent"]
+        return list(reversed(out))

@@ -1,0 +1,177 @@
+"""Stdlib image codecs (PNG / PPM) + PSNR — no PIL in-sandbox.
+
+The crawl's payload rows are ``(image_id, bytes, w, h, fmt, caption,
+phash)`` (BASELINE.json input_hint).  The per-row invariant is
+decoded-pixel fidelity: bit-exact for lossless formats, PSNR >= 40 dB
+for lossy ones (we only emit lossless PNG/PPM in-sandbox, so the
+check is exact equality; the PSNR path is exercised by tests with
+synthetic noise).
+
+PNG here is the minimal spec subset we emit: 8-bit RGB, one IDAT,
+filter types 0-4 supported on decode (we encode filter 0).  Public
+spec: https://www.w3.org/TR/png/ .
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def png_encode(pixels: np.ndarray) -> bytes:
+    """8-bit RGB HxWx3 array -> PNG bytes (filter 0, single IDAT)."""
+    if pixels.dtype != np.uint8 or pixels.ndim != 3 or pixels.shape[2] != 3:
+        raise ValueError("png_encode expects uint8 HxWx3 RGB")
+    h, w, _ = pixels.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit truecolor
+    raw = np.empty((h, w * 3 + 1), dtype=np.uint8)
+    raw[:, 0] = 0  # filter type 0 per scanline
+    raw[:, 1:] = pixels.reshape(h, w * 3)
+    idat = zlib.compress(raw.tobytes(), 6)
+    return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
+def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        ft = raw[y, 0]
+        line = raw[y, 1:].astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y > 0 else np.zeros(stride, np.int32)
+        if ft == 0:
+            out[y] = line.astype(np.uint8)
+        elif ft == 2:  # Up
+            out[y] = ((line + prev) & 0xFF).astype(np.uint8)
+        elif ft in (1, 3, 4):  # Sub / Average / Paeth need sequential scan
+            cur = np.zeros(stride, np.int32)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                if ft == 1:
+                    pred = a
+                elif ft == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (line[x] + pred) & 0xFF
+            out[y] = cur.astype(np.uint8)
+        else:
+            raise ValueError(f"unsupported PNG filter {ft}")
+    return out
+
+
+def png_decode(data: bytes) -> np.ndarray:
+    """PNG bytes -> uint8 HxWx3 RGB (subset: 8-bit truecolor)."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos = 8
+    w = h = None
+    idat = bytearray()
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, bit_depth, color_type, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if bit_depth != 8 or color_type != 2 or interlace != 0:
+                raise ValueError("unsupported PNG variant")
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+    if w is None:
+        raise ValueError("missing IHDR")
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    stride = w * 3
+    raw = raw.reshape(h, stride + 1)
+    return _unfilter(raw, h, stride, 3).reshape(h, w, 3)
+
+
+def ppm_encode(pixels: np.ndarray) -> bytes:
+    h, w, _ = pixels.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + pixels.astype(np.uint8).tobytes()
+
+
+def ppm_decode(data: bytes) -> np.ndarray:
+    if not data.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    parts = []
+    pos = 2
+    while len(parts) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":
+            while data[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        parts.append(int(data[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, _maxval = parts
+    arr = np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return arr.reshape(h, w, 3).copy()
+
+
+def decode(data: bytes, fmt: str) -> np.ndarray:
+    if fmt == "png":
+        return png_decode(data)
+    if fmt == "ppm":
+        return ppm_decode(data)
+    raise NotImplementedError(
+        f"decoder for {fmt!r} not available in-sandbox (no image libs); "
+        "plug a real codec here on a full cluster image"
+    )
+
+
+def encode(pixels: np.ndarray, fmt: str) -> bytes:
+    if fmt == "png":
+        return png_encode(pixels)
+    if fmt == "ppm":
+        return ppm_encode(pixels)
+    raise NotImplementedError(f"encoder for {fmt!r} not available in-sandbox")
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB; inf for identical images."""
+    if a.shape != b.shape:
+        return 0.0
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return float(10.0 * np.log10(255.0**2 / mse))
+
+
+LOSSLESS = frozenset({"png", "ppm"})
+
+
+def payload_ok(data: bytes, fmt: str, reference_pixels: np.ndarray) -> bool:
+    """Per-row invariant: lossless -> bit-exact; lossy -> PSNR >= 40."""
+    try:
+        got = decode(data, fmt)
+    except Exception:
+        return False
+    if fmt in LOSSLESS:
+        return got.shape == reference_pixels.shape and bool(
+            np.array_equal(got, reference_pixels)
+        )
+    return psnr(got, reference_pixels) >= 40.0
