@@ -1,0 +1,107 @@
+"""Benchmark harness: crawl throughput + headline engine queries.
+
+Prints ONE JSON line:
+  {"metric": "frontier URLs fetched+deduped per second",
+   "value": <urls/sec>, "unit": "urls/sec", "queries": {...sec...},
+   "sf": <sf>, ...}
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   testdata dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     cores for local[N] (default 32)
+  BENCH_CRAWL_HOSTS / BENCH_CRAWL_PAGES  synthetic corpus size
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_hosts = int(os.environ.get("BENCH_CRAWL_HOSTS", "48"))
+    n_pages = int(os.environ.get("BENCH_CRAWL_PAGES", "40"))
+
+    from mechaml_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="mechaml_bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+
+    from mechaml_spark.corpus import CorpusSpec, page_url
+    from mechaml_spark.frontier.scheduler import crawl
+    from mechaml_spark.queries import QUERIES
+
+    timings: dict[str, float] = {}
+
+    # ---- crawl throughput (the headline metric) ----
+    spec = CorpusSpec(
+        n_hosts=n_hosts, pages_per_host=n_pages, links_per_page=6,
+        images_per_page=2,
+    )
+    seeds = [page_url(spec, i, 0) for i in range(spec.n_hosts)]
+    t0 = time.perf_counter()
+    res = crawl(
+        spark, spec, seeds, budget_per_host=8, max_epochs=3,
+        n_shards=min(cpus, 32), n_bits=1 << 20,
+    )
+    n_visited = res.visit_log.count()
+    n_seen = res.seen.seen_df.count()
+    crawl_sec = time.perf_counter() - t0
+    timings["crawl_frontier"] = round(crawl_sec, 3)
+    urls_per_sec = n_visited / crawl_sec if crawl_sec > 0 else 0.0
+
+    # ---- headline queries over the driver testdata ----
+    headline = [] if os.environ.get("BENCH_ONLY_CRAWL") else [
+        "extract_links",
+        "selector_suffix",
+        "dedup_exact",
+        "dedup_minhash",
+        "token_stats",
+        "quality_filter",
+        "lang_id",
+        "embedding_topk",
+        "embedding_neardup",
+        "politeness_topk",
+        "seen_dedupe",
+        "cookie_match",
+        "sessionize",
+        "pricing_summary",
+        "url_canonicalize",
+        "form_defaults",
+        "format_scalars",
+    ]
+    for name in headline:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "frontier URLs fetched+deduped per second",
+        "value": round(urls_per_sec, 2),
+        "unit": "urls/sec",
+        "queries": timings,
+        "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+        "total_sec": total,
+        "crawl": {
+            "visited": n_visited,
+            "seen": n_seen,
+            "epochs": res.epochs,
+            "hosts": spec.n_hosts,
+            "cpus": cpus,
+        },
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -241,12 +241,14 @@ def crawl(
                 ).alias("cur_url"),
                 (F.col("hops") + 1).alias("hops"),
             )
-            tgt = nxt.select(
+            cur = nxt.localCheckpoint(eager=True)  # tiny after hop 0
+            if cur.isEmpty():  # early exit: no redirects pending
+                break
+            tgt = cur.select(
                 F.col("cur_url").alias("url_norm"),
                 page.host_col(F.col("cur_url")).alias("host"),
             )
             hop_targets = tgt if hop_targets is None else hop_targets.unionByName(tgt)
-            cur = nxt.localCheckpoint(eager=False)
 
         finals = finals.localCheckpoint(eager=True)
 
@@ -287,35 +289,47 @@ def crawl(
             .where(F.col("ln")["href"].isNotNull())
             .select(
                 "depth",
-                page.canonicalize_col(
-                    page.resolve_col(F.col("base_uri"), F.col("ln")["href"])
-                ).alias("url_norm"),
+                page.resolve_canon_host(
+                    F.col("base_uri"), F.col("ln")["href"]
+                ).alias("rc"),
             )
+            .select("depth", F.col("rc")["url_norm"].alias("url_norm"),
+                    F.col("rc")["host"].alias("host"))
             .where(
                 F.col("url_norm").startswith("http://")
                 | F.col("url_norm").startswith("https://")
             )
             .groupBy("url_norm")
-            .agg((F.min("depth") + 1).alias("depth"))
-            .withColumn("host", page.host_col(F.col("url_norm")))
+            .agg((F.min("depth") + 1).alias("depth"), F.first("host").alias("host"))
         )
 
-        # seen additions: redirect hop targets enter seen but NOT the
-        # frontier (spec step 3)
-        if hop_targets is not None and not hop_targets.isEmpty():
-            new_hops = seen.filter_new(hop_targets).distinct()
-            seen = seen.add(new_hops)
-
-        new_frontier = (
-            seen.filter_new(links)
-            .select(
-                "url_norm",
-                "host",
-                "depth",
-                F.lit(epoch).alias("discovered_epoch"),
+        # ONE seen-set round per epoch: redirect hop targets and newly
+        # discovered links go through the bloom+exact filter together;
+        # hop targets enter `seen` but never the frontier (spec step 3),
+        # and a hop target shadows a same-URL link (the oracle adds hop
+        # targets to seen before extraction).
+        cand = links.select(
+            "url_norm", "host", "depth", F.lit(False).alias("is_hop")
+        )
+        if hop_targets is not None:
+            cand = cand.unionByName(
+                hop_targets.select(
+                    "url_norm",
+                    "host",
+                    F.lit(None).cast("int").alias("depth"),
+                    F.lit(True).alias("is_hop"),
+                )
             )
-        ).localCheckpoint(eager=True)
-        seen = seen.add(new_frontier).persist()
+        cand = cand.groupBy("url_norm").agg(
+            F.first("host").alias("host"),
+            F.min("depth").alias("depth"),
+            F.max("is_hop").alias("is_hop"),
+        )
+        new_seen = seen.filter_new(cand).localCheckpoint(eager=True)
+        seen = seen.add(new_seen).persist()
+        new_frontier = new_seen.where(~F.col("is_hop")).select(
+            "url_norm", "host", "depth", F.lit(epoch).alias("discovered_epoch")
+        )
         frontier = frontier.unionByName(new_frontier).localCheckpoint(eager=True)
 
         # 5. payload: first-seen image ids -> join images table
@@ -379,9 +393,8 @@ def crawl(
             .select("c.*")
         )
         jar = ck.jar_upsert(jar, winners).localCheckpoint(eager=True)
-
-        visit_log = visit_log.localCheckpoint(eager=True)
-        pages_log = pages_log.localCheckpoint(eager=True)
+        # visit_log/pages_log union chains reference only checkpointed
+        # inputs (finals, frontier) — no per-epoch materialization needed
 
         if store is not None:
             shard_metrics = {

@@ -202,6 +202,33 @@ def _host_udf(u):
     return urlkit.host_series(u)
 
 
+_RCH_T = "url_norm string, host string"
+
+
+def resolve_canon_host(base: Column, ref: Column) -> Column:
+    """Fused resolve -> canonicalize -> host in ONE Arrow round trip
+    (the crawl's hottest per-link path; three separate UDFs would pay
+    the Python transfer three times)."""
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType(
+        [StructField("url_norm", StringType()), StructField("host", StringType())]
+    )
+
+    @F.pandas_udf(schema)
+    def _rch(b, r):
+        import pandas as pd
+
+        from mechaml_spark import urlkit
+
+        urls = [urlkit.canonicalize(urlkit.resolve(bb, rr)) for bb, rr in zip(b, r)]
+        return pd.DataFrame(
+            {"url_norm": urls, "host": [urlkit.host_of(u) for u in urls]}
+        )
+
+    return _rch(base, ref)
+
+
 def resolve_col(base: str | Column, ref: Column) -> Column:
     """Vectorized RFC-3986 resolve (Arrow-batched pandas UDF)."""
     base_col = F.col(base) if isinstance(base, str) else base

@@ -1,0 +1,72 @@
+"""Mimics the driver's correctness gate: run every queries() entry
+and its oracle_sql() side-by-side (DuckDB) at sf0.001 and compare
+row multisets (columns sorted by name — same normalization the
+driver hashes)."""
+
+from __future__ import annotations
+
+import math
+import pathlib
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        p = pathlib.Path(SF_DIR) / f"{t}.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+
+def _norm_cell(v):
+    if isinstance(v, float):
+        return round(v, 9)
+    return v
+
+
+def _normalize(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return [cols[i] for i in order], out
+
+
+@pytest.mark.parametrize("name", sorted(entrymod.queries().keys()))
+def test_query_matches_oracle(spark, ddb, name):
+    q = entrymod.queries()[name]
+    sql = entrymod.oracle_sql().get(name)
+    sdf = q(spark, SF_DIR)
+    srows = [tuple(r) for r in sdf.collect()]
+    scols = sdf.columns
+    assert sql is not None, f"{name} has no oracle"
+    ores = ddb.execute(sql)
+    ocols = [d[0] for d in ores.description]
+    orows = [tuple(r) for r in ores.fetchall()]
+    assert sorted(scols) == sorted(ocols), f"{name}: column names differ"
+    ncols, nsrows = _normalize(scols, srows)
+    _, norows = _normalize(ocols, orows)
+    assert len(nsrows) == len(norows), (
+        f"{name}: row count {len(nsrows)} vs oracle {len(norows)}"
+    )
+    mismatches = [
+        (i, a, b) for i, (a, b) in enumerate(zip(nsrows, norows)) if a != b
+    ]
+    assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {"lang", "n_links"}
