@@ -63,6 +63,9 @@ def main() -> None:
         "selector_suffix",
         "dedup_exact",
         "dedup_minhash",
+        "simhash_buckets",
+        "ngram_jaccard",
+        "image_features",
         "token_stats",
         "quality_filter",
         "lang_id",

@@ -1,0 +1,205 @@
+"""Agent facade: the reference's HTTP verbs as DataFrame stages.
+
+Maps src/agent.ml onto Spark (SURVEY.md §2.1, §2.6, §2.7):
+  * ``Agent.get/post`` -> :func:`fetch` — one bounded redirect-loop
+    stage over a request DataFrame (301/302-only, GET-on-redirect,
+    ``max_redirect`` = 5 default, per-hop Set-Cookie collection —
+    src/agent.ml:65, 73-97);
+  * ``Agent.click`` -> :func:`click` — fetch the resolved link uris;
+  * ``Agent.submit`` -> :func:`submit` — synthesize the request from
+    form method/state (src/agent.ml:119-130) then fetch;
+  * ``Agent.save_content``/``save_image`` -> :func:`save_content` —
+    parquet sink append (the reference's fire-and-forget write race,
+    src/agent.ml:132-137, is deliberately NOT replicated);
+  * ``HttpResponse.*`` accessors -> plain columns of the response
+    frame; ``.page`` -> deferred :func:`mechaml_spark.extract.parse_pages`;
+  * the state monad (src/agent.ml:164-228) -> driver-side transform
+    composition; ``List.map_p`` fan-out -> the stage's inherent task
+    parallelism with a read-only jar snapshot per superstep.
+
+The fetcher is pluggable: :class:`CorpusFetcher` joins the synthetic
+corpus (sandbox default — network-free, deterministic);
+:class:`HttpFetcher` is the real-network backend, stubbed in-sandbox.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mechaml_spark import cookies as ck
+from mechaml_spark import page
+
+MAX_REDIRECT = 5  # src/agent.ml:65
+
+
+class CorpusFetcher:
+    """Network-free fetcher: LEFT-join requests against a response
+    table keyed by canonical URL (missing rows -> 404).  On a real
+    deployment the same stage shape becomes a host-partitioned
+    ``applyInPandas`` HTTP batch."""
+
+    def __init__(self, corpus: DataFrame) -> None:
+        self.corpus = corpus  # (url_norm, status, location, set_cookie, body)
+
+    def fetch(self, requests: DataFrame, url_col: str) -> DataFrame:
+        # explicit side aliases: request frames often derive from a
+        # previous fetch of the SAME corpus (click/submit chains), which
+        # would otherwise trip Spark's ambiguous-self-join detection
+        r = requests.alias("_req")
+        c = self.corpus.alias("_corpus")
+        j = r.join(
+            c, F.col(f"_req.{url_col}") == F.col("_corpus.url_norm"), "left"
+        )
+        return j.select(
+            *[F.col(f"_req.{col}") for col in requests.columns],
+            F.coalesce(F.col("_corpus.status"), F.lit(404)).alias("status"),
+            F.col("_corpus.location").alias("location"),
+            F.col("_corpus.set_cookie").alias("set_cookie"),
+            F.col("_corpus.body").alias("body"),
+        )
+
+
+class HttpFetcher:
+    """Real-network backend (requests/urllib over host-partitioned
+    Arrow batches).  No network in-sandbox -> explicit stub."""
+
+    def fetch(self, requests: DataFrame, url_col: str) -> DataFrame:
+        raise NotImplementedError(
+            "no network access in-sandbox; deploy with a requests-based "
+            "applyInPandas fetch stage partitioned by host"
+        )
+
+
+@dataclass
+class FetchResult:
+    finals: DataFrame
+    # carry cols + (final_url, status, body)
+    cookie_events: DataFrame
+    # carry cols + (hop, idx, hv, src_url) — fold order = carry-key + hop + idx
+    hop_targets: DataFrame | None
+    # (url_norm, host) canonical redirect-landing URLs (None if no redirects)
+
+
+def fetch(
+    requests: DataFrame,
+    fetcher,
+    jar: DataFrame | None = None,
+    url_col: str = "url_norm",
+    max_redirect: int = MAX_REDIRECT,
+    carry_cols: tuple[str, ...] = (),
+) -> FetchResult:
+    """The fetch stage: cookie injection, bounded redirect following,
+    per-hop cookie collection.
+
+    ``requests`` must be UNIQUE on ``url_col`` (dedupe upstream —
+    the frontier is deduped by construction); ``carry_cols`` pass
+    through untouched and key the cookie-fold ordering.  ``finals``
+    keeps the original URL under ``url_col`` plus
+    ``(final_url, status, body)``.
+    """
+    carry = list(carry_cols)
+    cur = requests.select(
+        *carry,
+        F.col(url_col).alias("req_url"),
+        F.col(url_col).alias("cur_url"),
+        F.lit(0).alias("hops"),
+    )
+    finals = None
+    cookie_events = None
+    hop_targets = None
+    for _hop in range(max_redirect + 1):
+        req = cur
+        if jar is not None:
+            req = ck.add_to_headers(cur, jar, url_col="cur_url")
+        j = fetcher.fetch(req, "cur_url")
+        ev = j.select(
+            *carry,
+            F.col("req_url").alias(url_col) if url_col not in carry
+            else F.col("req_url").alias("_req_url_dup"),
+            F.col("hops").alias("hop"),
+            F.posexplode("set_cookie").alias("idx", "hv"),
+            F.col("cur_url").alias("src_url"),
+        )
+        if url_col in carry:
+            ev = ev.drop("_req_url_dup")
+        cookie_events = ev if cookie_events is None else cookie_events.unionByName(ev)
+        redirecting = j.where(
+            F.col("status").isin(301, 302)
+            & F.col("location").isNotNull()
+            & (F.col("hops") < max_redirect)
+        )
+        done = j.join(
+            redirecting.select(F.col("req_url").alias("_r")),
+            j["req_url"] == F.col("_r"),
+            "left_anti",
+        ).select(
+            *carry,
+            *([] if url_col in carry else [F.col("req_url").alias(url_col)]),
+            F.col("cur_url").alias("final_url"),
+            "status",
+            "body",
+        )
+        finals = done if finals is None else finals.unionByName(done)
+        if _hop == max_redirect:
+            break
+        nxt = redirecting.select(
+            *carry,
+            "req_url",
+            page.canonicalize_col(
+                page.resolve_col(F.col("cur_url"), F.col("location"))
+            ).alias("cur_url"),
+            (F.col("hops") + 1).alias("hops"),
+        ).localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        tgt = nxt.select(
+            F.col("cur_url").alias("url_norm"),
+            page.host_col(F.col("cur_url")).alias("host"),
+        )
+        hop_targets = tgt if hop_targets is None else hop_targets.unionByName(tgt)
+        cur = nxt
+    return FetchResult(
+        finals=finals, cookie_events=cookie_events, hop_targets=hop_targets
+    )
+
+
+def get(urls: DataFrame, fetcher, jar: DataFrame | None = None,
+        url_col: str = "url_norm", **kw) -> FetchResult:
+    """``Agent.get`` over a URL frame (src/agent.ml:99-106)."""
+    return fetch(urls, fetcher, jar, url_col=url_col, **kw)
+
+
+def click(links: DataFrame, fetcher, jar: DataFrame | None = None,
+          **kw) -> FetchResult:
+    """``Agent.click`` (src/agent.ml:108): follow resolved link uris.
+    ``links`` = output of :func:`mechaml_spark.page.links_with`."""
+    reqs = links.select(page.canonicalize_col(F.col("uri")).alias("url_norm"))
+    return fetch(reqs, fetcher, jar, **kw)
+
+
+def submit(forms: DataFrame, fetcher, jar: DataFrame | None = None,
+           state_col=None, **kw) -> FetchResult:
+    """``Agent.submit`` (src/agent.ml:119-130): synthesize the request
+    from the form's method/action/state, then fetch.  ``forms`` =
+    output of :func:`mechaml_spark.page.forms_with`; pass ``state_col``
+    to submit a filled state instead of the defaults."""
+    from mechaml_spark.forms import synthesize_submit_udf
+
+    st = state_col if state_col is not None else F.col("node")["state"]
+    req = forms.select(
+        synthesize_submit_udf(F.col("uri"), F.col("node")["method"], st).alias("r")
+    ).select(
+        page.canonicalize_col(F.col("r")["url"]).alias("url_norm"),
+        F.col("r")["method"].alias("method"),
+        F.col("r")["body"].alias("req_body"),
+    )
+    return fetch(req, fetcher, jar, carry_cols=("method", "req_body"), **kw)
+
+
+def save_content(responses: DataFrame, path: str, mode: str = "append") -> None:
+    """``Agent.save_content``/``save_image`` sink: durable parquet
+    append (NOT the reference's ignored write promise)."""
+    responses.write.mode(mode).parquet(path)

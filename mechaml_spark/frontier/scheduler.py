@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from mechaml_spark import agent
 from mechaml_spark import cookies as ck
 from mechaml_spark import extract, page
 from mechaml_spark.corpus import CorpusSpec, corpus_df, images_df, robots_rules
@@ -104,6 +105,7 @@ def crawl(
     from mechaml_spark import urlkit
 
     corpus = corpus_df(spark, spec).cache()
+    fetcher = agent.CorpusFetcher(corpus)
     images = images_df(spark, spec).cache()
     rules = robots_rules(spec)
 
@@ -172,85 +174,20 @@ def crawl(
         selected = ranked.where(F.col("_rk") <= budget_per_host).drop("_rk")
         frontier = ranked.where(F.col("_rk") > budget_per_host).drop("_rk")
 
-        # 3. fetch with bounded redirect loop
-        cur = selected.select(
-            "url_norm",
-            "host",
-            "depth",
-            "discovered_epoch",
-            F.col("url_norm").alias("cur_url"),
-            F.lit(0).alias("hops"),
+        # 3. fetch stage (bounded redirect loop lives in agent.fetch;
+        # the corpus fetcher is idempotent so jar injection is skipped
+        # in-sandbox — a real HttpFetcher takes jar=jar here)
+        fr = agent.fetch(
+            selected,
+            fetcher,
+            jar=None,
+            url_col="url_norm",
+            max_redirect=max_redirect,
+            carry_cols=("host", "depth", "discovered_epoch"),
         )
-        finals = None
-        cookie_events = None  # (depth, discovered_epoch, url_norm, hop, idx, url, hv)
-        hop_targets = None
-        for _hop in range(max_redirect + 1):
-            j = cur.join(corpus, cur["cur_url"] == corpus["url_norm"], "left").select(
-                cur["url_norm"],
-                "host",
-                "depth",
-                "discovered_epoch",
-                "cur_url",
-                "hops",
-                F.coalesce(corpus["status"], F.lit(404)).alias("status"),
-                corpus["location"],
-                corpus["set_cookie"],
-                corpus["body"],
-            )
-            ev = j.select(
-                "depth",
-                "discovered_epoch",
-                "url_norm",
-                F.col("hops").alias("hop"),
-                F.posexplode("set_cookie").alias("idx", "hv"),
-                F.col("cur_url").alias("src_url"),
-            )
-            cookie_events = ev if cookie_events is None else cookie_events.unionByName(ev)
-            redirecting = (
-                j.where(
-                    F.col("status").isin(301, 302)
-                    & F.col("location").isNotNull()
-                    & (F.col("hops") < max_redirect)
-                )
-                if _hop < max_redirect
-                else j.limit(0)
-            )
-            done = j.join(
-                redirecting.select("url_norm").withColumnRenamed("url_norm", "_r"),
-                j["url_norm"] == F.col("_r"),
-                "left_anti",
-            ).select(
-                "url_norm",
-                "host",
-                "depth",
-                "discovered_epoch",
-                F.col("cur_url").alias("final_url"),
-                "status",
-                "body",
-            )
-            finals = done if finals is None else finals.unionByName(done)
-            if _hop == max_redirect:
-                break
-            nxt = redirecting.select(
-                "url_norm",
-                "host",
-                "depth",
-                "discovered_epoch",
-                page.canonicalize_col(
-                    page.resolve_col(F.col("cur_url"), F.col("location"))
-                ).alias("cur_url"),
-                (F.col("hops") + 1).alias("hops"),
-            )
-            cur = nxt.localCheckpoint(eager=True)  # tiny after hop 0
-            if cur.isEmpty():  # early exit: no redirects pending
-                break
-            tgt = cur.select(
-                F.col("cur_url").alias("url_norm"),
-                page.host_col(F.col("cur_url")).alias("host"),
-            )
-            hop_targets = tgt if hop_targets is None else hop_targets.unionByName(tgt)
-
-        finals = finals.localCheckpoint(eager=True)
+        finals = fr.finals.localCheckpoint(eager=True)
+        cookie_events = fr.cookie_events
+        hop_targets = fr.hop_targets
 
         visit_log = visit_log.unionByName(
             finals.select(

@@ -1,0 +1,192 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed ops.
+
+Design (training-data pipeline over ~100 TB of media):
+  * media stays an opaque ``binary`` column with typed metadata
+    (``fmt``, dims, duration) — never exploded to pixels at rest;
+  * decode / feature-extract / resize / frame-sample are Arrow-batched
+    ``mapInPandas`` stages so pixel work happens per batch inside the
+    Python worker and never crosses a shuffle;
+  * the PNG/PPM paths are REAL (stdlib codecs in
+    :mod:`mechaml_spark.imaging`); JPEG/audio/video decoding needs
+    libs absent in-sandbox, so those stages are explicit
+    ``NotImplementedError`` stubs (or a deterministic fake for
+    frame-sampling) behind the same schema/partitioning — swap the
+    codec, keep the plan.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from mechaml_spark import imaging
+
+FEATURE_T = T.StructType(
+    [
+        T.StructField("ok", T.BooleanType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("mean_r", T.LongType()),  # x1000 fixed-point
+        T.StructField("mean_g", T.LongType()),
+        T.StructField("mean_b", T.LongType()),
+        T.StructField("luma_hist", T.ArrayType(T.LongType())),  # 8 bins
+    ]
+)
+
+
+def _feature_row(data: bytes | None, fmt: str) -> dict:
+    bad = {
+        "ok": False, "w": None, "h": None,
+        "mean_r": None, "mean_g": None, "mean_b": None, "luma_hist": None,
+    }
+    if data is None:
+        return bad
+    try:
+        px = imaging.decode(bytes(data), fmt)
+    except NotImplementedError:
+        raise
+    except Exception:
+        return bad
+    means = px.reshape(-1, 3).mean(axis=0)
+    luma = (
+        0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+    ).astype(np.int32)
+    hist = np.bincount(np.clip(luma // 32, 0, 7).ravel(), minlength=8)
+    return {
+        "ok": True,
+        "w": int(px.shape[1]),
+        "h": int(px.shape[0]),
+        "mean_r": int(round(means[0] * 1000)),
+        "mean_g": int(round(means[1] * 1000)),
+        "mean_b": int(round(means[2] * 1000)),
+        "luma_hist": [int(x) for x in hist],
+    }
+
+
+def image_features(
+    df: DataFrame, bytes_col: str = "bytes", fmt_col: str = "fmt"
+) -> DataFrame:
+    """Append a ``features`` struct (decode + stats per Arrow batch)."""
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("features", FEATURE_T)]
+    )
+    cols = df.columns
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[cols].copy()
+            out["features"] = [
+                _feature_row(b, f) for b, f in zip(pdf[bytes_col], pdf[fmt_col])
+            ]
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def resize_images(
+    df: DataFrame,
+    out_w: int,
+    out_h: int,
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+    out_col: str = "resized",
+) -> DataFrame:
+    """Nearest-neighbor resize, re-encoded in the same format.  Real
+    for PNG/PPM; other formats raise (no codecs in-sandbox)."""
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.BinaryType())]
+    )
+    cols = df.columns
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(data, fmt):
+            if data is None:
+                return None
+            px = imaging.decode(bytes(data), fmt)
+            ys = (np.arange(out_h) * px.shape[0] // out_h).astype(np.int64)
+            xs = (np.arange(out_w) * px.shape[1] // out_w).astype(np.int64)
+            return imaging.encode(px[ys][:, xs], fmt)
+
+        for pdf in batches:
+            out = pdf[cols].copy()
+            out[out_col] = [
+                one(b, f) for b, f in zip(pdf[bytes_col], pdf[fmt_col])
+            ]
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+FRAME_T = T.StructType(
+    [
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_video_frames(
+    df: DataFrame,
+    every_ms: int = 1000,
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Frame sampling: one output row per sampled frame.
+
+    No video codec exists in-sandbox; the stage is REAL Spark plumbing
+    (schema, batch iteration, row explosion) over a deterministic fake
+    decoder for ``fmt == 'fakevid'`` (frame = PNG of a solid color
+    keyed by (media_id, frame_idx)); any other fmt raises
+    NotImplementedError — plug ffmpeg/pyav on a full image."""
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.StringType())] + list(FRAME_T.fields)
+    )
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib
+
+        for pdf in batches:
+            rows = []
+            for mid, data, fmt in zip(pdf[id_col], pdf[bytes_col], pdf[fmt_col]):
+                if fmt != "fakevid":
+                    raise NotImplementedError(
+                        f"no {fmt!r} video codec in-sandbox; deploy with "
+                        "ffmpeg/pyav and keep this stage's schema"
+                    )
+                # fake: duration encoded in the first 4 bytes (ms)
+                dur_ms = int.from_bytes(bytes(data[:4]), "big")
+                for k, ts in enumerate(range(0, dur_ms, every_ms)):
+                    key = zlib.crc32(f"{mid}:{k}".encode())
+                    color = np.full(
+                        (4, 4, 3),
+                        [(key >> 16) & 255, (key >> 8) & 255, key & 255],
+                        dtype=np.uint8,
+                    )
+                    rows.append(
+                        {
+                            id_col: mid,
+                            "frame_idx": k,
+                            "ts_ms": ts,
+                            "frame": imaging.png_encode(color),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[id_col, "frame_idx", "ts_ms", "frame"]
+            )
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def decode_audio(df: DataFrame, **_kw) -> DataFrame:
+    """Audio decode stage — stub (no audio libs in-sandbox)."""
+    raise NotImplementedError(
+        "no audio codec in-sandbox; deploy with soundfile/librosa — the "
+        "stage contract is mapInPandas(binary -> array<float> pcm, "
+        "sample_rate int)"
+    )

@@ -235,6 +235,122 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash near-dup buckets: per-token md5-derived 16-bit
+    hash, per-bit +1/-1 vote over the token multiset, sign -> bit.
+    Both engines unroll the 16 bits over a precomputed hash array."""
+    d = _t(spark, sf_dir, "documents")
+    h16 = lambda w: F.conv(F.substring(F.md5(w.cast("binary")), 1, 4), 16, 10).cast(  # noqa: E731
+        "int"
+    )
+    base = d.select(
+        "doc_id", F.transform(_toks(d.text), h16).alias("hs")
+    )
+    bit_sum = lambda b: F.aggregate(  # noqa: E731
+        "hs",
+        F.lit(0),
+        lambda acc, h: acc
+        + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+    )
+    sim = None
+    for b in range(16):
+        term = F.when(bit_sum(b) > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return (
+        base.select(sim.cast("long").alias("simhash"))
+        .groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-trigram Jaccard >= 0.5 on minhash-bucket candidate pairs
+    (integer cross-multiplied compare: 3|I| >= |A|+|B|)."""
+    d = _t(spark, sf_dir, "documents")
+    base = d.select("doc_id", _toks(d.text).alias("toks")).where(
+        F.size("toks") >= 3
+    )
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size("toks") - 3),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("toks"), i + 1),
+                F.element_at(F.col("toks"), i + 2),
+                F.element_at(F.col("toks"), i + 3),
+            ),
+        )
+    )
+    sig0 = F.array_min(
+        F.transform(
+            F.col("toks"), lambda w: F.md5(F.concat(w, F.lit("s0")).cast("binary"))
+        )
+    )
+    t = base.select("doc_id", sh.alias("sh"), sig0.alias("sig0"))
+    a, b = t.alias("a"), t.alias("b")
+    j = a.join(
+        b,
+        (F.col("a.sig0") == F.col("b.sig0"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    total = F.size(F.col("a.sh")) + F.size(F.col("b.sh"))
+    return (
+        j.where(3 * inter >= total)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            inter.cast("long").alias("n_common"),
+            (total - inter).cast("long").alias("n_union"),
+        )
+    )
+
+
+def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing over testdata: deterministic PNGs keyed by
+    doc_id -> decode -> resize -> feature extraction (no SQL oracle —
+    pixel codecs aren't SQL-expressible; driver records a rows-only
+    check).  Mirrors the payload pipeline's mapInPandas shape."""
+    import zlib as _zlib
+
+    import numpy as _np
+    import pandas as _pd
+
+    from mechaml_spark import imaging as _imaging
+    from mechaml_spark import multimodal
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 200
+    )
+    gen_schema = "doc_id long, bytes binary, fmt string"
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                rng = _np.random.default_rng(_zlib.crc32(str(int(did)).encode()))
+                px = rng.integers(0, 256, (8, 8, 3), dtype=_np.uint8)
+                rows.append(
+                    {"doc_id": int(did), "bytes": _imaging.png_encode(px),
+                     "fmt": "png"}
+                )
+            yield _pd.DataFrame(rows, columns=["doc_id", "bytes", "fmt"])
+
+    media = d.mapInPandas(gen, schema=gen_schema)
+    feats = multimodal.image_features(
+        multimodal.resize_images(media, 4, 4, out_col="resized")
+        .drop("bytes")
+        .withColumnRenamed("resized", "bytes")
+    )
+    return feats.select(
+        "doc_id",
+        F.col("features")["mean_r"].alias("mean_r"),
+        F.col("features")["mean_g"].alias("mean_g"),
+        F.col("features")["mean_b"].alias("mean_b"),
+    )
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return d.groupBy("lang").agg(
@@ -381,6 +497,9 @@ QUERIES = {
     "format_scalars": q_format_scalars,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
+    "simhash_buckets": q_simhash_buckets,
+    "ngram_jaccard": q_ngram_jaccard,
+    "image_features": q_image_features,
     "token_stats": q_token_stats,
     "quality_filter": q_quality_filter,
     "lang_id": q_lang_id,
@@ -482,6 +601,40 @@ ORACLES = {
                    list_min(list_transform({_TOKS_SQL}, w -> md5(w || 's1'))) AS sig1
             FROM documents
         ) GROUP BY sig0, sig1 HAVING count(*) > 1
+    """,
+    "simhash_buckets": f"""
+        WITH hs AS (
+            SELECT doc_id,
+                   list_transform({_TOKS_SQL},
+                       w -> CAST(('0x' || substr(md5(w), 1, 4)) AS INTEGER)) AS h
+            FROM documents),
+        bits AS (
+            SELECT doc_id, b,
+                   sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+            FROM hs, unnest(h) AS u(hv), range(16) AS rb(b)
+            GROUP BY doc_id, b),
+        sims AS (
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN s > 0 THEN 1 << b ELSE 0 END) AS BIGINT)
+                       AS simhash
+            FROM bits GROUP BY doc_id)
+        SELECT simhash, CAST(count(*) AS BIGINT) AS n_docs
+        FROM sims GROUP BY simhash HAVING count(*) > 1
+    """,
+    "ngram_jaccard": f"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh,
+                   list_min(list_transform(toks, w -> md5(w || 's0'))) AS sig0
+            FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+            WHERE len(toks) >= 3)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_common,
+               CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+                    AS BIGINT) AS n_union
+        FROM t a JOIN t b ON a.sig0 = b.sig0 AND a.doc_id < b.doc_id
+        WHERE 3 * len(list_intersect(a.sh, b.sh)) >= len(a.sh) + len(b.sh)
     """,
     "token_stats": f"""
         SELECT lang,

@@ -1,0 +1,86 @@
+"""Multimodal column ops: real PNG paths + stub contracts."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mechaml_spark import imaging, multimodal
+
+
+@pytest.fixture(scope="module")
+def media_df(spark):
+    rows = []
+    for i in range(6):
+        px = np.random.default_rng(i).integers(0, 256, (12, 16, 3), dtype=np.uint8)
+        rows.append((f"m{i}", imaging.png_encode(px), "png"))
+    return spark.createDataFrame(
+        rows, "media_id string, bytes binary, fmt string"
+    ).cache()
+
+
+def test_image_features(spark, media_df):
+    out = multimodal.image_features(media_df).collect()
+    assert len(out) == 6
+    for r in out:
+        f = r["features"]
+        assert f["ok"] and f["w"] == 16 and f["h"] == 12
+        assert 0 <= f["mean_r"] <= 255_000
+        assert sum(f["luma_hist"]) == 12 * 16
+        # cross-check against local numpy on the same bytes
+        px = imaging.png_decode(bytes(r["bytes"]))
+        assert f["mean_r"] == int(round(px[..., 0].mean() * 1000))
+
+
+def test_image_features_bad_bytes(spark):
+    df = spark.createDataFrame(
+        [("x", b"not a png", "png")], "media_id string, bytes binary, fmt string"
+    )
+    (r,) = multimodal.image_features(df).collect()
+    assert r["features"]["ok"] is False  # error row, not a task failure
+
+
+def test_resize(spark, media_df):
+    out = multimodal.resize_images(media_df, 8, 6).collect()
+    for r in out:
+        px = imaging.png_decode(bytes(r["resized"]))
+        assert px.shape == (6, 8, 3)
+        # nearest-neighbor: every output pixel exists in the source
+        src = imaging.png_decode(bytes(r["bytes"]))
+        assert px[0, 0].tolist() in src.reshape(-1, 3).tolist()
+
+
+def test_frame_sampling_fake_codec(spark):
+    dur = (3500).to_bytes(4, "big")
+    df = spark.createDataFrame(
+        [("v1", dur, "fakevid"), ("v2", (1200).to_bytes(4, "big"), "fakevid")],
+        "media_id string, bytes binary, fmt string",
+    )
+    out = multimodal.sample_video_frames(df, every_ms=1000)
+    rows = out.collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert len(by_id["v1"]) == 4  # 0,1000,2000,3000
+    assert len(by_id["v2"]) == 2
+    f = sorted(by_id["v1"], key=lambda r: r["frame_idx"])[0]
+    px = imaging.png_decode(bytes(f["frame"]))
+    assert px.shape == (4, 4, 3)
+    # deterministic fake: same (id, idx) -> same frame bytes
+    rows2 = multimodal.sample_video_frames(df, every_ms=1000).collect()
+    assert {bytes(r["frame"]) for r in rows} == {bytes(r["frame"]) for r in rows2}
+
+
+def test_real_video_format_raises(spark):
+    df = spark.createDataFrame(
+        [("v", b"\x00\x00\x00\x01", "mp4")], "media_id string, bytes binary, fmt string"
+    )
+    with pytest.raises(Exception) as ei:
+        multimodal.sample_video_frames(df).collect()
+    assert "NotImplementedError" in str(ei.value) or "no 'mp4'" in str(ei.value)
+
+
+def test_audio_stub():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_audio(None)
