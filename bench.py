@@ -22,8 +22,9 @@ import time
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_hosts = int(os.environ.get("BENCH_CRAWL_HOSTS", "48"))
-    n_pages = int(os.environ.get("BENCH_CRAWL_PAGES", "40"))
+    n_hosts = int(os.environ.get("BENCH_CRAWL_HOSTS", "64"))
+    n_pages = int(os.environ.get("BENCH_CRAWL_PAGES", "160"))
+    budget = int(os.environ.get("BENCH_CRAWL_BUDGET", "48"))
 
     from mechaml_spark.session import get_spark
 
@@ -48,7 +49,7 @@ def main() -> None:
     seeds = [page_url(spec, i, 0) for i in range(spec.n_hosts)]
     t0 = time.perf_counter()
     res = crawl(
-        spark, spec, seeds, budget_per_host=8, max_epochs=3,
+        spark, spec, seeds, budget_per_host=budget, max_epochs=3,
         n_shards=min(cpus, 32), n_bits=1 << 20,
     )
     n_visited = res.visit_log.count()

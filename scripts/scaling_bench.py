@@ -70,7 +70,8 @@ def main() -> None:
             "(task directive / BASELINE.md).\n\n"
             "| quantity | value |\n|---|---|\n"
             f"| corpus | {args.hosts} hosts x {args.pages} pages "
-            f"(budget 8/host, 3 epochs) |\n"
+            f"(budget {os.environ.get('BENCH_CRAWL_BUDGET', '48')}/host, "
+            f"3 epochs) |\n"
             f"| URLs visited | {hi['crawl']['visited']} |\n"
             f"| URLs seen (deduped) | {hi['crawl']['seen']} |\n"
             f"| throughput @ local[{args.n}] | {thr_lo} urls/sec |\n"
