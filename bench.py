@@ -71,6 +71,7 @@ def main() -> None:
         "quality_filter",
         "lang_id",
         "embedding_topk",
+        "embedding_ann_lsh",
         "embedding_neardup",
         "politeness_topk",
         "seen_dedupe",

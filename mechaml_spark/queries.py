@@ -439,6 +439,48 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN top-5 — the scale path for `embedding_topk`:
+    a 4-bit sign hash (axis-aligned hyperplanes over dims 0-3) buckets
+    both sides, so candidate generation is an equi-JOIN on `bucket`
+    (shuffle/bucket join, broadcast-able query side) instead of the
+    brute-force crossJoin; exact quantized dot only within the probed
+    bucket.  At 10^10 rows the bucket key is also the natural
+    partition/cluster column for the candidate table."""
+    e = _t(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        "embedding", lambda x: F.round(x * 1000).cast("long")
+    )
+    bucket = F.lit(0).cast("long")
+    for i in range(4):
+        bucket = bucket * 2 + F.when(
+            F.get("embedding", i) > 0, F.lit(1)
+        ).otherwise(F.lit(0))
+    q = e.where(e.vec_id < 3).select(
+        F.col("vec_id").alias("query_id"), bucket.alias("bucket"),
+        qv.alias("qv"),
+    )
+    c = e.where(e.vec_id >= 3).select(
+        F.col("vec_id").alias("neighbor_id"), bucket.alias("bucket"),
+        qv.alias("cv"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    j = c.join(F.broadcast(q), "bucket").withColumn("dot", dot)
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot"), "neighbor_id")
+    return (
+        j.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select(
+            "query_id", F.col("rnk").cast("long").alias("rnk"),
+            "neighbor_id", "dot",
+        )
+    )
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Coarse-quantization bucket near-dup candidates (LSH-bucket
     pattern: same plan shape as a banded signature join)."""
@@ -504,6 +546,7 @@ QUERIES = {
     "quality_filter": q_quality_filter,
     "lang_id": q_lang_id,
     "embedding_topk": q_embedding_topk,
+    "embedding_ann_lsh": q_embedding_ann_lsh,
     "embedding_neardup": q_embedding_neardup,
     "sessionize": q_sessionize,
     "pricing_summary": q_pricing_summary,
@@ -678,6 +721,30 @@ ORACLES = {
                    CAST(list_sum(list_transform(list_zip(qv, cv),
                                                 p -> p[1]*p[2])) AS BIGINT) AS dot
             FROM qe, ce)
+        SELECT query_id, CAST(rn AS BIGINT) AS rnk, neighbor_id, dot
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rn
+              FROM d)
+        WHERE rn <= 5
+    """,
+    "embedding_ann_lsh": """
+        WITH b AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                                  x -> CAST(round(x*1000) AS BIGINT)) AS v,
+                   CAST((((((CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) * 2
+                        + CASE WHEN embedding[2] > 0 THEN 1 ELSE 0 END) * 2)
+                        + CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) * 2
+                        + CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS bucket
+            FROM embeddings),
+        d AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   CAST(list_sum(list_transform(list_zip(q.v, c.v),
+                                                p -> p[1]*p[2])) AS BIGINT)
+                       AS dot
+            FROM b q JOIN b c ON q.bucket = c.bucket
+            WHERE q.vec_id < 3 AND c.vec_id >= 3)
         SELECT query_id, CAST(rn AS BIGINT) AS rnk, neighbor_id, dot
         FROM (SELECT *, row_number() OVER (
                   PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rn
