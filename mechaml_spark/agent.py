@@ -73,6 +73,160 @@ class HttpFetcher:
         )
 
 
+def resolve_redirect_closure(
+    corpus: DataFrame, max_redirect: int = MAX_REDIRECT
+) -> DataFrame:
+    """Redirect closure of a response corpus: for every corpus URL,
+    the final landing response plus per-hop metadata, following the
+    reference's redirect semantics exactly (301/302-only, ``Location``
+    required, GET on redirect, counter cap ``max_redirect`` with the
+    3xx returned as-is at the cap — src/agent.ml:65, 73-97).
+
+    A real distributed fetch stage chases redirects *inside* the fetch
+    task (the HTTP client loops per row); relationally simulating that
+    per superstep costs a bounded join loop per epoch.  The closure is
+    that chase precomputed ONCE per crawl over the corpus — epochs then
+    fetch with a single equi-join (see :class:`ResolvedCorpusFetcher`).
+
+    Output columns: ``url_norm`` (request), ``final_url``, ``status``,
+    ``body``, ``cookie_hops: array<struct<hop,src_url,set_cookie>>``,
+    ``hop_urls: array<struct<url_norm,host>>`` (landing URLs of hops
+    >= 1, in hop order, regardless of landing status — matching the
+    loop path, which records a redirect target before fetching it).
+    """
+    hop_t = (
+        "array<struct<hop:int,src_url:string,set_cookie:array<string>>>"
+    )
+    cur = corpus.select(
+        F.col("url_norm").alias("req_url"),
+        F.col("url_norm").alias("cur_url"),
+        "status",
+        "location",
+        "body",
+        F.array(
+            F.struct(
+                F.lit(0).alias("hop"),
+                F.col("url_norm").alias("src_url"),
+                F.col("set_cookie").alias("set_cookie"),
+            )
+        ).cast(hop_t).alias("cookie_hops"),
+        F.array().cast("array<struct<url_norm:string,host:string>>").alias(
+            "hop_urls"
+        ),
+    )
+    c = corpus.select(
+        F.col("url_norm").alias("_lu"),
+        F.col("status").alias("_ls"),
+        F.col("location").alias("_ll"),
+        F.col("set_cookie").alias("_lc"),
+        F.col("body").alias("_lb"),
+    )
+    out_cols = [
+        F.col("req_url").alias("url_norm"),
+        F.col("cur_url").alias("final_url"),
+        "status",
+        "body",
+        "cookie_hops",
+        "hop_urls",
+    ]
+    redir = lambda: (  # noqa: E731
+        F.col("status").isin(301, 302) & F.col("location").isNotNull()
+    )
+    finals = None
+    for hop in range(max_redirect):
+        done = cur.where(~redir()).select(*out_cols)
+        finals = done if finals is None else finals.unionByName(done)
+        nxt_url = page.canonicalize_col(
+            page.resolve_col(F.col("cur_url"), F.col("location"))
+        )
+        stepped = cur.where(redir()).withColumn("_nu", nxt_url)
+        joined = stepped.join(c, stepped["_nu"] == c["_lu"], "left")
+        cur = joined.select(
+            "req_url",
+            F.col("_nu").alias("cur_url"),
+            F.coalesce(F.col("_ls"), F.lit(404)).alias("status"),
+            F.col("_ll").alias("location"),
+            F.col("_lb").alias("body"),
+            F.concat(
+                F.col("cookie_hops"),
+                F.array(
+                    F.struct(
+                        F.lit(hop + 1).alias("hop"),
+                        F.col("_nu").alias("src_url"),
+                        F.col("_lc").alias("set_cookie"),
+                    )
+                ).cast(hop_t),
+            ).alias("cookie_hops"),
+            F.concat(
+                F.col("hop_urls"),
+                F.array(
+                    F.struct(
+                        F.col("_nu").alias("url_norm"),
+                        page.host_col(F.col("_nu")).alias("host"),
+                    )
+                ),
+            ).alias("hop_urls"),
+        )
+    # at the cap: whatever remains (redirecting or not) is final as-is
+    finals = finals.unionByName(cur.select(*out_cols))
+    return finals
+
+
+class ResolvedCorpusFetcher:
+    """Single-join fetcher over a precomputed redirect closure.
+
+    Produces the identical :class:`FetchResult` contract as the
+    bounded hop loop in :func:`fetch`, but each superstep costs ONE
+    equi-join — the per-epoch driver-side planning of the hop chain
+    (serial, non-scaling) disappears.  Requests absent from the
+    closure yield per-row 404 error rows (catch semantics,
+    src/agent.ml:187-198)."""
+
+    def __init__(self, closure: DataFrame) -> None:
+        self.closure = closure  # resolve_redirect_closure output, cached
+
+    def fetch_result(
+        self,
+        requests: DataFrame,
+        url_col: str = "url_norm",
+        carry_cols: tuple[str, ...] = (),
+    ) -> FetchResult:
+        carry = [col for col in carry_cols]
+        r = requests.alias("_req")
+        cl = self.closure.alias("_cl")
+        j = r.join(
+            cl, F.col(f"_req.{url_col}") == F.col("_cl.url_norm"), "left"
+        ).select(
+            *[F.col(f"_req.{col}") for col in [*carry, url_col]],
+            F.coalesce(
+                F.col("_cl.final_url"), F.col(f"_req.{url_col}")
+            ).alias("final_url"),
+            F.coalesce(F.col("_cl.status"), F.lit(404)).alias("status"),
+            F.col("_cl.body").alias("body"),
+            F.col("_cl.cookie_hops").alias("cookie_hops"),
+            F.col("_cl.hop_urls").alias("hop_urls"),
+        ).localCheckpoint(eager=False)
+        finals = j.select(*carry, url_col, "final_url", "status", "body")
+        cookie_events = (
+            j.select(*carry, url_col, F.explode("cookie_hops").alias("ch"))
+            .select(
+                *carry,
+                url_col,
+                F.col("ch.hop").alias("hop"),
+                F.posexplode(F.col("ch.set_cookie")).alias("idx", "hv"),
+                F.col("ch.src_url").alias("src_url"),
+            )
+        )
+        hop_targets = (
+            j.select(F.explode("hop_urls").alias("hu"))
+            .select(F.col("hu.url_norm").alias("url_norm"),
+                    F.col("hu.host").alias("host"))
+        )
+        return FetchResult(
+            finals=finals, cookie_events=cookie_events, hop_targets=hop_targets
+        )
+
+
 @dataclass
 class FetchResult:
     finals: DataFrame
@@ -110,11 +264,23 @@ def fetch(
     finals = None
     cookie_events = None
     hop_targets = None
+    # The whole bounded hop chain is built as ONE lazy plan — no
+    # driver actions per hop.  A real fetch stage follows redirects
+    # inside the fetch task (the HTTP client loops per row), so the
+    # chain is data-parallel; expressing it as chained plan branches
+    # keeps the superstep at a single job instead of 2 jobs per hop.
+    # Exhausted hops contribute empty branches that AQE collapses at
+    # run time (the filter after the cached-corpus join yields 0 rows
+    # and the downstream joins/unions are near-free).
     for _hop in range(max_redirect + 1):
         req = cur
         if jar is not None:
             req = ck.add_to_headers(cur, jar, url_col="cur_url")
-        j = fetcher.fetch(req, "cur_url")
+        # lazy checkpoint per hop: ev/done/nxt all branch off `j`, so
+        # materializing it once (blocks cached, lineage truncated)
+        # stops the downstream unions from re-running the join chain —
+        # while still issuing NO driver-side job here
+        j = fetcher.fetch(req, "cur_url").localCheckpoint(eager=False)
         ev = j.select(
             *carry,
             F.col("req_url").alias(url_col) if url_col not in carry
@@ -131,10 +297,12 @@ def fetch(
             & F.col("location").isNotNull()
             & (F.col("hops") < max_redirect)
         )
-        done = j.join(
-            redirecting.select(F.col("req_url").alias("_r")),
-            j["req_url"] == F.col("_r"),
-            "left_anti",
+        done = j.where(
+            ~(
+                F.col("status").isin(301, 302)
+                & F.col("location").isNotNull()
+                & (F.col("hops") < max_redirect)
+            )
         ).select(
             *carry,
             *([] if url_col in carry else [F.col("req_url").alias(url_col)]),
@@ -152,9 +320,7 @@ def fetch(
                 page.resolve_col(F.col("cur_url"), F.col("location"))
             ).alias("cur_url"),
             (F.col("hops") + 1).alias("hops"),
-        ).localCheckpoint(eager=True)
-        if nxt.isEmpty():
-            break
+        )
         tgt = nxt.select(
             F.col("cur_url").alias("url_norm"),
             page.host_col(F.col("cur_url")).alias("host"),

@@ -44,6 +44,31 @@ from mechaml_spark.frontier.store import SnapshotStore
 
 MAX_REDIRECT = 5  # src/agent.ml:65
 
+# Lazy local checkpoints: the plan is still truncated to an RDD scan
+# at build time, but materialization folds into the next action —
+# far fewer jobs per epoch (driver planning/codegen is the superstep
+# overhead at small scale).  Flip via env for A/B.
+_EAGER = bool(__import__("os").environ.get("MECHAML_EAGER_CKPT"))
+
+
+def _dbg_timer():
+    """Stage timer active when MECHAML_CRAWL_DEBUG=1 (stderr)."""
+    import os
+    import sys
+    import time
+
+    if not os.environ.get("MECHAML_CRAWL_DEBUG"):
+        return lambda label: None
+    last = time.perf_counter()
+
+    def mark(label: str) -> None:
+        nonlocal last
+        now = time.perf_counter()
+        print(f"[crawl] {label}: {now - last:.2f}s", file=sys.stderr)
+        last = now
+
+    return mark
+
 FRONTIER_T = T.StructType(
     [
         T.StructField("url_norm", T.StringType(), False),
@@ -101,12 +126,29 @@ def crawl(
     n_bits: int = 1 << 23,
     checkpoint_dir: str | None = None,
     resume: bool = False,
+    corpus: DataFrame | None = None,
+    images: DataFrame | None = None,
+    truncate_every: int = 4,
 ) -> CrawlResult:
+    """``corpus``/``images`` may be passed pre-materialized (cached)
+    so their generation cost — the simulated *network*, not crawl
+    work — stays out of crawl timing; by default they are built and
+    cached here."""
     from mechaml_spark import urlkit
 
-    corpus = corpus_df(spark, spec).cache()
-    fetcher = agent.CorpusFetcher(corpus)
-    images = images_df(spark, spec).cache()
+    if corpus is None:
+        corpus = corpus_df(spark, spec).cache()
+    if images is None:
+        images = images_df(spark, spec).cache()
+    # Redirect chains are a property of the web, not of any epoch:
+    # precompute the closure once (bounded join loop over the corpus),
+    # then every superstep's fetch is a single equi-join.  This is the
+    # Spark analogue of the HTTP client chasing redirects inside the
+    # fetch task rather than the driver orchestrating per-hop jobs.
+    closure = agent.resolve_redirect_closure(
+        corpus, max_redirect
+    ).localCheckpoint(eager=False)
+    fetcher = agent.ResolvedCorpusFetcher(closure)
     rules = robots_rules(spec)
 
     store = SnapshotStore(checkpoint_dir) if checkpoint_dir else None
@@ -156,9 +198,11 @@ def crawl(
         return url.map(blocked)
 
     epochs_run = start_epoch
+    mark = _dbg_timer()
     for epoch in range(start_epoch, max_epochs):
         if frontier.isEmpty():
             break
+        mark(f"e{epoch} isEmpty")
         epochs_run = epoch + 1
 
         # 1. robots filter (broadcast rules)
@@ -174,18 +218,17 @@ def crawl(
         selected = ranked.where(F.col("_rk") <= budget_per_host).drop("_rk")
         frontier = ranked.where(F.col("_rk") > budget_per_host).drop("_rk")
 
-        # 3. fetch stage (bounded redirect loop lives in agent.fetch;
-        # the corpus fetcher is idempotent so jar injection is skipped
-        # in-sandbox — a real HttpFetcher takes jar=jar here)
-        fr = agent.fetch(
+        # 3. fetch stage: one equi-join against the redirect closure
+        # (the corpus fetcher is idempotent so jar injection is skipped
+        # in-sandbox — a real HttpFetcher takes jar=jar here and chases
+        # redirects inside its applyInPandas task)
+        fr = fetcher.fetch_result(
             selected,
-            fetcher,
-            jar=None,
             url_col="url_norm",
-            max_redirect=max_redirect,
             carry_cols=("host", "depth", "discovered_epoch"),
         )
-        finals = fr.finals.localCheckpoint(eager=True)
+        finals = fr.finals.localCheckpoint(eager=_EAGER)
+        mark(f"e{epoch} fetch+finals")
         cookie_events = fr.cookie_events
         hop_targets = fr.hop_targets
 
@@ -236,15 +279,19 @@ def crawl(
                 F.col("url_norm").startswith("http://")
                 | F.col("url_norm").startswith("https://")
             )
-            .groupBy("url_norm")
-            .agg((F.min("depth") + 1).alias("depth"), F.first("host").alias("host"))
+            .select(
+                (F.col("depth") + 1).alias("depth"), "url_norm", "host"
+            )
         )
 
         # ONE seen-set round per epoch: redirect hop targets and newly
-        # discovered links go through the bloom+exact filter together;
-        # hop targets enter `seen` but never the frontier (spec step 3),
-        # and a hop target shadows a same-URL link (the oracle adds hop
-        # targets to seen before extraction).
+        # discovered links go through ONE fused shard-cogrouped pass —
+        # shard-local dedup (same URL -> same host -> same shard), bloom
+        # probe, and bloom update together (seen.probe_dedup_update);
+        # only bloom-positives take the exact anti-join.  Hop targets
+        # enter `seen` but never the frontier (spec step 3), and a hop
+        # target shadows a same-URL link (the oracle adds hop targets
+        # to seen before extraction).
         cand = links.select(
             "url_norm", "host", "depth", F.lit(False).alias("is_hop")
         )
@@ -257,17 +304,36 @@ def crawl(
                     F.lit(True).alias("is_hop"),
                 )
             )
-        cand = cand.groupBy("url_norm").agg(
-            F.first("host").alias("host"),
-            F.min("depth").alias("depth"),
-            F.max("is_hop").alias("is_hop"),
+        probed = seen.probe_dedup_update(cand).localCheckpoint(eager=_EAGER)
+        mark(f"e{epoch} seen.probe")
+        new_bloom = probed.where(F.col("bits").isNotNull()).select(
+            "host_shard", "bits"
         )
-        new_seen = seen.filter_new(cand).localCheckpoint(eager=True)
-        seen = seen.add(new_seen).persist()
+        crows = probed.where(F.col("bits").isNull())
+        verified = crows.where(F.col("_maybe_seen")).join(
+            seen.seen_df.select("url_norm"), "url_norm", "left_anti"
+        )
+        new_seen = (
+            crows.where(~F.col("_maybe_seen"))
+            .unionByName(verified)
+            .select("url_norm", "host", "depth", "is_hop", "host_shard")
+            .localCheckpoint(eager=_EAGER)
+        )
+        seen = SeenSet(
+            spark,
+            n_shards,
+            n_bits,
+            seen.seen_df.unionByName(
+                new_seen.select("url_norm", "host_shard")
+            ),
+            new_bloom,
+        ).persist()
+        mark(f"e{epoch} seen.add")
         new_frontier = new_seen.where(~F.col("is_hop")).select(
             "url_norm", "host", "depth", F.lit(epoch).alias("discovered_epoch")
         )
-        frontier = frontier.unionByName(new_frontier).localCheckpoint(eager=True)
+        frontier = frontier.unionByName(new_frontier).localCheckpoint(eager=_EAGER)
+        mark(f"e{epoch} frontier ckpt")
 
         # 5. payload: first-seen image ids -> join images table
         imgs = (
@@ -303,8 +369,16 @@ def crawl(
             new_ids.join(images, "image_id", "inner")
             .select(*images.columns, "alt", F.lit(epoch).alias("first_epoch"))
         )
-        payload = payload.unionByName(new_payload).localCheckpoint(eager=True)
+        # jar/payload lineage only needs PERIODIC truncation — each
+        # localCheckpoint call costs a serial driver-side Catalyst run
+        # (non-scaling), so pay it every `truncate_every` epochs, not
+        # every epoch
+        _trunc = (epoch + 1) % truncate_every == 0
+        payload = payload.unionByName(new_payload)
+        if _trunc:
+            payload = payload.localCheckpoint(eager=_EAGER)
         parsed.unpersist()
+        mark(f"e{epoch} payload")
 
         # 6. cookie fold: last write per key in (visit order, hop, idx)
         parsed_cookies = cookie_events.select(
@@ -329,7 +403,10 @@ def crawl(
             .where(F.col("_rn") == 1)
             .select("c.*")
         )
-        jar = ck.jar_upsert(jar, winners).localCheckpoint(eager=True)
+        jar = ck.jar_upsert(jar, winners)
+        if _trunc:
+            jar = jar.localCheckpoint(eager=_EAGER)
+        mark(f"e{epoch} jar")
         # visit_log/pages_log union chains reference only checkpointed
         # inputs (finals, frontier) — no per-epoch materialization needed
 

@@ -136,6 +136,132 @@ class SeenSet:
         )
         return definitely_new.unionByName(verified_new).drop("host_shard")
 
+    # ------------------------------------------- fused probe + bloom update
+    def probe_dedup_update(
+        self,
+        candidates: DataFrame,
+        url_col: str = "url_norm",
+        host_col: str = "host",
+    ) -> DataFrame:
+        """ONE cogrouped pass over ``candidates`` x blooms per shard:
+
+        1. shard-local dedup (same URL -> same host -> same shard):
+           min depth, any host, OR of ``is_hop``;
+        2. bloom probe (``_maybe_seen``);
+        3. bloom update: the new shard bitset ORs in the bits of EVERY
+           candidate — correct regardless of the later exact anti-join,
+           because a candidate is either bloom-negative (genuinely new,
+           bits must be set) or bloom-positive (its bits are already
+           set, so the OR is a no-op).  This removes the separate
+           ``add`` shuffle from the superstep.
+
+        Output rows are a tagged union: candidate rows carry
+        ``bits IS NULL``; one bloom row per shard carries the updated
+        bitset in ``bits`` (and NULL url).  Split downstream with two
+        filters over one (lazily checkpointed) result.
+
+        Requires candidate columns ``(url_col, host_col, depth, is_hop)``.
+        """
+        cand = self._with_keys(candidates, url_col, host_col)
+        out_schema = T.StructType(
+            [
+                T.StructField("host_shard", T.IntegerType(), False),
+                T.StructField(url_col, T.StringType()),
+                T.StructField(host_col, T.StringType()),
+                T.StructField("depth", T.IntegerType()),
+                T.StructField("is_hop", T.BooleanType()),
+                T.StructField("_maybe_seen", T.BooleanType()),
+                T.StructField("bits", T.BinaryType()),
+            ]
+        )
+        n_bytes = self.n_bits // 8
+
+        def fused(cand_pdf: pd.DataFrame, bloom_pdf: pd.DataFrame) -> pd.DataFrame:
+            cols = [
+                "host_shard", url_col, host_col, "depth", "is_hop",
+                "_maybe_seen", "bits",
+            ]
+            have_bloom = (
+                not bloom_pdf.empty and bloom_pdf["bits"].iloc[0] is not None
+            )
+            if cand_pdf.empty:
+                if not have_bloom:
+                    return pd.DataFrame(columns=cols)
+                shard = int(bloom_pdf["host_shard"].iloc[0])
+                return pd.DataFrame(
+                    {
+                        "host_shard": [shard],
+                        url_col: [None],
+                        host_col: [None],
+                        "depth": [None],
+                        "is_hop": [None],
+                        "_maybe_seen": [None],
+                        "bits": [bloom_pdf["bits"].iloc[0]],
+                    }
+                )
+            shard = int(cand_pdf["host_shard"].iloc[0])
+            if have_bloom:
+                bits = np.frombuffer(
+                    bloom_pdf["bits"].iloc[0], dtype=np.uint8
+                ).copy()
+            else:
+                bits = np.zeros(n_bytes, dtype=np.uint8)
+            # shard-local dedup (vectorized groupby)
+            g = cand_pdf.groupby(url_col, sort=False)
+            dd = g.agg(
+                **{
+                    host_col: (host_col, "first"),
+                    "depth": ("depth", "min"),
+                    "is_hop": ("is_hop", "max"),
+                    "_bitpos": ("_bitpos", "first"),
+                }
+            ).reset_index()
+            pos = np.stack(
+                [np.asarray(p, dtype=np.int64) for p in dd["_bitpos"]]
+            )  # (n, K_HASHES)
+            byte_idx = pos >> 3
+            mask = (1 << (pos & 7)).astype(np.uint8)
+            maybe = np.all(
+                bits[byte_idx] & mask == mask, axis=1
+            )
+            np.bitwise_or.at(bits, byte_idx.ravel(), mask.ravel())
+            out = pd.DataFrame(
+                {
+                    "host_shard": shard,
+                    url_col: dd[url_col],
+                    host_col: dd[host_col],
+                    "depth": dd["depth"].astype("Int32"),
+                    "is_hop": dd["is_hop"].astype(bool),
+                    "_maybe_seen": maybe,
+                    "bits": None,
+                }
+            )
+            bloom_row = pd.DataFrame(
+                {
+                    "host_shard": [shard],
+                    url_col: [None],
+                    host_col: [None],
+                    "depth": [None],
+                    "is_hop": [None],
+                    "_maybe_seen": [None],
+                    "bits": [bits.tobytes()],
+                }
+            )
+            import warnings
+
+            with warnings.catch_warnings():
+                # concat of the all-NA bloom tag row vs typed candidate
+                # rows trips a pandas FutureWarning; the Arrow schema
+                # cast downstream fixes dtypes either way
+                warnings.simplefilter("ignore", FutureWarning)
+                return pd.concat([out, bloom_row], ignore_index=True)
+
+        return (
+            cand.groupBy("host_shard")
+            .cogroup(self.bloom_df.groupBy("host_shard"))
+            .applyInPandas(fused, schema=out_schema)
+        )
+
     # --------------------------------------------------------------- update
     def add(self, new_urls: DataFrame, url_col: str = "url_norm",
             host_col: str = "host") -> "SeenSet":
@@ -176,6 +302,9 @@ class SeenSet:
         )
 
     def persist(self) -> "SeenSet":
-        self.seen_df = self.seen_df.localCheckpoint(eager=True)
-        self.bloom_df = self.bloom_df.localCheckpoint(eager=True)
+        # lazy local checkpoints: lineage is truncated immediately;
+        # materialization folds into the next action that reads the
+        # seen set (fewer driver round-trips per superstep)
+        self.seen_df = self.seen_df.localCheckpoint(eager=False)
+        self.bloom_df = self.bloom_df.localCheckpoint(eager=False)
         return self

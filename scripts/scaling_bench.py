@@ -70,7 +70,8 @@ def main() -> None:
             "(task directive / BASELINE.md).\n\n"
             "| quantity | value |\n|---|---|\n"
             f"| corpus | {args.hosts} hosts x {args.pages} pages "
-            f"(budget {os.environ.get('BENCH_CRAWL_BUDGET', '48')}/host, "
+            f"(budget {os.environ.get('BENCH_CRAWL_BUDGET', '96')}/host, "
+            f"{os.environ.get('BENCH_CRAWL_SEEDS', '8')} seeds/host, "
             f"3 epochs) |\n"
             f"| URLs visited | {hi['crawl']['visited']} |\n"
             f"| URLs seen (deduped) | {hi['crawl']['seen']} |\n"
