@@ -30,10 +30,14 @@ def main() -> None:
 
     from mechaml_spark.session import get_spark
 
+    # Shuffle partitioning is held FIXED across parallelism levels
+    # (like a real two-cluster-size comparison: same plan, more
+    # executors); only the core count varies.
+    shuffle_parts = int(os.environ.get("BENCH_SHUFFLE_PARTITIONS", "32"))
     spark = get_spark(
         app_name="mechaml_bench",
         master=f"local[{cpus}]",
-        shuffle_partitions=cpus,
+        shuffle_partitions=shuffle_parts,
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
 
@@ -68,8 +72,23 @@ def main() -> None:
         n_shards=min(cpus, 32), n_bits=1 << 20,
         corpus=corpus, images=images,
     )
-    n_visited = res.visit_log.count()
-    n_seen = res.seen.seen_df.count()
+    # materialize the FULL crawl product (visit log, seen set, image
+    # payload, cookie jar) — the throughput metric must not hide lazy
+    # outputs that a real crawl would have to produce.  One job, four
+    # union'd count-aggregates: the four materialization chains run as
+    # parallel stages instead of four serial driver round-trips.
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    counts = reduce(
+        lambda a, b: a.unionAll(b),
+        [
+            df.agg(F.count("*").alias("n"))
+            for df in (res.visit_log, res.seen.seen_df, res.payload, res.jar)
+        ],
+    ).collect()
+    n_visited, n_seen, n_payload, n_jar = [r["n"] for r in counts]
     crawl_sec = time.perf_counter() - t0
     timings["crawl_frontier"] = round(crawl_sec, 3)
     urls_per_sec = n_visited / crawl_sec if crawl_sec > 0 else 0.0
@@ -88,7 +107,9 @@ def main() -> None:
         "lang_id",
         "embedding_topk",
         "embedding_ann_lsh",
+        "embedding_ann_ivf",
         "embedding_neardup",
+        "doc_fingerprint",
         "politeness_topk",
         "seen_dedupe",
         "cookie_match",
@@ -115,6 +136,8 @@ def main() -> None:
         "crawl": {
             "visited": n_visited,
             "seen": n_seen,
+            "payload": n_payload,
+            "jar": n_jar,
             "epochs": res.epochs,
             "hosts": spec.n_hosts,
             "cpus": cpus,

@@ -336,3 +336,81 @@ def parse_pages(
             yield out
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+def parse_page_lean(url: str, body: str | bytes | None) -> tuple:
+    """Crawl-path parse: only what link discovery + payload need
+    (base-uri override, link hrefs, image src/alt) — no node tables,
+    ancestors, or form state.  Same parser, same ``<base href>``
+    first-wins semantics (src/page.ml:70-76); the selector-rich
+    :func:`parse_page` stays the extraction-API path."""
+    if body is None:
+        body = ""
+    if isinstance(body, (bytes, bytearray)):
+        body = bytes(body).decode("utf-8", errors="replace")
+    root = parse_html(body)
+    base = url or ""
+    base_seen = False
+    hrefs: list[str] = []
+    imgs: list[dict] = []
+    for el in root.iter_subtree():
+        t = el.tag
+        if t == "a":
+            h = el.attrs.get("href")
+            if h is not None:
+                hrefs.append(h)
+        elif t == "img":
+            imgs.append(
+                {"pos": len(imgs), "src": el.attrs.get("src"),
+                 "alt": el.attrs.get("alt")}
+            )
+        elif t == "base" and not base_seen and "href" in el.attrs:
+            base = urlkit.resolve(url or "", el.attrs["href"])
+            base_seen = True
+    return base, hrefs, imgs
+
+
+LEAN_FIELDS = [
+    T.StructField("base_uri", T.StringType()),
+    T.StructField("hrefs", T.ArrayType(T.StringType())),
+    T.StructField(
+        "imgs",
+        T.ArrayType(
+            T.StructType(
+                [
+                    T.StructField("pos", T.IntegerType()),
+                    T.StructField("src", T.StringType()),
+                    T.StructField("alt", T.StringType()),
+                ]
+            )
+        ),
+    ),
+]
+
+
+def parse_pages_lean(
+    df: DataFrame, url_col: str = "url", body_col: str = "body"
+) -> DataFrame:
+    """Crawl-path variant of :func:`parse_pages`: appends
+    ``base_uri, hrefs, imgs`` only.  ~2x less Python time and far less
+    Arrow struct serialization per page than the full node tables —
+    the crawl superstep never consumes selectors/forms."""
+    in_schema = df.schema
+    passthrough = [f.name for f in in_schema.fields if f.name != body_col]
+    out_schema = T.StructType(
+        [f for f in in_schema.fields if f.name != body_col] + LEAN_FIELDS
+    )
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = [
+                parse_page_lean(u, b)
+                for u, b in zip(pdf[url_col], pdf[body_col])
+            ]
+            out = pdf[passthrough].copy()
+            out["base_uri"] = [p[0] for p in parsed]
+            out["hrefs"] = [p[1] for p in parsed]
+            out["imgs"] = [p[2] for p in parsed]
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)

@@ -248,7 +248,7 @@ def crawl(
 
         # 4. extract links + images from 200 responses
         ok = finals.where((F.col("status") == 200) & F.col("body").isNotNull())
-        parsed = extract.parse_pages(
+        parsed = extract.parse_pages_lean(
             ok.select(
                 F.col("final_url").alias("url"),
                 "body",
@@ -258,19 +258,18 @@ def crawl(
             ),
             url_col="url",
             body_col="body",
-        ).cache()
+        ).localCheckpoint(eager=False)
 
         links = (
             parsed.select(
                 "depth",
-                F.explode("links").alias("ln"),
+                F.explode("hrefs").alias("href"),
                 "base_uri",
             )
-            .where(F.col("ln")["href"].isNotNull())
             .select(
                 "depth",
                 page.resolve_canon_host(
-                    F.col("base_uri"), F.col("ln")["href"]
+                    F.col("base_uri"), F.col("href")
                 ).alias("rc"),
             )
             .select("depth", F.col("rc")["url_norm"].alias("url_norm"),
@@ -341,7 +340,7 @@ def crawl(
                 "depth",
                 "discovered_epoch",
                 F.col("src_norm"),
-                F.explode("images").alias("im"),
+                F.explode("imgs").alias("im"),
             )
             .select(
                 "depth",
@@ -349,7 +348,7 @@ def crawl(
                 "src_norm",
                 F.col("im")["pos"].alias("pos"),
                 F.col("im")["src"].alias("src"),
-                F.element_at(F.col("im")["attrs"], "alt").alias("alt"),
+                F.col("im")["alt"].alias("alt"),
             )
             .where(F.col("src").startswith("http://images.test/im/"))
             .withColumn(
@@ -377,7 +376,6 @@ def crawl(
         payload = payload.unionByName(new_payload)
         if _trunc:
             payload = payload.localCheckpoint(eager=_EAGER)
-        parsed.unpersist()
         mark(f"e{epoch} payload")
 
         # 6. cookie fold: last write per key in (visit order, hop, idx)

@@ -55,13 +55,17 @@ def host_shard_col(host, n_shards: int):
     return F.pmod(F.xxhash64(host), F.lit(n_shards)).cast("int")
 
 
-def _bit_positions_col(url, n_bits: int):
-    return F.array(
-        *[
-            F.pmod(F.xxhash64(url, F.lit(i)), F.lit(n_bits)).cast("long")
-            for i in range(K_HASHES)
-        ]
-    )
+def _bit_position_cols(url, n_bits: int):
+    """K bit positions as K SCALAR long columns (``_b0.._bK``).
+
+    An ``array<long>`` column materializes a Python list object per
+    row on the pandas side — at millions of candidate rows per epoch
+    that dominates the probe's CPU.  Scalar columns arrive as numpy
+    arrays and stack for free."""
+    return [
+        F.pmod(F.xxhash64(url, F.lit(i)), F.lit(n_bits)).cast("long").alias(f"_b{i}")
+        for i in range(K_HASHES)
+    ]
 
 
 class SeenSet:
@@ -87,9 +91,11 @@ class SeenSet:
 
     # ------------------------------------------------------------- helpers
     def _with_keys(self, df: DataFrame, url_col: str, host_col: str) -> DataFrame:
-        return df.withColumn(
-            "host_shard", host_shard_col(F.col(host_col), self.n_shards)
-        ).withColumn("_bitpos", _bit_positions_col(F.col(url_col), self.n_bits))
+        return df.select(
+            "*",
+            host_shard_col(F.col(host_col), self.n_shards).alias("host_shard"),
+            *_bit_position_cols(F.col(url_col), self.n_bits),
+        )
 
     # --------------------------------------------------------------- probe
     def filter_new(
@@ -101,11 +107,12 @@ class SeenSet:
         shard), then exact left_anti for bloom-positives only.
         """
         cand = self._with_keys(candidates, url_col, host_col)
+        bcols = ["_b%d" % i for i in range(K_HASHES)]
         out_schema = T.StructType(
-            [f for f in cand.schema.fields if f.name != "_bitpos"]
+            [f for f in cand.schema.fields if f.name not in bcols]
             + [T.StructField("_maybe_seen", T.BooleanType())]
         )
-        pass_cols = [f.name for f in cand.schema.fields if f.name != "_bitpos"]
+        pass_cols = [f.name for f in cand.schema.fields if f.name not in bcols]
 
         def probe(cand_pdf: pd.DataFrame, bloom_pdf: pd.DataFrame) -> pd.DataFrame:
             if cand_pdf.empty:
@@ -115,11 +122,11 @@ class SeenSet:
                 out["_maybe_seen"] = False
                 return out
             bits = np.frombuffer(bloom_pdf["bits"].iloc[0], dtype=np.uint8)
-            maybe = []
-            for pos in cand_pdf["_bitpos"]:
-                p = np.asarray(pos, dtype=np.int64)
-                maybe.append(bool(np.all(bits[p >> 3] & (1 << (p & 7)))))
-            out["_maybe_seen"] = maybe
+            pos = np.stack(
+                [cand_pdf[c].to_numpy(dtype=np.int64) for c in bcols], axis=1
+            )
+            mask = (1 << (pos & 7)).astype(np.uint8)
+            out["_maybe_seen"] = np.all(bits[pos >> 3] & mask == mask, axis=1)
             return out
 
         probed = (
@@ -207,17 +214,18 @@ class SeenSet:
             else:
                 bits = np.zeros(n_bytes, dtype=np.uint8)
             # shard-local dedup (vectorized groupby)
+            bcols = ["_b%d" % i for i in range(K_HASHES)]
             g = cand_pdf.groupby(url_col, sort=False)
             dd = g.agg(
                 **{
                     host_col: (host_col, "first"),
                     "depth": ("depth", "min"),
                     "is_hop": ("is_hop", "max"),
-                    "_bitpos": ("_bitpos", "first"),
+                    **{c: (c, "first") for c in bcols},
                 }
             ).reset_index()
             pos = np.stack(
-                [np.asarray(p, dtype=np.int64) for p in dd["_bitpos"]]
+                [dd[c].to_numpy(dtype=np.int64) for c in bcols], axis=1
             )  # (n, K_HASHES)
             byte_idx = pos >> 3
             mask = (1 << (pos & 7)).astype(np.uint8)
@@ -285,14 +293,15 @@ class SeenSet:
                 bits = np.zeros(n_bytes, dtype=np.uint8)
                 shard = int(cand_pdf["host_shard"].iloc[0])
             if not cand_pdf.empty:
+                bcols = ["_b%d" % i for i in range(K_HASHES)]
                 pos = np.concatenate(
-                    [np.asarray(p, dtype=np.int64) for p in cand_pdf["_bitpos"]]
+                    [cand_pdf[c].to_numpy(dtype=np.int64) for c in bcols]
                 )
                 np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
             return pd.DataFrame({"host_shard": [shard], "bits": [bits.tobytes()]})
 
         bloom_new = (
-            cand.select("host_shard", "_bitpos")
+            cand.select("host_shard", *["_b%d" % i for i in range(K_HASHES)])
             .groupBy("host_shard")
             .cogroup(self.bloom_df.groupBy("host_shard"))
             .applyInPandas(rebuild, schema=BLOOM_T)

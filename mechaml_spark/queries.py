@@ -501,6 +501,65 @@ def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse quantizer -> inverted lists -> probe.
+
+    Centroids here are 8 deterministic vectors (vec_id < 8) standing
+    in for a trained codebook (production: Lloyd iterations via
+    applyInPandas or Spark ML k-means; the query plan is identical).
+    Every data vector is assigned to its max-inner-product centroid
+    (one broadcast join — the "inverted list" build); each query
+    probes its nprobe=2 nearest lists and ranks candidates by exact
+    integer-quantized dot product.  Candidate generation is an
+    EQUI-join on the centroid id — at 10^10 rows the shuffle carries
+    only probed lists, never a cross join against the corpus."""
+    e = _t(spark, sf_dir, "embeddings")
+    qv = F.transform("embedding", lambda x: F.round(x * 1000).cast("long"))
+    cent = e.where(e.vec_id < 8).select(
+        F.col("vec_id").alias("cid"), qv.alias("cv_cent")
+    )
+    data = e.where(e.vec_id >= 16).select(
+        F.col("vec_id").alias("neighbor_id"), qv.alias("cv")
+    )
+    qry = e.where((e.vec_id >= 8) & (e.vec_id < 16)).select(
+        F.col("vec_id").alias("query_id"), qv.alias("qv")
+    )
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    wa = Window.partitionBy("neighbor_id").orderBy(
+        F.desc("cdot"), "cid"
+    )
+    assign = (
+        data.crossJoin(F.broadcast(cent))
+        .withColumn("cdot", dot("cv", "cv_cent"))
+        .withColumn("_rk", F.row_number().over(wa))
+        .where(F.col("_rk") == 1)
+        .select("neighbor_id", "cid", "cv")
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.desc("qdot"), "cid")
+    probes = (
+        qry.crossJoin(F.broadcast(cent))
+        .withColumn("qdot", dot("qv", "cv_cent"))
+        .withColumn("_rk", F.row_number().over(wp))
+        .where(F.col("_rk") <= 2)
+        .select("query_id", "cid", "qv")
+    )
+    cand = probes.join(assign, "cid")
+    wr = Window.partitionBy("query_id").orderBy(F.desc("dot"), "neighbor_id")
+    return (
+        cand.withColumn("dot", dot("qv", "cv"))
+        .withColumn("rnk", F.row_number().over(wr))
+        .where(F.col("rnk") <= 5)
+        .select(
+            "query_id", F.col("rnk").cast("long").alias("rnk"),
+            "neighbor_id", "dot",
+        )
+    )
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Coarse-quantization bucket near-dup candidates (LSH-bucket
     pattern: same plan shape as a banded signature join)."""
@@ -513,6 +572,46 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("b1", "b2", "b3", "b4")
         .agg(F.count("*").alias("n_vecs"))
         .where(F.col("n_vecs") > 1)
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting by winnowing (Schleimer et al., SIGMOD
+    2003): hash every K-char gram, slide a W-gram window, keep each
+    window's minimum hash; distinct minima are the document's
+    fingerprints.  Output: fingerprints shared by >1 document (the
+    near-dup evidence table).
+
+    Scale path: all expression-level (whole-stage codegen, no Python);
+    at 100 TB swap the md5 gram hash for a true rolling hash inside a
+    pandas UDF — the winnow/groupBy shape is unchanged.  The groupBy
+    key is the fingerprint itself, so the shuffle carries only
+    (fp, doc_id) pairs pruned by ``array_distinct`` per doc."""
+    K, W = 16, 8
+    d = _t(spark, sf_dir, "documents")
+    gram = lambda i: F.conv(  # noqa: E731
+        F.substring(F.md5(F.substring("text", i, K).cast("binary")), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length("text") - K + 1), lambda i: gram(i)
+    )
+    g = d.where(F.length("text") >= K).select(
+        "doc_id", grams.alias("gs")
+    )
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("gs") - W + 1),
+            lambda j: F.array_min(F.slice(F.col("gs"), j, W)),
+        )
+    )
+    return (
+        g.where(F.size("gs") >= W)
+        .select("doc_id", F.explode(fps).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_docs"))
+        .where(F.col("n_docs") > 1)
     )
 
 
@@ -567,7 +666,9 @@ QUERIES = {
     "lang_id": q_lang_id,
     "embedding_topk": q_embedding_topk,
     "embedding_ann_lsh": q_embedding_ann_lsh,
+    "embedding_ann_ivf": q_embedding_ann_ivf,
     "embedding_neardup": q_embedding_neardup,
+    "doc_fingerprint": q_doc_fingerprint,
     "sessionize": q_sessionize,
     "pricing_summary": q_pricing_summary,
 }
@@ -774,6 +875,51 @@ ORACLES = {
               FROM d)
         WHERE rn <= 5
     """,
+    "embedding_ann_ivf": """
+        WITH q AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(round(x * 1000) AS BIGINT)) AS v
+            FROM embeddings),
+        cent AS (SELECT vec_id AS cid, v AS cv FROM q WHERE vec_id < 8),
+        data AS (SELECT vec_id AS neighbor_id, v AS cv
+                 FROM q WHERE vec_id >= 16),
+        qry AS (SELECT vec_id AS query_id, v AS qv
+                FROM q WHERE vec_id >= 8 AND vec_id < 16),
+        assign AS (
+            SELECT neighbor_id, cid, dv AS cv FROM (
+                SELECT d.neighbor_id, c.cid, d.cv AS dv,
+                       list_sum(list_transform(range(1, len(d.cv) + 1),
+                           i -> d.cv[i] * c.cv[i])) AS cdot,
+                       row_number() OVER (
+                           PARTITION BY d.neighbor_id
+                           ORDER BY list_sum(list_transform(
+                               range(1, len(d.cv) + 1),
+                               i -> d.cv[i] * c.cv[i])) DESC, c.cid) AS rk
+                FROM data d, cent c)
+            WHERE rk = 1),
+        probes AS (
+            SELECT query_id, cid, qv FROM (
+                SELECT qy.query_id, c.cid, qy.qv,
+                       row_number() OVER (
+                           PARTITION BY qy.query_id
+                           ORDER BY list_sum(list_transform(
+                               range(1, len(qy.qv) + 1),
+                               i -> qy.qv[i] * c.cv[i])) DESC, c.cid) AS rk
+                FROM qry qy, cent c)
+            WHERE rk <= 2),
+        ranked AS (
+            SELECT p.query_id, a.neighbor_id,
+                   list_sum(list_transform(range(1, len(p.qv) + 1),
+                       i -> p.qv[i] * a.cv[i])) AS dot
+            FROM probes p JOIN assign a USING (cid))
+        SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id,
+               CAST(dot AS BIGINT) AS dot
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rnk
+              FROM ranked)
+        WHERE rnk <= 5
+    """,
     "embedding_neardup": """
         SELECT CAST(round(embedding[1]*10) AS BIGINT) AS b1,
                CAST(round(embedding[2]*10) AS BIGINT) AS b2,
@@ -781,6 +927,22 @@ ORACLES = {
                CAST(round(embedding[4]*10) AS BIGINT) AS b4,
                CAST(count(*) AS BIGINT) AS n_vecs
         FROM embeddings GROUP BY 1, 2, 3, 4 HAVING count(*) > 1
+    """,
+    "doc_fingerprint": """
+        WITH g AS (
+            SELECT doc_id,
+                   list_transform(range(1, length(text) - 16 + 2),
+                       i -> CAST(('0x' || substr(md5(substr(text, i, 16)), 1, 8))
+                            AS BIGINT)) AS gs
+            FROM documents WHERE length(text) >= 16),
+        f AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, len(gs) - 8 + 2),
+                       j -> list_min(gs[j:j+7]))) AS fps
+            FROM g WHERE len(gs) >= 8)
+        SELECT fp, CAST(count(*) AS BIGINT) AS n_docs
+        FROM f, unnest(fps) AS u(fp)
+        GROUP BY fp HAVING count(*) > 1
     """,
     "sessionize": """
         SELECT user_id,
