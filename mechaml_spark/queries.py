@@ -547,7 +547,9 @@ def q_embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("_rk") <= 2)
         .select("query_id", "cid", "qv")
     )
-    cand = probes.join(assign, "cid")
+    # probes (queries x nprobe) is tiny vs the inverted lists —
+    # broadcast it so the candidate join never shuffles `assign`
+    cand = assign.join(F.broadcast(probes), "cid")
     wr = Window.partitionBy("query_id").orderBy(F.desc("dot"), "neighbor_id")
     return (
         cand.withColumn("dot", dot("qv", "cv"))
