@@ -63,13 +63,119 @@ class CorpusFetcher:
 
 
 class HttpFetcher:
-    """Real-network backend (requests/urllib over host-partitioned
-    Arrow batches).  No network in-sandbox -> explicit stub."""
+    """Real-network backend: host-partitioned ``applyInPandas`` HTTP
+    batches (stdlib urllib — no extra deps).
+
+    Contract matches :class:`CorpusFetcher`: one request per row, NO
+    client-side auto-redirects (the bounded hop loop in :func:`fetch`
+    owns redirect semantics so 301/302-only / GET-on-redirect /
+    max-hop parity holds for every backend), all ``Set-Cookie``
+    headers collected verbatim.  Rows are grouped by host so each
+    task reuses one connection per origin and applies ``delay_s``
+    between same-host requests (politeness inside the task; the
+    scheduler's per-host budget bounds the per-epoch volume).
+    Network errors never fail the task: ``status`` is the HTTP status,
+    404 for DNS/connect failures, and ``body`` is NULL (per-row catch
+    semantics, src/agent.ml:187-198).
+
+    The sandbox has no network, so this class is exercised only for
+    plan construction in tests; the synthetic :class:`CorpusFetcher` /
+    :class:`ResolvedCorpusFetcher` are the hermetic backends.
+    """
+
+    def __init__(
+        self,
+        timeout_s: float = 10.0,
+        delay_s: float = 0.0,
+        max_body: int = 8 << 20,
+        user_agent: str = "mechaml-spark/1.0",
+    ) -> None:
+        self.timeout_s = timeout_s
+        self.delay_s = delay_s
+        self.max_body = max_body
+        self.user_agent = user_agent
 
     def fetch(self, requests: DataFrame, url_col: str) -> DataFrame:
-        raise NotImplementedError(
-            "no network access in-sandbox; deploy with a requests-based "
-            "applyInPandas fetch stage partitioned by host"
+        from pyspark.sql import types as T
+
+        in_fields = list(requests.schema.fields)
+        out_schema = T.StructType(
+            in_fields
+            + [
+                T.StructField("status", T.IntegerType()),
+                T.StructField("location", T.StringType()),
+                T.StructField("set_cookie", T.ArrayType(T.StringType())),
+                T.StructField("body", T.StringType()),
+            ]
+        )
+        timeout_s, delay_s = self.timeout_s, self.delay_s
+        max_body, ua = self.max_body, self.user_agent
+        cols = [f.name for f in in_fields]
+
+        def run(_key, pdf):
+            import time as _time
+            import urllib.error
+            import urllib.request
+
+            import pandas as pd
+
+            class _NoRedirect(urllib.request.HTTPRedirectHandler):
+                def redirect_request(self, *a, **kw):  # never follow
+                    return None
+
+            opener = urllib.request.build_opener(_NoRedirect)
+            rows = []
+            first = True
+            for rec in pdf.to_dict("records"):
+                if not first and delay_s:
+                    _time.sleep(delay_s)
+                first = False
+                url = rec[url_col]
+                status, location, cookies, body = 404, None, [], None
+                try:
+                    req = urllib.request.Request(
+                        url, headers={"User-Agent": ua}
+                    )
+                    with opener.open(req, timeout=timeout_s) as resp:
+                        status = resp.status
+                        location = resp.headers.get("Location")
+                        cookies = resp.headers.get_all("Set-Cookie") or []
+                        body = resp.read(max_body).decode(
+                            "utf-8", errors="replace"
+                        )
+                except urllib.error.HTTPError as e:
+                    # includes unfollowed 3xx (redirect handler
+                    # returns None -> HTTPError with full headers)
+                    status = e.code
+                    location = e.headers.get("Location")
+                    cookies = e.headers.get_all("Set-Cookie") or []
+                    try:
+                        body = e.read(max_body).decode(
+                            "utf-8", errors="replace"
+                        )
+                    except Exception:
+                        body = None
+                except Exception:
+                    pass  # DNS/connect/timeout -> 404, NULL body
+                rows.append(
+                    {
+                        **{c: rec[c] for c in cols},
+                        "status": status,
+                        "location": location,
+                        "set_cookie": cookies,
+                        "body": body,
+                    }
+                )
+            return pd.DataFrame(rows, columns=cols + [
+                "status", "location", "set_cookie", "body"
+            ])
+
+        tagged = requests.withColumn(
+            "_fetch_host", page.host_col(F.col(url_col))
+        )
+        return tagged.groupBy("_fetch_host").applyInPandas(
+            lambda key, pdf: run(key, pdf.drop(columns=["_fetch_host"])),
+            schema=out_schema,
         )
 
 
