@@ -415,10 +415,19 @@ def crawl(
                 .agg(F.count("*").alias("n"))
                 .collect()
             }
+            # frontier snapshot = the salted priority queue
+            # materialized: repartition by host-shard (salt kills hot
+            # hosts), sort-within-partition on the total priority key
+            # — resuming readers stream each shard already in visit
+            # order (north-rule "sort-within-partition Iceberg write";
+            # the manifest-parquet store is the in-sandbox backend)
+            frontier_pq = frontier.repartition(
+                n_shards, host_shard_col(F.col("host"), n_shards)
+            ).sortWithinPartitions("depth", "discovered_epoch", "url_norm")
             store.commit(
                 epoch,
                 {
-                    "frontier": frontier,
+                    "frontier": frontier_pq,
                     "seen": seen.seen_df,
                     "bloom": seen.bloom_df,
                     "jar": jar,
