@@ -69,8 +69,12 @@ def test_save_content(spark, fetcher, tmp_path):
     assert back.count() == 1 and back.collect()[0]["status"] == 200
 
 
-def test_http_fetcher_stubbed(spark):
-    with pytest.raises(NotImplementedError):
-        agent.HttpFetcher().fetch(
-            spark.createDataFrame([("http://x/",)], "url_norm string"), "url_norm"
-        )
+def test_http_fetcher_builds_plan(spark):
+    """HttpFetcher is a real backend now (see test_http_fetcher.py for
+    behavior); here just assert the stage contract schema."""
+    out = agent.HttpFetcher().fetch(
+        spark.createDataFrame([("http://x/",)], "url_norm string"), "url_norm"
+    )
+    assert [f.name for f in out.schema.fields] == [
+        "url_norm", "status", "location", "set_cookie", "body"
+    ]
