@@ -199,7 +199,8 @@ def server_response(spec: CorpusSpec, url: str) -> dict | None:
 
 
 def n_urls(spec: CorpusSpec) -> int:
-    return spec.n_hosts * spec.pages_per_host * 2 + 7
+    # pages + redirects per host, the chain, plus /robots.txt per host
+    return spec.n_hosts * spec.pages_per_host * 2 + 7 + spec.n_hosts
 
 
 def url_of_index(spec: CorpusSpec, idx: int) -> str:
@@ -212,7 +213,9 @@ def url_of_index(spec: CorpusSpec, idx: int) -> str:
         if r < P:
             return page_url(spec, i, r)
         return f"http://host{i}.test/r{r - P}"
-    return f"http://host0.test/chain{idx - body}"
+    if idx < body + 7:
+        return f"http://host0.test/chain{idx - body}"
+    return f"http://host{idx - body - 7}.test/robots.txt"
 
 
 def enumerate_urls(spec: CorpusSpec) -> list[str]:

@@ -1,0 +1,100 @@
+"""robots.txt acquisition + parse: fetch ``/robots.txt`` per host
+through the SAME fetch stage as page fetches, parse Disallow rules
+(vectorized), collect the tiny host->prefixes dict to the driver and
+broadcast it (north rule: "robots.txt caches held as broadcast
+state").
+
+Parsing scope: the subset the reference crawl semantics need —
+``User-agent: *`` groups' ``Disallow:`` path prefixes (empty
+Disallow = allow-all, per the original robots.txt convention).
+Specific-agent groups are ignored (we always identify as ``*``).
+The collect is justified: one row per HOST (not per URL), and rules
+must be visible to every politeness/filter task — at 10^10 URLs the
+host count is ~10^7, a few hundred MB broadcast at worst; shard the
+broadcast by host-hash if it outgrows memory.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def parse_robots(body: str | None) -> list[str]:
+    """Disallow prefixes for ``User-agent: *`` (pure function).
+
+    A group = one or more consecutive ``User-agent`` lines followed by
+    directives; the group applies to us iff any of its agent lines is
+    ``*``.  Empty ``Disallow:`` means allow-all (skipped)."""
+    if not body:
+        return []
+    prefixes: list[str] = []
+    group_agents: list[str] = []
+    in_agent_block = False
+    for raw in body.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if not in_agent_block:
+                group_agents = []
+                in_agent_block = True
+            group_agents.append(val)
+        else:
+            in_agent_block = False
+            if key == "disallow" and "*" in group_agents and val:
+                prefixes.append(val)
+    return prefixes
+
+
+ROBOTS_T = T.StructType(
+    [
+        T.StructField("host", T.StringType()),
+        T.StructField("prefixes", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+def fetch_robots_rules(
+    spark: SparkSession, hosts: DataFrame, fetcher, host_col: str = "host"
+) -> dict[str, list[str]]:
+    """Fetch+parse robots.txt for every distinct host via the crawl's
+    fetch stage; returns the broadcastable ``host -> prefixes`` dict.
+    Non-200/missing robots -> no restrictions (reference behavior:
+    only explicit Disallow blocks)."""
+    reqs = (
+        hosts.select(F.col(host_col).alias("host"))
+        .distinct()
+        .select(
+            "host",
+            F.concat(F.lit("http://"), F.col("host"), F.lit("/robots.txt")).alias(
+                "url_norm"
+            ),
+        )
+    )
+    fetched = fetcher.fetch(reqs, "url_norm")
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ok = pdf["status"] == 200
+            yield pd.DataFrame(
+                {
+                    "host": pdf["host"],
+                    "prefixes": [
+                        parse_robots(b) if o else []
+                        for b, o in zip(pdf["body"], ok)
+                    ],
+                }
+            )
+
+    rows = fetched.select("host", "status", "body").mapInPandas(
+        parse, schema=ROBOTS_T
+    ).collect()
+    return {r["host"]: list(r["prefixes"]) for r in rows if r["prefixes"]}

@@ -149,7 +149,20 @@ def crawl(
         corpus, max_redirect
     ).localCheckpoint(eager=False)
     fetcher = agent.ResolvedCorpusFetcher(closure)
-    rules = robots_rules(spec)
+    # robots rules come from actually fetching /robots.txt per host
+    # through the fetch stage (north rule: broadcast robots cache);
+    # the static spec dict remains only as the no-corpus fallback
+    from mechaml_spark.frontier.robots import fetch_robots_rules
+
+    try:
+        hosts_df = spark.createDataFrame(
+            [(h,) for h in spec.hosts], "host string"
+        )
+        rules = fetch_robots_rules(
+            spark, hosts_df, agent.CorpusFetcher(corpus)
+        )
+    except Exception:
+        rules = robots_rules(spec)
 
     store = SnapshotStore(checkpoint_dir) if checkpoint_dir else None
     start_epoch = 0
