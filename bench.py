@@ -102,6 +102,8 @@ def main() -> None:
         "simhash_buckets",
         "ngram_jaccard",
         "image_features",
+        "image_phash",
+        "image_neardup",
         "token_stats",
         "quality_filter",
         "lang_id",
@@ -118,6 +120,7 @@ def main() -> None:
         "url_canonicalize",
         "form_defaults",
         "format_scalars",
+        "submit_fetch",
     ]
     for name in headline:
         fn = QUERIES[name]

@@ -39,10 +39,17 @@ class CorpusFetcher:
     """Network-free fetcher: LEFT-join requests against a response
     table keyed by canonical URL (missing rows -> 404).  On a real
     deployment the same stage shape becomes a host-partitioned
-    ``applyInPandas`` HTTP batch."""
+    ``applyInPandas`` HTTP batch.
+
+    If the corpus carries a ``method`` column the join also matches
+    the request's effective verb (``_eff_method`` inside the hop
+    loop, else ``method``, else GET) — a method-sensitive origin: a
+    form POST that silently degraded to a GET would land on the
+    wrong response row and fail the oracle (src/agent.ml:110-130)."""
 
     def __init__(self, corpus: DataFrame) -> None:
-        self.corpus = corpus  # (url_norm, status, location, set_cookie, body)
+        self.corpus = corpus  # (url_norm, status, location, set_cookie, body
+        #                       [, method])
 
     def fetch(self, requests: DataFrame, url_col: str) -> DataFrame:
         # explicit side aliases: request frames often derive from a
@@ -50,9 +57,19 @@ class CorpusFetcher:
         # would otherwise trip Spark's ambiguous-self-join detection
         r = requests.alias("_req")
         c = self.corpus.alias("_corpus")
-        j = r.join(
-            c, F.col(f"_req.{url_col}") == F.col("_corpus.url_norm"), "left"
-        )
+        cond = F.col(f"_req.{url_col}") == F.col("_corpus.url_norm")
+        if "method" in self.corpus.columns:
+            if "_eff_method" in requests.columns:
+                req_method = F.col("_req._eff_method")
+            elif "method" in requests.columns:
+                req_method = F.col("_req.method")
+            else:
+                req_method = F.lit("GET")
+            cond = cond & (
+                F.coalesce(req_method, F.lit("GET"))
+                == F.col("_corpus.method")
+            )
+        j = r.join(c, cond, "left")
         return j.select(
             *[F.col(f"_req.{col}") for col in requests.columns],
             F.coalesce(F.col("_corpus.status"), F.lit(404)).alias("status"),
@@ -64,24 +81,52 @@ class CorpusFetcher:
 
 class HttpFetcher:
     """Real-network backend: host-partitioned ``applyInPandas`` HTTP
-    batches (stdlib urllib — no extra deps).
+    batches on stdlib ``http.client`` (no extra deps).
 
-    Contract matches :class:`CorpusFetcher`: one request per row, NO
-    client-side auto-redirects (the bounded hop loop in :func:`fetch`
-    owns redirect semantics so 301/302-only / GET-on-redirect /
-    max-hop parity holds for every backend), all ``Set-Cookie``
-    headers collected verbatim.  Rows are grouped by host so each
-    task reuses one connection per origin and applies ``delay_s``
-    between same-host requests (politeness inside the task; the
-    scheduler's per-host budget bounds the per-epoch volume).
-    Network errors never fail the task: ``status`` is the HTTP status,
-    404 for DNS/connect failures, and ``body`` is NULL (per-row catch
-    semantics, src/agent.ml:187-198).
+    Transport-complete contract (src/agent.ml:99-130, 154-159,
+    cookiejar.ml:123-137):
 
-    The sandbox has no network, so this class is exercised only for
-    plan construction in tests; the synthetic :class:`CorpusFetcher` /
-    :class:`ResolvedCorpusFetcher` are the hermetic backends.
+      * **Cookies go on the wire.**  If the request frame carries a
+        ``cookie_header`` column (produced per hop by
+        :func:`mechaml_spark.cookies.add_to_headers` inside
+        :func:`fetch`), its value is sent as the ``Cookie`` header —
+        including the empty string, which the reference also sends
+        (cookiejar.ml:136-137).
+      * **POST is transmitted.**  ``_eff_method``/``_eff_body``
+        columns (synthesized by :func:`fetch` from ``method``/
+        ``req_body``; reset to GET/NULL on redirect hops per
+        src/agent.ml:79-80) select the verb; POST bodies are sent
+        with ``Content-Type: application/x-www-form-urlencoded``
+        (the reference's ``Client.post_form``, src/agent.ml:119-130).
+      * **Client default headers** (``default_headers`` dict — the
+        reference's ``client_headers`` set) are merged under any
+        per-row headers; :meth:`add_client_header` /
+        :meth:`remove_client_header` return a new fetcher
+        (functional update, src/agent.ml:154-159).  The dict rides
+        the task closure (Spark broadcasts the task binary; the set
+        is a handful of strings).
+      * **One connection per origin.**  Rows are grouped by host and
+        each task keeps a ``http.client.HTTPConnection`` (or
+        ``HTTPSConnection``) per ``(scheme, host, port)``, reusing it
+        across same-origin requests (HTTP/1.1 keep-alive, one
+        reconnect retry on a dropped socket); ``delay_s`` applies
+        between same-host requests.
+      * **No client-side auto-redirects** — the bounded hop loop in
+        :func:`fetch` owns redirect semantics (301/302-only,
+        GET-on-redirect, max-hop parity) for every backend.
+      * **Transport errors are NOT HTTP statuses.**  DNS/connect/
+        timeout failures yield ``status = 0`` with the exception text
+        in the ``error`` column and NULL body, so callers can
+        distinguish "server said 404" from "never reached the
+        server" and retry; real HTTP responses (including 4xx/5xx)
+        carry their true status and NULL ``error`` (per-row catch
+        semantics, src/agent.ml:187-198).
+
+    The sandbox has no outbound network; tests/test_http_fetcher.py
+    drives this class against an in-process loopback ``http.server``.
     """
+
+    TRANSPORT_ERROR = 0  # status sentinel: request never got a response
 
     def __init__(
         self,
@@ -89,11 +134,26 @@ class HttpFetcher:
         delay_s: float = 0.0,
         max_body: int = 8 << 20,
         user_agent: str = "mechaml-spark/1.0",
+        default_headers: dict[str, str] | None = None,
     ) -> None:
         self.timeout_s = timeout_s
         self.delay_s = delay_s
         self.max_body = max_body
         self.user_agent = user_agent
+        self.default_headers = dict(default_headers or {})
+
+    # functional client-header updates (src/agent.ml:154-159)
+    def add_client_header(self, name: str, value: str) -> "HttpFetcher":
+        return HttpFetcher(
+            self.timeout_s, self.delay_s, self.max_body, self.user_agent,
+            {**self.default_headers, name: value},
+        )
+
+    def remove_client_header(self, name: str) -> "HttpFetcher":
+        hdrs = {k: v for k, v in self.default_headers.items() if k != name}
+        return HttpFetcher(
+            self.timeout_s, self.delay_s, self.max_body, self.user_agent, hdrs
+        )
 
     def fetch(self, requests: DataFrame, url_col: str) -> DataFrame:
         from pyspark.sql import types as T
@@ -106,24 +166,94 @@ class HttpFetcher:
                 T.StructField("location", T.StringType()),
                 T.StructField("set_cookie", T.ArrayType(T.StringType())),
                 T.StructField("body", T.StringType()),
+                T.StructField("error", T.StringType()),
             ]
         )
         timeout_s, delay_s = self.timeout_s, self.delay_s
         max_body, ua = self.max_body, self.user_agent
+        base_headers = dict(self.default_headers)
         cols = [f.name for f in in_fields]
+        out_cols = cols + ["status", "location", "set_cookie", "body", "error"]
 
-        def run(_key, pdf):
+        def run(pdf):
+            import http.client
             import time as _time
-            import urllib.error
-            import urllib.request
+            from urllib.parse import urlsplit
 
             import pandas as pd
 
-            class _NoRedirect(urllib.request.HTTPRedirectHandler):
-                def redirect_request(self, *a, **kw):  # never follow
-                    return None
+            conns: dict[tuple, http.client.HTTPConnection] = {}
 
-            opener = urllib.request.build_opener(_NoRedirect)
+            def origin_conn(scheme, host, port):
+                key = (scheme, host, port)
+                c = conns.get(key)
+                if c is None:
+                    cls = (
+                        http.client.HTTPSConnection
+                        if scheme == "https"
+                        else http.client.HTTPConnection
+                    )
+                    c = cls(host, port, timeout=timeout_s)
+                    conns[key] = c
+                return c
+
+            def one_request(url, rec):
+                parts = urlsplit(url)
+                scheme = parts.scheme or "http"
+                host = parts.hostname or ""
+                port = parts.port or (443 if scheme == "https" else 80)
+                target = parts.path or "/"
+                if parts.query:
+                    target += "?" + parts.query
+                method = (
+                    rec.get("_eff_method") or rec.get("method") or "GET"
+                ).upper()
+                body = None
+                headers = {"User-Agent": ua, **base_headers}
+                if method == "POST":
+                    body = (
+                        rec.get("_eff_body")
+                        if rec.get("_eff_method")
+                        else rec.get("req_body")
+                    ) or ""
+                    headers["Content-Type"] = (
+                        "application/x-www-form-urlencoded"
+                    )
+                ch = rec.get("cookie_header")
+                if ch is not None and not (
+                    isinstance(ch, float) and pd.isna(ch)
+                ):
+                    # sent even when "" (cookiejar.ml:136-137)
+                    headers["Cookie"] = ch
+                for attempt in (0, 1):  # one retry on a dropped socket
+                    conn = origin_conn(scheme, host, port)
+                    try:
+                        conn.request(method, target, body=body, headers=headers)
+                        resp = conn.getresponse()
+                        data = resp.read(max_body)
+                        # drain so keep-alive stays usable
+                        while resp.read(1 << 16):
+                            pass
+                        return {
+                            "status": resp.status,
+                            "location": resp.getheader("Location"),
+                            "set_cookie": resp.msg.get_all("Set-Cookie") or [],
+                            "body": data.decode("utf-8", errors="replace"),
+                            "error": None,
+                        }
+                    except (
+                        http.client.NotConnected,
+                        http.client.CannotSendRequest,
+                        http.client.BadStatusLine,
+                        ConnectionError,
+                        BrokenPipeError,
+                    ):
+                        conn.close()
+                        conns.pop((scheme, host, port), None)
+                        if attempt == 1:
+                            raise
+                raise RuntimeError("unreachable")
+
             rows = []
             first = True
             for rec in pdf.to_dict("records"):
@@ -131,50 +261,26 @@ class HttpFetcher:
                     _time.sleep(delay_s)
                 first = False
                 url = rec[url_col]
-                status, location, cookies, body = 404, None, [], None
                 try:
-                    req = urllib.request.Request(
-                        url, headers={"User-Agent": ua}
-                    )
-                    with opener.open(req, timeout=timeout_s) as resp:
-                        status = resp.status
-                        location = resp.headers.get("Location")
-                        cookies = resp.headers.get_all("Set-Cookie") or []
-                        body = resp.read(max_body).decode(
-                            "utf-8", errors="replace"
-                        )
-                except urllib.error.HTTPError as e:
-                    # includes unfollowed 3xx (redirect handler
-                    # returns None -> HTTPError with full headers)
-                    status = e.code
-                    location = e.headers.get("Location")
-                    cookies = e.headers.get_all("Set-Cookie") or []
-                    try:
-                        body = e.read(max_body).decode(
-                            "utf-8", errors="replace"
-                        )
-                    except Exception:
-                        body = None
-                except Exception:
-                    pass  # DNS/connect/timeout -> 404, NULL body
-                rows.append(
-                    {
-                        **{c: rec[c] for c in cols},
-                        "status": status,
-                        "location": location,
-                        "set_cookie": cookies,
-                        "body": body,
+                    out = one_request(url, rec)
+                except Exception as e:  # DNS/connect/timeout -> sentinel
+                    out = {
+                        "status": 0,
+                        "location": None,
+                        "set_cookie": [],
+                        "body": None,
+                        "error": f"{type(e).__name__}: {e}",
                     }
-                )
-            return pd.DataFrame(rows, columns=cols + [
-                "status", "location", "set_cookie", "body"
-            ])
+                rows.append({**{c: rec[c] for c in cols}, **out})
+            for c in conns.values():
+                c.close()
+            return pd.DataFrame(rows, columns=out_cols)
 
         tagged = requests.withColumn(
             "_fetch_host", page.host_col(F.col(url_col))
         )
         return tagged.groupBy("_fetch_host").applyInPandas(
-            lambda key, pdf: run(key, pdf.drop(columns=["_fetch_host"])),
+            lambda key, pdf: run(pdf.drop(columns=["_fetch_host"])),
             schema=out_schema,
         )
 
@@ -312,7 +418,10 @@ class ResolvedCorpusFetcher:
             F.col("_cl.cookie_hops").alias("cookie_hops"),
             F.col("_cl.hop_urls").alias("hop_urls"),
         ).localCheckpoint(eager=False)
-        finals = j.select(*carry, url_col, "final_url", "status", "body")
+        finals = j.select(
+            *carry, url_col, "final_url", "status", "body",
+            F.lit(None).cast("string").alias("error"),
+        )
         cookie_events = (
             j.select(*carry, url_col, F.explode("cookie_hops").alias("ch"))
             .select(
@@ -336,7 +445,9 @@ class ResolvedCorpusFetcher:
 @dataclass
 class FetchResult:
     finals: DataFrame
-    # carry cols + (final_url, status, body)
+    # carry cols + (final_url, status, body, error) — error is NULL for
+    # real HTTP responses; set (with status 0) only for transport
+    # failures of the real backend
     cookie_events: DataFrame
     # carry cols + (hop, idx, hv, src_url) — fold order = carry-key + hop + idx
     hop_targets: DataFrame | None
@@ -361,11 +472,26 @@ def fetch(
     ``(final_url, status, body)``.
     """
     carry = list(carry_cols)
+    # effective verb/body per hop: the original request's method/body
+    # on hop 0, GET with no body after any redirect (src/agent.ml:79-80
+    # — the reference re-issues a plain GET on redirect, even after
+    # POST).  ``method``/``req_body`` carry-cols stay untouched so
+    # finals still report what was originally submitted.
+    eff_method = (
+        F.col("method") if "method" in requests.columns else F.lit("GET")
+    )
+    eff_body = (
+        F.col("req_body")
+        if "req_body" in requests.columns
+        else F.lit(None).cast("string")
+    )
     cur = requests.select(
         *carry,
         F.col(url_col).alias("req_url"),
         F.col(url_col).alias("cur_url"),
         F.lit(0).alias("hops"),
+        eff_method.alias("_eff_method"),
+        eff_body.alias("_eff_body"),
     )
     finals = None
     cookie_events = None
@@ -415,6 +541,11 @@ def fetch(
             F.col("cur_url").alias("final_url"),
             "status",
             "body",
+            (
+                F.col("error")
+                if "error" in j.columns
+                else F.lit(None).cast("string")
+            ).alias("error"),
         )
         finals = done if finals is None else finals.unionByName(done)
         if _hop == max_redirect:
@@ -426,6 +557,8 @@ def fetch(
                 page.resolve_col(F.col("cur_url"), F.col("location"))
             ).alias("cur_url"),
             (F.col("hops") + 1).alias("hops"),
+            F.lit("GET").alias("_eff_method"),
+            F.lit(None).cast("string").alias("_eff_body"),
         )
         tgt = nxt.select(
             F.col("cur_url").alias("url_norm"),

@@ -275,41 +275,69 @@ def add_to_headers(
     out_col: str = "cookie_header",
 ) -> DataFrame:
     """Append the matched ``Cookie`` header value (jar key order,
-    possibly "") to every request row.  Broadcast nested-loop join:
-    the jar is orders of magnitude smaller than the request stream,
-    so the stream never shuffles."""
+    possibly "") to every request row (cookiejar.ml:123-137).
+
+    Plan shape: the whole jar is folded into ONE sorted
+    ``array<struct>`` row (a global ``collect_list`` — the jar is
+    orders of magnitude smaller than the request stream), broadcast,
+    and cross-joined onto the requests; the header is then computed
+    per row with ``filter``/``transform``/``array_join`` higher-order
+    functions — all JVM expression-level.  The request stream never
+    shuffles and there is no re-attach join: at 100-TB request volume
+    this stage is map-only (one BroadcastNestedLoopJoin against a
+    single-row side)."""
     from mechaml_spark.page import host_col
 
-    req = (
-        requests.select(F.col(url_col).alias("_u"))
-        .distinct()
-        .withColumn("_host", host_col(F.col("_u")))
-        .withColumn("_path", F.coalesce(_path_udf(F.col("_u")), F.lit("")))
+    # one row: the jar serialized in key order (name^domain^path)
+    jar_arr = jar_df.select(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.concat_ws("", "name", "domain", "path").alias("k"),
+                    F.col("name").alias("name"),
+                    F.col("value").alias("value"),
+                    F.col("domain").alias("domain"),
+                    F.col("path").alias("path"),
+                )
+            )
+        ).alias("_jar")
     )
-    jar = F.broadcast(jar_df.select("name", "value", "domain", "path"))
-    cond = cookie_match_cond(F.col("_host"), F.col("_path"), jar)
-    pair = F.when(
-        F.col("name").isNotNull(),
-        F.struct(
-            F.concat_ws("", "name", "domain", "path").alias("k"),
-            F.concat_ws("=", "name", "value").alias("kv"),
-        ),
-    )
-    per_url = (
-        req.join(jar, cond, "left")
-        .groupBy("_u")
-        .agg(F.array_sort(F.collect_list(pair)).alias("_pairs"))
-        .select(
-            F.col("_u"),
-            F.coalesce(
-                F.array_join(F.transform("_pairs", lambda x: x["kv"]), "; "),
-                F.lit(""),
-            ).alias(out_col),
+    host = F.col("_req_host")
+    path = F.col("_req_path")
+
+    def _match(c):
+        # cookiejar.ml:48-66 — domain equality or dotted-suffix (the
+        # leading-dot quirk preserved); plain path prefix; `secure`
+        # never consulted
+        delta = F.length(host) - F.length(c["domain"])
+        domain_ok = (host == c["domain"]) | (
+            (delta > 0)
+            & host.endswith(c["domain"])
+            & (F.substring(host, delta, F.lit(1)) == ".")
         )
+        return domain_ok & path.startswith(c["path"])
+
+    header = F.array_join(
+        F.transform(
+            F.filter(F.col("_jar"), _match),
+            lambda c: F.concat_ws("=", c["name"], c["value"]),
+        ),
+        "; ",
     )
-    return requests.join(
-        per_url, requests[url_col] == per_url["_u"], "left"
-    ).drop("_u")
+    return (
+        requests
+        # host/path as real columns first: a Python UDF may not appear
+        # inside a higher-order-function lambda, so the lambda below
+        # references these attributes instead
+        .withColumn("_req_host", host_col(F.col(url_col)))
+        .withColumn(
+            "_req_path",
+            F.coalesce(F.parse_url(F.col(url_col), F.lit("PATH")), F.lit("")),
+        )
+        .join(F.broadcast(jar_arr))
+        .withColumn(out_col, F.coalesce(header, F.lit("")))
+        .drop("_jar", "_req_host", "_req_path")
+    )
 
 
 @F.pandas_udf(T.StringType())

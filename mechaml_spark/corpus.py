@@ -28,7 +28,7 @@ content, so the corpus scales to any size without coordination:
 Image payloads: ``images.test/im/{image_id}.png``; pixels from a
 crc32-keyed numpy PRNG per image_id; caption embedded as the img
 ``alt``.  The images table carries (image_id, bytes, w, h, fmt,
-caption, phash=xxhash64(bytes)).
+caption, phash=dhash64(pixels) — a perceptual hash).
 """
 
 from __future__ import annotations
@@ -40,7 +40,6 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from mechaml_spark import imaging
@@ -280,13 +279,18 @@ IMAGE_ROW_T = T.StructType(
         T.StructField("h", T.IntegerType()),
         T.StructField("fmt", T.StringType()),
         T.StructField("caption", T.StringType()),
+        T.StructField("phash", T.LongType()),
     ]
 )
 
 
 def images_df(spark: SparkSession, spec: CorpusSpec) -> DataFrame:
-    """Image+caption table per BASELINE.json input_hint (phash added
-    as xxhash64 of the encoded bytes — computed JVM-side)."""
+    """Image+caption table per BASELINE.json input_hint.  ``phash`` is
+    a real PERCEPTUAL hash (:func:`mechaml_spark.imaging.dhash64` over
+    the pixels) — a content hash over the encoded bytes would miss
+    re-encodes of the same picture, which is the whole point of the
+    column; computed here in the same Arrow batch that already holds
+    the pixels, so it costs no extra decode."""
     idx = spark.range(n_images(spec)).repartition(
         max(spark.sparkContext.defaultParallelism, 4)
     )
@@ -305,11 +309,14 @@ def images_df(spark: SparkSession, spec: CorpusSpec) -> DataFrame:
                         "h": spec.img_h,
                         "fmt": "png",
                         "caption": caption_of(iid),
+                        "phash": imaging.dhash64(px),
                     }
                 )
             yield pd.DataFrame(
-                rows, columns=["image_id", "bytes", "w", "h", "fmt", "caption"]
+                rows,
+                columns=[
+                    "image_id", "bytes", "w", "h", "fmt", "caption", "phash",
+                ],
             )
 
-    df = idx.mapInPandas(gen, schema=IMAGE_ROW_T)
-    return df.withColumn("phash", F.xxhash64("bytes"))
+    return idx.mapInPandas(gen, schema=IMAGE_ROW_T)

@@ -131,8 +131,11 @@ def crawl_oracle(
         for d, de, u in selected:
             del frontier[u]
             current, hops = u, 0
-            # each fetch uses a copy of the epoch-start jar (map_p)
-            _ = jar.header_for(current)  # cookie injection point
+            # each fetch uses a copy of the epoch-start jar (map_p);
+            # cookies are injected on EVERY hop — the reference's
+            # redirect loop recursively calls `get`, which re-matches
+            # the jar per request (src/agent.ml:79-80, 99-101)
+            _ = jar.header_for(current)  # hop-0 cookie injection
             resp = server_response(spec, current)
             while True:
                 if resp is not None:
@@ -150,6 +153,7 @@ def crawl_oracle(
                         urlkit.resolve(current, resp["location"])
                     )
                     res.seen.add(current)
+                    _ = jar.header_for(current)  # per-hop re-injection
                     resp = server_response(spec, current)
                     continue
                 break

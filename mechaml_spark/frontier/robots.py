@@ -63,20 +63,33 @@ ROBOTS_T = T.StructType(
 
 
 def fetch_robots_rules(
-    spark: SparkSession, hosts: DataFrame, fetcher, host_col: str = "host"
+    spark: SparkSession,
+    hosts: DataFrame,
+    fetcher,
+    host_col: str = "host",
+    scheme_col: str | None = None,
 ) -> dict[str, list[str]]:
     """Fetch+parse robots.txt for every distinct host via the crawl's
     fetch stage; returns the broadcastable ``host -> prefixes`` dict.
     Non-200/missing robots -> no restrictions (reference behavior:
-    only explicit Disallow blocks)."""
+    only explicit Disallow blocks).
+
+    The robots URL scheme comes from ``scheme_col`` when given — the
+    caller derives it from the URLs that introduced each host, so an
+    https-only host is asked over https, never plain http."""
+    scheme = (
+        F.coalesce(F.col(scheme_col), F.lit("http"))
+        if scheme_col is not None
+        else F.lit("http")
+    )
     reqs = (
-        hosts.select(F.col(host_col).alias("host"))
+        hosts.select(F.col(host_col).alias("host"), scheme.alias("_scheme"))
         .distinct()
         .select(
             "host",
-            F.concat(F.lit("http://"), F.col("host"), F.lit("/robots.txt")).alias(
-                "url_norm"
-            ),
+            F.concat(
+                F.col("_scheme"), F.lit("://"), F.col("host"), F.lit("/robots.txt")
+            ).alias("url_norm"),
         )
     )
     fetched = fetcher.fetch(reqs, "url_norm")

@@ -38,7 +38,7 @@ from pyspark.sql import types as T
 from mechaml_spark import agent
 from mechaml_spark import cookies as ck
 from mechaml_spark import extract, page
-from mechaml_spark.corpus import CorpusSpec, corpus_df, images_df, robots_rules
+from mechaml_spark.corpus import CorpusSpec, corpus_df, images_df
 from mechaml_spark.frontier.seen import SeenSet, host_shard_col
 from mechaml_spark.frontier.store import SnapshotStore
 
@@ -48,7 +48,9 @@ MAX_REDIRECT = 5  # src/agent.ml:65
 # at build time, but materialization folds into the next action —
 # far fewer jobs per epoch (driver planning/codegen is the superstep
 # overhead at small scale).  Flip via env for A/B.
-_EAGER = bool(__import__("os").environ.get("MECHAML_EAGER_CKPT"))
+_EAGER = __import__("os").environ.get("MECHAML_EAGER_CKPT", "") not in (
+    "", "0", "false", "False"
+)
 
 
 def _dbg_timer():
@@ -109,10 +111,33 @@ class CrawlResult:
     store: SnapshotStore | None = None
 
 
-def _priority_window():
-    return Window.partitionBy("host").orderBy(
-        "depth", "discovered_epoch", "url_norm"
-    )
+def politeness_split(
+    frontier: DataFrame, budget_per_host: int, salt_shards: int = 16
+) -> tuple[DataFrame, DataFrame]:
+    """Two-phase per-host top-B over the total priority key
+    ``(depth, discovered_epoch, url_norm)`` -> (selected, rest).
+
+    Phase 1 ranks within ``(host, salt)`` where
+    ``salt = pmod(xxhash64(url_norm), S)``: a hot host with millions
+    of pending URLs is split across S window partitions instead of
+    one single task (window partitions are NOT split by AQE skew
+    handling, so the salt is the only defense).  Phase 2 re-ranks the
+    surviving <= B*S rows per host — a window over a set bounded by
+    ``budget * salt_shards`` rows per host regardless of frontier
+    skew.  The union of per-salt top-B provably contains the global
+    per-host top-B, so the result is byte-identical to the unsalted
+    single window (the oracle's semantics, oracle.py:119-127)."""
+    key = [F.col("depth"), F.col("discovered_epoch"), F.col("url_norm")]
+    salt = F.pmod(F.xxhash64("url_norm"), F.lit(salt_shards))
+    w1 = Window.partitionBy(F.col("host"), salt).orderBy(*key)
+    r1 = frontier.withColumn("_rk1", F.row_number().over(w1))
+    pre = r1.where(F.col("_rk1") <= budget_per_host).drop("_rk1")
+    rest1 = r1.where(F.col("_rk1") > budget_per_host).drop("_rk1")
+    w2 = Window.partitionBy("host").orderBy(*key)
+    r2 = pre.withColumn("_rk2", F.row_number().over(w2))
+    selected = r2.where(F.col("_rk2") <= budget_per_host).drop("_rk2")
+    rest2 = r2.where(F.col("_rk2") > budget_per_host).drop("_rk2")
+    return selected, rest1.unionByName(rest2)
 
 
 def crawl(
@@ -150,19 +175,26 @@ def crawl(
     ).localCheckpoint(eager=False)
     fetcher = agent.ResolvedCorpusFetcher(closure)
     # robots rules come from actually fetching /robots.txt per host
-    # through the fetch stage (north rule: broadcast robots cache);
-    # the static spec dict remains only as the no-corpus fallback
+    # through the fetch stage (north rule: broadcast robots cache).
+    # No silent fallback: a corpus is always present here, and a
+    # regression in the fetched-robots path must surface as a loud
+    # failure, not a quiet revert to static rules.  The per-host
+    # scheme is derived from the URLs that introduced the host (the
+    # seeds), never hardcoded — https-only hosts get their robots
+    # over https.
     from mechaml_spark.frontier.robots import fetch_robots_rules
 
-    try:
-        hosts_df = spark.createDataFrame(
-            [(h,) for h in spec.hosts], "host string"
-        )
-        rules = fetch_robots_rules(
-            spark, hosts_df, agent.CorpusFetcher(corpus)
-        )
-    except Exception:
-        rules = robots_rules(spec)
+    seed_hosts = {}
+    for s in seeds:
+        u = urlkit.canonicalize(s)
+        seed_hosts.setdefault(urlkit.host_of(u), u.split("://", 1)[0])
+    hosts_df = spark.createDataFrame(
+        [(h, seed_hosts.get(h, "http")) for h in spec.hosts],
+        "host string, scheme string",
+    )
+    rules = fetch_robots_rules(
+        spark, hosts_df, agent.CorpusFetcher(corpus), scheme_col="scheme"
+    )
 
     store = SnapshotStore(checkpoint_dir) if checkpoint_dir else None
     start_epoch = 0
@@ -212,6 +244,16 @@ def crawl(
 
     epochs_run = start_epoch
     mark = _dbg_timer()
+    # per-shard seen counts maintained INCREMENTALLY: one full-table
+    # aggregate at (re)start, then only the per-epoch `new_seen` delta
+    # is counted — never a full seen-set scan per superstep (at 10^10
+    # seen URLs that scan would dominate the epoch)
+    shard_counts: dict[int, int] = {}
+    if store is not None:
+        for r in (
+            seen.seen_df.groupBy("host_shard").agg(F.count("*").alias("n")).collect()
+        ):
+            shard_counts[int(r["host_shard"])] = int(r["n"])
     for epoch in range(start_epoch, max_epochs):
         if frontier.isEmpty():
             break
@@ -226,10 +268,8 @@ def crawl(
         pages_log = pages_log.unionByName(blocked)
         frontier = frontier.where(~F.col("_blocked")).drop("_blocked")
 
-        # 2. politeness: top-B per host by the total priority key
-        ranked = frontier.withColumn("_rk", F.row_number().over(_priority_window()))
-        selected = ranked.where(F.col("_rk") <= budget_per_host).drop("_rk")
-        frontier = ranked.where(F.col("_rk") > budget_per_host).drop("_rk")
+        # 2. politeness: salted two-phase top-B per host (skew-safe)
+        selected, frontier = politeness_split(frontier, budget_per_host)
 
         # 3. fetch stage: one equi-join against the redirect closure
         # (the corpus fetcher is idempotent so jar injection is skipped
@@ -422,12 +462,14 @@ def crawl(
         # inputs (finals, frontier) — no per-epoch materialization needed
 
         if store is not None:
-            shard_metrics = {
-                str(r["host_shard"]): r["n"]
-                for r in seen.seen_df.groupBy("host_shard")
-                .agg(F.count("*").alias("n"))
-                .collect()
-            }
+            # delta-only metrics update: new_seen is the epoch's small
+            # checkpointed discovery set, not the cumulative table
+            for r in (
+                new_seen.groupBy("host_shard").agg(F.count("*").alias("n")).collect()
+            ):
+                sh = int(r["host_shard"])
+                shard_counts[sh] = shard_counts.get(sh, 0) + int(r["n"])
+            shard_metrics = {str(k): v for k, v in sorted(shard_counts.items())}
             # frontier snapshot = the salted priority queue
             # materialized: repartition by host-shard (salt kills hot
             # hosts), sort-within-partition on the total priority key

@@ -161,6 +161,41 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     return float(10.0 * np.log10(255.0**2 / mse))
 
 
+def dhash64(pixels: np.ndarray) -> int:
+    """Perceptual difference-hash (dHash) of an RGB image -> int64.
+
+    Classic recipe: integer grayscale, block-mean downscale to 9x8,
+    then bit ``b = y*8 + x`` is 1 iff ``gray[y, x] < gray[y, x+1]``.
+    Everything is integer arithmetic (floor divisions), so the hash
+    is bit-reproducible across platforms; re-encoding the same pixels
+    in another lossless format cannot change it (unlike a content
+    hash over the encoded bytes), and small pixel noise flips only
+    the bits whose local gradient it crosses — which is what makes
+    banded Hamming bucketing (see ``queries.q_image_neardup``) find
+    re-encodes and light edits.  BASELINE.json input_hint's ``phash``
+    column is this value."""
+    h, w, _ = pixels.shape
+    gray = (
+        299 * pixels[..., 0].astype(np.int64)
+        + 587 * pixels[..., 1].astype(np.int64)
+        + 114 * pixels[..., 2].astype(np.int64)
+    ) // 1000
+    # block-mean to 9 cols x 8 rows with integer boundaries
+    ye = (np.arange(9) * h) // 8
+    xe = (np.arange(10) * w) // 9
+    small = np.empty((8, 9), dtype=np.int64)
+    for y in range(8):
+        rows = gray[ye[y] : max(ye[y + 1], ye[y] + 1)]
+        for x in range(9):
+            blk = rows[:, xe[x] : max(xe[x + 1], xe[x] + 1)]
+            small[y, x] = blk.sum() // blk.size
+    bits = (small[:, :-1] < small[:, 1:]).astype(np.uint64).ravel()
+    acc = np.uint64(0)
+    for b, v in enumerate(bits):
+        acc |= v << np.uint64(b)
+    return int(acc.view(np.int64))  # reinterpret: bit 63 -> sign
+
+
 LOSSLESS = frozenset({"png", "ppm"})
 
 

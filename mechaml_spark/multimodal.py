@@ -121,6 +121,30 @@ def resize_images(
     return df.mapInPandas(run, schema=out_schema)
 
 
+def dhash64_udf():
+    """Arrow-batched perceptual-hash column: (bytes, fmt) -> int64
+    dHash (see :func:`mechaml_spark.imaging.dhash64`).  NULL for
+    undecodable rows — per-row catch, never a task failure."""
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf(T.LongType())
+    def _dhash(data: pd.Series, fmt: pd.Series) -> pd.Series:
+        out = []
+        for b, f in zip(data, fmt):
+            if b is None:
+                out.append(None)
+                continue
+            try:
+                out.append(imaging.dhash64(imaging.decode(bytes(b), f)))
+            except NotImplementedError:
+                raise
+            except Exception:
+                out.append(None)
+        return pd.Series(out, dtype="Int64")
+
+    return _dhash
+
+
 FRAME_T = T.StructType(
     [
         T.StructField("frame_idx", T.IntegerType()),

@@ -206,6 +206,68 @@ def q_format_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_submit_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """submit -> fetch end-to-end against a METHOD-SENSITIVE corpus:
+    HTML forms are synthesized per ``part`` row (POST for even keys,
+    GET for odd), parsed by the real extraction pipeline, submitted
+    through :func:`mechaml_spark.agent.submit` (request synthesis per
+    src/agent.ml:119-130 — GET replaces the query string, POST keeps
+    the URL and carries the encoded body), and fetched through a
+    corpus whose response rows key on (url, method).  Decoy rows sit
+    at the POST URLs under GET: an engine that silently degraded a
+    form POST to a GET (the round-1 gap) would fetch the decoy and
+    hash-mismatch the oracle."""
+    from mechaml_spark import agent
+
+    p = _t(spark, sf_dir, "part")
+    even = p.p_partkey % 2 == 0
+    meth = F.when(even, F.lit("post")).otherwise(F.lit("get"))
+    body = F.concat(
+        F.lit('<html><body><form action="/submit/'),
+        p.p_partkey,
+        F.lit('" method="'),
+        meth,
+        F.lit('"><input type="text" name="q" value="'),
+        p.p_partkey,
+        F.lit('"/></form></body></html>'),
+    )
+    pages = p.select(
+        F.concat(F.lit("http://parts.test/pg"), p.p_partkey).alias("url"),
+        body.alias("body"),
+    )
+    forms_df = page.forms_with(extract.parse_pages(pages), "")
+
+    empty_sc = F.expr("CAST(array() AS array<string>)")
+    submit_url = F.concat(F.lit("http://parts.test/submit/"), p.p_partkey)
+
+    def resp(url, meth_lit, body_col):
+        return [
+            url.alias("url_norm"),
+            F.lit(200).alias("status"),
+            F.lit(None).cast("string").alias("location"),
+            empty_sc.alias("set_cookie"),
+            body_col.alias("body"),
+            F.lit(meth_lit).alias("method"),
+        ]
+
+    post_rows = p.where(even).select(
+        *resp(submit_url, "POST", F.concat(F.lit("got:POST:q="), p.p_partkey))
+    )
+    decoy_rows = p.where(even).select(
+        *resp(submit_url, "GET", F.lit("got:DEGRADED"))
+    )
+    get_rows = p.where(~even).select(
+        *resp(
+            F.concat(submit_url, F.lit("?q="), p.p_partkey),
+            "GET",
+            F.concat(F.lit("got:GET:q="), p.p_partkey),
+        )
+    )
+    corpus = post_rows.unionByName(decoy_rows).unionByName(get_rows)
+    fr = agent.submit(forms_df, agent.CorpusFetcher(corpus))
+    return fr.finals.select("url_norm", "method", "status", "body")
+
+
 # ------------------------------------------------- training-data pipeline
 
 def _toks(col):
@@ -328,12 +390,13 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing over testdata: deterministic PNGs keyed by
-    doc_id -> decode -> resize -> feature extraction (no SQL oracle —
-    pixel codecs aren't SQL-expressible; driver records a rows-only
-    check).  Mirrors the payload pipeline's mapInPandas shape."""
-    import zlib as _zlib
-
+    """Multimodal pipeline over testdata with a CLOSED-FORM oracle:
+    deterministic constant-plane PNGs keyed by doc_id -> real decode
+    -> real resize -> real feature extraction.  Pixels are generated
+    arithmetically (channel c of doc d is the constant
+    ``(d * prime_c) % 251``), so the decoded means are exact in SQL
+    while the Spark side still exercises the full mapInPandas
+    decode/resize/feature stages of the payload pipeline."""
     import numpy as _np
     import pandas as _pd
 
@@ -349,10 +412,13 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for did in pdf["doc_id"]:
-                rng = _np.random.default_rng(_zlib.crc32(str(int(did)).encode()))
-                px = rng.integers(0, 256, (8, 8, 3), dtype=_np.uint8)
+                did = int(did)
+                px = _np.empty((8, 8, 3), dtype=_np.uint8)
+                px[..., 0] = (did * 7) % 251
+                px[..., 1] = (did * 11) % 251
+                px[..., 2] = (did * 13) % 251
                 rows.append(
-                    {"doc_id": int(did), "bytes": _imaging.png_encode(px),
+                    {"doc_id": did, "bytes": _imaging.png_encode(px),
                      "fmt": "png"}
                 )
             yield _pd.DataFrame(rows, columns=["doc_id", "bytes", "fmt"])
@@ -368,6 +434,89 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("features")["mean_r"].alias("mean_r"),
         F.col("features")["mean_g"].alias("mean_g"),
         F.col("features")["mean_b"].alias("mean_b"),
+    )
+
+
+def _phash_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 9x8 PNGs whose dHash is closed-form in SQL.
+
+    Pixel (y, x) of doc d is the constant-gray value
+    ``bit((d % 10000) >> ((x + y) % 16)) * 255``; at dHash's native
+    9x8 geometry the block-mean downscale is the identity, so
+    ``phash`` bit ``y*8+x`` is exactly ``bit(s) < bit(s+1)`` with
+    ``s = x+y`` — pure integer bit arithmetic both engines share.
+    ``key < 16384`` keeps bits 14/15 clear so bit 63 is always 0 (no
+    int64 sign gymnastics in SQL)."""
+    import numpy as _np
+    import pandas as _pd
+
+    from mechaml_spark import imaging as _imaging
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 1000
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                key = did % 10000
+                px = _np.empty((8, 9, 3), dtype=_np.uint8)
+                for y in range(8):
+                    for x in range(9):
+                        px[y, x, :] = ((key >> ((x + y) % 16)) & 1) * 255
+                rows.append(
+                    {"doc_id": did, "bytes": _imaging.png_encode(px),
+                     "fmt": "png"}
+                )
+            yield _pd.DataFrame(rows, columns=["doc_id", "bytes", "fmt"])
+
+    return d.mapInPandas(gen, schema="doc_id long, bytes binary, fmt string")
+
+
+def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual hash (dHash) through the REAL decode path: PNG bytes
+    -> pixels -> 9x8 block-mean -> 64 comparison bits (input_hint's
+    ``phash`` column).  The oracle recomputes the same bits from
+    doc_id arithmetic (see :func:`_phash_media`)."""
+    from mechaml_spark import multimodal
+
+    media = _phash_media(spark, sf_dir)
+    return media.select(
+        "doc_id", multimodal.dhash64_udf()("bytes", "fmt").alias("phash")
+    )
+
+
+def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup candidate buckets: band the 64-bit dHash into
+    4 x 16-bit bands and group on (band, value) — the same banded
+    equi-join shape as ``dedup_minhash``, so candidate generation at
+    10^10 images is a shuffle on the band key only (re-encoded or
+    lightly-edited images agree on most bands; a content hash over
+    bytes would never collide).  Output: buckets holding >1 image."""
+    from mechaml_spark import multimodal
+
+    ph = _phash_media(spark, sf_dir).select(
+        "doc_id", multimodal.dhash64_udf()("bytes", "fmt").alias("phash")
+    )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftright("phash", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias(
+                    "val"
+                ),
+            )
+            for i in range(4)
+        ]
+    )
+    return (
+        ph.select(F.explode(bands).alias("b"))
+        .select(F.col("b")["band"].alias("band"), F.col("b")["val"].alias("val"))
+        .groupBy("band", "val")
+        .agg(F.count("*").alias("n_imgs"))
+        .where(F.col("n_imgs") > 1)
     )
 
 
@@ -502,17 +651,24 @@ def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: coarse quantizer -> inverted lists -> probe.
+    """IVF ANN with a TRAINED coarse quantizer: k-means (2 Lloyd
+    iterations, deterministic init = vec_id < 8) -> inverted lists ->
+    nprobe=2 probe.
 
-    Centroids here are 8 deterministic vectors (vec_id < 8) standing
-    in for a trained codebook (production: Lloyd iterations via
-    applyInPandas or Spark ML k-means; the query plan is identical).
-    Every data vector is assigned to its max-inner-product centroid
-    (one broadcast join — the "inverted list" build); each query
-    probes its nprobe=2 nearest lists and ranks candidates by exact
-    integer-quantized dot product.  Candidate generation is an
-    EQUI-join on the centroid id — at 10^10 rows the shuffle carries
-    only probed lists, never a cross join against the corpus."""
+    Lloyd at scale: assignment is a broadcast join of the k-row
+    centroid table against the corpus (argmax inner product,
+    deterministic cid tie-break); the update is a
+    ``posexplode -> groupBy(cid, pos)`` partial-aggregated sum/count
+    (map-side combine — the shuffle carries k x dim cells, never
+    vectors), re-assembled with ``collect_list``+``array_sort``.
+    Centroid components are integer floor-means
+    (``(s - pmod(s, n)) / n``) so both engines agree bit-for-bit —
+    no float division anywhere.  Empty clusters drop out (both
+    engines).  Probe plan: every data vector joins its trained
+    max-inner-product centroid; each query probes its 2 nearest
+    lists; candidates rank by exact integer-quantized dot.  The
+    candidate join is EQUI on ``cid`` — at 10^10 rows the shuffle
+    carries only probed lists, never a cross join."""
     e = _t(spark, sf_dir, "embeddings")
     qv = F.transform("embedding", lambda x: F.round(x * 1000).cast("long"))
     cent = e.where(e.vec_id < 8).select(
@@ -529,16 +685,43 @@ def q_embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    wa = Window.partitionBy("neighbor_id").orderBy(
-        F.desc("cdot"), "cid"
-    )
-    assign = (
-        data.crossJoin(F.broadcast(cent))
-        .withColumn("cdot", dot("cv", "cv_cent"))
-        .withColumn("_rk", F.row_number().over(wa))
-        .where(F.col("_rk") == 1)
-        .select("neighbor_id", "cid", "cv")
-    )
+    wa = Window.partitionBy("neighbor_id").orderBy(F.desc("cdot"), "cid")
+
+    def assign_to(cent_df: DataFrame) -> DataFrame:
+        return (
+            data.crossJoin(F.broadcast(cent_df))
+            .withColumn("cdot", dot("cv", "cv_cent"))
+            .withColumn("_rk", F.row_number().over(wa))
+            .where(F.col("_rk") == 1)
+            .select("neighbor_id", "cid", "cv")
+        )
+
+    def lloyd_update(assigned: DataFrame) -> DataFrame:
+        ex = assigned.select("cid", F.posexplode("cv").alias("pos", "v"))
+        agg = ex.groupBy("cid", "pos").agg(
+            F.sum("v").alias("s"), F.count("*").alias("n")
+        )
+        comp = agg.select(
+            "cid",
+            "pos",
+            ((F.col("s") - F.pmod(F.col("s"), F.col("n"))) / F.col("n"))
+            .cast("long")
+            .alias("cv_i"),
+        )
+        return (
+            comp.groupBy("cid")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "cv_i"))).alias("ps")
+            )
+            .select(
+                "cid", F.transform("ps", lambda x: x["cv_i"]).alias("cv_cent")
+            )
+        )
+
+    for _ in range(2):  # Lloyd iterations (unrolled in the oracle too)
+        cent = lloyd_update(assign_to(cent)).localCheckpoint(eager=False)
+
+    assign = assign_to(cent)
     wp = Window.partitionBy("query_id").orderBy(F.desc("qdot"), "cid")
     probes = (
         qry.crossJoin(F.broadcast(cent))
@@ -658,11 +841,14 @@ QUERIES = {
     "seen_dedupe": q_seen_dedupe,
     "form_defaults": q_form_defaults,
     "format_scalars": q_format_scalars,
+    "submit_fetch": q_submit_fetch,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "simhash_buckets": q_simhash_buckets,
     "ngram_jaccard": q_ngram_jaccard,
     "image_features": q_image_features,
+    "image_phash": q_image_phash,
+    "image_neardup": q_image_neardup,
     "token_stats": q_token_stats,
     "quality_filter": q_quality_filter,
     "lang_id": q_lang_id,
@@ -676,6 +862,77 @@ QUERIES = {
 }
 
 _TOKS_SQL = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+
+
+def _ivf_oracle_sql(iterations: int = 2) -> str:
+    """DuckDB mirror of q_embedding_ann_ivf: the same deterministic
+    k-means (integer floor-means, cid tie-breaks) unrolled
+    ``iterations`` times, then the identical probe/rank pipeline."""
+
+    def dot(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, len({a}) + 1), "
+            f"i -> {a}[i] * {b}[i]))"
+        )
+
+    def assign(name: str, cent: str) -> str:
+        return f"""{name} AS (
+            SELECT neighbor_id, cid, cv FROM (
+                SELECT d.neighbor_id, c.cid, d.cv,
+                       row_number() OVER (PARTITION BY d.neighbor_id
+                           ORDER BY {dot('d.cv', 'c.cv')} DESC, c.cid) AS rk
+                FROM data d, {cent} c)
+            WHERE rk = 1)"""
+
+    def update(name: str, assigned: str) -> str:
+        return f"""{name} AS (
+            SELECT cid, list(cv_i ORDER BY pos) AS cv FROM (
+                SELECT cid, pos, (s - ((s % n) + n) % n) // n AS cv_i FROM (
+                    SELECT cid, pos, sum(v) AS s, count(*) AS n FROM (
+                        SELECT cid,
+                               unnest(range(1, len(cv) + 1)) AS pos,
+                               unnest(cv) AS v
+                        FROM {assigned})
+                    GROUP BY cid, pos))
+            GROUP BY cid)"""
+
+    ctes = []
+    cent = "cent0"
+    for t in range(iterations):
+        ctes.append(assign(f"a{t}", cent))
+        cent = f"cent{t + 1}"
+        ctes.append(update(cent, f"a{t}"))
+    ctes.append(assign("assign", cent))
+    steps = ",\n".join(ctes)
+    return f"""
+        WITH q AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(round(x * 1000) AS BIGINT)) AS v
+            FROM embeddings),
+        cent0 AS (SELECT vec_id AS cid, v AS cv FROM q WHERE vec_id < 8),
+        data AS (SELECT vec_id AS neighbor_id, v AS cv
+                 FROM q WHERE vec_id >= 16),
+        qry AS (SELECT vec_id AS query_id, v AS qv
+                FROM q WHERE vec_id >= 8 AND vec_id < 16),
+        {steps},
+        probes AS (
+            SELECT query_id, cid, qv FROM (
+                SELECT qy.query_id, c.cid, qy.qv,
+                       row_number() OVER (PARTITION BY qy.query_id
+                           ORDER BY {dot('qy.qv', 'c.cv')} DESC, c.cid) AS rk
+                FROM qry qy, {cent} c)
+            WHERE rk <= 2),
+        ranked AS (
+            SELECT p.query_id, a.neighbor_id, {dot('p.qv', 'a.cv')} AS dot
+            FROM probes p JOIN assign a USING (cid))
+        SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id,
+               CAST(dot AS BIGINT) AS dot
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rnk
+              FROM ranked)
+        WHERE rnk <= 5
+    """
 
 
 def _cnt_sql(m: str) -> str:
@@ -756,6 +1013,17 @@ ORACLES = {
                     END AS time_s
         FROM part
     """,
+    "submit_fetch": """
+        SELECT CASE WHEN p_partkey % 2 = 0
+                    THEN 'http://parts.test/submit/' || p_partkey
+                    ELSE 'http://parts.test/submit/' || p_partkey
+                         || '?q=' || p_partkey END AS url_norm,
+               CASE WHEN p_partkey % 2 = 0 THEN 'POST' ELSE 'GET' END AS method,
+               CAST(200 AS INT) AS status,
+               'got:' || CASE WHEN p_partkey % 2 = 0 THEN 'POST' ELSE 'GET' END
+                      || ':q=' || p_partkey AS body
+        FROM part
+    """,
     "dedup_exact": """
         SELECT lang, CAST(count(DISTINCT text) AS BIGINT) AS n_unique,
                CAST(count(*) AS BIGINT) AS n_total
@@ -804,6 +1072,39 @@ ORACLES = {
         FROM t a JOIN t b
           ON a.sig0 = b.sig0 AND a.sig1 = b.sig1 AND a.doc_id < b.doc_id
         WHERE 3 * len(list_intersect(a.sh, b.sh)) >= len(a.sh) + len(b.sh)
+    """,
+    "image_features": """
+        SELECT doc_id,
+               CAST((doc_id * 7)  % 251 AS BIGINT) * 1000 AS mean_r,
+               CAST((doc_id * 11) % 251 AS BIGINT) * 1000 AS mean_g,
+               CAST((doc_id * 13) % 251 AS BIGINT) * 1000 AS mean_b
+        FROM documents WHERE doc_id < 200
+    """,
+    "image_phash": """
+        SELECT doc_id,
+               CAST(sum(CASE WHEN (((doc_id % 10000) >> ((x + y) % 16)) & 1)
+                              < (((doc_id % 10000) >> ((x + y + 1) % 16)) & 1)
+                        THEN (CAST(1 AS BIGINT) << (y * 8 + x)) ELSE 0 END)
+                    AS BIGINT) AS phash
+        FROM documents, range(8) ry(y), range(8) rx(x)
+        WHERE doc_id < 1000
+        GROUP BY doc_id
+    """,
+    "image_neardup": """
+        WITH ph AS (
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN (((doc_id % 10000) >> ((x + y) % 16)) & 1)
+                                  < (((doc_id % 10000) >> ((x + y + 1) % 16)) & 1)
+                            THEN (CAST(1 AS BIGINT) << (y * 8 + x)) ELSE 0 END)
+                        AS BIGINT) AS phash
+            FROM documents, range(8) ry(y), range(8) rx(x)
+            WHERE doc_id < 1000
+            GROUP BY doc_id)
+        SELECT band, val, CAST(count(*) AS BIGINT) AS n_imgs
+        FROM (SELECT CAST(b AS INT) AS band,
+                     (phash >> (16 * CAST(b AS INT))) & 65535 AS val
+              FROM ph, range(4) rb(b))
+        GROUP BY band, val HAVING count(*) > 1
     """,
     "token_stats": f"""
         SELECT lang,
@@ -877,51 +1178,7 @@ ORACLES = {
               FROM d)
         WHERE rn <= 5
     """,
-    "embedding_ann_ivf": """
-        WITH q AS (
-            SELECT vec_id,
-                   list_transform(embedding,
-                       x -> CAST(round(x * 1000) AS BIGINT)) AS v
-            FROM embeddings),
-        cent AS (SELECT vec_id AS cid, v AS cv FROM q WHERE vec_id < 8),
-        data AS (SELECT vec_id AS neighbor_id, v AS cv
-                 FROM q WHERE vec_id >= 16),
-        qry AS (SELECT vec_id AS query_id, v AS qv
-                FROM q WHERE vec_id >= 8 AND vec_id < 16),
-        assign AS (
-            SELECT neighbor_id, cid, dv AS cv FROM (
-                SELECT d.neighbor_id, c.cid, d.cv AS dv,
-                       list_sum(list_transform(range(1, len(d.cv) + 1),
-                           i -> d.cv[i] * c.cv[i])) AS cdot,
-                       row_number() OVER (
-                           PARTITION BY d.neighbor_id
-                           ORDER BY list_sum(list_transform(
-                               range(1, len(d.cv) + 1),
-                               i -> d.cv[i] * c.cv[i])) DESC, c.cid) AS rk
-                FROM data d, cent c)
-            WHERE rk = 1),
-        probes AS (
-            SELECT query_id, cid, qv FROM (
-                SELECT qy.query_id, c.cid, qy.qv,
-                       row_number() OVER (
-                           PARTITION BY qy.query_id
-                           ORDER BY list_sum(list_transform(
-                               range(1, len(qy.qv) + 1),
-                               i -> qy.qv[i] * c.cv[i])) DESC, c.cid) AS rk
-                FROM qry qy, cent c)
-            WHERE rk <= 2),
-        ranked AS (
-            SELECT p.query_id, a.neighbor_id,
-                   list_sum(list_transform(range(1, len(p.qv) + 1),
-                       i -> p.qv[i] * a.cv[i])) AS dot
-            FROM probes p JOIN assign a USING (cid))
-        SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id,
-               CAST(dot AS BIGINT) AS dot
-        FROM (SELECT *, row_number() OVER (
-                  PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rnk
-              FROM ranked)
-        WHERE rnk <= 5
-    """,
+    "embedding_ann_ivf": _ivf_oracle_sql(),
     "embedding_neardup": """
         SELECT CAST(round(embedding[1]*10) AS BIGINT) AS b1,
                CAST(round(embedding[2]*10) AS BIGINT) AS b2,

@@ -154,7 +154,10 @@ class StreamingCrawl:
                 F.col("rc")["url_norm"].alias("url_norm"),
                 F.col("rc")["host"].alias("host"),
             )
-            .where(F.col("url_norm").startswith("http://"))
+            .where(
+                F.col("url_norm").startswith("http://")
+                | F.col("url_norm").startswith("https://")
+            )
             .select("url_norm", "host", "depth", F.lit(False).alias("is_hop"))
         )
         if fr.hop_targets is not None:

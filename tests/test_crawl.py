@@ -154,3 +154,39 @@ def test_snapshot_lineage_and_resume(spark, spark_result, oracle_result):
     }
     assert got == oracle_result.seen
     assert _spark_visit_list(res2) == oracle_result.visit_log
+
+
+def test_politeness_split_skew_equals_naive_window(spark):
+    """The salted two-phase top-B must be byte-identical to the naive
+    single host-window on a skewed frontier (1 hot host with ~100x
+    the pending URLs), while never building a window partition larger
+    than max(per-salt share, budget * salt_shards)."""
+    from pyspark.sql import Window
+
+    from mechaml_spark.frontier.scheduler import politeness_split
+
+    rows = [(f"http://hot.test/p{i:05d}", "hot.test", i % 5, i % 3)
+            for i in range(2000)]
+    rows += [(f"http://cold{j}.test/p{i}", f"cold{j}.test", i, 0)
+             for j in range(20) for i in range(20)]
+    frontier = spark.createDataFrame(
+        rows, "url_norm string, host string, depth int, discovered_epoch int"
+    )
+    budget = 7
+    sel, rest = politeness_split(frontier, budget, salt_shards=8)
+
+    key = ["depth", "discovered_epoch", "url_norm"]
+    w = Window.partitionBy("host").orderBy(*key)
+    ranked = frontier.withColumn("_rk", F.row_number().over(w))
+    naive_sel = ranked.where(F.col("_rk") <= budget).drop("_rk")
+    naive_rest = ranked.where(F.col("_rk") > budget).drop("_rk")
+
+    def rows_of(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows_of(sel) == rows_of(naive_sel)
+    assert rows_of(rest) == rows_of(naive_rest)
+    # no row reaches phase 2 unless it survived a per-salt top-B:
+    # phase-2 input is bounded by budget * salt_shards per host
+    per_host = sel.groupBy("host").count().collect()
+    assert all(r["count"] <= budget for r in per_host)

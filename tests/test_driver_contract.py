@@ -50,8 +50,9 @@ def test_query_matches_oracle(spark, ddb, name):
     srows = [tuple(r) for r in sdf.collect()]
     scols = sdf.columns
     if sql is None:
-        # non-SQL-expressible op (driver records a rows-only check)
-        assert name in {"image_features"}, f"{name} missing an oracle"
+        # every current op is oracle-checkable; a new non-SQL op must
+        # be registered here explicitly
+        assert name in set(), f"{name} missing an oracle"
         assert len(srows) > 0
         return
     ores = ddb.execute(sql)

@@ -1,42 +1,252 @@
-"""HttpFetcher (real-network backend) — hermetic tests.
+"""HttpFetcher (real-network backend) — hermetic loopback tests.
 
-No network exists in-sandbox, so these verify the stage CONTRACT:
-plan construction, schema, host-partitioned grouping, and the
-per-row catch semantics (unreachable origin -> 404 row with NULL
-body, never a task failure) — unreachable-host rows exercise the
-exception path end-to-end without any network dependency.
+No outbound network exists in-sandbox, so an in-process
+``http.server`` on 127.0.0.1 plays origin server: every test drives
+the REAL Spark fetch stage (applyInPandas over loopback TCP) and
+then inspects what actually arrived on the wire — the transport
+parity the reference gets from Cohttp (src/agent.ml:99-130):
+
+  * the matched ``Cookie`` header is sent, on EVERY hop, including
+    the empty header (cookiejar.ml:123-137);
+  * POST method + body + form content-type are transmitted
+    (src/agent.ml:110-130); redirects re-issue a plain GET
+    (src/agent.ml:79-80);
+  * client default headers ride along (src/agent.ml:154-159);
+  * one TCP connection per origin is reused across same-host rows;
+  * transport failures yield ``status == 0`` + ``error`` (never 404,
+    which is reserved for a server actually answering Not Found).
 """
 
 from __future__ import annotations
 
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+
 from mechaml_spark import agent
+from mechaml_spark import cookies as ck
 
 
-def test_http_fetcher_schema_and_catch_semantics(spark):
+class _Recorder:
+    def __init__(self):
+        self.lock = threading.Lock()
+        self.requests: list[dict] = []
+        self.connections = 0
+
+
+def _make_handler(rec: _Recorder):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"  # keep-alive => reuse observable
+
+        def setup(self):
+            super().setup()
+            with rec.lock:
+                rec.connections += 1
+
+        def log_message(self, *a):
+            pass
+
+        def _record(self):
+            n = int(self.headers.get("Content-Length") or 0)
+            body = self.rfile.read(n).decode() if n else ""
+            with rec.lock:
+                rec.requests.append(
+                    {
+                        "method": self.command,
+                        "path": self.path,
+                        "cookie": self.headers.get("Cookie"),
+                        "xhdr": self.headers.get("X-Client"),
+                        "ctype": self.headers.get("Content-Type"),
+                        "body": body,
+                    }
+                )
+            return body
+
+        def _reply(self, status, body=b"", headers=()):
+            self.send_response(status)
+            for k, v in headers:
+                self.send_header(k, v)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            self._record()
+            if self.path.startswith("/echo"):
+                out = json.dumps(
+                    {"cookie": self.headers.get("Cookie"),
+                     "method": "GET"}
+                ).encode()
+                self._reply(200, out)
+            elif self.path.startswith("/setcookie"):
+                self._reply(
+                    200, b"ok",
+                    [("Set-Cookie", "sid=abc; Path=/"),
+                     ("Set-Cookie", "t=1")],
+                )
+            elif self.path.startswith("/redir"):
+                self._reply(302, b"", [("Location", "/echo")])
+            elif self.path.startswith("/varies"):
+                c = self.headers.get("Cookie") or ""
+                body = (f"hello:{c}" if "sid=" in c else "anon").encode()
+                self._reply(200, body)
+            elif self.path.startswith("/missing"):
+                self._reply(404, b"nope")
+            else:
+                self._reply(200, b"root")
+
+        def do_POST(self):
+            body = self._record()
+            if self.path.startswith("/postredir"):
+                self._reply(302, b"", [("Location", "/echo")])
+            else:
+                self._reply(200, f"posted:{body}".encode())
+
+    return Handler
+
+
+@pytest.fixture()
+def loopback():
+    rec = _Recorder()
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _make_handler(rec))
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    yield base, rec
+    srv.shutdown()
+    srv.server_close()
+
+
+def _jar_df(spark, host, cookies):
+    return spark.createDataFrame(
+        [(n, v, None, host, "", False) for n, v in cookies], ck.COOKIE_T
+    )
+
+
+def test_cookie_header_sent_and_cookie_sensitive_response(spark, loopback):
+    base, rec = loopback
+    jar = _jar_df(spark, "127.0.0.1", [("sid", "abc"), ("u", "x")])
+    reqs = spark.createDataFrame([(f"{base}/varies",)], "url_norm string")
+    res = agent.fetch(reqs, agent.HttpFetcher(timeout_s=5.0), jar=jar)
+    row = res.finals.collect()[0]
+    # jar key order: name^domain^path ascending
+    assert row["status"] == 200 and row["body"] == "hello:sid=abc; u=x"
+    assert rec.requests[-1]["cookie"] == "sid=abc; u=x"
+
+
+def test_empty_cookie_header_still_sent(spark, loopback):
+    """cookiejar.ml:136-137 adds the Cookie header even when no
+    cookie matches — transport parity includes the empty header."""
+    base, rec = loopback
+    jar = _jar_df(spark, "elsewhere.test", [("sid", "abc")])
+    reqs = spark.createDataFrame([(f"{base}/echo",)], "url_norm string")
+    agent.fetch(reqs, agent.HttpFetcher(timeout_s=5.0), jar=jar).finals.collect()
+    assert rec.requests[-1]["cookie"] == ""
+
+
+def test_cookie_injected_on_every_hop(spark, loopback):
+    base, rec = loopback
+    jar = _jar_df(spark, "127.0.0.1", [("sid", "abc")])
+    reqs = spark.createDataFrame([(f"{base}/redir",)], "url_norm string")
+    res = agent.fetch(reqs, agent.HttpFetcher(timeout_s=5.0), jar=jar)
+    row = res.finals.collect()[0]
+    assert row["status"] == 200 and row["final_url"].endswith("/echo")
+    paths = [(r["path"], r["cookie"]) for r in rec.requests]
+    assert ("/redir", "sid=abc") in paths and ("/echo", "sid=abc") in paths
+
+
+def test_post_body_transmitted_and_get_on_redirect(spark, loopback):
+    base, rec = loopback
+    reqs = spark.createDataFrame(
+        [(f"{base}/postredir", "POST", "q=hello&x=1")],
+        "url_norm string, method string, req_body string",
+    )
+    res = agent.fetch(
+        reqs, agent.HttpFetcher(timeout_s=5.0),
+        carry_cols=("method", "req_body"),
+    )
+    row = res.finals.collect()[0]
+    # redirect landed with a GET (src/agent.ml:79-80); carry cols
+    # still report the ORIGINAL request verb/body
+    assert row["status"] == 200 and row["method"] == "POST"
+    by_path = {r["path"]: r for r in rec.requests}
+    assert by_path["/postredir"]["method"] == "POST"
+    assert by_path["/postredir"]["body"] == "q=hello&x=1"
+    assert by_path["/postredir"]["ctype"] == "application/x-www-form-urlencoded"
+    assert by_path["/echo"]["method"] == "GET"
+    assert by_path["/echo"]["body"] == ""
+
+
+def test_plain_post_roundtrip(spark, loopback):
+    base, rec = loopback
+    reqs = spark.createDataFrame(
+        [(f"{base}/post", "POST", "a=1")],
+        "url_norm string, method string, req_body string",
+    )
+    res = agent.fetch(
+        reqs, agent.HttpFetcher(timeout_s=5.0),
+        carry_cols=("method", "req_body"),
+    )
+    assert res.finals.collect()[0]["body"] == "posted:a=1"
+
+
+def test_default_client_headers_merged(spark, loopback):
+    base, rec = loopback
+    f = agent.HttpFetcher(timeout_s=5.0).add_client_header("X-Client", "m1")
+    reqs = spark.createDataFrame([(f"{base}/echo",)], "url_norm string")
+    agent.fetch(reqs, f).finals.collect()
+    assert rec.requests[-1]["xhdr"] == "m1"
+    # functional removal returns a fetcher without the header
+    f2 = f.remove_client_header("X-Client")
+    agent.fetch(reqs, f2).finals.collect()
+    assert rec.requests[-1]["xhdr"] is None
+
+
+def test_set_cookie_headers_collected_verbatim(spark, loopback):
+    base, rec = loopback
+    reqs = spark.createDataFrame([(f"{base}/setcookie",)], "url_norm string")
+    res = agent.fetch(reqs, agent.HttpFetcher(timeout_s=5.0))
+    ev = res.cookie_events.collect()
+    assert sorted(e["hv"] for e in ev) == ["sid=abc; Path=/", "t=1"]
+
+
+def test_connection_reused_per_origin(spark, loopback):
+    base, rec = loopback
+    n = 8
+    reqs = spark.createDataFrame(
+        [(f"{base}/echo?i={i}",) for i in range(n)], "url_norm string"
+    )
+    out = agent.HttpFetcher(timeout_s=5.0).fetch(reqs, "url_norm")
+    assert out.count() == n
+    # all rows share one host group -> one task -> (about) one socket;
+    # allow slack for a stray reconnect but forbid one-per-request
+    assert rec.connections < n
+
+
+def test_transport_error_is_status_zero_not_404(spark, loopback):
+    base, rec = loopback
     reqs = spark.createDataFrame(
         [
-            ("http://localhost:1/nope", "a"),      # connection refused
-            ("http://invalid.invalid/x", "b"),     # DNS failure (RFC 2606)
+            ("http://localhost:1/nope", "a"),   # connection refused
+            ("http://invalid.invalid/x", "b"),  # DNS failure (RFC 2606)
+            (f"{base}/missing", "c"),           # server answers 404
         ],
         "url_norm string, tag string",
     )
-    f = agent.HttpFetcher(timeout_s=2.0)
-    out = f.fetch(reqs, "url_norm")
-    assert [x.name for x in out.schema.fields] == [
-        "url_norm", "tag", "status", "location", "set_cookie", "body"
-    ]
-    rows = {r["url_norm"]: r for r in out.collect()}
-    assert len(rows) == 2
-    for r in rows.values():
-        assert r["status"] == 404 and r["body"] is None
-        assert r["set_cookie"] == []
-    # carry columns pass through untouched
-    assert rows["http://localhost:1/nope"]["tag"] == "a"
+    out = agent.HttpFetcher(timeout_s=2.0).fetch(reqs, "url_norm")
+    rows = {r["tag"]: r for r in out.collect()}
+    for tag in ("a", "b"):
+        assert rows[tag]["status"] == 0 and rows[tag]["body"] is None
+        assert rows[tag]["error"]  # exception text preserved
+    assert rows["c"]["status"] == 404 and rows["c"]["error"] is None
 
 
 def test_http_fetcher_composes_with_hop_loop(spark):
     """agent.fetch() over the HTTP backend builds and runs: the
-    bounded hop loop's plan is backend-agnostic."""
+    bounded hop loop's plan is backend-agnostic; unreachable rows are
+    per-row transport-error finals, never task failures."""
     reqs = spark.createDataFrame(
         [("http://localhost:1/nope", "h", 0, 0)],
         "url_norm string, host string, depth int, discovered_epoch int",
@@ -46,4 +256,5 @@ def test_http_fetcher_composes_with_hop_loop(spark):
         carry_cols=("host", "depth", "discovered_epoch"),
     )
     finals = res.finals.collect()
-    assert len(finals) == 1 and finals[0]["status"] == 404
+    assert len(finals) == 1 and finals[0]["status"] == 0
+    assert finals[0]["error"]

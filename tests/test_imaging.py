@@ -69,3 +69,49 @@ def test_payload_ok():
     assert not imaging.payload_ok(b"junk", "png", px)
     with pytest.raises(NotImplementedError):
         imaging.decode(b"x", "jpeg")  # stubbed: no lossy codec in-sandbox
+
+
+def test_dhash64_perceptual_not_content():
+    """The phash column must catch re-encodes: identical pixels in
+    different lossless encodings share the dHash while their encoded
+    bytes (and any content hash over them) differ."""
+    px = _px(7)
+    png, ppm = imaging.png_encode(px), imaging.ppm_encode(px)
+    assert png != ppm  # a content hash over bytes would split these
+    h_png = imaging.dhash64(imaging.png_decode(png))
+    h_ppm = imaging.dhash64(imaging.ppm_decode(ppm))
+    assert h_png == h_ppm == imaging.dhash64(px)
+
+
+def test_dhash64_stable_under_small_noise_mostly():
+    """Light edits flip only bits whose local gradient they cross —
+    Hamming distance stays far below the ~32 expected for unrelated
+    images (what makes banded bucketing find near-dups)."""
+    px = _px(3).astype(np.int32)
+    noisy = np.clip(px + 1, 0, 255).astype(np.uint8)
+    a = imaging.dhash64(px.astype(np.uint8))
+    b = imaging.dhash64(noisy)
+    assert bin(a ^ b).count("1") <= 8
+    unrelated = imaging.dhash64(_px(1234))
+    assert bin(a ^ unrelated).count("1") > 10
+
+
+def test_dhash64_geometry_identity():
+    """At the native 9x8 geometry the downscale is the identity, so
+    the hash is the raw comparison bits (the closed form the driver
+    oracle uses in queries.q_image_phash)."""
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, (8, 9, 3), dtype=np.uint8)
+    g = (
+        299 * px[..., 0].astype(int)
+        + 587 * px[..., 1].astype(int)
+        + 114 * px[..., 2].astype(int)
+    ) // 1000
+    expect = 0
+    for y in range(8):
+        for x in range(8):
+            if g[y, x] < g[y, x + 1]:
+                expect |= 1 << (y * 8 + x)
+    if expect >= 1 << 63:
+        expect -= 1 << 64
+    assert imaging.dhash64(px) == expect
