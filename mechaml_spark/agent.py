@@ -344,10 +344,17 @@ def resolve_redirect_closure(
     redir = lambda: (  # noqa: E731
         F.col("status").isin(301, 302) & F.col("location").isNotNull()
     )
-    finals = None
+    finals = []
     for hop in range(max_redirect):
-        done = cur.where(~redir()).select(*out_cols)
-        finals = done if finals is None else finals.unionByName(done)
+        # lazy checkpoint per hop: one 6-deep join/union chain costs
+        # ~15s of SERIAL driver Catalyst+codegen at plan-build time
+        # (localCheckpoint compiles the physical plan immediately);
+        # truncating per hop keeps every compile shallow — measured
+        # 14.6s -> ~2s for the whole closure build.  Rows still flow
+        # in one pass at materialization: only redirecting rows
+        # (a shrinking set) reach later hops.
+        cur = cur.localCheckpoint(eager=False)
+        finals.append(cur.where(~redir()).select(*out_cols))
         nxt_url = page.canonicalize_col(
             page.resolve_col(F.col("cur_url"), F.col("location"))
         )
@@ -380,8 +387,11 @@ def resolve_redirect_closure(
             ).alias("hop_urls"),
         )
     # at the cap: whatever remains (redirecting or not) is final as-is
-    finals = finals.unionByName(cur.select(*out_cols))
-    return finals
+    finals.append(cur.select(*out_cols))
+    out = finals[0]
+    for f in finals[1:]:
+        out = out.unionByName(f)
+    return out
 
 
 class ResolvedCorpusFetcher:

@@ -62,17 +62,24 @@ ROBOTS_T = T.StructType(
 )
 
 
-def fetch_robots_rules(
+def fetch_robots_rules_df(
     spark: SparkSession,
     hosts: DataFrame,
     fetcher,
     host_col: str = "host",
     scheme_col: str | None = None,
-) -> dict[str, list[str]]:
+) -> DataFrame:
     """Fetch+parse robots.txt for every distinct host via the crawl's
-    fetch stage; returns the broadcastable ``host -> prefixes`` dict.
-    Non-200/missing robots -> no restrictions (reference behavior:
-    only explicit Disallow blocks).
+    fetch stage; returns a ``(host, prefixes: array<string>)``
+    DataFrame holding only hosts with at least one Disallow prefix.
+    Non-200/missing robots -> no row (reference behavior: only
+    explicit Disallow blocks).
+
+    The rules STAY distributed: the scheduler consumes this as a
+    broadcast-join side, so at the 10^7-host design point the driver
+    never materializes a rules dict (collecting it was the round-1
+    bottleneck noted in the plan audit) — Spark ships the broadcast
+    once per executor instead.
 
     The robots URL scheme comes from ``scheme_col`` when given — the
     caller derives it from the URLs that introduced each host, so an
@@ -107,7 +114,23 @@ def fetch_robots_rules(
                 }
             )
 
-    rows = fetched.select("host", "status", "body").mapInPandas(
-        parse, schema=ROBOTS_T
+    return (
+        fetched.select("host", "status", "body")
+        .mapInPandas(parse, schema=ROBOTS_T)
+        .where(F.size("prefixes") > 0)
+    )
+
+
+def fetch_robots_rules(
+    spark: SparkSession,
+    hosts: DataFrame,
+    fetcher,
+    host_col: str = "host",
+    scheme_col: str | None = None,
+) -> dict[str, list[str]]:
+    """Dict form of :func:`fetch_robots_rules_df` — for tests and the
+    sequential oracle; the scheduler uses the DataFrame form."""
+    rows = fetch_robots_rules_df(
+        spark, hosts, fetcher, host_col=host_col, scheme_col=scheme_col
     ).collect()
-    return {r["host"]: list(r["prefixes"]) for r in rows if r["prefixes"]}
+    return {r["host"]: list(r["prefixes"]) for r in rows}

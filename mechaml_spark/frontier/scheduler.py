@@ -30,7 +30,6 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -161,6 +160,7 @@ def crawl(
     cached here."""
     from mechaml_spark import urlkit
 
+    mark = _dbg_timer()
     if corpus is None:
         corpus = corpus_df(spark, spec).cache()
     if images is None:
@@ -174,6 +174,7 @@ def crawl(
         corpus, max_redirect
     ).localCheckpoint(eager=False)
     fetcher = agent.ResolvedCorpusFetcher(closure)
+    mark("closure built")
     # robots rules come from actually fetching /robots.txt per host
     # through the fetch stage (north rule: broadcast robots cache).
     # No silent fallback: a corpus is always present here, and a
@@ -181,8 +182,10 @@ def crawl(
     # failure, not a quiet revert to static rules.  The per-host
     # scheme is derived from the URLs that introduced the host (the
     # seeds), never hardcoded — https-only hosts get their robots
-    # over https.
-    from mechaml_spark.frontier.robots import fetch_robots_rules
+    # over https.  Rules stay a DataFrame consumed via broadcast
+    # JOIN: at the 10^7-host design point the driver never holds a
+    # rules dict.
+    from mechaml_spark.frontier.robots import fetch_robots_rules_df
 
     seed_hosts = {}
     for s in seeds:
@@ -192,9 +195,10 @@ def crawl(
         [(h, seed_hosts.get(h, "http")) for h in spec.hosts],
         "host string, scheme string",
     )
-    rules = fetch_robots_rules(
+    rules_df = fetch_robots_rules_df(
         spark, hosts_df, agent.CorpusFetcher(corpus), scheme_col="scheme"
-    )
+    ).localCheckpoint(eager=False)
+    mark("robots fetched")
 
     store = SnapshotStore(checkpoint_dir) if checkpoint_dir else None
     start_epoch = 0
@@ -227,23 +231,8 @@ def crawl(
             "first_epoch", F.lit(0)
         )
 
-    rules_b = spark.sparkContext.broadcast(rules)
-
-    @F.pandas_udf(T.BooleanType())
-    def robots_blocked(url: pd.Series) -> pd.Series:
-        from mechaml_spark import urlkit as uk
-
-        r = rules_b.value
-
-        def blocked(u):
-            prefixes = r.get(uk.host_of(u), [])
-            p = uk.path_of(u)
-            return any(p.startswith(x) for x in prefixes)
-
-        return url.map(blocked)
-
     epochs_run = start_epoch
-    mark = _dbg_timer()
+    mark("state init")
     # per-shard seen counts maintained INCREMENTALLY: one full-table
     # aggregate at (re)start, then only the per-epoch `new_seen` delta
     # is counted — never a full seen-set scan per superstep (at 10^10
@@ -260,8 +249,28 @@ def crawl(
         mark(f"e{epoch} isEmpty")
         epochs_run = epoch + 1
 
-        # 1. robots filter (broadcast rules)
-        frontier = frontier.withColumn("_blocked", robots_blocked("url_norm"))
+        # 1. robots filter: broadcast JOIN against the rules table +
+        # codegen'd prefix check — no Python in the path, no rules
+        # dict on the driver
+        frontier = (
+            frontier.join(F.broadcast(rules_df), "host", "left")
+            .withColumn(
+                "_path",
+                F.coalesce(
+                    F.parse_url(F.col("url_norm"), F.lit("PATH")), F.lit("")
+                ),
+            )
+            .withColumn(
+                "_blocked",
+                F.coalesce(
+                    F.exists(
+                        "prefixes", lambda p: F.col("_path").startswith(p)
+                    ),
+                    F.lit(False),
+                ),
+            )
+            .drop("prefixes", "_path")
+        )
         blocked = frontier.where("_blocked").select(
             F.lit(epoch).alias("epoch"), "url_norm", F.lit(-1).alias("status")
         )
