@@ -67,9 +67,12 @@ def main() -> None:
     corpus.count()
     images.count()
     t0 = time.perf_counter()
+    # held fixed across parallelism levels in scaling runs (same plan,
+    # different core counts — like a real N vs 4N executor comparison)
+    n_shards = int(os.environ.get("BENCH_CRAWL_SHARDS", str(min(cpus, 32))))
     res = crawl(
         spark, spec, seeds, budget_per_host=budget, max_epochs=3,
-        n_shards=min(cpus, 32), n_bits=1 << 20,
+        n_shards=n_shards, n_bits=1 << 20,
         corpus=corpus, images=images,
     )
     # materialize the FULL crawl product (visit log, seen set, image

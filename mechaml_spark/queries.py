@@ -263,7 +263,14 @@ def q_submit_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("got:GET:q="), p.p_partkey),
         )
     )
-    corpus = post_rows.unionByName(decoy_rows).unionByName(get_rows)
+    # one materialization: every hop branch of the bounded fetch loop
+    # joins this corpus — without the checkpoint each of the 6 branches
+    # re-scans part and rebuilds the 3-way union at run time
+    corpus = (
+        post_rows.unionByName(decoy_rows)
+        .unionByName(get_rows)
+        .localCheckpoint(eager=False)
+    )
     fr = agent.submit(forms_df, agent.CorpusFetcher(corpus))
     return fr.finals.select("url_norm", "method", "status", "body")
 
