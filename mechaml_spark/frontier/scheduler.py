@@ -111,7 +111,10 @@ class CrawlResult:
 
 
 def politeness_split(
-    frontier: DataFrame, budget_per_host: int, salt_shards: int = 16
+    frontier: DataFrame,
+    budget_per_host: int,
+    salt_shards: int = 16,
+    key_cols: tuple[str, ...] = ("depth", "discovered_epoch", "url_norm"),
 ) -> tuple[DataFrame, DataFrame]:
     """Two-phase per-host top-B over the total priority key
     ``(depth, discovered_epoch, url_norm)`` -> (selected, rest).
@@ -126,7 +129,7 @@ def politeness_split(
     skew.  The union of per-salt top-B provably contains the global
     per-host top-B, so the result is byte-identical to the unsalted
     single window (the oracle's semantics, oracle.py:119-127)."""
-    key = [F.col("depth"), F.col("discovered_epoch"), F.col("url_norm")]
+    key = [F.col(c) for c in key_cols]
     salt = F.pmod(F.xxhash64("url_norm"), F.lit(salt_shards))
     w1 = Window.partitionBy(F.col("host"), salt).orderBy(*key)
     r1 = frontier.withColumn("_rk1", F.row_number().over(w1))

@@ -16,8 +16,8 @@ long-running service instead of epoch jobs:
 * per-batch logic runs in ``foreachBatch`` (fetch join → lean parse →
   canonicalize → seen-set dedup), reusing the exact same library
   stages as the batch scheduler, so semantics cannot drift;
-* politeness = ``maxFilesPerTrigger`` (global rate) + the same
-  per-host ``row_number`` budget inside the batch;
+* politeness = ``maxFilesPerTrigger`` (global rate) + the batch
+  scheduler's salted two-phase per-host budget inside the batch;
 * state (seen set, visit log, payload) lives in the same
   SnapshotStore-compatible directories; checkpointing is Spark's
   streaming checkpoint + the seen-set table.
@@ -33,14 +33,11 @@ import os
 import time
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-import pandas as pd
-from pyspark.sql import types as T
-
 from mechaml_spark import agent, extract, page
-from mechaml_spark.corpus import CorpusSpec, corpus_df, robots_rules
+from mechaml_spark.corpus import CorpusSpec, corpus_df
 from mechaml_spark.frontier.seen import SeenSet
 
 FRONTIER_SCHEMA = "url_norm string, host string, depth int"
@@ -79,23 +76,39 @@ class StreamingCrawl:
         self.max_files = max_files_per_trigger
         self.query = None
         self._batches = 0
-        rules_b = spark.sparkContext.broadcast(robots_rules(spec))
+        self._busy = False
+        self._last_activity = time.time()
+        # same robots stage as the batch scheduler: rules fetched per
+        # host through the fetch stage, kept as a DataFrame, applied
+        # as a broadcast join + codegen'd prefix check
+        from mechaml_spark.frontier.robots import fetch_robots_rules_df
 
-        @F.pandas_udf(T.BooleanType())
-        def robots_blocked(url: pd.Series) -> pd.Series:
-            from mechaml_spark import urlkit as uk
+        hosts_df = spark.createDataFrame(
+            [(h,) for h in spec.hosts], "host string"
+        )
+        self._rules_df = fetch_robots_rules_df(
+            spark, hosts_df, agent.CorpusFetcher(self.corpus)
+        ).localCheckpoint(eager=True)
 
-            r = rules_b.value
-
-            def blocked(u):
-                return any(
-                    uk.path_of(u).startswith(x)
-                    for x in r.get(uk.host_of(u), [])
+    def _robots_filter(self, df: DataFrame) -> DataFrame:
+        return (
+            df.join(F.broadcast(self._rules_df), "host", "left")
+            .withColumn(
+                "_path",
+                F.coalesce(
+                    F.parse_url(F.col("url_norm"), F.lit("PATH")), F.lit("")
+                ),
+            )
+            .where(
+                ~F.coalesce(
+                    F.exists(
+                        "prefixes", lambda p: F.col("_path").startswith(p)
+                    ),
+                    F.lit(False),
                 )
-
-            return url.map(blocked)
-
-        self._robots_blocked = robots_blocked
+            )
+            .drop("prefixes", "_path")
+        )
 
     # ------------------------------------------------------------ seeding
     def seed(self, urls: list[str]) -> None:
@@ -117,17 +130,21 @@ class StreamingCrawl:
         if batch.isEmpty():
             return
         self._batches += 1
-        batch = batch.where(~self._robots_blocked("url_norm"))
-        w = Window.partitionBy("host").orderBy("depth", "url_norm")
-        selected = (
-            batch.withColumn("_rk", F.row_number().over(w))
-            .where(F.col("_rk") <= self.budget)
-            .drop("_rk")
-        )
-        overflow = (
-            batch.withColumn("_rk", F.row_number().over(w))
-            .where(F.col("_rk") > self.budget)
-            .drop("_rk")
+        self._busy = True
+        self._last_activity = time.time()
+        try:
+            self._process_batch_inner(batch)
+        finally:
+            self._busy = False
+            self._last_activity = time.time()
+
+    def _process_batch_inner(self, batch: DataFrame) -> None:
+        batch = self._robots_filter(batch)
+        # same salted two-phase politeness stage as the batch scheduler
+        from mechaml_spark.frontier.scheduler import politeness_split
+
+        selected, overflow = politeness_split(
+            batch, self.budget, key_cols=("depth", "url_norm")
         )
         fr = self.fetcher.fetch_result(
             selected, url_col="url_norm", carry_cols=("host", "depth")
@@ -215,16 +232,17 @@ class StreamingCrawl:
         return self
 
     def await_quiescence(self, idle_seconds: float = 10.0, timeout: float = 300.0):
-        """Block until no micro-batch has produced new frontier input
-        for ``idle_seconds`` (the crawl frontier is exhausted)."""
+        """Block until no micro-batch has been ACTIVE for
+        ``idle_seconds`` (the crawl frontier is exhausted).  A batch
+        marks activity at start and end, so a single long batch can
+        never be mistaken for idleness (micro-batches may exceed the
+        trigger interval)."""
         deadline = time.time() + timeout
-        last_batches = -1
-        last_change = time.time()
         while time.time() < deadline:
-            if self._batches != last_batches:
-                last_batches = self._batches
-                last_change = time.time()
-            elif time.time() - last_change >= idle_seconds:
+            if (
+                not self._busy
+                and time.time() - self._last_activity >= idle_seconds
+            ):
                 return
             time.sleep(0.5)
 
