@@ -285,6 +285,233 @@ class HttpFetcher:
         )
 
 
+class HttpLoopFetcher(HttpFetcher):
+    """Real-network fast path: the bounded redirect loop runs INSIDE
+    the fetch task, not as chained Spark stages.
+
+    :func:`fetch` simulates the reference's redirect recursion
+    relationally — correct for any backend, but with a live HTTP
+    backend it costs one ``applyInPandas`` stage per potential hop
+    (6 shuffles per superstep at ``max_redirect=5``).  A real HTTP
+    client chases redirects in-process, so this fetcher does too:
+    ONE host-grouped stage per superstep, each row's hop chain
+    (301/302-only, ``Location`` required, GET on redirect, cap at
+    ``max_redirect`` with the 3xx returned as-is — src/agent.ml:65,
+    73-97) walked inside the task, with per-hop cookie injection from
+    a jar snapshot (src/agent.ml:79-101) and per-hop ``Set-Cookie``
+    collection.  This is the live-HTTP analogue of
+    :class:`ResolvedCorpusFetcher`'s one-equi-join superstep.
+
+    The jar rides along as plain rows (``jar_rows`` — the jar is
+    small by design; the caller collects it once per superstep, the
+    epoch-start snapshot the parallel-map semantics require), matched
+    per hop by the same pure :class:`mechaml_spark.cookies.Jar` the
+    sequential oracle uses, so header synthesis cannot drift from
+    ``cookies.add_to_headers``.
+    """
+
+    def fetch_result(
+        self,
+        requests: DataFrame,
+        url_col: str = "url_norm",
+        carry_cols: tuple[str, ...] = (),
+        jar_rows: list[dict] | None = None,
+        max_redirect: int = MAX_REDIRECT,
+    ) -> "FetchResult":
+        from pyspark.sql import types as T
+
+        carry = list(carry_cols)
+        in_cols = [*carry, url_col]
+        if "method" in requests.columns and "method" not in in_cols:
+            in_cols.append("method")
+        if "req_body" in requests.columns and "req_body" not in in_cols:
+            in_cols.append("req_body")
+        base = requests.select(*in_cols)
+        hop_t = T.ArrayType(
+            T.StructType(
+                [
+                    T.StructField("hop", T.IntegerType()),
+                    T.StructField("src_url", T.StringType()),
+                    T.StructField("set_cookie", T.ArrayType(T.StringType())),
+                ]
+            )
+        )
+        hopurl_t = T.ArrayType(
+            T.StructType(
+                [
+                    T.StructField("url_norm", T.StringType()),
+                    T.StructField("host", T.StringType()),
+                ]
+            )
+        )
+        out_schema = T.StructType(
+            list(base.schema.fields)
+            + [
+                T.StructField("final_url", T.StringType()),
+                T.StructField("status", T.IntegerType()),
+                T.StructField("body", T.StringType()),
+                T.StructField("error", T.StringType()),
+                T.StructField("cookie_hops", hop_t),
+                T.StructField("hop_urls", hopurl_t),
+            ]
+        )
+        timeout_s, delay_s = self.timeout_s, self.delay_s
+        max_body, ua = self.max_body, self.user_agent
+        base_headers = dict(self.default_headers)
+        jar_rows = list(jar_rows or [])
+        cols = [f.name for f in base.schema.fields]
+        out_cols = cols + [
+            "final_url", "status", "body", "error", "cookie_hops", "hop_urls",
+        ]
+        has_method = "method" in cols
+
+        def run(pdf):
+            import http.client
+            import time as _time
+            from urllib.parse import urlsplit
+
+            import pandas as pd
+
+            from mechaml_spark import urlkit
+            from mechaml_spark.cookies import Jar
+
+            jar = Jar()
+            for c in jar_rows:
+                jar.add(dict(c))
+            conns: dict[tuple, http.client.HTTPConnection] = {}
+
+            def one_request(url, method, body):
+                parts = urlsplit(url)
+                scheme = parts.scheme or "http"
+                host = parts.hostname or ""
+                port = parts.port or (443 if scheme == "https" else 80)
+                target = (parts.path or "/") + (
+                    "?" + parts.query if parts.query else ""
+                )
+                headers = {"User-Agent": ua, **base_headers,
+                           "Cookie": jar.header_for(url)}
+                if method == "POST":
+                    headers["Content-Type"] = (
+                        "application/x-www-form-urlencoded"
+                    )
+                key = (scheme, host, port)
+                for attempt in (0, 1):
+                    conn = conns.get(key)
+                    if conn is None:
+                        cls = (
+                            http.client.HTTPSConnection
+                            if scheme == "https"
+                            else http.client.HTTPConnection
+                        )
+                        conn = conns[key] = cls(host, port, timeout=timeout_s)
+                    try:
+                        conn.request(
+                            method, target,
+                            body=body if method == "POST" else None,
+                            headers=headers,
+                        )
+                        resp = conn.getresponse()
+                        data = resp.read(max_body)
+                        while resp.read(1 << 16):
+                            pass
+                        return (
+                            resp.status,
+                            resp.getheader("Location"),
+                            resp.msg.get_all("Set-Cookie") or [],
+                            data.decode("utf-8", errors="replace"),
+                            None,
+                        )
+                    except (
+                        http.client.NotConnected,
+                        http.client.CannotSendRequest,
+                        http.client.BadStatusLine,
+                        ConnectionError,
+                        BrokenPipeError,
+                    ):
+                        conn.close()
+                        conns.pop(key, None)
+                        if attempt == 1:
+                            raise
+                raise RuntimeError("unreachable")
+
+            rows = []
+            first = True
+            for rec in pdf.to_dict("records"):
+                if not first and delay_s:
+                    _time.sleep(delay_s)
+                first = False
+                cur = rec[url_col]
+                method = (rec.get("method") or "GET") if has_method else "GET"
+                body_out = rec.get("req_body") if has_method else None
+                cookie_hops, hop_urls = [], []
+                status, body, error = 0, None, None
+                for hop in range(max_redirect + 1):
+                    try:
+                        status, location, set_cookie, body, error = (
+                            one_request(cur, method, body_out)
+                        )
+                    except Exception as e:
+                        status, location, set_cookie, body = 0, None, [], None
+                        error = f"{type(e).__name__}: {e}"
+                    cookie_hops.append(
+                        {"hop": hop, "src_url": cur, "set_cookie": set_cookie}
+                    )
+                    if (
+                        status in (301, 302)
+                        and location
+                        and hop < max_redirect
+                    ):
+                        cur = urlkit.canonicalize(
+                            urlkit.resolve(cur, location)
+                        )
+                        hop_urls.append(
+                            {"url_norm": cur, "host": urlkit.host_of(cur)}
+                        )
+                        method, body_out = "GET", None  # src/agent.ml:79-80
+                        continue
+                    break
+                rows.append(
+                    {
+                        **{c: rec[c] for c in cols},
+                        "final_url": cur,
+                        "status": status,
+                        "body": body,
+                        "error": error,
+                        "cookie_hops": cookie_hops,
+                        "hop_urls": hop_urls,
+                    }
+                )
+            for c in conns.values():
+                c.close()
+            return pd.DataFrame(rows, columns=out_cols)
+
+        tagged = base.withColumn("_fetch_host", page.host_col(F.col(url_col)))
+        j = tagged.groupBy("_fetch_host").applyInPandas(
+            lambda key, pdf: run(pdf.drop(columns=["_fetch_host"])),
+            schema=out_schema,
+        ).localCheckpoint(eager=False)
+        finals = j.select(
+            *carry, url_col, "final_url", "status", "body", "error"
+        )
+        cookie_events = (
+            j.select(*carry, url_col, F.explode("cookie_hops").alias("ch"))
+            .select(
+                *carry,
+                url_col,
+                F.col("ch.hop").alias("hop"),
+                F.posexplode(F.col("ch.set_cookie")).alias("idx", "hv"),
+                F.col("ch.src_url").alias("src_url"),
+            )
+        )
+        hop_targets = j.select(F.explode("hop_urls").alias("hu")).select(
+            F.col("hu.url_norm").alias("url_norm"),
+            F.col("hu.host").alias("host"),
+        )
+        return FetchResult(
+            finals=finals, cookie_events=cookie_events, hop_targets=hop_targets
+        )
+
+
 def resolve_redirect_closure(
     corpus: DataFrame, max_redirect: int = MAX_REDIRECT
 ) -> DataFrame:

@@ -258,3 +258,63 @@ def test_http_fetcher_composes_with_hop_loop(spark):
     finals = res.finals.collect()
     assert len(finals) == 1 and finals[0]["status"] == 0
     assert finals[0]["error"]
+
+
+def test_http_loop_fetcher_equivalent_to_hop_loop(spark, loopback):
+    """HttpLoopFetcher (redirects chased inside the task — ONE Spark
+    stage) must produce the same finals / cookie events / hop targets
+    as agent.fetch's relational hop loop over HttpFetcher, jar
+    included."""
+    base, rec = loopback
+    jar = _jar_df(spark, "127.0.0.1", [("sid", "abc")])
+    reqs = spark.createDataFrame(
+        [(f"{base}/redir",), (f"{base}/setcookie",), (f"{base}/missing",),
+         ("http://localhost:1/nope",)],
+        "url_norm string",
+    )
+    slow = agent.fetch(reqs, agent.HttpFetcher(timeout_s=5.0), jar=jar)
+    jar_rows = [r.asDict() for r in jar.collect()]
+    fast = agent.HttpLoopFetcher(timeout_s=5.0).fetch_result(
+        reqs, jar_rows=jar_rows
+    )
+
+    def finals_rows(fr):
+        return sorted(
+            (r["url_norm"], r["final_url"], r["status"], r["body"])
+            for r in fr.finals.collect()
+        )
+
+    assert finals_rows(slow) == finals_rows(fast)
+
+    def events(fr):
+        return sorted(
+            (r["url_norm"], r["hop"], r["idx"], r["hv"], r["src_url"])
+            for r in fr.cookie_events.collect()
+        )
+
+    assert events(slow) == events(fast)
+
+    def hops(fr):
+        if fr.hop_targets is None:
+            return []
+        return sorted(tuple(r) for r in fr.hop_targets.collect())
+
+    assert hops(slow) == hops(fast)
+
+
+def test_http_loop_fetcher_post_and_cap(spark, loopback):
+    base, rec = loopback
+    reqs = spark.createDataFrame(
+        [(f"{base}/postredir", "POST", "z=9")],
+        "url_norm string, method string, req_body string",
+    )
+    fast = agent.HttpLoopFetcher(timeout_s=5.0).fetch_result(
+        reqs, carry_cols=("method", "req_body")
+    )
+    row = fast.finals.collect()[0]
+    assert row["status"] == 200 and row["final_url"].endswith("/echo")
+    assert row["method"] == "POST"  # carry reports the original verb
+    by_path = {r["path"]: r for r in rec.requests}
+    assert by_path["/postredir"]["method"] == "POST"
+    assert by_path["/postredir"]["body"] == "z=9"
+    assert by_path["/echo"]["method"] == "GET"
