@@ -536,11 +536,19 @@ def resolve_redirect_closure(
     hop_t = (
         "array<struct<hop:int,src_url:string,set_cookie:array<string>>>"
     )
-    cur = corpus.select(
-        F.col("url_norm").alias("req_url"),
-        F.col("url_norm").alias("cur_url"),
+    hu_t = "array<struct<url_norm:string,host:string>>"
+    redir_pred = F.col("status").isin(301, 302) & F.col("location").isNotNull()
+
+    # Non-redirect rows are their own closure — a pure projection, no
+    # join, and the ONLY place page bodies enter the plan besides the
+    # final landing-body attach below.  The hop iteration runs over
+    # the redirect subset alone with body-free frames: carrying ~KB
+    # bodies through every hop join's build side dominated the
+    # closure's cost (and its driver codegen) at bench scale.
+    nonred_finals = corpus.where(~redir_pred).select(
+        F.col("url_norm"),
+        F.col("url_norm").alias("final_url"),
         "status",
-        "location",
         "body",
         F.array(
             F.struct(
@@ -549,22 +557,33 @@ def resolve_redirect_closure(
                 F.col("set_cookie").alias("set_cookie"),
             )
         ).cast(hop_t).alias("cookie_hops"),
-        F.array().cast("array<struct<url_norm:string,host:string>>").alias(
-            "hop_urls"
-        ),
+        F.array().cast(hu_t).alias("hop_urls"),
+    )
+
+    cur = corpus.where(redir_pred).select(
+        F.col("url_norm").alias("req_url"),
+        F.col("url_norm").alias("cur_url"),
+        "status",
+        "location",
+        F.array(
+            F.struct(
+                F.lit(0).alias("hop"),
+                F.col("url_norm").alias("src_url"),
+                F.col("set_cookie").alias("set_cookie"),
+            )
+        ).cast(hop_t).alias("cookie_hops"),
+        F.array().cast(hu_t).alias("hop_urls"),
     )
     c = corpus.select(
         F.col("url_norm").alias("_lu"),
         F.col("status").alias("_ls"),
         F.col("location").alias("_ll"),
         F.col("set_cookie").alias("_lc"),
-        F.col("body").alias("_lb"),
     )
     out_cols = [
         F.col("req_url").alias("url_norm"),
         F.col("cur_url").alias("final_url"),
         "status",
-        "body",
         "cookie_hops",
         "hop_urls",
     ]
@@ -576,9 +595,8 @@ def resolve_redirect_closure(
         # lazy checkpoint per hop: one 6-deep join/union chain costs
         # ~15s of SERIAL driver Catalyst+codegen at plan-build time
         # (localCheckpoint compiles the physical plan immediately);
-        # truncating per hop keeps every compile shallow — measured
-        # 14.6s -> ~2s for the whole closure build.  Rows still flow
-        # in one pass at materialization: only redirecting rows
+        # truncating per hop keeps every compile shallow.  Rows still
+        # flow in one pass at materialization: only redirecting rows
         # (a shrinking set) reach later hops.
         cur = cur.localCheckpoint(eager=False)
         finals.append(cur.where(~redir()).select(*out_cols))
@@ -592,7 +610,6 @@ def resolve_redirect_closure(
             F.col("_nu").alias("cur_url"),
             F.coalesce(F.col("_ls"), F.lit(404)).alias("status"),
             F.col("_ll").alias("location"),
-            F.col("_lb").alias("body"),
             F.concat(
                 F.col("cookie_hops"),
                 F.array(
@@ -615,10 +632,22 @@ def resolve_redirect_closure(
         )
     # at the cap: whatever remains (redirecting or not) is final as-is
     finals.append(cur.select(*out_cols))
-    out = finals[0]
+    chain = finals[0]
     for f in finals[1:]:
-        out = out.unionByName(f)
-    return out
+        chain = chain.unionByName(f)
+    # attach the LANDING body once, to the (small) chain-finals set
+    bodies = corpus.select(
+        F.col("url_norm").alias("_bu"), F.col("body").alias("_bb")
+    )
+    chain_finals = chain.join(
+        bodies, chain["final_url"] == bodies["_bu"], "left"
+    ).select(
+        "url_norm", "final_url", "status",
+        F.col("_bb").alias("body"), "cookie_hops", "hop_urls",
+    )
+    return nonred_finals.select(
+        "url_norm", "final_url", "status", "body", "cookie_hops", "hop_urls"
+    ).unionByName(chain_finals)
 
 
 class ResolvedCorpusFetcher:

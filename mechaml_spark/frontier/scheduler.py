@@ -368,6 +368,21 @@ def crawl(
                     F.lit(True).alias("is_hop"),
                 )
             )
+        # JVM-side pre-dedup BEFORE the cogrouped bloom pass: raw link
+        # candidates are ~(pages x links/page) per epoch (tens of
+        # millions at bench scale, ~100x the distinct-URL count) and
+        # pushing them through Arrow into the Python probe dominated
+        # the epoch (measured 104s of a 245s crawl at the 368k-URL
+        # bench).  A partial-aggregated groupBy collapses duplicates
+        # map-side with the same merge semantics the fused pass
+        # applies shard-locally (min depth — null-skipping in both —
+        # any host, OR of is_hop), so the cogroup now shuffles and
+        # Arrow-transfers only distinct URLs.
+        cand = cand.groupBy("url_norm").agg(
+            F.first("host").alias("host"),
+            F.min("depth").alias("depth"),
+            F.max("is_hop").alias("is_hop"),
+        )
         probed = seen.probe_dedup_update(cand).localCheckpoint(eager=_EAGER)
         mark(f"e{epoch} seen.probe")
         new_bloom = probed.where(F.col("bits").isNotNull()).select(

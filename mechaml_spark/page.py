@@ -221,10 +221,8 @@ def resolve_canon_host(base: Column, ref: Column) -> Column:
 
         from mechaml_spark import urlkit
 
-        urls = [urlkit.canonicalize(urlkit.resolve(bb, rr)) for bb, rr in zip(b, r)]
-        return pd.DataFrame(
-            {"url_norm": urls, "host": [urlkit.host_of(u) for u in urls]}
-        )
+        urls, hosts = urlkit.resolve_canon_host_pairs(b, r)
+        return pd.DataFrame({"url_norm": urls, "host": hosts})
 
     return _rch(base, ref)
 

@@ -185,6 +185,13 @@ class StreamingCrawl:
                     F.lit(True).alias("is_hop"),
                 )
             )
+        # JVM-side pre-dedup before the Python probe (same stage as the
+        # batch scheduler — see scheduler.py)
+        links = links.groupBy("url_norm").agg(
+            F.first("host").alias("host"),
+            F.min("depth").alias("depth"),
+            F.max("is_hop").alias("is_hop"),
+        )
         probed = self.seen.probe_dedup_update(links).localCheckpoint(eager=True)
         new_bloom = probed.where(F.col("bits").isNotNull()).select(
             "host_shard", "bits"

@@ -68,3 +68,28 @@ def test_resolve_absolute_is_fixpoint(host, path, ref):
     resolved = urlkit.resolve(base, ref)
     # resolving an already-absolute URL against the same base is a no-op
     assert urlkit.resolve(base, resolved) == resolved
+
+
+def test_resolve_canon_host_pairs_matches_rowwise():
+    """The memoized batch resolver must be byte-identical to the
+    row-wise path: its cache key carries exactly the base components
+    RFC 3986 resolution consults per reference form."""
+    import itertools
+
+    import pandas as pd
+
+    from mechaml_spark import urlkit
+
+    bases = ["http://a.test/x/y", "http://a.test/x/y/", "http://a.test",
+             "https://A.test:443/q", "http://a.test/p?q=/z",
+             "http://a.test/p#f", "ftp://a.test/d/e", "not a url", ""]
+    refs = ["p", "./p", "../p", "", "#f", "?q=1", "/abs", "//other.test/z",
+            "http://c.test/K", "HTTPS://D.TEST:443/e/../f", "p/../../q"]
+    bs, rs = zip(*itertools.product(bases, refs))
+    slow_u = [urlkit.canonicalize(urlkit.resolve(b, r)) for b, r in zip(bs, rs)]
+    slow_h = [urlkit.host_of(u) for u in slow_u]
+    fast_u, fast_h = urlkit.resolve_canon_host_pairs(
+        pd.Series(bs), pd.Series(rs)
+    )
+    assert slow_u == fast_u
+    assert slow_h == fast_h
