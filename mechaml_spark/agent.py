@@ -604,7 +604,13 @@ def resolve_redirect_closure(
             page.resolve_col(F.col("cur_url"), F.col("location"))
         )
         stepped = cur.where(redir()).withColumn("_nu", nxt_url)
-        joined = stepped.join(c, stepped["_nu"] == c["_lu"], "left")
+        # the lookup side is body-free (~100B/row); explicit broadcast
+        # keeps the hop iteration shuffle-free in-sandbox.  (The
+        # closure is simulation machinery for the synthetic corpus —
+        # a live deployment chases redirects inside the fetch task,
+        # HttpLoopFetcher — so the broadcast stays within local-mode
+        # corpus sizes by construction.)
+        joined = stepped.join(F.broadcast(c), stepped["_nu"] == c["_lu"], "left")
         cur = joined.select(
             "req_url",
             F.col("_nu").alias("cur_url"),
@@ -635,19 +641,34 @@ def resolve_redirect_closure(
     chain = finals[0]
     for f in finals[1:]:
         chain = chain.unionByName(f)
-    # attach the LANDING body once, to the (small) chain-finals set
+    # attach the LANDING body once, to the (small) chain-finals set —
+    # WITHOUT ever shuffling the body column (at bench scale bodies
+    # are ~GBs; a plain left join sort-merge-shuffles them).  A left
+    # outer join cannot broadcast its preserved side, so split it:
+    # inner join with the chain broadcast (bodies stream map-side),
+    # plus a broadcast anti-join (urls only) for landings absent from
+    # the corpus, whose body is NULL.
     bodies = corpus.select(
         F.col("url_norm").alias("_bu"), F.col("body").alias("_bb")
     )
-    chain_finals = chain.join(
-        bodies, chain["final_url"] == bodies["_bu"], "left"
+    chain = chain.localCheckpoint(eager=False)
+    hit = bodies.join(
+        F.broadcast(chain), chain["final_url"] == bodies["_bu"], "inner"
     ).select(
         "url_norm", "final_url", "status",
         F.col("_bb").alias("body"), "cookie_hops", "hop_urls",
     )
+    missed = chain.join(
+        F.broadcast(bodies.select("_bu")),
+        chain["final_url"] == F.col("_bu"),
+        "left_anti",
+    ).select(
+        "url_norm", "final_url", "status",
+        F.lit(None).cast("string").alias("body"), "cookie_hops", "hop_urls",
+    )
     return nonred_finals.select(
         "url_norm", "final_url", "status", "body", "cookie_hops", "hop_urls"
-    ).unionByName(chain_finals)
+    ).unionByName(hit).unionByName(missed)
 
 
 class ResolvedCorpusFetcher:
