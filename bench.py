@@ -55,11 +55,23 @@ def main() -> None:
     # Multiple seeds per host: superstep batches carry real parallelism
     # (the 10^10 design point runs millions of URLs per epoch — tiny
     # epochs only measure driver overhead, not engine throughput).
-    seeds = [
-        page_url(spec, i, j * 7)
-        for i in range(spec.n_hosts)
-        for j in range(seeds_per_host)
-    ]
+    # BENCH_CRAWL_SEED_ALL=1 seeds EVERY page — the big-batch
+    # superstep shape of a 10^10-frontier crawl, where per-epoch
+    # driver overhead amortizes away by design; used by the scaling
+    # A/B (scripts/scaling_bench.py, BENCH.md).
+    if os.environ.get("BENCH_CRAWL_SEED_ALL"):
+        seeds = [
+            page_url(spec, i, j)
+            for i in range(spec.n_hosts)
+            for j in range(spec.pages_per_host)
+        ]
+    else:
+        seeds = [
+            page_url(spec, i, j * 7)
+            for i in range(spec.n_hosts)
+            for j in range(seeds_per_host)
+        ]
+    max_epochs = int(os.environ.get("BENCH_CRAWL_EPOCHS", "3"))
     # Materialize the synthetic web BEFORE the timer: corpus generation
     # simulates the network (origin servers), not crawler work.
     corpus = corpus_df(spark, spec).cache()
@@ -71,7 +83,7 @@ def main() -> None:
     # different core counts — like a real N vs 4N executor comparison)
     n_shards = int(os.environ.get("BENCH_CRAWL_SHARDS", str(min(cpus, 32))))
     res = crawl(
-        spark, spec, seeds, budget_per_host=budget, max_epochs=3,
+        spark, spec, seeds, budget_per_host=budget, max_epochs=max_epochs,
         n_shards=n_shards, n_bits=1 << 20,
         corpus=corpus, images=images,
     )
