@@ -358,6 +358,10 @@ class HttpLoopFetcher(HttpFetcher):
         timeout_s, delay_s = self.timeout_s, self.delay_s
         max_body, ua = self.max_body, self.user_agent
         base_headers = dict(self.default_headers)
+        # None = no jar configured -> no Cookie header at all (same as
+        # agent.fetch(jar=None)); an EMPTY jar still sends the empty
+        # header, as the reference does (cookiejar.ml:136-137)
+        has_jar = jar_rows is not None
         jar_rows = list(jar_rows or [])
         cols = [f.name for f in base.schema.fields]
         out_cols = cols + [
@@ -388,8 +392,9 @@ class HttpLoopFetcher(HttpFetcher):
                 target = (parts.path or "/") + (
                     "?" + parts.query if parts.query else ""
                 )
-                headers = {"User-Agent": ua, **base_headers,
-                           "Cookie": jar.header_for(url)}
+                headers = {"User-Agent": ua, **base_headers}
+                if has_jar:
+                    headers["Cookie"] = jar.header_for(url)
                 if method == "POST":
                     headers["Content-Type"] = (
                         "application/x-www-form-urlencoded"

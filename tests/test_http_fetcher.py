@@ -318,3 +318,17 @@ def test_http_loop_fetcher_post_and_cap(spark, loopback):
     assert by_path["/postredir"]["method"] == "POST"
     assert by_path["/postredir"]["body"] == "z=9"
     assert by_path["/echo"]["method"] == "GET"
+
+
+def test_http_loop_fetcher_no_jar_sends_no_cookie_header(spark, loopback):
+    """jar_rows=None means no jar configured -> no Cookie header at
+    all (parity with agent.fetch(jar=None)); an EMPTY jar still sends
+    the empty header (cookiejar.ml:136-137)."""
+    base, rec = loopback
+    reqs = spark.createDataFrame([(f"{base}/echo",)], "url_norm string")
+    agent.HttpLoopFetcher(timeout_s=5.0).fetch_result(reqs).finals.collect()
+    assert rec.requests[-1]["cookie"] is None
+    agent.HttpLoopFetcher(timeout_s=5.0).fetch_result(
+        reqs, jar_rows=[]
+    ).finals.collect()
+    assert rec.requests[-1]["cookie"] == ""
