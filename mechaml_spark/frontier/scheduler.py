@@ -311,9 +311,13 @@ def crawl(
             finals.select(F.lit(epoch).alias("epoch"), "url_norm", "status")
         )
 
-        # 4. extract links + images from 200 responses
+        # 4. extract links + images from 200 responses — fused parse +
+        # resolve + canonicalize + scheme filter + per-page dedup in a
+        # single Arrow round trip (extract.parse_pages_crawl); the
+        # exploded link stream below is already canonical (url_norm,
+        # host) pairs and never re-enters Python
         ok = finals.where((F.col("status") == 200) & F.col("body").isNotNull())
-        parsed = extract.parse_pages_lean(
+        parsed = extract.parse_pages_crawl(
             ok.select(
                 F.col("final_url").alias("url"),
                 "body",
@@ -325,27 +329,10 @@ def crawl(
             body_col="body",
         ).localCheckpoint(eager=False)
 
-        links = (
-            parsed.select(
-                "depth",
-                F.explode("hrefs").alias("href"),
-                "base_uri",
-            )
-            .select(
-                "depth",
-                page.resolve_canon_host(
-                    F.col("base_uri"), F.col("href")
-                ).alias("rc"),
-            )
-            .select("depth", F.col("rc")["url_norm"].alias("url_norm"),
-                    F.col("rc")["host"].alias("host"))
-            .where(
-                F.col("url_norm").startswith("http://")
-                | F.col("url_norm").startswith("https://")
-            )
-            .select(
-                (F.col("depth") + 1).alias("depth"), "url_norm", "host"
-            )
+        links = parsed.select("depth", F.explode("links").alias("l")).select(
+            (F.col("depth") + 1).alias("depth"),
+            F.col("l")["url_norm"].alias("url_norm"),
+            F.col("l")["host"].alias("host"),
         )
 
         # ONE seen-set round per epoch: redirect hop targets and newly

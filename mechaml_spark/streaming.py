@@ -155,25 +155,17 @@ class StreamingCrawl:
         ).parquet(self.visit_dir)
 
         ok = finals.where((F.col("status") == 200) & F.col("body").isNotNull())
-        parsed = extract.parse_pages_lean(
+        # fused parse+resolve+filter — the exact stage the batch
+        # scheduler runs (extract.parse_pages_crawl)
+        parsed = extract.parse_pages_crawl(
             ok.select(F.col("final_url").alias("url"), "body", "depth"),
         )
         links = (
-            parsed.select("depth", F.explode("hrefs").alias("href"), "base_uri")
-            .select(
-                "depth",
-                page.resolve_canon_host(F.col("base_uri"), F.col("href")).alias(
-                    "rc"
-                ),
-            )
+            parsed.select("depth", F.explode("links").alias("l"))
             .select(
                 (F.col("depth") + 1).alias("depth"),
-                F.col("rc")["url_norm"].alias("url_norm"),
-                F.col("rc")["host"].alias("host"),
-            )
-            .where(
-                F.col("url_norm").startswith("http://")
-                | F.col("url_norm").startswith("https://")
+                F.col("l")["url_norm"].alias("url_norm"),
+                F.col("l")["host"].alias("host"),
             )
             .select("url_norm", "host", "depth", F.lit(False).alias("is_hop"))
         )
