@@ -60,11 +60,31 @@ def main() -> None:
     # driver overhead amortizes away by design; used by the scaling
     # A/B (scripts/scaling_bench.py, BENCH.md).
     if os.environ.get("BENCH_CRAWL_SEED_ALL"):
-        seeds = [
-            page_url(spec, i, j)
-            for i in range(spec.n_hosts)
-            for j in range(spec.pages_per_host)
-        ]
+        # seed table built DISTRIBUTED (crawl() accepts a DataFrame):
+        # at the 10^10 design point the seed list is a table, never a
+        # driver-side Python list — and the driver-side canonicalize
+        # + createDataFrame of 307k rows was a measured serial chunk
+        # of the superstep
+        import pandas as pd
+
+        n_seed = spec.n_hosts * spec.pages_per_host
+        idx = spark.range(n_seed).repartition(
+            max(spark.sparkContext.defaultParallelism, 4)
+        )
+        pph = spec.pages_per_host
+
+        def gen_seeds(batches):
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "url": [
+                            page_url(spec, int(i) // pph, int(i) % pph)
+                            for i in pdf["id"]
+                        ]
+                    }
+                )
+
+        seeds = idx.mapInPandas(gen_seeds, "url string")
     else:
         seeds = [
             page_url(spec, i, j * 7)
@@ -78,6 +98,14 @@ def main() -> None:
     images = images_df(spark, spec).cache()
     corpus.count()
     images.count()
+    # AQE OFF for the crawl phase (back ON for the ad-hoc queries
+    # below, where it wins).  A superstep chains dozens of exchanges;
+    # AQE turns each into a materialize-and-replan barrier — measured
+    # 71 -> 43 s crawl wall at 256 hosts x 200 pages on 8 pinned
+    # cores, while the query suite prefers AQE on (53.5 vs 58 s).
+    # Crawl skew needs no runtime replan: the politeness window is
+    # salted and the seen set host-hash-sharded by construction.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     t0 = time.perf_counter()
     # held fixed across parallelism levels in scaling runs (same plan,
     # different core counts — like a real N vs 4N executor comparison)
@@ -107,6 +135,7 @@ def main() -> None:
     crawl_sec = time.perf_counter() - t0
     timings["crawl_frontier"] = round(crawl_sec, 3)
     urls_per_sec = n_visited / crawl_sec if crawl_sec > 0 else 0.0
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
 
     # ---- headline queries over the driver testdata ----
     headline = [] if os.environ.get("BENCH_ONLY_CRAWL") else [

@@ -15,7 +15,13 @@ Scale notes (10^10-URL design point):
   * politeness = per-host ``row_number`` window over the priority
     key — the shuffle is by host, pre-salted by ``host_shard`` in
     the seen set; hot hosts cannot skew the seen-set anti-join, and
-    AQE skew-join handles the window shuffle's tail;
+    the window itself is salted two-phase (politeness_split);
+  * run supersteps with AQE OFF: skew is handled structurally
+    (salted window, sharded seen set), so AQE's only contribution
+    here is a materialize-and-replan barrier at each of the epoch's
+    dozens of exchanges — measured 71 -> 43 s per superstep at
+    256 hosts x 200 pages on 8 pinned cores (bench.py toggles it
+    per phase; ad-hoc queries still prefer AQE on);
   * the redirect loop is a bounded driver loop (<= max_redirect+1
     joins) over a shrinking set — the reference's bounded recursion
     (src/agent.ml:65, 73-97);
@@ -145,7 +151,7 @@ def politeness_split(
 def crawl(
     spark: SparkSession,
     spec: CorpusSpec,
-    seeds: list[str],
+    seeds: list[str] | DataFrame,
     budget_per_host: int = 2,
     max_epochs: int = 10,
     max_redirect: int = MAX_REDIRECT,
@@ -160,7 +166,14 @@ def crawl(
     """``corpus``/``images`` may be passed pre-materialized (cached)
     so their generation cost — the simulated *network*, not crawl
     work — stays out of crawl timing; by default they are built and
-    cached here."""
+    cached here.
+
+    ``seeds`` is either a Python list of URLs (small seed lists) or
+    a single-column DataFrame ``url string`` — at the 10^10-frontier
+    design point the seed list is a table, and the list path's
+    driver-side canonicalize + createDataFrame (~307k rows = several
+    serial seconds) never happens: canonicalization, host
+    extraction, and dedup all run distributed."""
     from mechaml_spark import urlkit
 
     mark = _dbg_timer()
@@ -190,14 +203,48 @@ def crawl(
     # rules dict.
     from mechaml_spark.frontier.robots import fetch_robots_rules_df
 
-    seed_hosts = {}
-    for s in seeds:
-        u = urlkit.canonicalize(s)
-        seed_hosts.setdefault(urlkit.host_of(u), u.split("://", 1)[0])
-    hosts_df = spark.createDataFrame(
-        [(h, seed_hosts.get(h, "http")) for h in spec.hosts],
-        "host string, scheme string",
-    )
+    seeds_canon = None
+    if isinstance(seeds, DataFrame):
+        # distributed seed canonicalization: one fused Arrow pass
+        # (resolve with an empty ref is the identity modulo fragment,
+        # which canonicalize strips anyway), then a distributed dedup
+        seeds_canon = (
+            seeds.select(
+                page.resolve_canon_host(
+                    F.col(seeds.columns[0]), F.lit("")
+                ).alias("rc")
+            )
+            .select(
+                F.col("rc")["url_norm"].alias("url_norm"),
+                F.col("rc")["host"].alias("host"),
+            )
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        schemes = (
+            seeds_canon.select(
+                "host",
+                F.split("url_norm", "://").getItem(0).alias("scheme"),
+            )
+            .groupBy("host")
+            .agg(F.min("scheme").alias("scheme"))
+        )
+        hosts_df = (
+            spark.createDataFrame([(h,) for h in spec.hosts], "host string")
+            .join(schemes, "host", "left")
+            .select(
+                "host", F.coalesce("scheme", F.lit("http")).alias("scheme")
+            )
+        )
+    else:
+        seed_hosts = {}
+        for s in seeds:
+            u = urlkit.canonicalize(s)
+            seed_hosts.setdefault(urlkit.host_of(u), u.split("://", 1)[0])
+        hosts_df = spark.createDataFrame(
+            [(h, seed_hosts.get(h, "http")) for h in spec.hosts],
+            "host string, scheme string",
+        )
     rules_df = fetch_robots_rules_df(
         spark, hosts_df, agent.CorpusFetcher(corpus), scheme_col="scheme"
     ).localCheckpoint(eager=False)
@@ -216,16 +263,24 @@ def crawl(
         pages_log = dfs["pages_log"]
         payload = dfs["payload"]
     else:
-        seed_rows = sorted(
-            {urlkit.canonicalize(s) for s in seeds}
-        )
-        frontier = spark.createDataFrame(
-            [
-                (u, urlkit.host_of(u), 0, 0)
-                for u in seed_rows
-            ],
-            FRONTIER_T,
-        )
+        if seeds_canon is not None:
+            frontier = seeds_canon.select(
+                "url_norm",
+                "host",
+                F.lit(0).alias("depth"),
+                F.lit(0).alias("discovered_epoch"),
+            )
+        else:
+            seed_rows = sorted(
+                {urlkit.canonicalize(s) for s in seeds}
+            )
+            frontier = spark.createDataFrame(
+                [
+                    (u, urlkit.host_of(u), 0, 0)
+                    for u in seed_rows
+                ],
+                FRONTIER_T,
+            )
         seen = SeenSet(spark, n_shards, n_bits).add(frontier)
         jar = ck.empty_jar(spark)
         visit_log = spark.createDataFrame([], VISIT_T)

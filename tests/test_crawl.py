@@ -190,3 +190,24 @@ def test_politeness_split_skew_equals_naive_window(spark):
     # phase-2 input is bounded by budget * salt_shards per host
     per_host = sel.groupBy("host").count().collect()
     assert all(r["count"] <= budget for r in per_host)
+
+
+def test_dataframe_seeds_equal_list_seeds(spark, spark_result):
+    """crawl() accepts the seed list as a single-column DataFrame
+    (the 10^10-frontier shape: seeds live in a table, canonicalization
+    and dedup run distributed) — outputs must be byte-identical to
+    the list-seeded crawl."""
+    seeds_df = spark.createDataFrame([(s,) for s in SEEDS], "url string")
+    res = crawl(
+        spark,
+        SPEC,
+        seeds_df,
+        budget_per_host=BUDGET,
+        max_epochs=EPOCHS,
+        n_shards=4,
+        n_bits=1 << 16,
+    )
+    assert _spark_visit_list(res) == _spark_visit_list(spark_result)
+    seen_a = {r["url_norm"] for r in res.seen.seen_df.collect()}
+    seen_b = {r["url_norm"] for r in spark_result.seen.seen_df.collect()}
+    assert seen_a == seen_b
