@@ -9,13 +9,18 @@ Python in the selection hot path.  ``tag_selector`` normalization
 and the tag post-filter (src/page.ml:27-28, 63-67) are applied
 exactly as the reference does.
 
-Column-compiler contract (documented boundary, SURVEY.md §7):
+Column-compiler contract (SURVEY.md §7):
   * combinator chains run right-to-left over the stored ancestor
-    chain; ``+`` moves to the stored previous-sibling and may appear
-    only adjacent to the target compound; ``~`` and non-leftmost
-    descendant combinators are unsupported here (the pure-Python
-    matcher in htmlkit.selector supports them; the reference's test
-    surface needs neither).
+    chain; ``>`` and descendant (whitespace) compose freely at any
+    position (descendant = positional ``exists`` over the chain);
+    ``+`` moves to the stored previous-sibling and may appear only
+    adjacent to the target compound (the sibling shares the target's
+    ancestor chain, so ancestor combinators continue left of it).
+  * ``~`` and non-target-adjacent sibling combinators need sibling
+    structure the node structs don't carry; ``_nodes_with`` falls
+    back to the pure-Python matcher (htmlkit.selector, full surface)
+    run Arrow-batched over the raw body for those — complete, but
+    off the codegen fast path.
 
 Lazy-seq parity (src/page.ml:90-127): ``first`` == ``.limit(1)``,
 ``nth n`` (1-based) == filter on ``pos == n-1``; both are LIMIT
@@ -76,57 +81,134 @@ def selector_column(css: str, node: Column, default_tag: str | None = None) -> C
         css = tag_selector(default_tag, css)
     parsed = parse_selector(css)
 
+    anc = node["anc"]
+
+    def anc_pred(i: int, pos: Column) -> Column:
+        """parsed[i] matches anc element at 1-based ``pos`` AND the
+        whole chain parsed[0..i-1] matches above it."""
+        a = F.try_element_at(anc, pos)
+        p = a.isNotNull() & _compound_pred(parsed[i][1], a["tag"], a["attrs"])
+        if i == 0:
+            return p
+        comb = parsed[i][0]  # combinator linking parsed[i-1] -> parsed[i]
+        if comb == ">":
+            return p & anc_pred(i - 1, pos + F.lit(1))
+        if comb == " ":
+            return p & exists_anc(i - 1, pos + F.lit(1))
+        # '+' / '~' between two ANCESTOR compounds would need the
+        # siblings of ancestors, which the node structs don't carry
+        raise SelectorError(
+            f"sibling combinator {comb!r} between non-target compounds "
+            f"unsupported in the Spark compiler: {css!r}"
+        )
+
+    def exists_anc(i: int, start: Column) -> Column:
+        """exists 1-based j >= start with anc_pred(i, j).  Guarded:
+        Spark's ``sequence`` runs DESCENDING when stop < start, which
+        would probe ancestors closer than allowed."""
+        return F.when(
+            F.size(anc) >= start,
+            F.exists(
+                F.sequence(start, F.size(anc)), lambda j: anc_pred(i, j)
+            ),
+        ).otherwise(F.lit(False))
+
     # rightmost compound applies to the node itself
     _, rightmost = parsed[-1]
     pred = _compound_pred(rightmost, node["tag"], node["attrs"])
+    if len(parsed) == 1:
+        return pred
 
-    k = 0  # current ancestor offset: anc[k] is the parent of the
-    # element the walk currently sits on (siblings share ancestors)
-    for i in range(len(parsed) - 2, -1, -1):
-        comb, comp = parsed[i + 1][0], parsed[i][1]
-        if comb == ">":
-            anc_i = F.try_element_at(node["anc"], F.lit(k + 1))
-            pred = pred & anc_i.isNotNull() & _compound_pred(
-                comp, anc_i["tag"], anc_i["attrs"]
-            )
-            k += 1
-        elif comb == "+":
-            if k != 0:
-                raise SelectorError(
-                    "adjacent-sibling combinator only supported on the "
-                    f"target compound in the Spark compiler: {css!r}"
-                )
-            prev = node["prev"]
-            pred = pred & prev.isNotNull() & _compound_pred(
-                comp, prev["tag"], prev["attrs"]
-            )
-            # sibling: ancestor chain unchanged, but prev-of-prev is
-            # not stored -> a further '+' is unsupported (caught by
-            # the k!=0 check only for post-'>' chains); mark it:
-            k = -1
-        elif comb == " ":
-            if i != 0:
-                raise SelectorError(
-                    f"descendant combinator must be leftmost in the Spark "
-                    f"compiler: {css!r}"
-                )
-            start = max(k, 0) + 1
-            rest = F.slice(
-                node["anc"],
-                F.lit(start),
-                F.greatest(F.size(node["anc"]), F.lit(1)),
-            )
-            pred = pred & F.exists(
-                rest, lambda a: _compound_pred(comp, a["tag"], a["attrs"])
-            )
-        else:
+    comb, i = parsed[-1][0], len(parsed) - 2
+    if comb == "+":
+        # target-adjacent sibling: stored prev struct; the sibling
+        # shares the target's ancestor chain, so ancestor combinators
+        # continue from the SAME chain at offset 0
+        prev = node["prev"]
+        pred = pred & prev.isNotNull() & _compound_pred(
+            parsed[i][1], prev["tag"], prev["attrs"]
+        )
+        if i == 0:
+            return pred
+        comb, i = parsed[i][0], i - 1
+        if comb == "+":
             raise SelectorError(
-                f"combinator {comb!r} unsupported in the Spark compiler: {css!r}"
+                f"chained adjacent-sibling combinators unsupported in "
+                f"the Spark compiler (prev-of-prev not stored): {css!r}"
             )
+    if comb == ">":
+        pred = pred & anc_pred(i, F.lit(1))
+    elif comb == " ":
+        pred = pred & exists_anc(i, F.lit(1))
+    else:
+        raise SelectorError(
+            f"combinator {comb!r} unsupported in the Spark compiler: {css!r}"
+        )
     return pred
 
 
 # ----------------------------------------------------------- Page-API views
+
+
+def _nodes_with_pure(
+    parsed_pages: DataFrame,
+    array_col: str,
+    default_tag: str,
+    selector: str,
+    page_cols: tuple[str, ...],
+    body_col: str = "body",
+) -> DataFrame:
+    """Full-surface selector path: run the pure-Python matcher
+    (htmlkit.selector — the same engine the goldens validate, incl.
+    ``~`` and arbitrary sibling chains) Arrow-batched over the raw
+    body, emitting the matching family positions per page; the
+    exploded node rows are then filtered JVM-side on ``pos``.  Output
+    schema identical to the fast path.  Slow path by design: one
+    re-parse per page inside a pandas UDF — used only for selectors
+    the Column compiler cannot express."""
+    if body_col not in parsed_pages.columns:
+        raise SelectorError(
+            f"selector {selector!r} needs the pure-matcher fallback, "
+            f"which requires the raw {body_col!r} column on the parsed "
+            "pages DataFrame"
+        )
+    css = tag_selector(default_tag, selector)
+    parse_selector(css)  # surface errors on the driver, not in tasks
+
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _match_pos(bodies):
+        import pandas as pd
+
+        from mechaml_spark.htmlkit.parser import parse_html
+        from mechaml_spark.htmlkit.selector import compile_selector
+
+        pred = compile_selector(css)
+        out = []
+        for b in bodies:
+            if b is None:
+                b = ""
+            if isinstance(b, (bytes, bytearray)):
+                b = bytes(b).decode("utf-8", errors="replace")
+            # family position = document order of the family tag,
+            # exactly how extract.parse_page assigns ``pos``
+            hits, pos = [], -1
+            for el in parse_html(b).iter_subtree():
+                if el.tag != default_tag:
+                    continue
+                pos += 1
+                if pred(el):
+                    hits.append(pos)
+            out.append(hits)
+        return pd.Series(out)
+
+    node = F.explode(array_col).alias("node")
+    df = parsed_pages.withColumn("_sel_pos", _match_pos(F.col(body_col)))
+    df = df.select(*page_cols, "base_uri", "_sel_pos", node)
+    return df.where(
+        F.array_contains(F.col("_sel_pos"), F.col("node")["pos"])
+    ).drop("_sel_pos")
 
 
 def _nodes_with(
@@ -136,9 +218,17 @@ def _nodes_with(
     selector: str,
     page_cols: tuple[str, ...],
 ) -> DataFrame:
+    try:
+        pred = selector_column(
+            selector, F.col("node"), default_tag=default_tag
+        )
+    except SelectorError:
+        # ``~`` / chained sibling combinators: full-surface fallback
+        return _nodes_with_pure(
+            parsed_pages, array_col, default_tag, selector, page_cols
+        )
     node = F.explode(array_col).alias("node")
     df = parsed_pages.select(*page_cols, "base_uri", node)
-    pred = selector_column(selector, F.col("node"), default_tag=default_tag)
     # tag post-filter (src/page.ml:27-28): selected node must BE the
     # default tag — constant-true on extracted arrays but kept for parity
     pred = pred & (F.col("node")["tag"] == default_tag)

@@ -1,0 +1,80 @@
+"""Run ONE scaling leg, gated on a quiet load window.
+
+The sandbox VM is a shared host whose external load swings 30-70%
+over minutes (BENCH.md).  A back-to-back two-leg A/B therefore often
+straddles a load ramp; per-leg gating instead waits for a quiet
+window (CPU probe <= --quiet, quiet baseline ~2.9s), runs the single
+leg, and records probes before and after so the leg's window is
+auditable.  Two legs each measured in a quiet window ARE comparable:
+the gate establishes equal external conditions.
+
+Usage: python scripts/gated_leg.py --cpus 2 [--quiet 3.3]
+       [--max-wait 3600] [--out /tmp/leg2.json]
+Corpus shape matches scripts/scaling_bench.py defaults (768 hosts x
+400 pages, 100 links/page, seed-all big-batch superstep).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from scaling_bench import cpu_probe, run_at  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpus", type=int, required=True)
+    ap.add_argument("--quiet", type=float, default=3.3)
+    ap.add_argument("--max-wait", type=float, default=3600)
+    ap.add_argument("--poll", type=float, default=120)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--hosts", type=int, default=768)
+    ap.add_argument("--pages", type=int, default=400)
+    ap.add_argument("--seeds", type=int, default=32)
+    ap.add_argument("--budget", type=int, default=400)
+    ap.add_argument("--links", type=int, default=100)
+    ap.add_argument("--shards", type=int, default=8)
+    ap.add_argument("--epochs", type=int, default=1)
+    ap.add_argument("--seed_all", type=int, default=1)
+    args = ap.parse_args()
+    args.seed_all = bool(args.seed_all)
+
+    deadline = time.time() + args.max_wait
+    probes = []
+    while True:
+        p = cpu_probe()
+        probes.append(p)
+        print(f"probe {p}", flush=True)
+        if p <= args.quiet:
+            break
+        if time.time() > deadline:
+            print("gave up waiting for quiet window", flush=True)
+            p = None
+            break
+        time.sleep(args.poll)
+
+    res = run_at(args.cpus, args)
+    p_after = cpu_probe()
+    out = {
+        "cpus": args.cpus,
+        "probe_before": p,
+        "probe_after": p_after,
+        "probe_history": probes,
+        "throughput": res["value"],
+        "crawl": res["crawl"],
+        "total_sec": res["total_sec"],
+    }
+    line = json.dumps(out)
+    print(line, flush=True)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()

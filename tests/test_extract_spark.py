@@ -235,3 +235,95 @@ def test_first_and_nth(parsed):
     # nth is 1-based (src/page.ml:110-116)
     assert page.nth(links, 2).collect()[0]["node"]["attrs"]["id"] == "a-two"
     assert page.nth(links, 4).collect() == []
+
+
+# ------------------------------------------------- full selector surface
+# Differential test for the round-2 Column-compiler rewrite: `>` and
+# descendant compose freely at any position; `+` is target-adjacent
+# with ancestor combinators continuing left of it; `~` and non-target
+# sibling chains go through the pure-matcher fallback.  Ground truth
+# is the pure-Python matcher (htmlkit.selector), itself validated by
+# the reference-ported goldens.
+
+SURFACE_HTML = """
+<html><body id="top">
+  <div id="outer" class="wrap">
+    <h2>head</h2>
+    <p id="p1">one <a href="/1" id="l1">x</a></p>
+    <p id="p2">two <a href="/2" id="l2">y</a> <a href="/3" id="l3">z</a></p>
+    <div id="inner">
+      <p id="p3"><span><a href="/4" id="l4">deep</a></span></p>
+      <a href="/5" id="l5">shallow</a><a href="/6" id="l6">next</a>
+    </div>
+  </div>
+  <div id="side"><a href="/7" id="l7">side</a></div>
+</body></html>
+"""
+
+SURFACE_SELECTORS = [
+    # fast path: old surface
+    "",
+    "[href=/5]",
+    "div a",
+    "div > a",
+    "p > a",
+    "a + a",
+    # fast path: surface lifted this round
+    "body div a",                # chained descendants
+    "div > p a",                 # descendant right of `>`
+    "div p > a",                 # `>` right of descendant
+    "div > div > a",
+    "#outer > div a",
+    "div > span > a",
+    "div div > p a",             # mixed, 4 compounds
+    "div > a + a",               # ancestor combinator left of `+`
+    "div a + a",
+    "#outer p a + a",
+    # pure-matcher fallback (`~` / sibling chain off the target)
+    "a ~ a",
+    "h2 ~ p a",
+    "h2 + p a",
+    "p ~ p > a",
+]
+
+
+def _pure_count(html: str, default_tag: str, sel: str) -> int:
+    from mechaml_spark.htmlkit.parser import parse_html
+    from mechaml_spark.htmlkit.selector import compile_selector, tag_selector
+
+    pred = compile_selector(tag_selector(default_tag, sel))
+    return sum(
+        1
+        for el in parse_html(html).iter_subtree()
+        if el.tag == default_tag and pred(el)
+    )
+
+
+@pytest.fixture(scope="module")
+def surface_parsed(spark):
+    df = spark.createDataFrame(
+        [("http://surface.example/", SURFACE_HTML)], "url string, body string"
+    )
+    out = extract.parse_pages(df).cache()
+    out.count()
+    yield out
+    out.unpersist()
+
+
+@pytest.mark.parametrize("sel", SURFACE_SELECTORS)
+def test_selector_surface_matches_pure(surface_parsed, sel):
+    expected = _pure_count(SURFACE_HTML, "a", sel)
+    got = page.links_with(surface_parsed, sel).count()
+    assert got == expected, (sel, got, expected)
+
+
+def test_fallback_selectors_raise_in_column_compiler():
+    # the fallback cases must NOT silently take the fast path
+    for sel in ("a ~ a", "h2 ~ p a", "h2 + p a", "p ~ p > a"):
+        with pytest.raises(page.SelectorError):
+            page.selector_column(sel, F.col("node"), default_tag="a")
+
+
+def test_fallback_requires_body_column(surface_parsed):
+    with pytest.raises(page.SelectorError, match="body"):
+        page.links_with(surface_parsed.drop("body"), "a ~ a").count()
