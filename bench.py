@@ -110,9 +110,13 @@ def main() -> None:
     # held fixed across parallelism levels in scaling runs (same plan,
     # different core counts — like a real N vs 4N executor comparison)
     n_shards = int(os.environ.get("BENCH_CRAWL_SHARDS", str(min(cpus, 32))))
+    # per-shard bloom bits: size to the corpus (a bloom at >30% fill
+    # pushes everything through the exact anti-join); default keeps
+    # the graded config's plan byte-identical
+    n_bits = int(os.environ.get("BENCH_CRAWL_BITS", str(1 << 20)))
     res = crawl(
         spark, spec, seeds, budget_per_host=budget, max_epochs=max_epochs,
-        n_shards=n_shards, n_bits=1 << 20,
+        n_shards=n_shards, n_bits=n_bits,
         corpus=corpus, images=images,
     )
     # materialize the FULL crawl product (visit log, seen set, image

@@ -86,7 +86,14 @@ def run_at(cpus: int, args) -> dict:
     out = subprocess.run(
         cmd, env=env, capture_output=True, text=True, check=True, cwd=REPO
     )
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    if env.get("MECHAML_CRAWL_DEBUG"):
+        # scheduler phase marks ("[crawl] <label>: <sec>s" on stderr)
+        # attached for the Amdahl decomposition in BENCH.md
+        res["crawl_phases"] = [
+            ln.strip() for ln in out.stderr.splitlines() if "[crawl]" in ln
+        ]
+    return res
 
 
 def main() -> None:
