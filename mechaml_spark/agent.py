@@ -788,6 +788,7 @@ def fetch(
     url_col: str = "url_norm",
     max_redirect: int = MAX_REDIRECT,
     carry_cols: tuple[str, ...] = (),
+    adaptive: bool = False,
 ) -> FetchResult:
     """The fetch stage: cookie injection, bounded redirect following,
     per-hop cookie collection.
@@ -797,6 +798,14 @@ def fetch(
     through untouched and key the cookie-fold ordering.  ``finals``
     keeps the original URL under ``url_col`` plus
     ``(final_url, status, body)``.
+
+    ``adaptive=True`` probes the (checkpointed) hop output after each
+    hop and stops building further hop branches once the redirect
+    stream dries up — each dead branch otherwise costs a Catalyst
+    compile plus an empty-join job at materialization.  The probe is
+    one limit-1 job per hop, so the fetch becomes EAGER (requests are
+    issued at call time, not at the first action); the default stays
+    fully lazy for callers that compose the plan before executing it.
     """
     carry = list(carry_cols)
     # effective verb/body per hop: the original request's method/body
@@ -876,6 +885,8 @@ def fetch(
         )
         finals = done if finals is None else finals.unionByName(done)
         if _hop == max_redirect:
+            break
+        if adaptive and redirecting.isEmpty():
             break
         nxt = redirecting.select(
             *carry,

@@ -271,7 +271,11 @@ def q_submit_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(get_rows)
         .localCheckpoint(eager=False)
     )
-    fr = agent.submit(forms_df, agent.CorpusFetcher(corpus))
+    # adaptive: the corpus answers every submit with a 200, so the
+    # redirect stream dries up at hop 0 — without the probe the five
+    # dead hop branches cost a Catalyst compile + an empty-join job
+    # each (~4s of the query's 7.5s at sf0.1)
+    fr = agent.submit(forms_df, agent.CorpusFetcher(corpus), adaptive=True)
     return fr.finals.select("url_norm", "method", "status", "body")
 
 

@@ -78,3 +78,35 @@ def test_http_fetcher_builds_plan(spark):
     assert [f.name for f in out.schema.fields] == [
         "url_norm", "status", "location", "set_cookie", "body", "error"
     ]
+
+
+def test_adaptive_fetch_matches_lazy(spark, fetcher):
+    """``adaptive=True`` stops building hop branches once the redirect
+    stream dries up; results (finals, cookie events, hop targets) must
+    be identical to the fully lazy loop — including through a real
+    redirect chain, where the probe must NOT stop early."""
+    reqs = spark.createDataFrame(
+        [("http://host0.test/p0",), ("http://host0.test/r0",),
+         ("http://host9.test/nope",)],
+        "url_norm string",
+    )
+    lazy = agent.fetch(reqs, fetcher)
+    fast = agent.fetch(reqs, fetcher, adaptive=True)
+    key = lambda df, cols: sorted(  # noqa: E731
+        tuple(r) for r in df.select(*cols).collect()
+    )
+    fcols = ("url_norm", "final_url", "status", "body")
+    assert key(lazy.finals, fcols) == key(fast.finals, fcols)
+    ccols = ("url_norm", "hop", "idx", "hv", "src_url")
+    assert key(lazy.cookie_events, ccols) == key(fast.cookie_events, ccols)
+    assert key(lazy.hop_targets, ("url_norm", "host")) == key(
+        fast.hop_targets, ("url_norm", "host")
+    )
+
+
+def test_adaptive_fetch_no_redirects_hop_targets_none(spark, fetcher):
+    reqs = spark.createDataFrame([("http://host0.test/p0",)], "url_norm string")
+    fr = agent.fetch(reqs, fetcher, adaptive=True)
+    assert fr.hop_targets is None  # documented "no redirects" state
+    (row,) = fr.finals.collect()
+    assert row["status"] == 200
