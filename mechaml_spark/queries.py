@@ -531,10 +531,24 @@ def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BPE-ish pretokenizer: letter runs / digit runs / single
+# non-alnum-non-space marks — the GPT-2-style pretoken split reduced
+# to a class-portable core (identical semantics under Java regex and
+# DuckDB's RE2, so the oracle can run the SAME pattern)
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, both directive flavors: whitespace tokens and a
+    BPE-ish regex pretoken count — pure codegen expressions, the
+    shuffle carries one partial-agg row per lang."""
     d = _t(spark, sf_dir, "documents")
     return d.groupBy("lang").agg(
         F.sum(F.size(_toks(d.text)).cast("long")).alias("n_tokens"),
+        F.sum(
+            F.size(F.regexp_extract_all(d.text, F.lit(_BPE_RE), F.lit(0)))
+            .cast("long")
+        ).alias("n_subtokens"),
         F.sum("n_chars").alias("n_chars_total"),
     )
 
@@ -1120,6 +1134,9 @@ ORACLES = {
     "token_stats": f"""
         SELECT lang,
                CAST(sum(len({_TOKS_SQL})) AS BIGINT) AS n_tokens,
+               CAST(sum(len(regexp_extract_all(
+                   text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT)
+                   AS n_subtokens,
                CAST(sum(n_chars) AS BIGINT) AS n_chars_total
         FROM documents GROUP BY lang
     """,

@@ -75,3 +75,30 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert set(df.columns) == {"lang", "n_links"}
+
+
+def test_bpe_ish_pretokens_differ_from_whitespace(spark):
+    """The two directive token-count flavors must actually differ on
+    punctuated text (the synthetic corpus is space-separated words,
+    where they coincide): "don't stop!" -> 2 whitespace tokens but 5
+    BPE-ish pretokens (don / ' / t / stop / !)."""
+    from pyspark.sql import functions as F
+
+    from mechaml_spark.queries import _BPE_RE, _toks
+
+    df = spark.createDataFrame([("don't stop!",)], "text string").select(
+        F.size(_toks(F.col("text"))).alias("ws"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), F.lit(0))
+        ).alias("bpe"),
+    )
+    (row,) = df.collect()
+    assert (row["ws"], row["bpe"]) == (2, 5)
+    # and DuckDB (the oracle engine) agrees on the same pattern
+    import duckdb
+
+    (n,) = duckdb.sql(
+        "SELECT len(regexp_extract_all('don''t stop!', "
+        "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))"
+    ).fetchone()
+    assert n == 5
