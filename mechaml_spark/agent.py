@@ -35,6 +35,87 @@ from mechaml_spark import page
 MAX_REDIRECT = 5  # src/agent.ml:65
 
 
+def _transport(timeout_s: float, max_body: int):
+    """Per-task HTTP transport shared by BOTH live backends
+    (:class:`HttpFetcher` and :class:`HttpLoopFetcher`): a connection
+    cache keyed by ``(scheme, host, port)`` with HTTP/1.1 keep-alive
+    and ONE reconnect retry on a dropped pooled socket.  Runs inside
+    the ``applyInPandas`` worker; keeping it a single helper means a
+    transport fix (retry tuple, drain cap, TLS context) lands in both
+    backends at once instead of drifting.
+
+    Returns ``(request, close)``:
+    ``request(url, method, body, headers) ->
+    (status, location, set_cookie_list, body_text)``.
+    """
+    import http.client
+    from urllib.parse import urlsplit
+
+    conns: dict[tuple, http.client.HTTPConnection] = {}
+
+    def request(url, method, body, headers):
+        parts = urlsplit(url)
+        scheme = parts.scheme or "http"
+        host = parts.hostname or ""
+        port = parts.port or (443 if scheme == "https" else 80)
+        target = (parts.path or "/") + (
+            "?" + parts.query if parts.query else ""
+        )
+        key = (scheme, host, port)
+        for attempt in (0, 1):
+            conn = conns.get(key)
+            if conn is None:
+                cls = (
+                    http.client.HTTPSConnection
+                    if scheme == "https"
+                    else http.client.HTTPConnection
+                )
+                conn = conns[key] = cls(host, port, timeout=timeout_s)
+            try:
+                conn.request(method, target, body=body, headers=headers)
+                resp = conn.getresponse()
+                data = resp.read(max_body)
+                # drain so keep-alive stays usable
+                while resp.read(1 << 16):
+                    pass
+                return (
+                    resp.status,
+                    resp.getheader("Location"),
+                    resp.msg.get_all("Set-Cookie") or [],
+                    data.decode("utf-8", errors="replace"),
+                )
+            except (
+                http.client.NotConnected,
+                http.client.CannotSendRequest,
+                http.client.BadStatusLine,
+                ConnectionError,
+                BrokenPipeError,
+            ):
+                conn.close()
+                conns.pop(key, None)
+                if attempt == 1:
+                    raise
+        raise RuntimeError("unreachable")
+
+    def close():
+        for c in conns.values():
+            c.close()
+        conns.clear()
+
+    return request, close
+
+
+def _is_redirect(status, location):
+    """301/302 with a usable Location (src/agent.ml:73-82).
+
+    Location must be non-NULL AND non-empty — truthiness, exactly like
+    the in-task loop backend (``HttpLoopFetcher``) and the sequential
+    oracle (frontier/oracle.py), so a quirky ``Location: ""`` response
+    terminates identically on every path instead of self-chasing to
+    the hop cap relationally."""
+    return status.isin(301, 302) & location.isNotNull() & (location != "")
+
+
 class CorpusFetcher:
     """Network-free fetcher: LEFT-join requests against a response
     table keyed by canonical URL (missing rows -> 404).  On a real
@@ -142,16 +223,18 @@ class HttpFetcher:
         self.user_agent = user_agent
         self.default_headers = dict(default_headers or {})
 
-    # functional client-header updates (src/agent.ml:154-159)
+    # functional client-header updates (src/agent.ml:154-159).
+    # type(self), not HttpFetcher: subclasses (HttpLoopFetcher) must
+    # not silently downgrade to the base class on header update
     def add_client_header(self, name: str, value: str) -> "HttpFetcher":
-        return HttpFetcher(
+        return type(self)(
             self.timeout_s, self.delay_s, self.max_body, self.user_agent,
             {**self.default_headers, name: value},
         )
 
     def remove_client_header(self, name: str) -> "HttpFetcher":
         hdrs = {k: v for k, v in self.default_headers.items() if k != name}
-        return HttpFetcher(
+        return type(self)(
             self.timeout_s, self.delay_s, self.max_body, self.user_agent, hdrs
         )
 
@@ -176,35 +259,15 @@ class HttpFetcher:
         out_cols = cols + ["status", "location", "set_cookie", "body", "error"]
 
         def run(pdf):
-            import http.client
             import time as _time
-            from urllib.parse import urlsplit
 
             import pandas as pd
 
-            conns: dict[tuple, http.client.HTTPConnection] = {}
+            from mechaml_spark.agent import _transport
 
-            def origin_conn(scheme, host, port):
-                key = (scheme, host, port)
-                c = conns.get(key)
-                if c is None:
-                    cls = (
-                        http.client.HTTPSConnection
-                        if scheme == "https"
-                        else http.client.HTTPConnection
-                    )
-                    c = cls(host, port, timeout=timeout_s)
-                    conns[key] = c
-                return c
+            request, close_all = _transport(timeout_s, max_body)
 
             def one_request(url, rec):
-                parts = urlsplit(url)
-                scheme = parts.scheme or "http"
-                host = parts.hostname or ""
-                port = parts.port or (443 if scheme == "https" else 80)
-                target = parts.path or "/"
-                if parts.query:
-                    target += "?" + parts.query
                 method = (
                     rec.get("_eff_method") or rec.get("method") or "GET"
                 ).upper()
@@ -225,34 +288,16 @@ class HttpFetcher:
                 ):
                     # sent even when "" (cookiejar.ml:136-137)
                     headers["Cookie"] = ch
-                for attempt in (0, 1):  # one retry on a dropped socket
-                    conn = origin_conn(scheme, host, port)
-                    try:
-                        conn.request(method, target, body=body, headers=headers)
-                        resp = conn.getresponse()
-                        data = resp.read(max_body)
-                        # drain so keep-alive stays usable
-                        while resp.read(1 << 16):
-                            pass
-                        return {
-                            "status": resp.status,
-                            "location": resp.getheader("Location"),
-                            "set_cookie": resp.msg.get_all("Set-Cookie") or [],
-                            "body": data.decode("utf-8", errors="replace"),
-                            "error": None,
-                        }
-                    except (
-                        http.client.NotConnected,
-                        http.client.CannotSendRequest,
-                        http.client.BadStatusLine,
-                        ConnectionError,
-                        BrokenPipeError,
-                    ):
-                        conn.close()
-                        conns.pop((scheme, host, port), None)
-                        if attempt == 1:
-                            raise
-                raise RuntimeError("unreachable")
+                status, location, set_cookie, text = request(
+                    url, method, body, headers
+                )
+                return {
+                    "status": status,
+                    "location": location,
+                    "set_cookie": set_cookie,
+                    "body": text,
+                    "error": None,
+                }
 
             rows = []
             first = True
@@ -272,8 +317,7 @@ class HttpFetcher:
                         "error": f"{type(e).__name__}: {e}",
                     }
                 rows.append({**{c: rec[c] for c in cols}, **out})
-            for c in conns.values():
-                c.close()
+            close_all()
             return pd.DataFrame(rows, columns=out_cols)
 
         tagged = requests.withColumn(
@@ -370,28 +414,20 @@ class HttpLoopFetcher(HttpFetcher):
         has_method = "method" in cols
 
         def run(pdf):
-            import http.client
             import time as _time
-            from urllib.parse import urlsplit
 
             import pandas as pd
 
             from mechaml_spark import urlkit
+            from mechaml_spark.agent import _transport
             from mechaml_spark.cookies import Jar
 
             jar = Jar()
             for c in jar_rows:
                 jar.add(dict(c))
-            conns: dict[tuple, http.client.HTTPConnection] = {}
+            request, close_all = _transport(timeout_s, max_body)
 
             def one_request(url, method, body):
-                parts = urlsplit(url)
-                scheme = parts.scheme or "http"
-                host = parts.hostname or ""
-                port = parts.port or (443 if scheme == "https" else 80)
-                target = (parts.path or "/") + (
-                    "?" + parts.query if parts.query else ""
-                )
                 headers = {"User-Agent": ua, **base_headers}
                 if has_jar:
                     headers["Cookie"] = jar.header_for(url)
@@ -399,45 +435,10 @@ class HttpLoopFetcher(HttpFetcher):
                     headers["Content-Type"] = (
                         "application/x-www-form-urlencoded"
                     )
-                key = (scheme, host, port)
-                for attempt in (0, 1):
-                    conn = conns.get(key)
-                    if conn is None:
-                        cls = (
-                            http.client.HTTPSConnection
-                            if scheme == "https"
-                            else http.client.HTTPConnection
-                        )
-                        conn = conns[key] = cls(host, port, timeout=timeout_s)
-                    try:
-                        conn.request(
-                            method, target,
-                            body=body if method == "POST" else None,
-                            headers=headers,
-                        )
-                        resp = conn.getresponse()
-                        data = resp.read(max_body)
-                        while resp.read(1 << 16):
-                            pass
-                        return (
-                            resp.status,
-                            resp.getheader("Location"),
-                            resp.msg.get_all("Set-Cookie") or [],
-                            data.decode("utf-8", errors="replace"),
-                            None,
-                        )
-                    except (
-                        http.client.NotConnected,
-                        http.client.CannotSendRequest,
-                        http.client.BadStatusLine,
-                        ConnectionError,
-                        BrokenPipeError,
-                    ):
-                        conn.close()
-                        conns.pop(key, None)
-                        if attempt == 1:
-                            raise
-                raise RuntimeError("unreachable")
+                status, location, set_cookie, text = request(
+                    url, method, body if method == "POST" else None, headers
+                )
+                return status, location, set_cookie, text, None
 
             rows = []
             first = True
@@ -446,7 +447,11 @@ class HttpLoopFetcher(HttpFetcher):
                     _time.sleep(delay_s)
                 first = False
                 cur = rec[url_col]
-                method = (rec.get("method") or "GET") if has_method else "GET"
+                method = (
+                    (rec.get("method") or "GET").upper()
+                    if has_method
+                    else "GET"
+                )
                 body_out = rec.get("req_body") if has_method else None
                 cookie_hops, hop_urls = [], []
                 status, body, error = 0, None, None
@@ -486,8 +491,7 @@ class HttpLoopFetcher(HttpFetcher):
                         "hop_urls": hop_urls,
                     }
                 )
-            for c in conns.values():
-                c.close()
+            close_all()
             return pd.DataFrame(rows, columns=out_cols)
 
         tagged = base.withColumn("_fetch_host", page.host_col(F.col(url_col)))
@@ -542,7 +546,7 @@ def resolve_redirect_closure(
         "array<struct<hop:int,src_url:string,set_cookie:array<string>>>"
     )
     hu_t = "array<struct<url_norm:string,host:string>>"
-    redir_pred = F.col("status").isin(301, 302) & F.col("location").isNotNull()
+    redir_pred = _is_redirect(F.col("status"), F.col("location"))
 
     # Non-redirect rows are their own closure — a pure projection, no
     # join, and the ONLY place page bodies enter the plan besides the
@@ -647,7 +651,13 @@ def resolve_redirect_closure(
                 cols["hop_urls"].append(hus)
             yield pd.DataFrame(cols)
 
-    chased = red.mapInPandas(_chase, chase_schema).localCheckpoint(eager=False)
+    # EAGER checkpoint (closure construction is already eager via the
+    # toPandas above, and this runs once per crawl over the body-free
+    # redirect subset) so the broadcast map can be destroyed right
+    # away — a long-lived driver running many crawls must not
+    # accumulate one leaked broadcast per crawl
+    chased = red.mapInPandas(_chase, chase_schema).localCheckpoint(eager=True)
+    bc.destroy(blocking=False)
     capped_rows = chased.where(F.col("pending_hop").isNull()).select(
         "url_norm",
         "final_url",
@@ -860,18 +870,11 @@ def fetch(
         if url_col in carry:
             ev = ev.drop("_req_url_dup")
         cookie_events = ev if cookie_events is None else cookie_events.unionByName(ev)
-        redirecting = j.where(
-            F.col("status").isin(301, 302)
-            & F.col("location").isNotNull()
-            & (F.col("hops") < max_redirect)
+        hop_pred = _is_redirect(F.col("status"), F.col("location")) & (
+            F.col("hops") < max_redirect
         )
-        done = j.where(
-            ~(
-                F.col("status").isin(301, 302)
-                & F.col("location").isNotNull()
-                & (F.col("hops") < max_redirect)
-            )
-        ).select(
+        redirecting = j.where(hop_pred)
+        done = j.where(~hop_pred).select(
             *carry,
             *([] if url_col in carry else [F.col("req_url").alias(url_col)]),
             F.col("cur_url").alias("final_url"),

@@ -286,7 +286,7 @@ def add_to_headers(
     shuffles and there is no re-attach join: at 100-TB request volume
     this stage is map-only (one BroadcastNestedLoopJoin against a
     single-row side)."""
-    from mechaml_spark.page import host_col
+    from mechaml_spark.page import host_col, path_col
 
     # one row: the jar serialized in key order (name^domain^path)
     jar_arr = jar_df.select(
@@ -330,22 +330,10 @@ def add_to_headers(
         # inside a higher-order-function lambda, so the lambda below
         # references these attributes instead
         .withColumn("_req_host", host_col(F.col(url_col)))
-        .withColumn(
-            "_req_path",
-            F.coalesce(F.parse_url(F.col(url_col), F.lit("PATH")), F.lit("")),
-        )
+        .withColumn("_req_path", path_col(F.col(url_col)))
         .join(F.broadcast(jar_arr))
         .withColumn(out_col, F.coalesce(header, F.lit("")))
         .drop("_jar", "_req_host", "_req_path")
     )
 
 
-@F.pandas_udf(T.StringType())
-def _path_udf(url: pd.Series) -> pd.Series:
-    def p(u):
-        try:
-            return urlsplit(u or "").path or ""
-        except ValueError:
-            return ""
-
-    return url.map(p)

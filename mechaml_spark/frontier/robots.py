@@ -121,6 +121,37 @@ def fetch_robots_rules_df(
     )
 
 
+def mark_blocked(
+    df: DataFrame,
+    rules_df: DataFrame,
+    url_col: str = "url_norm",
+    out_col: str = "_blocked",
+) -> DataFrame:
+    """Tag each frontier row with whether robots rules block it.
+
+    THE robots-application stage, shared verbatim by the batch
+    scheduler and the streaming crawl (so semantics cannot drift):
+    broadcast join ``rules_df`` (``host, prefixes``) on ``host``, then
+    a codegen'd ``exists(prefixes, path startswith prefix)`` over the
+    crash-free :func:`mechaml_spark.page.path_col` path.  Hosts with
+    no rules row pass.  Adds ``out_col: boolean``; drops nothing else.
+    """
+    from mechaml_spark.page import path_col
+
+    return (
+        df.join(F.broadcast(rules_df), "host", "left")
+        .withColumn("_path", path_col(F.col(url_col)))
+        .withColumn(
+            out_col,
+            F.coalesce(
+                F.exists("prefixes", lambda p: F.col("_path").startswith(p)),
+                F.lit(False),
+            ),
+        )
+        .drop("prefixes", "_path")
+    )
+
+
 def fetch_robots_rules(
     spark: SparkSession,
     hosts: DataFrame,

@@ -43,6 +43,7 @@ from pyspark.sql import types as T
 from mechaml_spark import agent
 from mechaml_spark import cookies as ck
 from mechaml_spark import extract, page
+from mechaml_spark.frontier import robots as robots_mod
 from mechaml_spark.corpus import CorpusSpec, corpus_df, images_df
 from mechaml_spark.frontier.seen import SeenSet, host_shard_col
 from mechaml_spark.frontier.store import SnapshotStore
@@ -309,26 +310,9 @@ def crawl(
 
         # 1. robots filter: broadcast JOIN against the rules table +
         # codegen'd prefix check — no Python in the path, no rules
-        # dict on the driver
-        frontier = (
-            frontier.join(F.broadcast(rules_df), "host", "left")
-            .withColumn(
-                "_path",
-                F.coalesce(
-                    F.parse_url(F.col("url_norm"), F.lit("PATH")), F.lit("")
-                ),
-            )
-            .withColumn(
-                "_blocked",
-                F.coalesce(
-                    F.exists(
-                        "prefixes", lambda p: F.col("_path").startswith(p)
-                    ),
-                    F.lit(False),
-                ),
-            )
-            .drop("prefixes", "_path")
-        )
+        # dict on the driver (stage shared with streaming:
+        # robots.mark_blocked)
+        frontier = robots_mod.mark_blocked(frontier, rules_df)
         blocked = frontier.where("_blocked").select(
             F.lit(epoch).alias("epoch"), "url_norm", F.lit(-1).alias("status")
         )

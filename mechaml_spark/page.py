@@ -329,3 +329,24 @@ def canonicalize_col(url: Column) -> Column:
 
 def host_col(url: Column) -> Column:
     return _host_udf(url)
+
+
+# RFC 3986 appendix-B style split, reduced to the path component:
+# optional scheme, optional //authority, then everything up to the
+# first '?' or '#'.  Always matches, so regexp_extract never yields
+# a surprise '' for a URL it "failed" on.
+_PATH_RE = r"^(?:[A-Za-z][A-Za-z0-9+.-]*:)?(?://[^/?#]*)?([^?#]*)"
+
+
+def path_col(url: Column) -> Column:
+    """``urlsplit(url).path`` as a pure JVM expression ('' when absent
+    or NULL).
+
+    Deliberately NOT ``F.parse_url``: under Spark 4's default ANSI
+    mode ``parse_url`` raises ``INVALID_URL`` for URLs ``java.net.URI``
+    rejects (unencoded space, ``|``, bad %-escapes) — inputs the crawl
+    itself produces from ordinary hrefs and that ``urlsplit`` (the
+    normative semantics used by :func:`mechaml_spark.urlkit.path_of`
+    and the sequential oracle) handles fine.  A regex never throws and
+    keeps the robots/cookie matching byte-aligned with the oracle."""
+    return F.coalesce(F.regexp_extract(url, _PATH_RE, 1), F.lit(""))

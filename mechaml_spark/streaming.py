@@ -91,23 +91,13 @@ class StreamingCrawl:
         ).localCheckpoint(eager=True)
 
     def _robots_filter(self, df: DataFrame) -> DataFrame:
+        # literally the batch scheduler's robots stage
+        from mechaml_spark.frontier.robots import mark_blocked
+
         return (
-            df.join(F.broadcast(self._rules_df), "host", "left")
-            .withColumn(
-                "_path",
-                F.coalesce(
-                    F.parse_url(F.col("url_norm"), F.lit("PATH")), F.lit("")
-                ),
-            )
-            .where(
-                ~F.coalesce(
-                    F.exists(
-                        "prefixes", lambda p: F.col("_path").startswith(p)
-                    ),
-                    F.lit(False),
-                )
-            )
-            .drop("prefixes", "_path")
+            mark_blocked(df, self._rules_df)
+            .where(~F.col("_blocked"))
+            .drop("_blocked")
         )
 
     # ------------------------------------------------------------ seeding

@@ -110,3 +110,28 @@ def test_adaptive_fetch_no_redirects_hop_targets_none(spark, fetcher):
     assert fr.hop_targets is None  # documented "no redirects" state
     (row,) = fr.finals.collect()
     assert row["status"] == 200
+
+
+def test_empty_location_302_returned_as_is(spark):
+    """302 with ``Location: ""`` terminates immediately (truthiness —
+    matching HttpLoopFetcher and the sequential oracle) on BOTH
+    relational paths, instead of resolving ""->self and chasing its
+    own tail to the hop cap."""
+    corp = spark.createDataFrame(
+        [("http://h.test/e", 302, "", None, "ebody"),
+         ("http://h.test/n", 302, None, None, "nbody")],
+        "url_norm string, status int, location string, "
+        "set_cookie array<string>, body string",
+    )
+    reqs = corp.select("url_norm")
+
+    fr = agent.fetch(reqs, agent.CorpusFetcher(corp))
+    finals = {r["url_norm"]: r for r in fr.finals.collect()}
+    for u in finals:
+        assert finals[u]["status"] == 302 and finals[u]["final_url"] == u
+    assert fr.hop_targets is None or fr.hop_targets.count() == 0
+
+    closure = agent.resolve_redirect_closure(corp)
+    for r in closure.collect():
+        assert r["status"] == 302 and r["final_url"] == r["url_norm"]
+        assert r["hop_urls"] == [] and len(r["cookie_hops"]) == 1

@@ -182,3 +182,22 @@ def test_spark_cookies_from_responses(spark):
         (c["name"], c["value"]) for c in COOKIES[:3]
     }
     assert all(r["domain"] == HOST for r in out)
+
+
+def test_spark_add_to_headers_uri_invalid_urls(spark, jar_df):
+    """Header synthesis must match the pure Jar on URLs java.net.URI
+    rejects (raw space/pipe in the path) — F.parse_url raised
+    INVALID_URL on these under ANSI; the regex path column does not."""
+    urls = [
+        f"http://{HOST}/a b/c",
+        f"http://sub.{HOST}/x|y?q=1",
+        f"http://{HOST}/100%zz",
+    ]
+    req = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {
+        r["url"]: r["cookie_header"]
+        for r in ck.add_to_headers(req, jar_df).collect()
+    }
+    oracle = fresh_jar()
+    for u in urls:
+        assert got[u] == oracle.header_for(u), u

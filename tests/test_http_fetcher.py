@@ -332,3 +332,36 @@ def test_http_loop_fetcher_no_jar_sends_no_cookie_header(spark, loopback):
         reqs, jar_rows=[]
     ).finals.collect()
     assert rec.requests[-1]["cookie"] == ""
+
+
+def test_loop_fetcher_normalizes_lowercase_post(spark, loopback):
+    """A lowercase 'post' method must be uppercased (like
+    HttpFetcher.fetch does) so the body is transmitted — not sent
+    verbatim as a bodyless 'post'."""
+    base, rec = loopback
+    reqs = spark.createDataFrame(
+        [(f"{base}/post", "post", "a=1")],
+        "url_norm string, method string, req_body string",
+    )
+    row = agent.HttpLoopFetcher(timeout_s=5.0).fetch_result(
+        reqs, carry_cols=("method", "req_body")
+    ).finals.collect()[0]
+    assert row["status"] == 200 and row["body"] == "posted:a=1"
+    assert rec.requests[-1]["method"] == "POST"
+    assert rec.requests[-1]["body"] == "a=1"
+
+
+def test_client_header_update_preserves_fetcher_class(spark, loopback):
+    """add/remove_client_header are functional updates on ANY backend:
+    updating headers on HttpLoopFetcher must not downgrade it to the
+    base HttpFetcher (which lacks fetch_result's in-task hop loop)."""
+    base, rec = loopback
+    f = agent.HttpLoopFetcher(timeout_s=5.0).add_client_header("X-Client", "m1")
+    assert type(f) is agent.HttpLoopFetcher
+    reqs = spark.createDataFrame([(f"{base}/echo",)], "url_norm string")
+    f.fetch_result(reqs).finals.collect()
+    assert rec.requests[-1]["xhdr"] == "m1"
+    f2 = f.remove_client_header("X-Client")
+    assert type(f2) is agent.HttpLoopFetcher
+    f2.fetch_result(reqs).finals.collect()
+    assert rec.requests[-1]["xhdr"] is None

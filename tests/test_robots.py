@@ -27,3 +27,69 @@ def test_fetched_rules_match_spec(spark):
     hosts = spark.createDataFrame([(h,) for h in spec.hosts], "host string")
     got = fetch_robots_rules(spark, hosts, agent.CorpusFetcher(corpus))
     assert got == robots_rules(spec)
+
+
+def test_path_col_matches_urlsplit_semantics(spark):
+    """page.path_col must agree with urlkit.path_of (urlsplit-based,
+    the oracle's semantics) — including URLs java.net.URI rejects
+    (raw space, |, stray %) which made F.parse_url raise INVALID_URL
+    under Spark 4's default ANSI mode."""
+    from pyspark.sql import functions as F
+
+    from mechaml_spark import urlkit
+    from mechaml_spark.page import path_col
+
+    urls = [
+        "http://h.test/a b",            # raw space: URI-invalid
+        "http://h.test/a|b?q=1",        # pipe
+        "http://h.test/100%zz",         # bad %-escape
+        "http://h.test/p?q=1#frag",
+        "http://h.test",                # no path at all
+        "http://h.test?x=1",            # query, no path
+        "http://h.test/#f",
+        "https://h.test:8443/x/y/",
+        "//h.test/protorel",            # protocol-relative
+        "mailto:someone@h.test",
+        "/bare/path?x",
+        "a b/rel ative",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    got = {
+        r["u"]: r["p"]
+        for r in df.select("u", path_col(F.col("u")).alias("p")).collect()
+    }
+    for u in urls:
+        assert got[u] == urlkit.path_of(u), u
+
+
+def test_mark_blocked_survives_uri_invalid_urls(spark):
+    """Robots blocking must neither crash nor silently pass URLs whose
+    PATH java.net.URI cannot parse: a Disallow prefix with a space in
+    it still blocks the matching URL."""
+    from pyspark.sql import functions as F
+
+    from mechaml_spark.frontier.robots import mark_blocked
+
+    rules = spark.createDataFrame(
+        [("h.test", ["/private", "/a b"])],
+        "host string, prefixes array<string>",
+    )
+    frontier = spark.createDataFrame(
+        [
+            ("http://h.test/a b/page", "h.test"),   # blocked (space prefix)
+            ("http://h.test/private/x", "h.test"),  # blocked
+            ("http://h.test/ok|page", "h.test"),    # allowed, URI-invalid
+            ("http://other.test/a b", "other.test"),  # no rules row
+        ],
+        "url_norm string, host string",
+    )
+    got = {
+        r["url_norm"]: r["_blocked"]
+        for r in mark_blocked(frontier, rules).collect()
+    }
+    assert got == {
+        "http://h.test/a b/page": True,
+        "http://h.test/private/x": True,
+        "http://h.test/ok|page": False,
+        "http://other.test/a b": False,
+    }
