@@ -152,6 +152,7 @@ def main() -> None:
         "image_features",
         "image_phash",
         "image_neardup",
+        "audio_features",
         "token_stats",
         "quality_filter",
         "lang_id",

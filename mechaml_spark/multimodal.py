@@ -6,12 +6,12 @@ Design (training-data pipeline over ~100 TB of media):
   * decode / feature-extract / resize / frame-sample are Arrow-batched
     ``mapInPandas`` stages so pixel work happens per batch inside the
     Python worker and never crosses a shuffle;
-  * the PNG/PPM paths are REAL (stdlib codecs in
-    :mod:`mechaml_spark.imaging`); JPEG/audio/video decoding needs
-    libs absent in-sandbox, so those stages are explicit
-    ``NotImplementedError`` stubs (or a deterministic fake for
-    frame-sampling) behind the same schema/partitioning — swap the
-    codec, keep the plan.
+  * the PNG/PPM image paths and the PCM WAV audio path are REAL
+    (stdlib codecs: :mod:`mechaml_spark.imaging` + ``wave``);
+    JPEG/compressed-audio/video decoding needs libs absent
+    in-sandbox, so those stages are explicit ``NotImplementedError``
+    stubs (or a deterministic fake for frame-sampling) behind the
+    same schema/partitioning — swap the codec, keep the plan.
 """
 
 from __future__ import annotations
@@ -207,10 +207,116 @@ def sample_video_frames(
     return df.mapInPandas(run, schema=out_schema)
 
 
-def decode_audio(df: DataFrame, **_kw) -> DataFrame:
-    """Audio decode stage — stub (no audio libs in-sandbox)."""
-    raise NotImplementedError(
-        "no audio codec in-sandbox; deploy with soundfile/librosa — the "
-        "stage contract is mapInPandas(binary -> array<float> pcm, "
-        "sample_rate int)"
+AUDIO_T = T.StructType(
+    [
+        T.StructField("ok", T.BooleanType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),  # frames per channel
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("rms_x1000", T.LongType()),  # int16-domain RMS, x1000
+        T.StructField("peak", T.IntegerType()),  # max |sample|, int16 domain
+        T.StructField("zero_crossings", T.LongType()),
+    ]
+)
+
+
+def wav_encode(samples: np.ndarray, sample_rate: int) -> bytes:
+    """16-bit PCM RIFF/WAV from an int16 array shaped (frames,) or
+    (frames, channels) — stdlib ``wave``, no audio libs needed."""
+    import io
+    import wave
+
+    arr = np.asarray(samples, dtype="<i2")
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(arr.shape[1])
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(arr.tobytes())
+    return buf.getvalue()
+
+
+def wav_decode(data: bytes) -> tuple[int, np.ndarray]:
+    """PCM RIFF/WAV -> (sample_rate, int32 samples shaped
+    (frames, channels), int16-domain).  Handles 8/16/32-bit PCM —
+    everything stdlib ``wave`` can read."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(data), "rb") as w:
+        sr = w.getframerate()
+        nch = w.getnchannels()
+        sw = w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if sw == 2:
+        arr = np.frombuffer(raw, dtype="<i2").astype(np.int32)
+    elif sw == 1:  # 8-bit WAV is unsigned; rescale to int16 domain
+        arr = (np.frombuffer(raw, dtype=np.uint8).astype(np.int32) - 128) * 256
+    elif sw == 4:
+        arr = (np.frombuffer(raw, dtype="<i4") >> 16).astype(np.int32)
+    else:
+        raise ValueError(f"unsupported PCM sample width {sw}")
+    return sr, arr.reshape(-1, nch)
+
+
+def _audio_row(data: bytes | None, fmt: str) -> dict:
+    bad = {
+        "ok": False, "sample_rate": None, "n_channels": None,
+        "n_samples": None, "duration_ms": None, "rms_x1000": None,
+        "peak": None, "zero_crossings": None,
+    }
+    if fmt != "wav":
+        raise NotImplementedError(
+            f"no {fmt!r} audio codec in-sandbox (PCM WAV is real via "
+            "stdlib `wave`); deploy with soundfile/librosa and keep "
+            "this stage's schema"
+        )
+    if data is None:
+        return bad
+    try:
+        sr, frames = wav_decode(bytes(data))
+    except Exception:
+        return bad
+    ch0 = frames[:, 0].astype(np.float64)
+    n = frames.shape[0]
+    rms = float(np.sqrt(np.mean(ch0 * ch0))) if n else 0.0
+    nonneg = ch0 >= 0
+    return {
+        "ok": True,
+        "sample_rate": int(sr),
+        "n_channels": int(frames.shape[1]),
+        "n_samples": int(n),
+        "duration_ms": int(n * 1000 // sr) if sr else None,
+        "rms_x1000": int(round(rms * 1000)),
+        "peak": int(np.max(np.abs(frames))) if n else 0,
+        "zero_crossings": int(np.sum(nonneg[1:] != nonneg[:-1])),
+    }
+
+
+def decode_audio(
+    df: DataFrame, bytes_col: str = "bytes", fmt_col: str = "fmt"
+) -> DataFrame:
+    """Audio decode + feature stage: appends an ``audio`` struct
+    (sample_rate / channels / duration / int16-domain RMS / peak /
+    zero-crossings) per Arrow batch.  REAL for PCM WAV (stdlib
+    ``wave`` — 8/16/32-bit, any channel count); other formats raise
+    NotImplementedError behind the same schema.  Undecodable bytes
+    yield ``ok=false`` rows — per-row catch, never a task failure.
+    Features are computed on channel 0; PCM never crosses a shuffle."""
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("audio", AUDIO_T)]
     )
+    cols = df.columns
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[cols].copy()
+            out["audio"] = [
+                _audio_row(b, f) for b, f in zip(pdf[bytes_col], pdf[fmt_col])
+            ]
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)

@@ -531,6 +531,61 @@ def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio pipeline with a CLOSED-FORM oracle: deterministic mono
+    16-bit PCM WAV square waves keyed by doc_id -> REAL stdlib
+    ``wave`` encode -> REAL decode -> feature extraction
+    (:func:`mechaml_spark.multimodal.decode_audio`).
+
+    Doc d gets a square wave of amplitude ``A = 1000 + (d%30)*500``
+    flipping sign every ``H = 4 + d%5`` frames over
+    ``N = 16*(500 + d%50)`` frames at 16 kHz, so every feature is
+    exact integer arithmetic both engines share: RMS = A (all samples
+    are +/-A), duration_ms = N/16, zero crossings = (N-1)//H (one per
+    block boundary).  The Spark side still pushes real RIFF bytes
+    through the full mapInPandas decode stage."""
+    import numpy as _np
+    import pandas as _pd
+
+    from mechaml_spark import multimodal
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 300
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 16 * (500 + did % 50)
+                amp = 1000 + (did % 30) * 500
+                h = 4 + did % 5
+                sign = 1 - 2 * ((_np.arange(n) // h) % 2)
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "bytes": multimodal.wav_encode(
+                            (sign * amp).astype("<i2"), 16000
+                        ),
+                        "fmt": "wav",
+                    }
+                )
+            yield _pd.DataFrame(rows, columns=["doc_id", "bytes", "fmt"])
+
+    media = d.mapInPandas(gen, schema="doc_id long, bytes binary, fmt string")
+    a = multimodal.decode_audio(media)
+    return a.select(
+        "doc_id",
+        F.col("audio")["sample_rate"].alias("sample_rate"),
+        F.col("audio")["n_samples"].alias("n_samples"),
+        F.col("audio")["duration_ms"].alias("duration_ms"),
+        F.col("audio")["rms_x1000"].alias("rms_x1000"),
+        F.col("audio")["peak"].alias("peak"),
+        F.col("audio")["zero_crossings"].alias("zero_crossings"),
+    )
+
+
 # BPE-ish pretokenizer: letter runs / digit runs / single
 # non-alnum-non-space marks — the GPT-2-style pretoken split reduced
 # to a class-portable core (identical semantics under Java regex and
@@ -874,6 +929,7 @@ QUERIES = {
     "image_features": q_image_features,
     "image_phash": q_image_phash,
     "image_neardup": q_image_neardup,
+    "audio_features": q_audio_features,
     "token_stats": q_token_stats,
     "quality_filter": q_quality_filter,
     "lang_id": q_lang_id,
@@ -1130,6 +1186,18 @@ ORACLES = {
                      (phash >> (16 * CAST(b AS INT))) & 65535 AS val
               FROM ph, range(4) rb(b))
         GROUP BY band, val HAVING count(*) > 1
+    """,
+    "audio_features": """
+        SELECT doc_id,
+               CAST(16000 AS INT) AS sample_rate,
+               CAST(16 * (500 + doc_id % 50) AS BIGINT) AS n_samples,
+               CAST(500 + doc_id % 50 AS BIGINT) AS duration_ms,
+               CAST((1000 + (doc_id % 30) * 500) * 1000 AS BIGINT)
+                   AS rms_x1000,
+               CAST(1000 + (doc_id % 30) * 500 AS INT) AS peak,
+               CAST((16 * (500 + doc_id % 50) - 1) // (4 + doc_id % 5)
+                    AS BIGINT) AS zero_crossings
+        FROM documents WHERE doc_id < 300
     """,
     "token_stats": f"""
         SELECT lang,

@@ -81,6 +81,41 @@ def test_real_video_format_raises(spark):
     assert "NotImplementedError" in str(ei.value) or "no 'mp4'" in str(ei.value)
 
 
-def test_audio_stub():
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_audio(None)
+def test_audio_wav_roundtrip(spark):
+    # 1 kHz-ish square wave: 100 frames of +/-2000 flipping every 10,
+    # stereo second channel all zeros (features are channel-0)
+    sign = np.repeat([1, -1] * 5, 10)[:100]
+    mono = (sign * 2000).astype("<i2")
+    stereo = np.stack([mono, np.zeros(100, dtype="<i2")], axis=1)
+    df = spark.createDataFrame(
+        [
+            ("a", multimodal.wav_encode(mono, 8000), "wav"),
+            ("b", multimodal.wav_encode(stereo, 16000), "wav"),
+            ("c", b"not a wav", "wav"),
+            ("d", None, "wav"),
+        ],
+        "media_id string, bytes binary, fmt string",
+    )
+    rows = {r["media_id"]: r["audio"] for r in multimodal.decode_audio(df).collect()}
+    for mid, sr, nch in [("a", 8000, 1), ("b", 16000, 2)]:
+        f = rows[mid]
+        assert f["ok"] and f["sample_rate"] == sr and f["n_channels"] == nch
+        assert f["n_samples"] == 100
+        assert f["duration_ms"] == 100 * 1000 // sr
+        assert f["rms_x1000"] == 2000_000  # all samples +/-2000
+        assert f["peak"] == 2000
+        assert f["zero_crossings"] == 9  # sign flips at 10,20,...,90
+    # local numpy cross-check on the same bytes
+    sr, frames = multimodal.wav_decode(multimodal.wav_encode(mono, 8000))
+    assert sr == 8000 and np.array_equal(frames[:, 0], mono.astype(np.int32))
+    assert rows["c"]["ok"] is False  # error row, not a task failure
+    assert rows["d"]["ok"] is False
+
+
+def test_audio_real_format_raises(spark):
+    df = spark.createDataFrame(
+        [("x", b"\xff\xfb", "mp3")], "media_id string, bytes binary, fmt string"
+    )
+    with pytest.raises(Exception) as ei:
+        multimodal.decode_audio(df).collect()
+    assert "NotImplementedError" in str(ei.value) or "no 'mp3'" in str(ei.value)
