@@ -243,3 +243,119 @@ class StreamingCrawl:
     # ------------------------------------------------------------ results
     def visits(self) -> DataFrame:
         return self.spark.read.parquet(self.visit_dir)
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful streaming operator: event-time sessionization via
+# applyInPandasWithState — the streaming twin of the batch
+# `sessionize` driver query (same 30-min gap rule), for pipelines that
+# sessionize a live event feed instead of a parquet snapshot.
+
+SESSION_OUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long"
+)
+_SESSION_STATE_SCHEMA = "start_us long, last_us long, n long"
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap_s: int = 1800,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Streaming sessionization: one output row per CLOSED session.
+
+    ``events`` is a STREAMING DataFrame with at least
+    ``(user_id: long, ts: timestamp)``.  Sessions follow the batch
+    `sessionize` query's rule — a new session starts when the gap
+    since the user's previous event exceeds ``gap_s`` — and a session
+    closes either when a same-batch successor event proves the gap,
+    or when the event-time watermark passes ``last_event + gap_s``
+    (GroupStateTimeout.EventTimeTimeout), which is how late data is
+    bounded: events older than the watermark are dropped by
+    ``withWatermark`` before they can reopen an emitted session.
+
+    Scale shape: state is one tiny (start, last, n) triple per live
+    user key, partitioned by ``user_id`` — no skew beyond the natural
+    per-user event rate, and the Arrow-batched pandas transform never
+    sees more than one user's in-flight batch at a time."""
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.streaming.state import (  # noqa: PLC0415
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    gap_us = gap_s * 1_000_000
+
+    def fn(key, pdfs, state: GroupState):
+        (uid,) = key
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [uid],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "session_end": [pd.Timestamp(last_us, unit="us")],
+                    "n_events": [n],
+                }
+            )
+            return
+        # normalize to int64 microseconds regardless of the Arrow
+        # batch's datetime64 resolution (ns under classic pandas,
+        # us under pyarrow-backed pandas)
+        ts_us = (
+            pd.concat([pdf["ts"] for pdf in pdfs])
+            .sort_values()
+            .astype("datetime64[us]")
+            .astype("int64")
+        ).to_numpy()
+        first = not state.exists
+        start_us = last_us = n = 0
+        if state.exists:
+            start_us, last_us, n = state.get
+        closed = []
+        for t in ts_us:
+            t = int(t)
+            if first:
+                start_us, last_us, n, first = t, t, 1, False
+            elif t - last_us > gap_us:
+                closed.append((start_us, last_us, n))
+                start_us, last_us, n = t, t, 1
+            else:
+                last_us, n = t, n + 1
+        state.update((start_us, last_us, n))
+        # close when the watermark passes last_event + gap; the
+        # timeout timestamp must sit strictly beyond the current
+        # watermark (same-batch boundary events can otherwise set a
+        # timeout already in the past)
+        timeout_ms = max(
+            (last_us + gap_us) // 1000, state.getCurrentWatermarkMs() + 1
+        )
+        state.setTimeoutTimestamp(timeout_ms)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [uid] * len(closed),
+                    "session_start": [
+                        pd.Timestamp(s, unit="us") for s, _, _ in closed
+                    ],
+                    "session_end": [
+                        pd.Timestamp(e, unit="us") for _, e, _ in closed
+                    ],
+                    "n_events": [n_ for _, _, n_ in closed],
+                }
+            )
+
+    return (
+        events.select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+        .withWatermark("ts", watermark_delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            SESSION_OUT_SCHEMA,
+            _SESSION_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -49,3 +49,78 @@ def test_streaming_crawl_visits_reachable_set(spark, tmp_path):
 
     # 200s parsed, link depths monotone from seeds
     assert visits.where(F.col("status") == 200).count() > 0
+
+
+@pytest.mark.timeout(300)
+def test_sessionize_stream_matches_batch_rule(spark, tmp_path):
+    """Stateful streaming sessionization (applyInPandasWithState +
+    event-time timeout) emits exactly the sessions the batch gap rule
+    defines, across micro-batch boundaries and via watermark timeout.
+
+    Events arrive in ts order over several files (one file = one
+    micro-batch); two far-future flush events advance the watermark so
+    every real session closes by end-of-stream without relying on
+    no-data micro-batches."""
+    import pandas as pd
+
+    from mechaml_spark.streaming import sessionize_stream
+
+    gap_s = 1800
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    mins = lambda m: base + pd.Timedelta(minutes=m)  # noqa: E731
+    # user 1: two sessions split inside one micro-batch (gap 40 min);
+    # user 2: one session spanning micro-batches (gaps < 30 min);
+    # user 3: singleton session closed only by the watermark timeout
+    files = [
+        [(1, mins(0)), (1, mins(10)), (1, mins(50)), (2, mins(5))],
+        [(2, mins(25)), (2, mins(45)), (3, mins(60))],
+        [(1, mins(70)), (2, mins(66))],
+        [(-1, mins(600))],
+        [(-1, mins(1200))],
+    ]
+    in_dir = tmp_path / "events"
+    in_dir.mkdir()
+    for i, rows in enumerate(files):
+        spark.createDataFrame(
+            [(u, t.to_pydatetime()) for u, t in rows],
+            "user_id long, ts timestamp",
+        ).coalesce(1).write.mode("append").parquet(str(in_dir / f"f{i}"))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(in_dir) + "/*")
+    )
+    name = "sess_out"
+    q = (
+        sessionize_stream(stream, gap_s=gap_s)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+        if r["user_id"] != -1
+    }
+    # expected sessions from the batch gap rule, computed directly
+    events = sorted(
+        [(u, t) for rows in files for u, t in rows if u != -1]
+    )
+    expected, cur = set(), {}
+    for u, t in events:
+        if u in cur and (t - cur[u][1]).total_seconds() > gap_s:
+            s, e, n = cur.pop(u)
+            expected.add((u, s.to_pydatetime(), e.to_pydatetime(), n))
+        if u not in cur:
+            cur[u] = [t, t, 1]
+        else:
+            cur[u][1], cur[u][2] = t, cur[u][2] + 1
+    for u, (s, e, n) in cur.items():
+        expected.add((u, s.to_pydatetime(), e.to_pydatetime(), n))
+    assert got == expected
