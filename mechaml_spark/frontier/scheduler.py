@@ -83,6 +83,12 @@ FRONTIER_T = T.StructType(
         T.StructField("host", T.StringType()),
         T.StructField("depth", T.IntegerType()),
         T.StructField("discovered_epoch", T.IntegerType()),
+        # transport-retry attempt counter (0 = first try).  NOT part
+        # of the priority key: a retried URL keeps its original
+        # (depth, discovered_epoch, url_norm) slot, so retries are
+        # deterministic and corpus-backed crawls (which never emit
+        # status 0) are byte-identical with the feature on.
+        T.StructField("attempt", T.IntegerType()),
     ]
 )
 
@@ -163,6 +169,8 @@ def crawl(
     corpus: DataFrame | None = None,
     images: DataFrame | None = None,
     truncate_every: int = 4,
+    max_transport_retries: int = 2,
+    fetcher=None,
 ) -> CrawlResult:
     """``corpus``/``images`` may be passed pre-materialized (cached)
     so their generation cost — the simulated *network*, not crawl
@@ -187,10 +195,11 @@ def crawl(
     # then every superstep's fetch is a single equi-join.  This is the
     # Spark analogue of the HTTP client chasing redirects inside the
     # fetch task rather than the driver orchestrating per-hop jobs.
-    closure = agent.resolve_redirect_closure(
-        corpus, max_redirect
-    ).localCheckpoint(eager=False)
-    fetcher = agent.ResolvedCorpusFetcher(closure)
+    if fetcher is None:
+        closure = agent.resolve_redirect_closure(
+            corpus, max_redirect
+        ).localCheckpoint(eager=False)
+        fetcher = agent.ResolvedCorpusFetcher(closure)
     mark("closure built")
     # robots rules come from actually fetching /robots.txt per host
     # through the fetch stage (north rule: broadcast robots cache).
@@ -258,6 +267,8 @@ def crawl(
         snap, dfs = store.load(spark)
         start_epoch = snap.epoch + 1
         frontier = dfs["frontier"]
+        if "attempt" not in frontier.columns:  # pre-retry snapshots
+            frontier = frontier.withColumn("attempt", F.lit(0))
         seen = SeenSet(spark, n_shards, n_bits, dfs["seen"], dfs["bloom"])
         jar = dfs["jar"]
         visit_log = dfs["visit_log"]
@@ -270,6 +281,7 @@ def crawl(
                 "host",
                 F.lit(0).alias("depth"),
                 F.lit(0).alias("discovered_epoch"),
+                F.lit(0).alias("attempt"),
             )
         else:
             seed_rows = sorted(
@@ -277,7 +289,7 @@ def crawl(
             )
             frontier = spark.createDataFrame(
                 [
-                    (u, urlkit.host_of(u), 0, 0)
+                    (u, urlkit.host_of(u), 0, 0, 0)
                     for u in seed_rows
                 ],
                 FRONTIER_T,
@@ -329,7 +341,7 @@ def crawl(
         fr = fetcher.fetch_result(
             selected,
             url_col="url_norm",
-            carry_cols=("host", "depth", "discovered_epoch"),
+            carry_cols=("host", "depth", "discovered_epoch", "attempt"),
         )
         finals = fr.finals.localCheckpoint(eager=_EAGER)
         mark(f"e{epoch} fetch+finals")
@@ -349,6 +361,28 @@ def crawl(
         pages_log = pages_log.unionByName(
             finals.select(F.lit(epoch).alias("epoch"), "url_norm", "status")
         )
+
+        # transport-failure retry: status 0 marks a DNS/connect/timeout
+        # failure (never a real HTTP response — those keep their code),
+        # and the URL is already in the seen set, so without requeueing
+        # a transient blip permanently drops the page.  Failed rows
+        # re-enter the frontier directly (bypassing dedup — correct:
+        # they ARE seen) with attempt+1, keeping their original
+        # priority-key slot; each attempt is logged in visit_log.
+        # Corpus-backed fetchers never emit status 0, so oracle
+        # byte-equality is untouched.
+        if max_transport_retries > 0:
+            requeue = finals.where(
+                (F.col("status") == 0)
+                & (F.col("attempt") < max_transport_retries)
+            ).select(
+                "url_norm",
+                "host",
+                "depth",
+                "discovered_epoch",
+                (F.col("attempt") + 1).alias("attempt"),
+            )
+            frontier = frontier.unionByName(requeue)
 
         # 4. extract links + images from 200 responses — fused parse +
         # resolve + canonicalize + scheme filter + per-page dedup in a
@@ -435,7 +469,11 @@ def crawl(
         ).persist()
         mark(f"e{epoch} seen.add")
         new_frontier = new_seen.where(~F.col("is_hop")).select(
-            "url_norm", "host", "depth", F.lit(epoch).alias("discovered_epoch")
+            "url_norm",
+            "host",
+            "depth",
+            F.lit(epoch).alias("discovered_epoch"),
+            F.lit(0).alias("attempt"),
         )
         frontier = frontier.unionByName(new_frontier).localCheckpoint(eager=_EAGER)
         mark(f"e{epoch} frontier ckpt")
