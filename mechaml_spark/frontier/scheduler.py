@@ -171,6 +171,7 @@ def crawl(
     truncate_every: int = 4,
     max_transport_retries: int = 2,
     fetcher=None,
+    robots_fetcher=None,
 ) -> CrawlResult:
     """``corpus``/``images`` may be passed pre-materialized (cached)
     so their generation cost — the simulated *network*, not crawl
@@ -255,8 +256,16 @@ def crawl(
             [(h, seed_hosts.get(h, "http")) for h in spec.hosts],
             "host string, scheme string",
         )
+    # ``fetcher`` overrides the PAGE-fetch backend only; robots rules
+    # go through ``robots_fetcher`` (default: corpus-backed).  A live
+    # deployment passes BOTH so robots.txt comes over the same wire
+    # as the pages — passing only ``fetcher`` would obey synthetic
+    # robots while fetching real hosts.
     rules_df = fetch_robots_rules_df(
-        spark, hosts_df, agent.CorpusFetcher(corpus), scheme_col="scheme"
+        spark,
+        hosts_df,
+        robots_fetcher or agent.CorpusFetcher(corpus),
+        scheme_col="scheme",
     ).localCheckpoint(eager=False)
     mark("robots fetched")
 

@@ -241,8 +241,9 @@ def wav_encode(samples: np.ndarray, sample_rate: int) -> bytes:
 
 def wav_decode(data: bytes) -> tuple[int, np.ndarray]:
     """PCM RIFF/WAV -> (sample_rate, int32 samples shaped
-    (frames, channels), int16-domain).  Handles 8/16/32-bit PCM —
-    everything stdlib ``wave`` can read."""
+    (frames, channels), int16-domain).  Handles 8/16/32-bit PCM;
+    24-bit (which stdlib ``wave`` can also read) is rejected with
+    ValueError — no packed-3-byte path here."""
     import io
     import wave
 
@@ -268,6 +269,8 @@ def _audio_row(data: bytes | None, fmt: str) -> dict:
         "n_samples": None, "duration_ms": None, "rms_x1000": None,
         "peak": None, "zero_crossings": None,
     }
+    if fmt is None:
+        return bad  # missing format metadata = bad row, not a stage kill
     if fmt != "wav":
         raise NotImplementedError(
             f"no {fmt!r} audio codec in-sandbox (PCM WAV is real via "
@@ -291,7 +294,7 @@ def _audio_row(data: bytes | None, fmt: str) -> dict:
         "n_samples": int(n),
         "duration_ms": int(n * 1000 // sr) if sr else None,
         "rms_x1000": int(round(rms * 1000)),
-        "peak": int(np.max(np.abs(frames))) if n else 0,
+        "peak": int(np.max(np.abs(frames[:, 0]))) if n else 0,
         "zero_crossings": int(np.sum(nonneg[1:] != nonneg[:-1])),
     }
 
@@ -302,10 +305,12 @@ def decode_audio(
     """Audio decode + feature stage: appends an ``audio`` struct
     (sample_rate / channels / duration / int16-domain RMS / peak /
     zero-crossings) per Arrow batch.  REAL for PCM WAV (stdlib
-    ``wave`` — 8/16/32-bit, any channel count); other formats raise
-    NotImplementedError behind the same schema.  Undecodable bytes
-    yield ``ok=false`` rows — per-row catch, never a task failure.
-    Features are computed on channel 0; PCM never crosses a shuffle."""
+    ``wave`` — 8/16/32-bit, any channel count); other KNOWN formats
+    raise NotImplementedError behind the same schema (the explicit
+    stub contract, same as the image/video codecs).  Undecodable
+    bytes and NULL fmt yield ``ok=false`` rows — per-row catch, never
+    a task failure.  ALL features (rms/peak/zero-crossings) are
+    computed on channel 0; PCM never crosses a shuffle."""
     out_schema = T.StructType(
         list(df.schema.fields) + [T.StructField("audio", AUDIO_T)]
     )

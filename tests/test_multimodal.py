@@ -86,13 +86,17 @@ def test_audio_wav_roundtrip(spark):
     # stereo second channel all zeros (features are channel-0)
     sign = np.repeat([1, -1] * 5, 10)[:100]
     mono = (sign * 2000).astype("<i2")
-    stereo = np.stack([mono, np.zeros(100, dtype="<i2")], axis=1)
+    # channel 1 LOUD and constant-positive: if any feature leaked
+    # channel-1 samples, rms/peak would jump to ~30000 and
+    # zero_crossings would drop — all features must be channel-0
+    stereo = np.stack([mono, np.full(100, 30000, dtype="<i2")], axis=1)
     df = spark.createDataFrame(
         [
             ("a", multimodal.wav_encode(mono, 8000), "wav"),
             ("b", multimodal.wav_encode(stereo, 16000), "wav"),
             ("c", b"not a wav", "wav"),
             ("d", None, "wav"),
+            ("e", b"\x00\x01", None),  # NULL fmt = bad row, not a crash
         ],
         "media_id string, bytes binary, fmt string",
     )
@@ -110,6 +114,7 @@ def test_audio_wav_roundtrip(spark):
     assert sr == 8000 and np.array_equal(frames[:, 0], mono.astype(np.int32))
     assert rows["c"]["ok"] is False  # error row, not a task failure
     assert rows["d"]["ok"] is False
+    assert rows["e"]["ok"] is False
 
 
 def test_audio_real_format_raises(spark):

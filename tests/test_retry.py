@@ -59,7 +59,12 @@ class FlakyFetcher:
                 "status", F.when(cond, F.lit(0)).otherwise(F.col("status"))
             )
         )
-        return dataclasses.replace(fr, finals=finals)
+        # a real transport failure produces no Set-Cookie events for
+        # the failed request either; hop_targets need no filtering
+        # here because the chosen fail URLs are plain pages (asserted
+        # in the tests via their 200 final status, no redirect)
+        cookies = fr.cookie_events.where(~F.col(url_col).isin(self.fail_urls))
+        return dataclasses.replace(fr, finals=finals, cookie_events=cookies)
 
 
 def _crawl_with(spark, fetcher, **kw):
@@ -102,7 +107,7 @@ def test_transient_failure_retried_to_success(spark):
     for u in SEEDS:
         attempts = sorted(by_url[u])
         assert attempts[0][1] == 0, "first attempt logged as transport failure"
-        assert attempts[-1][1] in (200, 301, 302) or attempts[-1][1] > 0
+        assert attempts[-1][1] == 200, "retry resolved to the real response"
         assert len(attempts) == 2
         assert attempts[1][0] > attempts[0][0], "retry lands in a later epoch"
 
