@@ -241,9 +241,9 @@ def wav_encode(samples: np.ndarray, sample_rate: int) -> bytes:
 
 def wav_decode(data: bytes) -> tuple[int, np.ndarray]:
     """PCM RIFF/WAV -> (sample_rate, int32 samples shaped
-    (frames, channels), int16-domain).  Handles 8/16/32-bit PCM;
-    24-bit (which stdlib ``wave`` can also read) is rejected with
-    ValueError — no packed-3-byte path here."""
+    (frames, channels), int16-domain).  Handles 8/16/24/32-bit PCM —
+    everything stdlib ``wave`` can read (24-bit via a packed-3-byte
+    unpack; 24/32-bit are truncated to the int16 domain)."""
     import io
     import wave
 
@@ -256,6 +256,14 @@ def wav_decode(data: bytes) -> tuple[int, np.ndarray]:
         arr = np.frombuffer(raw, dtype="<i2").astype(np.int32)
     elif sw == 1:  # 8-bit WAV is unsigned; rescale to int16 domain
         arr = (np.frombuffer(raw, dtype=np.uint8).astype(np.int32) - 128) * 256
+    elif sw == 3:  # packed little-endian 24-bit -> int16 domain
+        b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+        v = (
+            b[:, 0].astype(np.int32)
+            | (b[:, 1].astype(np.int32) << 8)
+            | (b[:, 2].astype(np.int32) << 16)
+        )
+        arr = ((v ^ 0x800000) - 0x800000) >> 8  # sign-extend, to 16-bit
     elif sw == 4:
         arr = (np.frombuffer(raw, dtype="<i4") >> 16).astype(np.int32)
     else:

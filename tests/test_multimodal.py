@@ -124,3 +124,60 @@ def test_audio_real_format_raises(spark):
     with pytest.raises(Exception) as ei:
         multimodal.decode_audio(df).collect()
     assert "NotImplementedError" in str(ei.value) or "no 'mp3'" in str(ei.value)
+
+
+def test_wav_codec_pure_roundtrip_and_widths():
+    """Pure-Python codec checks (no Spark): 16-bit round-trip is
+    bit-exact for arbitrary arrays (hypothesis); 8/24/32-bit decode
+    reaches the same int16-domain values stdlib `wave` implies."""
+    import io
+    import struct
+    import wave as wave_mod
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=-32768, max_value=32767),
+            min_size=1,
+            max_size=200,
+        ),
+        st.sampled_from([1, 2]),
+        st.sampled_from([8000, 44100]),
+    )
+    def roundtrip(vals, nch, sr):
+        arr = np.array(vals, dtype="<i2")
+        frames = arr[: len(arr) - (len(arr) % nch)].reshape(-1, nch)
+        if frames.size == 0:
+            return
+        sr2, out = multimodal.wav_decode(multimodal.wav_encode(frames, sr))
+        assert sr2 == sr
+        assert np.array_equal(out, frames.astype(np.int32))
+
+    roundtrip()
+
+    def raw_wav(sampwidth, payload, sr=8000, nch=1):
+        buf = io.BytesIO()
+        with wave_mod.open(buf, "wb") as w:
+            w.setnchannels(nch)
+            w.setsampwidth(sampwidth)
+            w.setframerate(sr)
+            w.writeframes(payload)
+        return buf.getvalue()
+
+    # 8-bit unsigned: 0 -> -32768, 128 -> 0, 255 -> +32512
+    _, out8 = multimodal.wav_decode(raw_wav(1, bytes([0, 128, 255])))
+    assert out8[:, 0].tolist() == [-32768, 0, 32512]
+    # 24-bit packed: min / -1 / 0 / +1 / max in the 24-bit domain
+    vals24 = [-(1 << 23), -256, 0, 256, (1 << 23) - 1]
+    payload = b"".join(
+        struct.pack("<i", v)[:3] for v in vals24
+    )
+    _, out24 = multimodal.wav_decode(raw_wav(3, payload))
+    assert out24[:, 0].tolist() == [-32768, -1, 0, 1, 32767]
+    # 32-bit: top 16 bits survive
+    payload32 = struct.pack("<2i", -(1 << 31), (1 << 31) - 1)
+    _, out32 = multimodal.wav_decode(raw_wav(4, payload32))
+    assert out32[:, 0].tolist() == [-32768, 32767]
