@@ -132,11 +132,51 @@ def ppm_decode(data: bytes) -> np.ndarray:
     return arr.reshape(h, w, 3).copy()
 
 
+def bmp_encode(pixels: np.ndarray) -> bytes:
+    """Uncompressed 24-bit BMP (BITMAPINFOHEADER, bottom-up, BGR,
+    4-byte row padding) — the third stdlib-only real format."""
+    import struct
+
+    h, w, _ = pixels.shape
+    pad = (-(w * 3)) % 4
+    stride = w * 3 + pad
+    img_size = stride * h
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 14 + 40
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = pixels[::-1, :, ::-1].reshape(h, w * 3)  # flip+BGR
+    return header + rows.tobytes()
+
+
+def bmp_decode(data: bytes) -> np.ndarray:
+    import struct
+
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    off = struct.unpack_from("<I", data, 10)[0]
+    w, h = struct.unpack_from("<ii", data, 18)
+    bpp = struct.unpack_from("<H", data, 28)[0]
+    comp = struct.unpack_from("<I", data, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"only uncompressed 24-bit BMP (got {bpp}bpp/{comp})")
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(data, dtype=np.uint8, count=stride * h, offset=off)
+    px = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)[..., ::-1]
+    return (px if top_down else px[::-1]).copy()
+
+
 def decode(data: bytes, fmt: str) -> np.ndarray:
     if fmt == "png":
         return png_decode(data)
     if fmt == "ppm":
         return ppm_decode(data)
+    if fmt == "bmp":
+        return bmp_decode(data)
     raise NotImplementedError(
         f"decoder for {fmt!r} not available in-sandbox (no image libs); "
         "plug a real codec here on a full cluster image"
@@ -148,6 +188,8 @@ def encode(pixels: np.ndarray, fmt: str) -> bytes:
         return png_encode(pixels)
     if fmt == "ppm":
         return ppm_encode(pixels)
+    if fmt == "bmp":
+        return bmp_encode(pixels)
     raise NotImplementedError(f"encoder for {fmt!r} not available in-sandbox")
 
 

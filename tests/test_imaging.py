@@ -115,3 +115,44 @@ def test_dhash64_geometry_identity():
     if expect >= 1 << 63:
         expect -= 1 << 64
     assert imaging.dhash64(px) == expect
+
+
+def test_bmp_roundtrip_and_variants():
+    """BMP: bit-exact round-trip through encode/decode (incl. widths
+    that need 4-byte row padding), top-down negative-height decode,
+    and a hypothesis sweep over shapes."""
+    import struct
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    rng = np.random.default_rng(7)
+    for w in (1, 2, 3, 4, 5, 16):  # w=1..3 exercise row padding
+        px = rng.integers(0, 256, (5, w, 3), dtype=np.uint8)
+        assert np.array_equal(imaging.bmp_decode(imaging.bmp_encode(px)), px)
+        # through the generic dispatch too
+        assert np.array_equal(
+            imaging.decode(imaging.encode(px, "bmp"), "bmp"), px
+        )
+
+    # top-down BMP (negative height): same pixels, no vertical flip
+    px = rng.integers(0, 256, (4, 3, 3), dtype=np.uint8)
+    data = bytearray(imaging.bmp_encode(px))
+    h = struct.unpack_from("<i", data, 22)[0]
+    struct.pack_into("<i", data, 22, -h)
+    # rows in the file are bottom-up; reinterpreting as top-down must
+    # yield the vertically flipped image
+    assert np.array_equal(imaging.bmp_decode(bytes(data)), px[::-1])
+
+    with pytest.raises(ValueError):
+        imaging.bmp_decode(b"not a bmp")
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.integers(1, 9), st.integers(1, 9), st.integers(0, 2**32 - 1))
+    def rt(h, w, seed):
+        px = np.random.default_rng(seed).integers(
+            0, 256, (h, w, 3), dtype=np.uint8
+        )
+        assert np.array_equal(imaging.bmp_decode(imaging.bmp_encode(px)), px)
+
+    rt()
