@@ -258,6 +258,34 @@ SESSION_OUT_SCHEMA = (
 _SESSION_STATE_SCHEMA = "start_us long, last_us long, n long"
 
 
+def events_per_window(
+    events: DataFrame,
+    window: str = "1 minute",
+    watermark_delay: str = "30 seconds",
+) -> DataFrame:
+    """Event-time tumbling-window counts with late-data bounding —
+    the built-in windowed-aggregation idiom (no custom state).
+
+    In append mode a window row is emitted exactly once, when the
+    watermark (max event time seen minus ``watermark_delay``) passes
+    the window end; events arriving later than the watermark are
+    dropped, so a straggler can never reopen or double-count an
+    already-emitted window.  State per live window is one count —
+    bounded by (watermark horizon / window length), independent of
+    stream volume."""
+    return (
+        events.select(F.col("ts").cast("timestamp").alias("ts"))
+        .withWatermark("ts", watermark_delay)
+        .groupBy(F.window("ts", window).alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w")["start"].alias("window_start"),
+            F.col("w")["end"].alias("window_end"),
+            "n_events",
+        )
+    )
+
+
 def sessionize_stream(
     events: DataFrame,
     gap_s: int = 1800,

@@ -124,3 +124,65 @@ def test_sessionize_stream_matches_batch_rule(spark, tmp_path):
     for u, (s, e, n) in cur.items():
         expected.add((u, s.to_pydatetime(), e.to_pydatetime(), n))
     assert got == expected
+
+
+@pytest.mark.timeout(300)
+def test_events_per_window_drops_late_rows(spark, tmp_path):
+    """Watermarked tumbling-window agg: append mode emits each window
+    exactly once, when the watermark passes its end and the state is
+    evicted; a straggler arriving AFTER eviction is dropped — it can
+    neither reopen nor double-count the emitted window (the hard
+    guarantee; a straggler arriving while the state still lives may
+    legally be merged — Spark's watermark is a bound on accepted
+    lateness, not an eager filter)."""
+    import pandas as pd
+
+    from mechaml_spark.streaming import events_per_window
+
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    secs = lambda s: (base + pd.Timedelta(seconds=s)).to_pydatetime()  # noqa: E731
+    files = [
+        [(1, secs(10)), (1, secs(20)), (1, secs(65))],
+        # end-of-batch raises the watermark to 180-30 = 150s
+        [(1, secs(180))],
+        # this batch runs WITH wm=150s: [0,60) and [60,120) are
+        # evicted and emitted; its own event lands in [180,240)
+        [(1, secs(185))],
+        # straggler at 30s, far below the watermark and after
+        # eviction -> dropped (no duplicate [0,60) row either)
+        [(1, secs(30))],
+        # advances watermark to 600-30 = 570s: [180,240) finalizes
+        [(1, secs(600))],
+    ]
+    in_dir = tmp_path / "wevents"
+    in_dir.mkdir()
+    for i, rows in enumerate(files):
+        spark.createDataFrame(
+            rows, "user_id long, ts timestamp"
+        ).coalesce(1).write.mode("append").parquet(str(in_dir / f"f{i}"))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(in_dir) + "/*")
+    )
+    q = (
+        events_per_window(stream, window="1 minute", watermark_delay="30 seconds")
+        .writeStream.format("memory")
+        .queryName("win_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "wckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+
+    got = {
+        (r["window_start"].second + r["window_start"].minute * 60, r["n_events"])
+        for r in spark.sql("SELECT * FROM win_out").collect()
+    }
+    # [0,60): 2 events — the post-eviction straggler is NOT counted
+    # and produced no duplicate window row; [60,120): 1;
+    # [180,240): 2 (events at 180 and 185).  The 600s event's window
+    # never finalizes before end-of-stream and is correctly absent.
+    assert got == {(0, 2), (60, 1), (180, 2)}
