@@ -1,4 +1,4 @@
-"""Stdlib image codecs (PNG / PPM) + PSNR — no PIL in-sandbox.
+"""Stdlib image codecs (PNG / PPM / BMP / GIF) + PSNR — no PIL in-sandbox.
 
 The crawl's payload rows are ``(image_id, bytes, w, h, fmt, caption,
 phash)`` (BASELINE.json input_hint).  The per-row invariant is
@@ -9,7 +9,12 @@ synthetic noise).
 
 PNG here is the minimal spec subset we emit: 8-bit RGB, one IDAT,
 filter types 0-4 supported on decode (we encode filter 0).  Public
-spec: https://www.w3.org/TR/png/ .
+spec: https://www.w3.org/TR/png/ .  BMP is uncompressed 24-bit.
+GIF decode is real (variable-width LZW, global/local color tables,
+interlace; first frame of animations, pure-Python bit reader — fine
+for test/bench scale, swap a C codec for bulk decode); GIF encode
+uses literal LZW codes with periodic CLEARs (valid for any reader,
+bit-exact round-trip, <= 256 distinct colors).
 """
 
 from __future__ import annotations
@@ -170,6 +175,174 @@ def bmp_decode(data: bytes) -> np.ndarray:
     return (px if top_down else px[::-1]).copy()
 
 
+def _gif_lzw_decode(min_code_size: int, data: bytes) -> list[int]:
+    """GIF-flavor LZW (variable code width, CLEAR/EOI codes) ->
+    palette indices."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    # bit reader: GIF packs codes LSB-first
+    bitpos = 0
+    nbits = len(data) * 8
+
+    def read(width: int) -> int:
+        nonlocal bitpos
+        if bitpos + width > nbits:
+            return eoi  # truncated stream: treat as end
+        v = 0
+        for i in range(width):
+            byte = data[(bitpos + i) >> 3]
+            v |= ((byte >> ((bitpos + i) & 7)) & 1) << i
+        bitpos += width
+        return v
+
+    out: list[int] = []
+    table: list[bytes] = []
+
+    def reset() -> int:
+        nonlocal table
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        return min_code_size + 1
+
+    width = reset()
+    prev: bytes | None = None
+    while True:
+        code = read(width)
+        if code == clear:
+            width = reset()
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("corrupt LZW stream")
+        out.extend(entry)
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return out
+
+
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))  # (start, step) passes
+
+
+def gif_decode(data: bytes) -> np.ndarray:
+    """GIF87a/89a -> RGB array: global/local color tables, real LZW,
+    interlace; first image frame only (animation = frame 1)."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(data, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x21:  # extension: skip sub-blocks
+            pos += 2
+            while data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            _x, _y, w, h, iflags = struct.unpack_from("<HHHHB", data, pos + 1)
+            pos += 10
+            ct = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 7)
+                ct = np.frombuffer(data, np.uint8, n * 3, pos).reshape(n, 3)
+                pos += n * 3
+            if ct is None:
+                raise ValueError("GIF image has no color table")
+            min_code = data[pos]
+            pos += 1
+            chunks = []
+            while data[pos]:
+                ln = data[pos]
+                chunks.append(data[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            idx = _gif_lzw_decode(min_code, b"".join(chunks))
+            if len(idx) < w * h:
+                raise ValueError("GIF pixel data truncated")
+            rows = np.asarray(idx[: w * h], dtype=np.int32).reshape(h, w)
+            if iflags & 0x40:  # interlaced: reorder rows
+                ordered = np.empty_like(rows)
+                src = 0
+                for start, step in _GIF_INTERLACE:
+                    for y in range(start, h, step):
+                        ordered[y] = rows[src]
+                        src += 1
+                rows = ordered
+            return ct[rows].astype(np.uint8).copy()
+        elif b == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+    raise ValueError("GIF has no image data")
+
+
+def gif_encode(pixels: np.ndarray) -> bytes:
+    """RGB array -> GIF89a with a global palette of the image's
+    distinct colors (<= 256, else ValueError — GIF is palettized) and
+    a literal-code LZW stream (each index emitted as its own code,
+    CLEAR before the table would outgrow the code width) — simple,
+    valid, decodable by any reader; round-trips bit-exact."""
+    h, w, _ = pixels.shape
+    flat = pixels.reshape(-1, 3)
+    palette, idx = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError("gif_encode: more than 256 distinct colors")
+    depth = max(2, int(len(palette) - 1).bit_length())  # >=2 per spec
+    pal = np.zeros((1 << depth, 3), dtype=np.uint8)
+    pal[: len(palette)] = palette
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0)
+    out += pal.tobytes()
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+    min_code = depth
+    clear, eoi = 1 << depth, (1 << depth) + 1
+    width = depth + 1
+    # literal codes: table grows by 1 per emitted code; CLEAR resets
+    # it just before the width would have to grow past `width`
+    bits = bytearray()
+    acc = 0
+    nacc = 0
+
+    def emit(code: int) -> None:
+        nonlocal acc, nacc
+        acc |= code << nacc
+        nacc += width
+        while nacc >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+
+    emit(clear)
+    budget = (1 << width) - len(pal) - 2  # codes until table overflows
+    for v in idx:
+        if budget == 0:
+            emit(clear)
+            budget = (1 << width) - len(pal) - 2
+        emit(int(v))
+        budget -= 1
+    emit(eoi)
+    if nacc:
+        bits.append(acc & 0xFF)
+    out.append(min_code)
+    for i in range(0, len(bits), 255):
+        block = bits[i : i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 def decode(data: bytes, fmt: str) -> np.ndarray:
     if fmt == "png":
         return png_decode(data)
@@ -177,6 +350,8 @@ def decode(data: bytes, fmt: str) -> np.ndarray:
         return ppm_decode(data)
     if fmt == "bmp":
         return bmp_decode(data)
+    if fmt == "gif":
+        return gif_decode(data)
     raise NotImplementedError(
         f"decoder for {fmt!r} not available in-sandbox (no image libs); "
         "plug a real codec here on a full cluster image"
@@ -190,6 +365,8 @@ def encode(pixels: np.ndarray, fmt: str) -> bytes:
         return ppm_encode(pixels)
     if fmt == "bmp":
         return bmp_encode(pixels)
+    if fmt == "gif":
+        return gif_encode(pixels)
     raise NotImplementedError(f"encoder for {fmt!r} not available in-sandbox")
 
 

@@ -6,7 +6,7 @@ Design (training-data pipeline over ~100 TB of media):
   * decode / feature-extract / resize / frame-sample are Arrow-batched
     ``mapInPandas`` stages so pixel work happens per batch inside the
     Python worker and never crosses a shuffle;
-  * the PNG/PPM/BMP image paths and the PCM WAV audio path are REAL
+  * the PNG/PPM/BMP/GIF image paths and the PCM WAV audio path are REAL
     (stdlib codecs: :mod:`mechaml_spark.imaging` + ``wave``);
     JPEG/compressed-audio/video decoding needs libs absent
     in-sandbox, so those stages are explicit ``NotImplementedError``
@@ -96,7 +96,7 @@ def resize_images(
     out_col: str = "resized",
 ) -> DataFrame:
     """Nearest-neighbor resize, re-encoded in the same format.  Real
-    for PNG/PPM/BMP; other formats raise (no codecs in-sandbox)."""
+    for PNG/PPM/BMP/GIF; other formats raise (no codecs in-sandbox)."""
     out_schema = T.StructType(
         list(df.schema.fields) + [T.StructField(out_col, T.BinaryType())]
     )

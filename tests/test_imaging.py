@@ -156,3 +156,113 @@ def test_bmp_roundtrip_and_variants():
         assert np.array_equal(imaging.bmp_decode(imaging.bmp_encode(px)), px)
 
     rt()
+
+
+def test_gif_roundtrip_and_lzw():
+    """GIF: bit-exact round-trip through the literal-LZW encoder and
+    the real LZW decoder, across palette sizes that exercise every
+    code width (2..8 bit) and the periodic-CLEAR path."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    rng = np.random.default_rng(11)
+    for n_colors in (1, 2, 3, 4, 17, 250):
+        pal = rng.integers(0, 256, (n_colors, 3), dtype=np.uint8)
+        idx = rng.integers(0, n_colors, (13, 9))
+        px = pal[idx]
+        data = imaging.gif_encode(px)
+        assert data[:6] == b"GIF89a"
+        assert np.array_equal(imaging.gif_decode(data), px)
+        assert np.array_equal(imaging.decode(imaging.encode(px, "gif"), "gif"), px)
+
+    # a big image forces many CLEAR resets at the smallest code width
+    pal = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+    px = pal[rng.integers(0, 2, (64, 64))]
+    assert np.array_equal(imaging.gif_decode(imaging.gif_encode(px)), px)
+
+    with pytest.raises(ValueError):
+        k = np.arange(17 * 16)  # 272 genuinely distinct colors
+        many = np.stack([k // 256, k % 256, k % 256], axis=1)
+        imaging.gif_encode(many.astype(np.uint8).reshape(17, 16, 3))
+    with pytest.raises(ValueError):
+        imaging.gif_decode(b"not a gif")
+
+    @settings(max_examples=20, deadline=None)
+    @given(st.integers(1, 9), st.integers(1, 9), st.integers(1, 6),
+           st.integers(0, 2**32 - 1))
+    def rt(h, w, ncol, seed):
+        r = np.random.default_rng(seed)
+        pal = r.integers(0, 256, (ncol, 3), dtype=np.uint8)
+        px = pal[r.integers(0, ncol, (h, w))]
+        assert np.array_equal(imaging.gif_decode(imaging.gif_encode(px)), px)
+
+    rt()
+
+
+def test_gif_interlaced_and_real_lzw_decode():
+    """Decode a hand-built INTERLACED GIF whose pixel stream uses real
+    dictionary LZW codes (not just literals), proving the decoder's
+    table growth and interlace reorder are correct."""
+    import struct
+
+    # 4x4, 2-bit palette {0:black, 1:white}, rows 0..3 = 0,1,2,3-ish
+    pal = np.array(
+        [[0, 0, 0], [255, 255, 255], [17, 34, 51], [68, 85, 102]],
+        dtype=np.uint8,
+    )
+    rows = np.array(
+        [[0, 1, 2, 3], [1, 1, 1, 1], [2, 2, 2, 2], [3, 2, 1, 0]]
+    )
+    # interlace order for h=4: pass1 row0, pass3 row2, pass4 rows 1,3
+    stream_rows = [rows[0], rows[2], rows[1], rows[3]]
+    indices = [int(v) for r in stream_rows for v in r]
+
+    # real LZW compressor (dictionary-building) for the test input
+    def lzw(min_code, seq):
+        clear, eoi = 1 << min_code, (1 << min_code) + 1
+        width = min_code + 1
+        table = {bytes([i]): i for i in range(clear)}
+        nxt = eoi + 1
+        out, acc, nacc = bytearray(), 0, 0
+
+        def emit(code, w):
+            nonlocal acc, nacc
+            acc |= code << nacc
+            nacc += w
+            while nacc >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nacc -= 8
+
+        emit(clear, width)
+        cur = b""
+        for s in seq:
+            nxt_str = cur + bytes([s])
+            if nxt_str in table:
+                cur = nxt_str
+                continue
+            emit(table[cur], width)
+            table[nxt_str] = nxt
+            if nxt == (1 << width):
+                width += 1
+            nxt += 1
+            cur = bytes([s])
+        if cur:
+            emit(table[cur], width)
+        emit(eoi, width)
+        if nacc:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    payload = lzw(2, indices)
+    gif = bytearray(b"GIF89a")
+    gif += struct.pack("<HHBBB", 4, 4, 0x80 | 1, 0, 0)  # GCT, 4 entries
+    gif += pal.tobytes()
+    gif += struct.pack("<BHHHHB", 0x2C, 0, 0, 4, 4, 0x40)  # interlaced
+    gif.append(2)  # min code size
+    gif.append(len(payload))
+    gif += payload
+    gif += b"\x00\x3b"
+
+    out = imaging.gif_decode(bytes(gif))
+    assert np.array_equal(out, pal[rows])
