@@ -231,9 +231,16 @@ def _gif_lzw_decode(min_code_size: int, data: bytes) -> list[int]:
 _GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))  # (start, step) passes
 
 
-def gif_decode(data: bytes) -> np.ndarray:
-    """GIF87a/89a -> RGB array: global/local color tables, real LZW,
-    interlace; first image frame only (animation = frame 1)."""
+def gif_decode_frames(data: bytes) -> list[tuple[int, np.ndarray]]:
+    """GIF87a/89a -> list of ``(delay_ms, RGB canvas)`` frames.
+
+    Real LZW, global/local color tables, interlace, frame rects
+    composited onto the logical-screen canvas at their (x, y) offsets,
+    transparent-index pixels leaving the prior canvas visible — the
+    minimal animated-GIF renderer (disposal methods beyond
+    draw-on-top are treated as draw-on-top; fine for the common
+    full-frame animations).  ``delay_ms`` comes from each frame's
+    Graphic Control Extension (0 when absent)."""
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
     sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
@@ -243,15 +250,24 @@ def gif_decode(data: bytes) -> np.ndarray:
         n = 2 << (flags & 7)
         gct = np.frombuffer(data, np.uint8, n * 3, pos).reshape(n, 3)
         pos += n * 3
+    canvas = np.zeros((sh, sw, 3), dtype=np.uint8)
+    frames: list[tuple[int, np.ndarray]] = []
+    delay_ms = 0
+    tidx = -1
     while pos < len(data):
         b = data[pos]
-        if b == 0x21:  # extension: skip sub-blocks
+        if b == 0x21:  # extension
+            label = data[pos + 1]
             pos += 2
+            if label == 0xF9 and data[pos] >= 4:  # graphic control
+                packed = data[pos + 1]
+                delay_ms = struct.unpack_from("<H", data, pos + 2)[0] * 10
+                tidx = data[pos + 4] if packed & 1 else -1
             while data[pos]:
                 pos += 1 + data[pos]
             pos += 1
         elif b == 0x2C:  # image descriptor
-            _x, _y, w, h, iflags = struct.unpack_from("<HHHHB", data, pos + 1)
+            x, y, w, h, iflags = struct.unpack_from("<HHHHB", data, pos + 1)
             pos += 10
             ct = gct
             if iflags & 0x80:
@@ -267,6 +283,7 @@ def gif_decode(data: bytes) -> np.ndarray:
                 ln = data[pos]
                 chunks.append(data[pos + 1 : pos + 1 + ln])
                 pos += 1 + ln
+            pos += 1  # block terminator
             idx = _gif_lzw_decode(min_code, b"".join(chunks))
             if len(idx) < w * h:
                 raise ValueError("GIF pixel data truncated")
@@ -275,41 +292,52 @@ def gif_decode(data: bytes) -> np.ndarray:
                 ordered = np.empty_like(rows)
                 src = 0
                 for start, step in _GIF_INTERLACE:
-                    for y in range(start, h, step):
-                        ordered[y] = rows[src]
+                    for yy in range(start, h, step):
+                        ordered[yy] = rows[src]
                         src += 1
                 rows = ordered
-            return ct[rows].astype(np.uint8).copy()
+            region = canvas[y : y + h, x : x + w]
+            if tidx >= 0:
+                mask = rows != tidx
+                region[mask] = ct[rows[mask]]
+            else:
+                region[...] = ct[rows]
+            frames.append((delay_ms, canvas.copy()))
+            delay_ms = 0
+            tidx = -1
         elif b == 0x3B:  # trailer
             break
         else:
             raise ValueError(f"unexpected GIF block 0x{b:02x}")
-    raise ValueError("GIF has no image data")
+    if not frames:
+        raise ValueError("GIF has no image data")
+    return frames
 
 
-def gif_encode(pixels: np.ndarray) -> bytes:
-    """RGB array -> GIF89a with a global palette of the image's
-    distinct colors (<= 256, else ValueError — GIF is palettized) and
-    a literal-code LZW stream (each index emitted as its own code,
-    CLEAR before the table would outgrow the code width) — simple,
-    valid, decodable by any reader; round-trips bit-exact."""
-    h, w, _ = pixels.shape
-    flat = pixels.reshape(-1, 3)
-    palette, idx = np.unique(flat, axis=0, return_inverse=True)
+def gif_decode(data: bytes) -> np.ndarray:
+    """GIF87a/89a -> RGB array of the first frame's canvas (see
+    :func:`gif_decode_frames` for the full animation)."""
+    return gif_decode_frames(data)[0][1]
+
+
+def _gif_palette(frames_flat: np.ndarray) -> tuple[np.ndarray, int]:
+    palette = np.unique(frames_flat, axis=0)
     if len(palette) > 256:
-        raise ValueError("gif_encode: more than 256 distinct colors")
+        raise ValueError("gif encode: more than 256 distinct colors")
     depth = max(2, int(len(palette) - 1).bit_length())  # >=2 per spec
     pal = np.zeros((1 << depth, 3), dtype=np.uint8)
     pal[: len(palette)] = palette
-    out = bytearray(b"GIF89a")
-    out += struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0)
-    out += pal.tobytes()
-    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
-    min_code = depth
+    return pal, depth
+
+
+def _gif_image_block(idx: np.ndarray, w: int, h: int, depth: int) -> bytes:
+    """Image descriptor + literal-code LZW stream: each palette index
+    emitted as its own code, with a CLEAR just before the decoder's
+    table would outgrow the fixed code width — simple, valid for any
+    reader, bit-exact."""
+    out = bytearray(struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0))
     clear, eoi = 1 << depth, (1 << depth) + 1
     width = depth + 1
-    # literal codes: table grows by 1 per emitted code; CLEAR resets
-    # it just before the width would have to grow past `width`
     bits = bytearray()
     acc = 0
     nacc = 0
@@ -324,22 +352,78 @@ def gif_encode(pixels: np.ndarray) -> bytes:
             nacc -= 8
 
     emit(clear)
-    budget = (1 << width) - len(pal) - 2  # codes until table overflows
+    full = (1 << width) - (1 << depth) - 2  # codes until table overflows
+    budget = full
     for v in idx:
         if budget == 0:
             emit(clear)
-            budget = (1 << width) - len(pal) - 2
+            budget = full
         emit(int(v))
         budget -= 1
     emit(eoi)
     if nacc:
         bits.append(acc & 0xFF)
-    out.append(min_code)
+    out.append(depth)  # min code size
     for i in range(0, len(bits), 255):
         block = bits[i : i + 255]
         out.append(len(block))
         out += block
-    out += b"\x00\x3b"
+    out.append(0)  # block terminator
+    return bytes(out)
+
+
+def _pal_indices(pixels: np.ndarray, pal: np.ndarray) -> np.ndarray:
+    key = (
+        pal[:, 0].astype(np.int64) << 16
+        | pal[:, 1].astype(np.int64) << 8
+        | pal[:, 2].astype(np.int64)
+    )
+    px = (
+        pixels[..., 0].astype(np.int64) << 16
+        | pixels[..., 1].astype(np.int64) << 8
+        | pixels[..., 2].astype(np.int64)
+    )
+    order = np.argsort(key)
+    return order[np.searchsorted(key, px.ravel(), sorter=order)]
+
+
+def gif_encode(pixels: np.ndarray) -> bytes:
+    """RGB array -> single-frame GIF89a with a global palette of the
+    image's distinct colors (<= 256, else ValueError — GIF is
+    palettized); round-trips bit-exact through :func:`gif_decode`."""
+    h, w, _ = pixels.shape
+    pal, depth = _gif_palette(pixels.reshape(-1, 3))
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0)
+    out += pal.tobytes()
+    out += _gif_image_block(_pal_indices(pixels, pal), w, h, depth)
+    out += b"\x3b"
+    return bytes(out)
+
+
+def gif_encode_animated(
+    frames: list[np.ndarray], delays_ms: list[int]
+) -> bytes:
+    """Full-canvas RGB frames + per-frame delays -> animated GIF89a
+    (one shared global palette across frames, a Graphic Control
+    Extension per frame).  Round-trips bit-exact through
+    :func:`gif_decode_frames`; delays are rounded down to the GIF's
+    10 ms resolution."""
+    if len(frames) != len(delays_ms) or not frames:
+        raise ValueError("need equal nonzero frames and delays")
+    h, w, _ = frames[0].shape
+    pal, depth = _gif_palette(
+        np.concatenate([f.reshape(-1, 3) for f in frames])
+    )
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0)
+    out += pal.tobytes()
+    for f, d in zip(frames, delays_ms):
+        if f.shape != (h, w, 3):
+            raise ValueError("all frames must share the canvas shape")
+        out += struct.pack("<BBBBHBB", 0x21, 0xF9, 4, 0, d // 10, 0, 0)
+        out += _gif_image_block(_pal_indices(f, pal), w, h, depth)
+    out += b"\x3b"
     return bytes(out)
 
 

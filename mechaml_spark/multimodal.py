@@ -161,13 +161,16 @@ def sample_video_frames(
     fmt_col: str = "fmt",
     id_col: str = "media_id",
 ) -> DataFrame:
-    """Frame sampling: one output row per sampled frame.
+    """Frame sampling: one output row per sampled frame (PNG bytes).
 
-    No video codec exists in-sandbox; the stage is REAL Spark plumbing
-    (schema, batch iteration, row explosion) over a deterministic fake
-    decoder for ``fmt == 'fakevid'`` (frame = PNG of a solid color
-    keyed by (media_id, frame_idx)); any other fmt raises
-    NotImplementedError — plug ffmpeg/pyav on a full image."""
+    REAL for animated GIF (``fmt == 'gif'``: frames decoded via
+    :func:`mechaml_spark.imaging.gif_decode_frames`, composited
+    canvases sampled at every ``every_ms`` tick using the per-frame
+    GCE delays — the frame on display at each tick is emitted).
+    ``fmt == 'fakevid'`` keeps the deterministic fake decoder
+    (duration in the first 4 bytes; frame = solid color keyed by
+    (media_id, frame_idx)) for codec-free stage tests; any other fmt
+    raises NotImplementedError — plug ffmpeg/pyav on a full image."""
     out_schema = T.StructType(
         [T.StructField(id_col, T.StringType())] + list(FRAME_T.fields)
     )
@@ -175,30 +178,43 @@ def sample_video_frames(
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import zlib
 
+        def emit(rows, mid, k, ts, canvas):
+            rows.append(
+                {
+                    id_col: mid,
+                    "frame_idx": k,
+                    "ts_ms": ts,
+                    "frame": imaging.png_encode(canvas),
+                }
+            )
+
         for pdf in batches:
             rows = []
             for mid, data, fmt in zip(pdf[id_col], pdf[bytes_col], pdf[fmt_col]):
-                if fmt != "fakevid":
+                if fmt == "gif":
+                    frames = imaging.gif_decode_frames(bytes(data))
+                    starts = np.cumsum([0] + [d for d, _ in frames])
+                    total = int(starts[-1])
+                    for k, ts in enumerate(range(0, max(total, 1), every_ms)):
+                        # frame on display at time ts: last start <= ts
+                        fi = int(np.searchsorted(starts[1:], ts, "right"))
+                        fi = min(fi, len(frames) - 1)
+                        emit(rows, mid, k, ts, frames[fi][1])
+                elif fmt == "fakevid":
+                    # fake: duration encoded in the first 4 bytes (ms)
+                    dur_ms = int.from_bytes(bytes(data[:4]), "big")
+                    for k, ts in enumerate(range(0, dur_ms, every_ms)):
+                        key = zlib.crc32(f"{mid}:{k}".encode())
+                        color = np.full(
+                            (4, 4, 3),
+                            [(key >> 16) & 255, (key >> 8) & 255, key & 255],
+                            dtype=np.uint8,
+                        )
+                        emit(rows, mid, k, ts, color)
+                else:
                     raise NotImplementedError(
                         f"no {fmt!r} video codec in-sandbox; deploy with "
                         "ffmpeg/pyav and keep this stage's schema"
-                    )
-                # fake: duration encoded in the first 4 bytes (ms)
-                dur_ms = int.from_bytes(bytes(data[:4]), "big")
-                for k, ts in enumerate(range(0, dur_ms, every_ms)):
-                    key = zlib.crc32(f"{mid}:{k}".encode())
-                    color = np.full(
-                        (4, 4, 3),
-                        [(key >> 16) & 255, (key >> 8) & 255, key & 255],
-                        dtype=np.uint8,
-                    )
-                    rows.append(
-                        {
-                            id_col: mid,
-                            "frame_idx": k,
-                            "ts_ms": ts,
-                            "frame": imaging.png_encode(color),
-                        }
                     )
             yield pd.DataFrame(
                 rows, columns=[id_col, "frame_idx", "ts_ms", "frame"]

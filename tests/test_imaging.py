@@ -266,3 +266,43 @@ def test_gif_interlaced_and_real_lzw_decode():
 
     out = imaging.gif_decode(bytes(gif))
     assert np.array_equal(out, pal[rows])
+
+
+def test_gif_animated_roundtrip():
+    rng = np.random.default_rng(5)
+    pal = rng.integers(0, 256, (6, 3), dtype=np.uint8)
+    frames = [pal[rng.integers(0, 6, (7, 5))] for _ in range(3)]
+    delays = [100, 50, 120]
+    data = imaging.gif_encode_animated(frames, delays)
+    out = imaging.gif_decode_frames(data)
+    assert [d for d, _ in out] == delays
+    for (_, got), want in zip(out, frames):
+        assert np.array_equal(got, want)
+    # gif_decode = first frame
+    assert np.array_equal(imaging.gif_decode(data), frames[0])
+
+
+def test_gif_transparency_compositing():
+    """A second frame with a transparent index must leave the prior
+    canvas visible through the transparent pixels."""
+    import struct
+
+    pal = np.array([[10, 20, 30], [200, 0, 0], [0, 200, 0], [9, 9, 9]],
+                   dtype=np.uint8)
+    data = bytearray(b"GIF89a")
+    data += struct.pack("<HHBBB", 2, 2, 0x80 | 1, 0, 0)  # 4-entry GCT
+    data += pal.tobytes()
+    # frame 0: all color 0, no transparency
+    data += struct.pack("<BBBBHBB", 0x21, 0xF9, 4, 0, 5, 0, 0)
+    data += imaging._gif_image_block(np.zeros(4, dtype=int), 2, 2, 2)
+    # frame 1: indices [[1, 3], [3, 2]] with 3 = transparent
+    data += struct.pack("<BBBBHBB", 0x21, 0xF9, 4, 1, 5, 3, 0)
+    data += imaging._gif_image_block(np.array([1, 3, 3, 2]), 2, 2, 2)
+    data += b"\x3b"
+    out = imaging.gif_decode_frames(bytes(data))
+    assert len(out) == 2
+    want = np.array(
+        [[[200, 0, 0], [10, 20, 30]], [[10, 20, 30], [0, 200, 0]]],
+        dtype=np.uint8,
+    )
+    assert np.array_equal(out[1][1], want)

@@ -181,3 +181,26 @@ def test_wav_codec_pure_roundtrip_and_widths():
     payload32 = struct.pack("<2i", -(1 << 31), (1 << 31) - 1)
     _, out32 = multimodal.wav_decode(raw_wav(4, payload32))
     assert out32[:, 0].tolist() == [-32768, 32767]
+
+
+def test_frame_sampling_real_gif(spark):
+    """Video frame sampling is REAL for animated GIF: sampled rows are
+    the canvases on display at each every_ms tick, per GCE delays."""
+    rng = np.random.default_rng(9)
+    pal = rng.integers(0, 256, (4, 3), dtype=np.uint8)
+    frames = [pal[rng.integers(0, 4, (6, 6))] for _ in range(3)]
+    data = imaging.gif_encode_animated(frames, [100, 50, 100])  # total 250
+    df = spark.createDataFrame(
+        [("g1", data, "gif")], "media_id string, bytes binary, fmt string"
+    )
+    rows = sorted(
+        multimodal.sample_video_frames(df, every_ms=50).collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    assert [(r["frame_idx"], r["ts_ms"]) for r in rows] == [
+        (0, 0), (1, 50), (2, 100), (3, 150), (4, 200)
+    ]
+    # frame0 shows [0,100), frame1 [100,150), frame2 [150,250)
+    want = [frames[0], frames[0], frames[1], frames[2], frames[2]]
+    for r, w in zip(rows, want):
+        assert np.array_equal(imaging.png_decode(bytes(r["frame"])), w)
