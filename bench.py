@@ -153,6 +153,7 @@ def main() -> None:
         "image_phash",
         "image_neardup",
         "audio_features",
+        "video_frames",
         "token_stats",
         "quality_filter",
         "lang_id",

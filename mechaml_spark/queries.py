@@ -586,6 +586,70 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video pipeline with a CLOSED-FORM oracle: deterministic
+    animated GIFs keyed by doc_id -> REAL GIF encode (shared-palette
+    multi-frame) -> REAL frame sampling (LZW decode + compositing +
+    GCE-delay tick sampling) -> REAL PNG decode + feature extraction.
+
+    Doc d gets ``F = 2 + d%3`` solid-color 4x4 frames; frame k's
+    channels are ``((d*P + k*Q) % 251)`` for primes (7,31), (11,37),
+    (13,41).  Every frame displays 100 ms and sampling ticks every
+    100 ms, so tick k shows exactly frame k — frame means are pure
+    integer arithmetic both engines share."""
+    import numpy as _np
+    import pandas as _pd
+
+    from mechaml_spark import imaging as _imaging
+    from mechaml_spark import multimodal
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 200
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                nf = 2 + did % 3
+                frames = []
+                for k in range(nf):
+                    px = _np.empty((4, 4, 3), dtype=_np.uint8)
+                    px[..., 0] = (did * 7 + k * 31) % 251
+                    px[..., 1] = (did * 11 + k * 37) % 251
+                    px[..., 2] = (did * 13 + k * 41) % 251
+                    frames.append(px)
+                rows.append(
+                    {
+                        "media_id": str(did),
+                        "bytes": _imaging.gif_encode_animated(
+                            frames, [100] * nf
+                        ),
+                        "fmt": "gif",
+                    }
+                )
+            yield _pd.DataFrame(rows, columns=["media_id", "bytes", "fmt"])
+
+    media = d.mapInPandas(
+        gen, schema="media_id string, bytes binary, fmt string"
+    )
+    sampled = multimodal.sample_video_frames(media, every_ms=100)
+    feats = multimodal.image_features(
+        sampled.withColumnRenamed("frame", "bytes").withColumn(
+            "fmt", F.lit("png")
+        )
+    )
+    return feats.select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        "frame_idx",
+        "ts_ms",
+        F.col("features")["mean_r"].alias("mean_r"),
+        F.col("features")["mean_g"].alias("mean_g"),
+        F.col("features")["mean_b"].alias("mean_b"),
+    )
+
+
 # BPE-ish pretokenizer: letter runs / digit runs / single
 # non-alnum-non-space marks — the GPT-2-style pretoken split reduced
 # to a class-portable core (identical semantics under Java regex and
@@ -930,6 +994,7 @@ QUERIES = {
     "image_phash": q_image_phash,
     "image_neardup": q_image_neardup,
     "audio_features": q_audio_features,
+    "video_frames": q_video_frames,
     "token_stats": q_token_stats,
     "quality_filter": q_quality_filter,
     "lang_id": q_lang_id,
@@ -1198,6 +1263,16 @@ ORACLES = {
                CAST((16 * (500 + doc_id % 50) - 1) // (4 + doc_id % 5)
                     AS BIGINT) AS zero_crossings
         FROM documents WHERE doc_id < 300
+    """,
+    "video_frames": """
+        SELECT doc_id,
+               CAST(k AS INT) AS frame_idx,
+               CAST(k * 100 AS BIGINT) AS ts_ms,
+               CAST((doc_id * 7  + k * 31) % 251 AS BIGINT) * 1000 AS mean_r,
+               CAST((doc_id * 11 + k * 37) % 251 AS BIGINT) * 1000 AS mean_g,
+               CAST((doc_id * 13 + k * 41) % 251 AS BIGINT) * 1000 AS mean_b
+        FROM documents, range(4) rk(k)
+        WHERE doc_id < 200 AND k < 2 + doc_id % 3
     """,
     "token_stats": f"""
         SELECT lang,
