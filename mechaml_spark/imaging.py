@@ -140,8 +140,6 @@ def ppm_decode(data: bytes) -> np.ndarray:
 def bmp_encode(pixels: np.ndarray) -> bytes:
     """Uncompressed 24-bit BMP (BITMAPINFOHEADER, bottom-up, BGR,
     4-byte row padding) — the third stdlib-only real format."""
-    import struct
-
     h, w, _ = pixels.shape
     pad = (-(w * 3)) % 4
     stride = w * 3 + pad
@@ -157,8 +155,6 @@ def bmp_encode(pixels: np.ndarray) -> bytes:
 
 
 def bmp_decode(data: bytes) -> np.ndarray:
-    import struct
-
     if data[:2] != b"BM":
         raise ValueError("not a BMP")
     off = struct.unpack_from("<I", data, 10)[0]
@@ -236,24 +232,37 @@ def gif_decode_frames(data: bytes) -> list[tuple[int, np.ndarray]]:
 
     Real LZW, global/local color tables, interlace, frame rects
     composited onto the logical-screen canvas at their (x, y) offsets,
-    transparent-index pixels leaving the prior canvas visible — the
-    minimal animated-GIF renderer (disposal methods beyond
-    draw-on-top are treated as draw-on-top; fine for the common
-    full-frame animations).  ``delay_ms`` comes from each frame's
-    Graphic Control Extension (0 when absent)."""
+    transparent-index pixels leaving the prior canvas visible, and
+    GCE disposal methods: 2 = restore the frame rect to the background
+    color, 3 = restore it to the pre-frame canvas (draw-on-top
+    otherwise).  ``delay_ms`` comes from each frame's Graphic Control
+    Extension (0 when absent).  Malformed inputs (truncated blocks,
+    frame rect exceeding the logical screen, out-of-palette indices)
+    raise ValueError — never an untyped numpy crash."""
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
-    sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
+    try:
+        return _gif_decode_frames(data)
+    except ValueError:
+        raise
+    except Exception as e:  # truncated/garbled: typed error for callers
+        raise ValueError(f"malformed GIF: {e!r}") from e
+
+
+def _gif_decode_frames(data: bytes) -> list[tuple[int, np.ndarray]]:
+    sw, sh, flags, bg, _ar = struct.unpack_from("<HHBBB", data, 6)
     pos = 13
     gct = None
     if flags & 0x80:
         n = 2 << (flags & 7)
         gct = np.frombuffer(data, np.uint8, n * 3, pos).reshape(n, 3)
         pos += n * 3
+    bg_rgb = gct[bg] if gct is not None and bg < len(gct) else np.zeros(3)
     canvas = np.zeros((sh, sw, 3), dtype=np.uint8)
     frames: list[tuple[int, np.ndarray]] = []
     delay_ms = 0
     tidx = -1
+    disposal = 0
     while pos < len(data):
         b = data[pos]
         if b == 0x21:  # extension
@@ -263,12 +272,15 @@ def gif_decode_frames(data: bytes) -> list[tuple[int, np.ndarray]]:
                 packed = data[pos + 1]
                 delay_ms = struct.unpack_from("<H", data, pos + 2)[0] * 10
                 tidx = data[pos + 4] if packed & 1 else -1
+                disposal = (packed >> 2) & 7
             while data[pos]:
                 pos += 1 + data[pos]
             pos += 1
         elif b == 0x2C:  # image descriptor
             x, y, w, h, iflags = struct.unpack_from("<HHHHB", data, pos + 1)
             pos += 10
+            if x + w > sw or y + h > sh:
+                raise ValueError("GIF frame rect exceeds logical screen")
             ct = gct
             if iflags & 0x80:
                 n = 2 << (iflags & 7)
@@ -288,6 +300,8 @@ def gif_decode_frames(data: bytes) -> list[tuple[int, np.ndarray]]:
             if len(idx) < w * h:
                 raise ValueError("GIF pixel data truncated")
             rows = np.asarray(idx[: w * h], dtype=np.int32).reshape(h, w)
+            if int(rows.max(initial=0)) >= len(ct):
+                raise ValueError("GIF pixel index outside color table")
             if iflags & 0x40:  # interlaced: reorder rows
                 ordered = np.empty_like(rows)
                 src = 0
@@ -297,14 +311,20 @@ def gif_decode_frames(data: bytes) -> list[tuple[int, np.ndarray]]:
                         src += 1
                 rows = ordered
             region = canvas[y : y + h, x : x + w]
+            saved = region.copy() if disposal == 3 else None
             if tidx >= 0:
                 mask = rows != tidx
                 region[mask] = ct[rows[mask]]
             else:
                 region[...] = ct[rows]
             frames.append((delay_ms, canvas.copy()))
+            if disposal == 2:  # restore rect to background color
+                region[...] = bg_rgb
+            elif disposal == 3 and saved is not None:  # restore previous
+                region[...] = saved
             delay_ms = 0
             tidx = -1
+            disposal = 0
         elif b == 0x3B:  # trailer
             break
         else:
@@ -411,6 +431,8 @@ def gif_encode_animated(
     10 ms resolution."""
     if len(frames) != len(delays_ms) or not frames:
         raise ValueError("need equal nonzero frames and delays")
+    if any(d < 0 or d // 10 > 0xFFFF for d in delays_ms):
+        raise ValueError("GIF delays must be within [0, 655350] ms")
     h, w, _ = frames[0].shape
     pal, depth = _gif_palette(
         np.concatenate([f.reshape(-1, 3) for f in frames])

@@ -166,7 +166,10 @@ def sample_video_frames(
     REAL for animated GIF (``fmt == 'gif'``: frames decoded via
     :func:`mechaml_spark.imaging.gif_decode_frames`, composited
     canvases sampled at every ``every_ms`` tick using the per-frame
-    GCE delays — the frame on display at each tick is emitted).
+    GCE delays — the frame on display at each tick is emitted;
+    zero delays are clamped to 100 ms like real players, so
+    all-zero-delay GIFs still sample every frame).  Undecodable GIF
+    rows yield ZERO frames (per-row catch, never a task failure).
     ``fmt == 'fakevid'`` keeps the deterministic fake decoder
     (duration in the first 4 bytes; frame = solid color keyed by
     (media_id, frame_idx)) for codec-free stage tests; any other fmt
@@ -192,14 +195,32 @@ def sample_video_frames(
             rows = []
             for mid, data, fmt in zip(pdf[id_col], pdf[bytes_col], pdf[fmt_col]):
                 if fmt == "gif":
-                    frames = imaging.gif_decode_frames(bytes(data))
-                    starts = np.cumsum([0] + [d for d, _ in frames])
+                    try:
+                        frames = imaging.gif_decode_frames(bytes(data))
+                    except ValueError:
+                        continue  # corrupt row: zero frames, task lives
+                    # zero delays (the "as fast as possible" encoding)
+                    # display for ~100 ms in real players
+                    starts = np.cumsum(
+                        [0] + [d if d > 0 else 100 for d, _ in frames]
+                    )
                     total = int(starts[-1])
+                    # PNG-encode each distinct canvas once, not per tick
+                    enc_cache: dict = {}
                     for k, ts in enumerate(range(0, max(total, 1), every_ms)):
                         # frame on display at time ts: last start <= ts
                         fi = int(np.searchsorted(starts[1:], ts, "right"))
                         fi = min(fi, len(frames) - 1)
-                        emit(rows, mid, k, ts, frames[fi][1])
+                        if fi not in enc_cache:
+                            enc_cache[fi] = imaging.png_encode(frames[fi][1])
+                        rows.append(
+                            {
+                                id_col: mid,
+                                "frame_idx": k,
+                                "ts_ms": ts,
+                                "frame": enc_cache[fi],
+                            }
+                        )
                 elif fmt == "fakevid":
                     # fake: duration encoded in the first 4 bytes (ms)
                     dur_ms = int.from_bytes(bytes(data[:4]), "big")

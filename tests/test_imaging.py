@@ -306,3 +306,60 @@ def test_gif_transparency_compositing():
         dtype=np.uint8,
     )
     assert np.array_equal(out[1][1], want)
+
+
+def test_gif_disposal_and_malformed():
+    import struct
+
+    # disposal=2: frame 1's rect restores to background (index 0)
+    # before frame 2 draws a transparent-holed frame
+    pal = np.array([[1, 2, 3], [200, 0, 0], [0, 200, 0], [7, 7, 7]],
+                   dtype=np.uint8)
+    data = bytearray(b"GIF89a")
+    data += struct.pack("<HHBBB", 2, 2, 0x80 | 1, 0, 0)  # bg index 0
+    data += pal.tobytes()
+    # frame 0: all color 1, disposal=2 ((2<<2) in packed)
+    data += struct.pack("<BBBBHBB", 0x21, 0xF9, 4, 2 << 2, 5, 0, 0)
+    data += imaging._gif_image_block(np.full(4, 1), 2, 2, 2)
+    # frame 1: all transparent (index 3) -> must show BACKGROUND, not
+    # frame 0's pixels
+    data += struct.pack("<BBBBHBB", 0x21, 0xF9, 4, 1, 5, 3, 0)
+    data += imaging._gif_image_block(np.full(4, 3), 2, 2, 2)
+    data += b"\x3b"
+    out = imaging.gif_decode_frames(bytes(data))
+    assert np.array_equal(out[0][1], np.tile(pal[1], (2, 2, 1)))
+    assert np.array_equal(out[1][1], np.tile(pal[0], (2, 2, 1)))
+
+    # disposal=3: restore-to-previous — frame 2 sees frame 0's canvas
+    data3 = bytearray(b"GIF89a")
+    data3 += struct.pack("<HHBBB", 2, 2, 0x80 | 1, 0, 0)
+    data3 += pal.tobytes()
+    data3 += struct.pack("<BBBBHBB", 0x21, 0xF9, 4, 0, 5, 0, 0)
+    data3 += imaging._gif_image_block(np.full(4, 1), 2, 2, 2)  # all red
+    data3 += struct.pack("<BBBBHBB", 0x21, 0xF9, 4, 3 << 2, 5, 0, 0)
+    data3 += imaging._gif_image_block(np.full(4, 2), 2, 2, 2)  # all green
+    data3 += struct.pack("<BBBBHBB", 0x21, 0xF9, 4, 1, 5, 3, 0)
+    data3 += imaging._gif_image_block(np.full(4, 3), 2, 2, 2)  # transparent
+    data3 += b"\x3b"
+    out3 = imaging.gif_decode_frames(bytes(data3))
+    assert np.array_equal(out3[2][1], np.tile(pal[1], (2, 2, 1)))  # red again
+
+    # malformed: frame rect exceeding the screen -> typed ValueError
+    bad = bytearray(b"GIF89a")
+    bad += struct.pack("<HHBBB", 2, 2, 0x80 | 1, 0, 0)
+    bad += pal.tobytes()
+    bad += imaging._gif_image_block(np.full(9, 1), 3, 3, 2)  # 3x3 on 2x2
+    bad += b"\x3b"
+    with pytest.raises(ValueError):
+        imaging.gif_decode_frames(bytes(bad))
+    # truncated stream -> typed ValueError, not IndexError
+    good = imaging.gif_encode(pal[np.zeros((3, 3), dtype=int)])
+    with pytest.raises(ValueError):
+        imaging.gif_decode_frames(good[: len(good) - 6])
+
+    # animated-encoder delay validation
+    f = pal[np.zeros((2, 2), dtype=int)]
+    with pytest.raises(ValueError):
+        imaging.gif_encode_animated([f], [700_000])
+    with pytest.raises(ValueError):
+        imaging.gif_encode_animated([f], [-10])

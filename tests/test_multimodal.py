@@ -204,3 +204,23 @@ def test_frame_sampling_real_gif(spark):
     want = [frames[0], frames[0], frames[1], frames[2], frames[2]]
     for r, w in zip(rows, want):
         assert np.array_equal(imaging.png_decode(bytes(r["frame"])), w)
+
+
+def test_frame_sampling_gif_zero_delay_and_corrupt(spark):
+    """Zero-delay frames are clamped to 100 ms (every frame sampled,
+    like real players); a corrupt GIF row yields zero frames without
+    failing the task or dropping other rows."""
+    rng = np.random.default_rng(13)
+    pal = rng.integers(0, 256, (3, 3), dtype=np.uint8)
+    frames = [pal[rng.integers(0, 3, (4, 4))] for _ in range(3)]
+    data = imaging.gif_encode_animated(frames, [0, 0, 0])
+    df = spark.createDataFrame(
+        [("z", data, "gif"), ("bad", b"GIF89a\x00garbage", "gif")],
+        "media_id string, bytes binary, fmt string",
+    )
+    rows = multimodal.sample_video_frames(df, every_ms=100).collect()
+    assert {r["media_id"] for r in rows} == {"z"}
+    by_idx = sorted(rows, key=lambda r: r["frame_idx"])
+    assert len(by_idx) == 3  # every zero-delay frame sampled once
+    for r, w in zip(by_idx, frames):
+        assert np.array_equal(imaging.png_decode(bytes(r["frame"])), w)
