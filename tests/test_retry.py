@@ -158,3 +158,47 @@ def test_retries_disabled(spark):
         if r["url_norm"] == SEEDS[0]
     ]
     assert rows == [0]  # single attempt, never requeued
+
+
+def test_resume_from_pre_retry_snapshot(spark, tmp_path):
+    """Snapshots written before the retry feature carry no `attempt`
+    column; resume must back-fill it and finish the crawl with the
+    exact state a straight-through run produces."""
+    import os
+
+    ckpt = str(tmp_path / "snap")
+    corpus, _ = _inner(spark)
+    partial = crawl(
+        spark, SPEC, SEEDS, budget_per_host=2, max_epochs=2,
+        n_shards=4, n_bits=1 << 16, corpus=corpus, checkpoint_dir=ckpt,
+    )
+    assert partial.epochs == 2
+    control = crawl(
+        spark, SPEC, SEEDS, budget_per_host=2, max_epochs=EPOCHS,
+        n_shards=4, n_bits=1 << 16, corpus=corpus,
+    )
+    # simulate a pre-retry snapshot: strip `attempt` from the stored
+    # frontier table in place
+    store = partial.store
+    e = store.latest_epoch()
+    path = os.path.join(store.root, f"epoch={e:06d}", "frontier")
+    df = spark.read.parquet(path)
+    assert "attempt" in df.columns
+    stripped = df.drop("attempt").localCheckpoint(eager=True)
+    stripped.write.mode("overwrite").parquet(path)
+
+    resumed = crawl(
+        spark, SPEC, SEEDS, budget_per_host=2, max_epochs=EPOCHS,
+        n_shards=4, n_bits=1 << 16, corpus=corpus,
+        checkpoint_dir=ckpt, resume=True,
+    )
+    got = sorted(
+        (tuple(r) for r in resumed.visit_log.collect()), key=lambda t: t
+    )
+    want = sorted(
+        (tuple(r) for r in control.visit_log.collect()), key=lambda t: t
+    )
+    assert got == want
+    a = {r["url_norm"] for r in resumed.seen.seen_df.collect()}
+    b = {r["url_norm"] for r in control.seen.seen_df.collect()}
+    assert a == b
