@@ -458,6 +458,10 @@ def decode(data: bytes, fmt: str) -> np.ndarray:
         return bmp_decode(data)
     if fmt == "gif":
         return gif_decode(data)
+    if fmt in ("jpg", "jpeg"):
+        from mechaml_spark.jpeg import jpeg_decode
+
+        return jpeg_decode(data)
     raise NotImplementedError(
         f"decoder for {fmt!r} not available in-sandbox (no image libs); "
         "plug a real codec here on a full cluster image"
@@ -473,6 +477,10 @@ def encode(pixels: np.ndarray, fmt: str) -> bytes:
         return bmp_encode(pixels)
     if fmt == "gif":
         return gif_encode(pixels)
+    if fmt in ("jpg", "jpeg"):
+        from mechaml_spark.jpeg import jpeg_encode
+
+        return jpeg_encode(pixels)
     raise NotImplementedError(f"encoder for {fmt!r} not available in-sandbox")
 
 
@@ -521,7 +529,7 @@ def dhash64(pixels: np.ndarray) -> int:
     return int(acc.view(np.int64))  # reinterpret: bit 63 -> sign
 
 
-LOSSLESS = frozenset({"png", "ppm"})
+LOSSLESS = frozenset({"png", "ppm", "bmp", "gif"})
 
 
 def payload_ok(data: bytes, fmt: str, reference_pixels: np.ndarray) -> bool:

@@ -6,12 +6,13 @@ Design (training-data pipeline over ~100 TB of media):
   * decode / feature-extract / resize / frame-sample are Arrow-batched
     ``mapInPandas`` stages so pixel work happens per batch inside the
     Python worker and never crosses a shuffle;
-  * the PNG/PPM/BMP/GIF image paths and the PCM WAV audio path are REAL
-    (stdlib codecs: :mod:`mechaml_spark.imaging` + ``wave``);
-    JPEG/compressed-audio/video decoding needs libs absent
-    in-sandbox, so those stages are explicit ``NotImplementedError``
-    stubs (or a deterministic fake for frame-sampling) behind the
-    same schema/partitioning — swap the codec, keep the plan.
+  * the PNG/PPM/BMP/GIF/JPEG image paths and the PCM WAV audio path
+    are REAL (pure numpy/stdlib codecs: :mod:`mechaml_spark.imaging`,
+    :mod:`mechaml_spark.jpeg`, ``wave``); compressed audio and
+    non-GIF video need libs absent in-sandbox, so those stages are
+    explicit ``NotImplementedError`` stubs (or a deterministic fake
+    for frame-sampling) behind the same schema/partitioning — swap
+    the codec, keep the plan.
 """
 
 from __future__ import annotations

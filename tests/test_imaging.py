@@ -68,7 +68,7 @@ def test_payload_ok():
     assert not imaging.payload_ok(imaging.png_encode(other), "png", px)
     assert not imaging.payload_ok(b"junk", "png", px)
     with pytest.raises(NotImplementedError):
-        imaging.decode(b"x", "jpeg")  # stubbed: no lossy codec in-sandbox
+        imaging.decode(b"x", "webp")  # genuinely absent codec stays a stub
 
 
 def test_dhash64_perceptual_not_content():
@@ -363,3 +363,42 @@ def test_gif_disposal_and_malformed():
         imaging.gif_encode_animated([f], [700_000])
     with pytest.raises(ValueError):
         imaging.gif_encode_animated([f], [-10])
+
+
+def test_jpeg_baseline_codec():
+    """Baseline JPEG (SOF0, 4:4:4): real DCT + quantization + Huffman.
+    Smooth content clears the payload rule's PSNR >= 40 dB lossy bar
+    at quality 90; structure (markers, stuffing, padding) round-trips
+    at any size; malformed input raises ValueError."""
+    yy, xx = np.mgrid[0:40, 0:56]
+    px = np.stack(
+        [yy * 255 // 40, xx * 255 // 56, (yy + xx) * 255 // 96], axis=-1
+    ).astype(np.uint8)
+    data = imaging.encode(px, "jpg")
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    out = imaging.decode(data, "jpg")
+    assert out.shape == px.shape
+    assert imaging.psnr(px, out) >= 40.0
+    # the payload invariant's lossy branch takes exactly this path
+    assert imaging.payload_ok(data, "jpg", px)
+    assert not imaging.payload_ok(data, "jpg", px[::-1].copy())
+
+    # solid color is numerically exact after clipping
+    solid = np.full((16, 24, 3), [120, 64, 200], dtype=np.uint8)
+    assert imaging.psnr(
+        solid, imaging.decode(imaging.encode(solid, "jpeg"), "jpeg")
+    ) == float("inf")
+
+    # odd (non-multiple-of-8) sizes pad and crop correctly
+    odd = imaging.decode(imaging.encode(px[:37, :49], "jpg"), "jpg")
+    assert odd.shape == (37, 49, 3)
+
+    # quality knob: lower quality -> smaller stream
+    from mechaml_spark.jpeg import jpeg_encode
+
+    assert len(jpeg_encode(px, 30)) < len(jpeg_encode(px, 95))
+
+    with pytest.raises(ValueError):
+        imaging.decode(b"\xff\xd8not a jpeg", "jpg")
+    with pytest.raises(ValueError):
+        imaging.decode(data[: len(data) // 2], "jpg")  # truncated scan
