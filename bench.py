@@ -152,6 +152,7 @@ def main() -> None:
         "image_features",
         "image_phash",
         "image_neardup",
+        "image_jpeg_features",
         "audio_features",
         "video_frames",
         "token_stats",

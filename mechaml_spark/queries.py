@@ -531,6 +531,55 @@ def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LOSSY codec, oracle-checked: constant-plane JPEGs (q95)
+    keyed by doc_id -> REAL baseline-JPEG encode -> REAL decode ->
+    features.  A constant 8x8 plane is DC-only; at quality 95 the DC
+    quantization step is 2 and the DC coefficient 8*(v-128) is always
+    divisible by 2 after rounding, so the reconstructed YCbCr error
+    is <= 0.125 per channel and the RGB inverse lands strictly within
+    0.5 of the original integers — the decode is EXACT and the means
+    are the same closed form as `image_features`."""
+    import numpy as _np
+    import pandas as _pd
+
+    from mechaml_spark import imaging as _imaging
+    from mechaml_spark import multimodal
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 200
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                px = _np.empty((8, 8, 3), dtype=_np.uint8)
+                px[..., 0] = (did * 7) % 251
+                px[..., 1] = (did * 11) % 251
+                px[..., 2] = (did * 13) % 251
+                from mechaml_spark.jpeg import jpeg_encode as _jenc
+
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "bytes": _jenc(px, quality=95),  # DC step 2: exact
+                        "fmt": "jpg",
+                    }
+                )
+            yield _pd.DataFrame(rows, columns=["doc_id", "bytes", "fmt"])
+
+    media = d.mapInPandas(gen, schema="doc_id long, bytes binary, fmt string")
+    feats = multimodal.image_features(media)
+    return feats.select(
+        "doc_id",
+        F.col("features")["mean_r"].alias("mean_r"),
+        F.col("features")["mean_g"].alias("mean_g"),
+        F.col("features")["mean_b"].alias("mean_b"),
+    )
+
+
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio pipeline with a CLOSED-FORM oracle: deterministic mono
     16-bit PCM WAV square waves keyed by doc_id -> REAL stdlib
@@ -993,6 +1042,7 @@ QUERIES = {
     "image_features": q_image_features,
     "image_phash": q_image_phash,
     "image_neardup": q_image_neardup,
+    "image_jpeg_features": q_image_jpeg_features,
     "audio_features": q_audio_features,
     "video_frames": q_video_frames,
     "token_stats": q_token_stats,
@@ -1251,6 +1301,13 @@ ORACLES = {
                      (phash >> (16 * CAST(b AS INT))) & 65535 AS val
               FROM ph, range(4) rb(b))
         GROUP BY band, val HAVING count(*) > 1
+    """,
+    "image_jpeg_features": """
+        SELECT doc_id,
+               CAST((doc_id * 7)  % 251 AS BIGINT) * 1000 AS mean_r,
+               CAST((doc_id * 11) % 251 AS BIGINT) * 1000 AS mean_g,
+               CAST((doc_id * 13) % 251 AS BIGINT) * 1000 AS mean_b
+        FROM documents WHERE doc_id < 200
     """,
     "audio_features": """
         SELECT doc_id,
