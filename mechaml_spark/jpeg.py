@@ -249,8 +249,13 @@ class _BitReader:
         self.pos = pos
         self.acc = 0
         self.n = 0
+        self.eof = False
 
     def _fill(self) -> None:
+        if self.eof:  # past EOI: pure 1-padding, marker never consumed
+            self.acc = (self.acc << 8) | 0xFF
+            self.n += 8
+            return
         if self.pos >= len(self.data):
             raise ValueError("JPEG entropy data truncated")
         byte = self.data[self.pos]
@@ -262,6 +267,7 @@ class _BitReader:
             if nxt == 0x00:
                 self.pos += 1  # stuffed byte
             elif nxt == 0xD9:  # EOI reached while reading: spec padding
+                self.eof = True
                 byte = 0xFF
             else:
                 raise ValueError(f"unexpected marker 0xFF{nxt:02x} in scan")
@@ -309,10 +315,20 @@ def _extend(v: int, size: int) -> int:
 
 
 def jpeg_decode(data: bytes) -> np.ndarray:
-    """Baseline JFIF/JPEG bytes -> uint8 HxWx3 RGB.  SOF0 + 4:4:4
-    only; anything else raises ValueError (see module docstring)."""
+    """Baseline JFIF/JPEG bytes -> uint8 HxWx3 RGB.  SOF0 + 4:4:4 +
+    one interleaved scan only; anything else — including truncated or
+    garbled streams — raises ValueError (see module docstring)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
+    try:
+        return _jpeg_decode(data)
+    except ValueError:
+        raise
+    except Exception as e:  # truncated/garbled headers: typed error
+        raise ValueError(f"malformed JPEG: {e!r}") from e
+
+
+def _jpeg_decode(data: bytes) -> np.ndarray:
     pos = 2
     qts: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
@@ -322,6 +338,10 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("JPEG marker sync lost")
+        # T.81 B.1.1.2: markers may be preceded by any number of
+        # 0xFF fill bytes
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:
@@ -366,6 +386,13 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 bp += 17 + nv
         elif marker == 0xDA:  # SOS
             ns = body[0]
+            if ns != 3:
+                # Ns=1 per-component scans are legal baseline but this
+                # decoder reads one interleaved scan only — refusing
+                # beats silently leaving two planes at zero
+                raise ValueError(
+                    "non-interleaved (multi-scan) JPEG unsupported"
+                )
             for i in range(ns):
                 cid, tt = body[1 + 2 * i], body[2 + 2 * i]
                 scan.append((cid, tt >> 4, tt & 15))

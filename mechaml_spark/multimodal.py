@@ -97,7 +97,8 @@ def resize_images(
     out_col: str = "resized",
 ) -> DataFrame:
     """Nearest-neighbor resize, re-encoded in the same format.  Real
-    for PNG/PPM/BMP/GIF; other formats raise (no codecs in-sandbox)."""
+    for PNG/PPM/BMP/GIF/JPEG (JPEG re-encodes at quality 90); other
+    formats raise (no codecs in-sandbox)."""
     out_schema = T.StructType(
         list(df.schema.fields) + [T.StructField(out_col, T.BinaryType())]
     )

@@ -543,8 +543,8 @@ def q_image_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as _np
     import pandas as _pd
 
-    from mechaml_spark import imaging as _imaging
     from mechaml_spark import multimodal
+    from mechaml_spark.jpeg import jpeg_encode as _jenc
 
     d = _t(spark, sf_dir, "documents").select("doc_id").where(
         F.col("doc_id") < 200
@@ -559,8 +559,6 @@ def q_image_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 px[..., 0] = (did * 7) % 251
                 px[..., 1] = (did * 11) % 251
                 px[..., 2] = (did * 13) % 251
-                from mechaml_spark.jpeg import jpeg_encode as _jenc
-
                 rows.append(
                     {
                         "doc_id": did,

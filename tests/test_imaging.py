@@ -402,3 +402,36 @@ def test_jpeg_baseline_codec():
         imaging.decode(b"\xff\xd8not a jpeg", "jpg")
     with pytest.raises(ValueError):
         imaging.decode(data[: len(data) // 2], "jpg")  # truncated scan
+
+
+def test_jpeg_malformed_inputs_raise_valueerror():
+    """Every malformed-input class raises ValueError, never an
+    untyped struct/Index/Key error (the documented decode contract)."""
+    import struct
+
+    from mechaml_spark import jpeg
+
+    yy, xx = np.mgrid[0:16, 0:16]
+    px = np.stack([yy * 15, xx * 15, yy + xx], axis=-1).astype(np.uint8)
+    good = jpeg.jpeg_encode(px)
+
+    # truncated SOF body
+    sof = good.find(b"\xff\xc0")
+    with pytest.raises(ValueError):
+        jpeg.jpeg_decode(good[: sof + 6])
+    # DHT declaring more values than present
+    dht = good.find(b"\xff\xc4")
+    with pytest.raises(ValueError):
+        jpeg.jpeg_decode(good[: dht + 10])
+    # non-interleaved scan (Ns=1) is refused, not silently mis-decoded
+    sos = good.find(b"\xff\xda")
+    bad = bytearray(good)
+    bad[sos + 4] = 1  # Ns
+    with pytest.raises(ValueError):
+        jpeg.jpeg_decode(bytes(bad))
+    # fill bytes before markers are legal and skipped
+    filled = good[:2] + b"\xff" + good[2:]
+    assert np.array_equal(jpeg.jpeg_decode(filled), jpeg.jpeg_decode(good))
+    # sanity: the struct module path (garbage length field)
+    with pytest.raises(ValueError):
+        jpeg.jpeg_decode(b"\xff\xd8\xff\xdb\xff\xff")
