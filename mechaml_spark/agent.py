@@ -853,7 +853,12 @@ def fetch(
     for _hop in range(max_redirect + 1):
         req = cur
         if jar is not None:
-            req = ck.add_to_headers(cur, jar, url_col="cur_url")
+            # explicit "scan": the agent's session jar is small by
+            # design (per-site cookies), the map-only broadcast-array
+            # plan is optimal AND avoids the auto gate's count() job
+            # inside the per-hop loop; a crawl-wide 10^7-cookie jar
+            # would pass strategy="join" (hash equi-join) instead
+            req = ck.add_to_headers(cur, jar, url_col="cur_url", strategy="scan")
         # lazy checkpoint per hop: ev/done/nxt all branch off `j`, so
         # materializing it once (blocks cached, lineage truncated)
         # stops the downstream unions from re-running the join chain —

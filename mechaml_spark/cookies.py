@@ -273,19 +273,48 @@ def add_to_headers(
     jar_df: DataFrame,
     url_col: str = "url",
     out_col: str = "cookie_header",
+    strategy: str = "auto",
+    small_jar_threshold: int = 4096,
 ) -> DataFrame:
     """Append the matched ``Cookie`` header value (jar key order,
     possibly "") to every request row (cookiejar.ml:123-137).
 
-    Plan shape: the whole jar is folded into ONE sorted
-    ``array<struct>`` row (a global ``collect_list`` — the jar is
-    orders of magnitude smaller than the request stream), broadcast,
-    and cross-joined onto the requests; the header is then computed
-    per row with ``filter``/``transform``/``array_join`` higher-order
-    functions — all JVM expression-level.  The request stream never
-    shuffles and there is no re-attach join: at 100-TB request volume
-    this stage is map-only (one BroadcastNestedLoopJoin against a
-    single-row side)."""
+    Two physical strategies, same result (tested equal):
+
+    * ``"scan"`` — the whole jar folded into ONE sorted
+      ``array<struct>`` row, broadcast, matched per request with
+      ``filter``/``transform`` higher-order functions. Map-only (the
+      request stream never shuffles) but O(|jar|) work per request
+      row: optimal while the jar is orders of magnitude smaller than
+      the request stream (an agent's session jar).
+    * ``"join"`` — the request host is exploded into its dotted
+      suffix chain (``a.b.com`` -> [``a.b.com``, ``b.com``, ``com``],
+      exactly the candidate set cookiejar.ml:48-54's ``domain_match``
+      can accept, boundary-dot quirk included) and hash equi-joined
+      against the jar on ``domain`` (small side broadcast), then
+      path-prefix filtered and re-aggregated per request in jar key
+      order. Per-request cost is O(host depth + matches), independent
+      of jar size — the scale path for a crawl-wide jar (10^7+
+      cookies), where the broadcast degrades to a shuffled hash join
+      but never a per-row linear scan.
+
+    ``"auto"`` counts the jar once and picks ``scan`` iff it has at
+    most ``small_jar_threshold`` rows."""
+    if strategy == "auto":
+        strategy = "scan" if jar_df.count() <= small_jar_threshold else "join"
+    if strategy == "join":
+        return _add_to_headers_join(requests, jar_df, url_col, out_col)
+    if strategy != "scan":
+        raise ValueError(f"unknown add_to_headers strategy: {strategy!r}")
+    return _add_to_headers_scan(requests, jar_df, url_col, out_col)
+
+
+def _add_to_headers_scan(
+    requests: DataFrame,
+    jar_df: DataFrame,
+    url_col: str,
+    out_col: str,
+) -> DataFrame:
     from mechaml_spark.page import host_col, path_col
 
     # one row: the jar serialized in key order (name^domain^path)
@@ -315,7 +344,9 @@ def add_to_headers(
             & host.endswith(c["domain"])
             & (F.substring(host, delta, F.lit(1)) == ".")
         )
-        return domain_ok & path.startswith(c["path"])
+        # match_uri guard: a URL without a host matches nothing (even
+        # an empty-domain cookie) — mirrors match_uri_py's early False
+        return (F.length(host) > 0) & domain_ok & path.startswith(c["path"])
 
     header = F.array_join(
         F.transform(
@@ -335,5 +366,88 @@ def add_to_headers(
         .withColumn(out_col, F.coalesce(header, F.lit("")))
         .drop("_jar", "_req_host", "_req_path")
     )
+
+
+def _host_suffix_chain(host: Column) -> Column:
+    """All domains that cookiejar.ml:48-54's ``domain_match`` can accept
+    for ``host``: the host itself (equality arm) plus every suffix that
+    starts right after a '.' (the dotted-suffix arm — the char before
+    the suffix must be '.').  A stored leading-dot domain is therefore
+    reachable only through the equality arm, preserving the quirk that
+    it never matches its subdomains.  Pure expression, codegen'd."""
+    dots = F.filter(
+        F.sequence(F.lit(1), F.greatest(F.length(host), F.lit(1))),
+        lambda i: host.substr(i, F.lit(1)) == ".",
+    )
+    suffixes = F.transform(dots, lambda i: host.substr(i + 1, F.length(host)))
+    return F.array_distinct(F.concat(F.array(host), suffixes))
+
+
+def _add_to_headers_join(
+    requests: DataFrame,
+    jar_df: DataFrame,
+    url_col: str,
+    out_col: str,
+) -> DataFrame:
+    """Hash-join strategy: explode the host suffix chain, equi-join the
+    jar on ``domain``, path-prefix filter, regroup per request.
+
+    Equivalence with ``domain_match`` (cookiejar.ml:48-54): a cookie
+    domain matches a host iff it equals the host or equals a suffix
+    preceded by '.', i.e. iff it appears in ``_host_suffix_chain`` —
+    so one equi-join replaces the theta scan, and each jar cookie can
+    match a given request through at most one chain element (the
+    chain's elements have pairwise distinct lengths), so no dedup is
+    needed before the regroup.
+
+    Plan shape: explode_outer (keeps zero-candidate rows, e.g. null
+    hosts from invalid URLs) -> BroadcastHashJoin(left outer) on the
+    exploded domain -> groupBy on a per-request id with map-side
+    partial aggregation (exploded rows of one request are adjacent, so
+    the shuffle carries ~1 row per request).  Single linear plan: the
+    monotonically_increasing_id is generated and consumed once, never
+    compared across plan branches."""
+    from mechaml_spark.page import host_col, path_col
+
+    orig_cols = list(requests.columns)
+    req = (
+        requests.withColumn("_rid", F.monotonically_increasing_id())
+        .withColumn("_req_host", host_col(F.col(url_col)))
+        .withColumn("_req_path", path_col(F.col(url_col)))
+    )
+    # match_uri guard: hostless URLs get a NULL chain -> explode_outer
+    # keeps the row with _dom NULL -> zero matches (match_uri_py parity)
+    chain = F.when(
+        F.length("_req_host") > 0, _host_suffix_chain(F.col("_req_host"))
+    )
+    exploded = req.select("*", F.explode_outer(chain).alias("_dom"))
+    jar = jar_df.select(
+        F.col("domain").alias("_dom"),
+        F.struct(
+            F.concat_ws("", "name", "domain", "path").alias("k"),
+            F.col("name").alias("name"),
+            F.col("value").alias("value"),
+            F.col("domain").alias("domain"),
+            F.col("path").alias("path"),
+        ).alias("_ck"),
+    )
+    joined = exploded.join(F.broadcast(jar), on="_dom", how="left").withColumn(
+        "_ck",
+        # path_match (cookiejar.ml:56-59): plain prefix; a failing
+        # cookie becomes a non-match but the request row survives
+        F.when(F.col("_req_path").startswith(F.col("_ck.path")), F.col("_ck")),
+    )
+    header = F.array_join(
+        F.transform(
+            # same sort struct as the scan strategy: jar key order =
+            # lexicographic on name^domain^path (cookiejar.ml:94-96)
+            F.array_sort(F.collect_list("_ck")),
+            lambda c: F.concat_ws("=", c["name"], c["value"]),
+        ),
+        "; ",
+    )
+    aggs = [F.first(F.col(c)).alias(c) for c in orig_cols]
+    aggs.append(F.coalesce(header, F.lit("")).alias(out_col))
+    return joined.groupBy("_rid").agg(*aggs).select(*orig_cols, out_col)
 
 

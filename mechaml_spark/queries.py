@@ -126,7 +126,12 @@ def q_cookie_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     req = c.select(
         c.c_custkey, F.concat(F.lit("http://"), host, F.lit("/a")).alias("url")
     )
-    return ck.add_to_headers(req, jar).select("c_custkey", "cookie_header")
+    # strategy="join": drive the scale path (host-suffix explode +
+    # broadcast hash equi-join) through the oracle gate; the "scan"
+    # strategy is pinned equal in tests/test_cookies.py
+    return ck.add_to_headers(req, jar, strategy="join").select(
+        "c_custkey", "cookie_header"
+    )
 
 
 def q_politeness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -166,6 +166,85 @@ def test_spark_add_to_headers_matches_oracle(spark, jar_df):
         assert got[u] == oracle.header_for(u), u
 
 
+QUIRK_COOKIES = [
+    # multiple cookies per domain, interleaved names -> jar key order
+    make_cookie("quirk.ex", name="zz", value="1"),
+    make_cookie("quirk.ex", name="aa", value="2"),
+    make_cookie("quirk.ex", name="mm", value="3", path="/deep"),
+    # leading-dot domain: must match ONLY the literal host ".quirk.ex"
+    make_cookie(".quirk.ex", name="dot", value="4"),
+    # parent-domain cookie: matches quirk.ex + subdomains via dotted
+    # suffix, NOT "notquirk.ex"
+    make_cookie("ex", name="tld", value="5"),
+    # empty domain: matches only hosts ENDING in '.' (boundary-dot
+    # quirk applied to the empty suffix) or the empty host
+    make_cookie("", name="empty", value="6"),
+    # path-restricted parent cookie
+    make_cookie("quirk.ex", name="pp", value="7", path="/a/b"),
+]
+
+QUIRK_URLS = [
+    "http://quirk.ex/",
+    "http://quirk.ex/deep/er",
+    "http://sub.quirk.ex/a/b/c",
+    "http://sub.sub.quirk.ex/",
+    "http://notquirk.ex/a/b",
+    "http://aquirk.ex/",  # no boundary dot -> suffix must NOT match
+    "http://quirk.ex./x",  # trailing-dot host -> empty-domain cookie
+    "http://ex/a/b/z",
+    "http://other.zz/",
+    f"http://{HOST}/a b/c",  # java.net.URI-hostile (raw space)
+    "not a url at all",
+]
+
+
+@pytest.mark.parametrize("strategy", ["scan", "join"])
+def test_spark_add_to_headers_quirks_vs_oracle(spark, strategy):
+    """Both physical strategies reproduce the pure jar on the full
+    quirk corpus (boundary dot, leading dot, empty domain, path
+    prefixes, invalid URLs, jar key ordering)."""
+    jar = spark.createDataFrame(QUIRK_COOKIES, ck.COOKIE_T)
+    req = spark.createDataFrame([(u,) for u in QUIRK_URLS], "url string")
+    got = {
+        r["url"]: r["cookie_header"]
+        for r in ck.add_to_headers(req, jar, strategy=strategy).collect()
+    }
+    oracle = fresh_jar(QUIRK_COOKIES)
+    assert len(got) == len(QUIRK_URLS)
+    for u in QUIRK_URLS:
+        assert got[u] == oracle.header_for(u), (strategy, u)
+
+
+def test_spark_add_to_headers_strategies_equal(spark, jar_df):
+    """scan == join row-for-row on the seeded corpus, extra request
+    columns preserved, empty jar handled by both."""
+    urls = QUIRK_URLS + [URI, f"http://sub.{HOST}/deep"]
+    req = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "rid int, url string"
+    )
+    for jar in (jar_df, ck.empty_jar(spark)):
+        scan = {
+            (r["rid"], r["url"]): r["cookie_header"]
+            for r in ck.add_to_headers(req, jar, strategy="scan").collect()
+        }
+        join = {
+            (r["rid"], r["url"]): r["cookie_header"]
+            for r in ck.add_to_headers(req, jar, strategy="join").collect()
+        }
+        assert scan == join
+        assert len(scan) == len(urls)
+
+
+def test_spark_add_to_headers_auto_gate(spark, jar_df):
+    """auto picks scan under the threshold, join above — both correct."""
+    req = spark.createDataFrame([(u,) for u in QUIRK_URLS], "url string")
+    small = ck.add_to_headers(req, jar_df, strategy="auto", small_jar_threshold=100)
+    big = ck.add_to_headers(req, jar_df, strategy="auto", small_jar_threshold=1)
+    assert {tuple(r) for r in small.collect()} == {tuple(r) for r in big.collect()}
+    with pytest.raises(ValueError, match="strategy"):
+        ck.add_to_headers(req, jar_df, strategy="nope")
+
+
 def test_spark_cookies_from_responses(spark):
     rows = [
         (
