@@ -522,7 +522,9 @@ class HttpLoopFetcher(HttpFetcher):
 
 
 def resolve_redirect_closure(
-    corpus: DataFrame, max_redirect: int = MAX_REDIRECT
+    corpus: DataFrame,
+    max_redirect: int = MAX_REDIRECT,
+    max_driver_redirect_rows: int = 2_000_000,
 ) -> DataFrame:
     """Redirect closure of a response corpus: for every corpus URL,
     the final landing response plus per-hop metadata, following the
@@ -584,6 +586,28 @@ def resolve_redirect_closure(
     red = corpus.where(redir_pred).select(
         "url_norm", "status", "location", "set_cookie"
     )
+
+    chase_schema = (
+        "url_norm string, final_url string, capped_status int, "
+        f"pending_hop int, cookie_hops {hop_t}, hop_urls {hu_t}"
+    )
+
+    # SIZE GATE: the Arrow pointer-chase needs the body-free redirect
+    # subset on the driver (~100 B/row).  Beyond the gate that map no
+    # longer "fits by construction" — fall back to the fully
+    # distributed bounded-join chase (same semantics, tested
+    # byte-equal; costs max_redirect serial Catalyst compiles, which
+    # is exactly the overhead the driver map exists to avoid at
+    # local-corpus sizes).  A live deployment never builds a closure
+    # at all: HttpLoopFetcher chases redirects inside the fetch task.
+    if red.count() > max_driver_redirect_rows:
+        chased = _chase_relational_closure(
+            red, max_redirect, hop_t, hu_t
+        ).localCheckpoint(eager=True)
+        return _attach_closure_finals(
+            corpus, nonred_finals, chased, hop_t
+        )
+
     red_pdf = red.toPandas()
     rmap = {
         u: (int(s), loc, None if sc is None else list(sc))
@@ -595,11 +619,6 @@ def resolve_redirect_closure(
         )
     }
     bc = corpus.sparkSession.sparkContext.broadcast(rmap)
-
-    chase_schema = (
-        "url_norm string, final_url string, capped_status int, "
-        f"pending_hop int, cookie_hops {hop_t}, hop_urls {hu_t}"
-    )
 
     def _chase(batches):
         import pandas as pd
@@ -658,6 +677,121 @@ def resolve_redirect_closure(
     # accumulate one leaked broadcast per crawl
     chased = red.mapInPandas(_chase, chase_schema).localCheckpoint(eager=True)
     bc.destroy(blocking=False)
+    return _attach_closure_finals(corpus, nonred_finals, chased, hop_t)
+
+
+def _chase_relational_closure(
+    red: DataFrame, max_redirect: int, hop_t: str, hu_t: str
+) -> DataFrame:
+    """Distributed twin of the Arrow pointer-chase: a bounded loop of
+    left equi-joins of the active chain heads against the (body-free)
+    redirect subset — no driver-side materialization anywhere, so it
+    scales to redirect subgraphs that cannot fit the driver.  Uses the
+    same fused resolve->canonicalize->host UDF as the crawl's link
+    path, so hop semantics are shared with both the Arrow chase and
+    the sequential oracle."""
+    from mechaml_spark.page import resolve_canon_host
+
+    cols = [
+        "url_norm", "cur", "loc", "capped_status", "pending_hop",
+        "cookie_hops", "hop_urls", "active",
+    ]
+    rmap = red.select(
+        F.col("url_norm").alias("_mu"),
+        F.col("status").cast("int").alias("_ms"),
+        F.col("location").alias("_ml"),
+        F.col("set_cookie").alias("_mc"),
+    )
+    state = red.select(
+        "url_norm",
+        F.col("url_norm").alias("cur"),
+        F.col("location").alias("loc"),
+        F.col("status").cast("int").alias("capped_status"),
+        F.lit(None).cast("int").alias("pending_hop"),
+        F.array(
+            F.struct(
+                F.lit(0).alias("hop"),
+                F.col("url_norm").alias("src_url"),
+                F.col("set_cookie").alias("set_cookie"),
+            )
+        ).cast(hop_t).alias("cookie_hops"),
+        F.array().cast(hu_t).alias("hop_urls"),
+        F.lit(True).alias("active"),
+    )
+    for hop in range(max_redirect):
+        done = state.where(~F.col("active")).select(*cols)
+        stepped = (
+            state.where(F.col("active"))
+            .withColumn("_rc", resolve_canon_host(F.col("cur"), F.col("loc")))
+            .select(
+                "url_norm",
+                F.col("_rc.url_norm").alias("cur"),
+                "capped_status",
+                "pending_hop",
+                "cookie_hops",
+                F.concat(
+                    "hop_urls",
+                    F.array(
+                        F.struct(
+                            F.col("_rc.url_norm").alias("url_norm"),
+                            F.col("_rc.host").alias("host"),
+                        )
+                    ).cast(hu_t),
+                ).alias("hop_urls"),
+            )
+        )
+        j = stepped.join(rmap, stepped["cur"] == rmap["_mu"], "left")
+        in_map = F.col("_mu").isNotNull()
+        moved = j.select(
+            "url_norm",
+            "cur",
+            F.col("_ml").alias("loc"),
+            # left the subgraph: landing status attaches later (NULL
+            # sentinel); still in it: the hop row's own status
+            F.when(in_map, F.col("_ms")).alias("capped_status"),
+            F.when(~in_map, F.lit(hop + 1))
+            .otherwise(F.col("pending_hop"))
+            .alias("pending_hop"),
+            F.when(
+                in_map,
+                F.concat(
+                    "cookie_hops",
+                    F.array(
+                        F.struct(
+                            F.lit(hop + 1).alias("hop"),
+                            F.col("cur").alias("src_url"),
+                            F.col("_mc").alias("set_cookie"),
+                        )
+                    ).cast(hop_t),
+                ),
+            ).otherwise(F.col("cookie_hops")).alias("cookie_hops"),
+            "hop_urls",
+            in_map.alias("active"),
+        )
+        # lazy checkpoint per hop: truncates the join-chain lineage so
+        # the next hop (and the final consumer) does not replay every
+        # prior hop's join; no driver job is issued here
+        state = moved.unionByName(done).localCheckpoint(eager=False)
+    # cap reached while still on a redirect row -> 3xx returned as-is
+    return state.select(
+        "url_norm",
+        F.col("cur").alias("final_url"),
+        "capped_status",
+        "pending_hop",
+        "cookie_hops",
+        "hop_urls",
+    )
+
+
+def _attach_closure_finals(
+    corpus: DataFrame,
+    nonred_finals: DataFrame,
+    chased: DataFrame,
+    hop_t: str,
+) -> DataFrame:
+    """Shared closure tail: attach landing status/set_cookie for chains
+    that left the redirect subgraph, then the landing body — without
+    ever shuffling the body column (see inline comments)."""
     capped_rows = chased.where(F.col("pending_hop").isNull()).select(
         "url_norm",
         "final_url",

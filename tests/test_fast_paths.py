@@ -67,6 +67,39 @@ def test_closure_fetch_equals_hop_loop(spark, corpus, requests_df):
     assert rows(loop.hop_targets, hop_cols) == rows(fast.hop_targets, hop_cols)
 
 
+def test_relational_closure_equals_driver_map(spark, corpus):
+    """Forcing the size gate (max_driver_redirect_rows=0) routes the
+    closure through the fully distributed bounded-join chase; it must
+    be byte-equal to the Arrow driver-map pointer-chase on the same
+    corpus (redirect chains incl. the 7-hop capped one, set-cookie
+    hops, landings absent from the corpus)."""
+
+    def rows(df):
+        return sorted(
+            (
+                r["url_norm"], r["final_url"], r["status"], r["body"],
+                tuple(map(tuple, r["cookie_hops"])),
+                tuple(map(tuple, r["hop_urls"])),
+            )
+            for r in df.select(
+                "url_norm", "final_url", "status", "body",
+                F.expr(
+                    "transform(cookie_hops, h -> struct(h.hop, h.src_url, "
+                    "array_join(coalesce(h.set_cookie, array()), '|')))"
+                ).alias("cookie_hops"),
+                "hop_urls",
+            ).collect()
+        )
+
+    arrow = agent.resolve_redirect_closure(corpus)
+    relational = agent.resolve_redirect_closure(
+        corpus, max_driver_redirect_rows=0
+    )
+    a, r = rows(arrow), rows(relational)
+    assert len(a) == corpus.count()
+    assert a == r
+
+
 def test_lean_parse_matches_full(spark, corpus):
     pages = corpus.where(F.col("status") == 200).select(
         F.col("url_norm").alias("url"), "body"
