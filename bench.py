@@ -155,6 +155,7 @@ def main() -> None:
         "image_jpeg_features",
         "audio_features",
         "video_frames",
+        "video_frames_avi",
         "token_stats",
         "quality_filter",
         "lang_id",

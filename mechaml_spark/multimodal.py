@@ -156,6 +156,150 @@ FRAME_T = T.StructType(
 )
 
 
+# ------------------------------------------------------- MJPEG-in-AVI (RIFF)
+# The AVI container is a plain RIFF parse (stdlib struct); with the
+# repo's own baseline JPEG codec (mechaml_spark.jpeg) that makes
+# MJPEG-in-AVI a REAL video path with zero external deps.  Spec:
+# Microsoft "AVI RIFF File Reference" (public), OpenDML extensions not
+# required for baseline files.
+
+
+def _riff_chunk(fourcc: bytes, payload: bytes) -> bytes:
+    pad = b"\x00" if len(payload) % 2 else b""
+    return fourcc + len(payload).to_bytes(4, "little") + payload + pad
+
+
+def _riff_list(list_type: bytes, payload: bytes, tag: bytes = b"LIST") -> bytes:
+    return _riff_chunk(tag, list_type + payload)
+
+
+def avi_mjpeg_encode(
+    frames: list[np.ndarray],
+    usec_per_frame: int = 100_000,
+    quality: int = 95,
+) -> bytes:
+    """Minimal spec-valid MJPEG AVI: RIFF('AVI ' hdrl(avih,
+    strl(strh,strf)) movi('00dc' JPEG per frame) idx1).  Each frame is
+    encoded with the repo's baseline JPEG encoder."""
+    import struct
+
+    from mechaml_spark import jpeg
+
+    if not frames:
+        raise ValueError("empty frame list")
+    h, w = frames[0].shape[:2]
+    jpgs = [jpeg.jpeg_encode(f, quality=quality) for f in frames]
+    n = len(jpgs)
+    bufsize = max(len(j) for j in jpgs)
+    avih = _riff_chunk(
+        b"avih",
+        struct.pack(
+            "<14I",
+            usec_per_frame, 0, 0, 0x10, n, 0, 1, bufsize, w, h, 0, 0, 0, 0
+        ),
+    )
+    strh = _riff_chunk(
+        b"strh",
+        b"vids" + b"MJPG"
+        + struct.pack(
+            "<10I4H",
+            0, 0, 0,                      # flags, prio/lang, initial frames
+            usec_per_frame, 1_000_000,    # scale, rate (fps = rate/scale)
+            0, n, bufsize, 0xFFFFFFFF, 0, # start, length, bufsize, quality, samplesize
+            0, 0, w, h,                   # rcFrame
+        ),
+    )
+    strf = _riff_chunk(
+        b"strf",
+        struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+                    w * h * 3, 0, 0, 0, 0),
+    )
+    hdrl = _riff_list(b"hdrl", avih + _riff_list(b"strl", strh + strf))
+    movi_payload = b""
+    idx_entries = []
+    for j in jpgs:
+        # idx1 offsets are relative to the 'movi' fourcc position
+        idx_entries.append((4 + len(movi_payload), len(j)))
+        movi_payload += _riff_chunk(b"00dc", j)
+    movi = _riff_list(b"movi", movi_payload)
+    idx1 = _riff_chunk(
+        b"idx1",
+        b"".join(
+            b"00dc" + struct.pack("<III", 0x10, off, sz)
+            for off, sz in idx_entries
+        ),
+    )
+    return _riff_list(b"AVI ", hdrl + movi + idx1, tag=b"RIFF")
+
+
+def _riff_walk(data: bytes, start: int, end: int):
+    """Yield (fourcc, payload_start, payload_size) for each chunk in
+    [start, end); chunks are word-aligned."""
+    pos = start
+    while pos + 8 <= end:
+        fourcc = data[pos:pos + 4]
+        size = int.from_bytes(data[pos + 4:pos + 8], "little")
+        body = pos + 8
+        if body + size > end:
+            raise ValueError("truncated RIFF chunk")
+        yield fourcc, body, size
+        pos = body + size + (size & 1)
+
+
+def avi_mjpeg_frames(data: bytes) -> tuple[int, list[bytes]]:
+    """Parse an AVI container -> (usec_per_frame, [JPEG bytes per
+    frame]).  Raises ``ValueError`` for non-AVI/corrupt bytes and
+    ``NotImplementedError`` for a video stream that is not MJPEG
+    (the documented in-sandbox codec boundary — the container parse
+    is complete, only the codec is gated)."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI stream")
+    usec_per_frame: int | None = None
+    vids_handler: bytes | None = None
+    strf_compression: bytes | None = None
+    frames: list[bytes] = []
+
+    def walk_movi(s: int, e: int) -> None:
+        for fcc, body, size in _riff_walk(data, s, e):
+            if fcc == b"LIST" and data[body:body + 4] == b"rec ":
+                walk_movi(body + 4, body + size)
+            elif fcc[2:4] in (b"dc", b"db") and size > 0:
+                frames.append(data[body:body + size])
+
+    for fcc, body, size in _riff_walk(data, 12, len(data)):
+        if fcc != b"LIST":
+            continue
+        ltype = data[body:body + 4]
+        if ltype == b"hdrl":
+            for f2, b2, s2 in _riff_walk(data, body + 4, body + size):
+                if f2 == b"avih" and s2 >= 4:
+                    usec_per_frame = int.from_bytes(data[b2:b2 + 4], "little")
+                elif f2 == b"LIST" and data[b2:b2 + 4] == b"strl":
+                    sh = dict()
+                    for f3, b3, s3 in _riff_walk(data, b2 + 4, b2 + s2):
+                        sh[f3] = (b3, s3)
+                    if b"strh" in sh and data[sh[b"strh"][0]:sh[b"strh"][0] + 4] == b"vids":
+                        if vids_handler is None:
+                            vids_handler = data[sh[b"strh"][0] + 4:sh[b"strh"][0] + 8]
+                            if b"strf" in sh and sh[b"strf"][1] >= 20:
+                                o = sh[b"strf"][0]
+                                strf_compression = data[o + 16:o + 20]
+        elif ltype == b"movi":
+            walk_movi(body + 4, body + size)
+    if usec_per_frame is None or usec_per_frame <= 0:
+        raise ValueError("AVI without a usable avih header")
+    if vids_handler is None:
+        raise ValueError("AVI without a video stream")
+    codec = (strf_compression or vids_handler).upper()
+    if codec not in (b"MJPG", b"JPEG"):
+        raise NotImplementedError(
+            f"AVI video codec {codec!r} not decodable in-sandbox (only "
+            "MJPEG via the repo's baseline JPEG codec); deploy with "
+            "ffmpeg/pyav and keep this stage's schema"
+        )
+    return usec_per_frame, frames
+
+
 def sample_video_frames(
     df: DataFrame,
     every_ms: int = 1000,
@@ -170,8 +314,13 @@ def sample_video_frames(
     canvases sampled at every ``every_ms`` tick using the per-frame
     GCE delays — the frame on display at each tick is emitted;
     zero delays are clamped to 100 ms like real players, so
-    all-zero-delay GIFs still sample every frame).  Undecodable GIF
-    rows yield ZERO frames (per-row catch, never a task failure).
+    all-zero-delay GIFs still sample every frame) and for MJPEG-in-AVI
+    (``fmt == 'avi'``: RIFF parse via :func:`avi_mjpeg_frames`, each
+    sampled frame decoded with the repo's baseline JPEG decoder,
+    constant frame duration from the ``avih`` header).  Undecodable
+    GIF/AVI rows yield ZERO frames (per-row catch, never a task
+    failure); an AVI whose video codec is NOT MJPEG raises
+    NotImplementedError (codec boundary, not data corruption).
     ``fmt == 'fakevid'`` keeps the deterministic fake decoder
     (duration in the first 4 bytes; frame = solid color keyed by
     (media_id, frame_idx)) for codec-free stage tests; any other fmt
@@ -215,6 +364,38 @@ def sample_video_frames(
                         fi = min(fi, len(frames) - 1)
                         if fi not in enc_cache:
                             enc_cache[fi] = imaging.png_encode(frames[fi][1])
+                        rows.append(
+                            {
+                                id_col: mid,
+                                "frame_idx": k,
+                                "ts_ms": ts,
+                                "frame": enc_cache[fi],
+                            }
+                        )
+                elif fmt == "avi":
+                    from mechaml_spark import jpeg
+
+                    try:
+                        uspf, jpgs = avi_mjpeg_frames(bytes(data))
+                    except ValueError:
+                        continue  # corrupt row: zero frames, task lives
+                    if not jpgs:
+                        continue
+                    total = len(jpgs) * uspf // 1000  # ms, floor
+                    enc_cache = {}
+                    for k, ts in enumerate(range(0, max(total, 1), every_ms)):
+                        # constant frame duration: frame on display at
+                        # ts is floor(ts / (uspf/1000)), capped at last
+                        fi = min(ts * 1000 // uspf, len(jpgs) - 1)
+                        if fi not in enc_cache:
+                            try:
+                                px = jpeg.jpeg_decode(jpgs[fi])
+                            except ValueError:
+                                enc_cache[fi] = None  # bad frame: skip ticks
+                            else:
+                                enc_cache[fi] = imaging.png_encode(px)
+                        if enc_cache[fi] is None:
+                            continue
                         rows.append(
                             {
                                 id_col: mid,

@@ -702,6 +702,69 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_video_frames_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MJPEG-in-AVI pipeline with a CLOSED-FORM oracle: deterministic
+    AVI containers keyed by doc_id — ``F = 2 + d%3`` constant-plane
+    8x8 JPEG frames at q95 (DC quant step 2 -> bit-exact decode, the
+    image_jpeg_features trick) at 10 fps — REAL RIFF parse + REAL
+    baseline JPEG decode per sampled frame
+    (:func:`mechaml_spark.multimodal.avi_mjpeg_frames` +
+    :mod:`mechaml_spark.jpeg`) -> PNG frames -> feature extraction.
+    Frame k of doc d has channels ``((d*P + k*Q) % 251)`` for primes
+    (7,31), (11,37), (13,41); 100 ms per frame and 100 ms ticks mean
+    tick k shows exactly frame k."""
+    import numpy as _np
+    import pandas as _pd
+
+    from mechaml_spark import multimodal
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 200
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                nf = 2 + did % 3
+                frames = []
+                for k in range(nf):
+                    px = _np.empty((8, 8, 3), dtype=_np.uint8)
+                    px[..., 0] = (did * 7 + k * 31) % 251
+                    px[..., 1] = (did * 11 + k * 37) % 251
+                    px[..., 2] = (did * 13 + k * 41) % 251
+                    frames.append(px)
+                rows.append(
+                    {
+                        "media_id": str(did),
+                        "bytes": multimodal.avi_mjpeg_encode(
+                            frames, usec_per_frame=100_000, quality=95
+                        ),
+                        "fmt": "avi",
+                    }
+                )
+            yield _pd.DataFrame(rows, columns=["media_id", "bytes", "fmt"])
+
+    media = d.mapInPandas(
+        gen, schema="media_id string, bytes binary, fmt string"
+    )
+    sampled = multimodal.sample_video_frames(media, every_ms=100)
+    feats = multimodal.image_features(
+        sampled.withColumnRenamed("frame", "bytes").withColumn(
+            "fmt", F.lit("png")
+        )
+    )
+    return feats.select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        "frame_idx",
+        "ts_ms",
+        F.col("features")["mean_r"].alias("mean_r"),
+        F.col("features")["mean_g"].alias("mean_g"),
+        F.col("features")["mean_b"].alias("mean_b"),
+    )
+
+
 # BPE-ish pretokenizer: letter runs / digit runs / single
 # non-alnum-non-space marks — the GPT-2-style pretoken split reduced
 # to a class-portable core (identical semantics under Java regex and
@@ -1048,6 +1111,7 @@ QUERIES = {
     "image_jpeg_features": q_image_jpeg_features,
     "audio_features": q_audio_features,
     "video_frames": q_video_frames,
+    "video_frames_avi": q_video_frames_avi,
     "token_stats": q_token_stats,
     "quality_filter": q_quality_filter,
     "lang_id": q_lang_id,
@@ -1325,6 +1389,16 @@ ORACLES = {
         FROM documents WHERE doc_id < 300
     """,
     "video_frames": """
+        SELECT doc_id,
+               CAST(k AS INT) AS frame_idx,
+               CAST(k * 100 AS BIGINT) AS ts_ms,
+               CAST((doc_id * 7  + k * 31) % 251 AS BIGINT) * 1000 AS mean_r,
+               CAST((doc_id * 11 + k * 37) % 251 AS BIGINT) * 1000 AS mean_g,
+               CAST((doc_id * 13 + k * 41) % 251 AS BIGINT) * 1000 AS mean_b
+        FROM documents, range(4) rk(k)
+        WHERE doc_id < 200 AND k < 2 + doc_id % 3
+    """,
+    "video_frames_avi": """
         SELECT doc_id,
                CAST(k AS INT) AS frame_idx,
                CAST(k * 100 AS BIGINT) AS ts_ms,

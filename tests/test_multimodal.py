@@ -224,3 +224,63 @@ def test_frame_sampling_gif_zero_delay_and_corrupt(spark):
     assert len(by_idx) == 3  # every zero-delay frame sampled once
     for r, w in zip(by_idx, frames):
         assert np.array_equal(imaging.png_decode(bytes(r["frame"])), w)
+
+
+def test_avi_mjpeg_roundtrip_pure():
+    """AVI container: encode -> parse recovers usec_per_frame and every
+    JPEG frame; constant 8x8 planes at q95 decode bit-exactly."""
+    from mechaml_spark import jpeg
+
+    frames = []
+    for k in range(4):
+        px = np.empty((8, 8, 3), dtype=np.uint8)
+        px[..., 0] = (7 + k * 31) % 251
+        px[..., 1] = (11 + k * 37) % 251
+        px[..., 2] = (13 + k * 41) % 251
+        frames.append(px)
+    avi = multimodal.avi_mjpeg_encode(frames, usec_per_frame=40_000, quality=95)
+    uspf, jpgs = multimodal.avi_mjpeg_frames(avi)
+    assert uspf == 40_000 and len(jpgs) == 4
+    for k, j in enumerate(jpgs):
+        assert np.array_equal(jpeg.jpeg_decode(j), frames[k])
+    # word-alignment: odd-length JPEG payloads must still parse
+    with pytest.raises(ValueError):
+        multimodal.avi_mjpeg_frames(b"RIFF\x04\x00\x00\x00AVI ")
+    with pytest.raises(ValueError):
+        multimodal.avi_mjpeg_frames(b"not an avi")
+
+
+def test_avi_non_mjpeg_codec_raises():
+    px = np.zeros((8, 8, 3), dtype=np.uint8)
+    avi = multimodal.avi_mjpeg_encode([px])
+    with pytest.raises(NotImplementedError, match="XVID"):
+        multimodal.avi_mjpeg_frames(avi.replace(b"MJPG", b"XVID"))
+
+
+def test_frame_sampling_real_avi(spark):
+    """Frame sampling is REAL for MJPEG-in-AVI: RIFF parse + baseline
+    JPEG decode; 100 ms frames sampled at 50 ms ticks repeat each
+    frame twice; a corrupt AVI row yields zero frames."""
+    frames = []
+    for k in range(3):
+        px = np.empty((8, 8, 3), dtype=np.uint8)
+        px[..., 0] = (5 * 7 + k * 31) % 251
+        px[..., 1] = (5 * 11 + k * 37) % 251
+        px[..., 2] = (5 * 13 + k * 41) % 251
+        frames.append(px)
+    data = multimodal.avi_mjpeg_encode(frames, usec_per_frame=100_000, quality=95)
+    df = spark.createDataFrame(
+        [("a1", data, "avi"), ("bad", b"RIFF\xff\xff\xff\xffAVI junk", "avi")],
+        "media_id string, bytes binary, fmt string",
+    )
+    rows = sorted(
+        multimodal.sample_video_frames(df, every_ms=50).collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    assert {r["media_id"] for r in rows} == {"a1"}
+    assert [(r["frame_idx"], r["ts_ms"]) for r in rows] == [
+        (0, 0), (1, 50), (2, 100), (3, 150), (4, 200), (5, 250)
+    ]
+    want = [frames[0], frames[0], frames[1], frames[1], frames[2], frames[2]]
+    for r, w in zip(rows, want):
+        assert np.array_equal(imaging.png_decode(bytes(r["frame"])), w)
