@@ -154,6 +154,8 @@ def main() -> None:
         "image_neardup",
         "image_jpeg_features",
         "audio_features",
+        "audio_g711_features",
+        "audio_adpcm_features",
         "video_frames",
         "video_frames_avi",
         "token_stats",

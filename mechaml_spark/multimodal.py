@@ -459,19 +459,260 @@ def wav_encode(samples: np.ndarray, sample_rate: int) -> bytes:
     return buf.getvalue()
 
 
+# --------------------------------------------------- compressed WAV codecs
+# G.711 mu-law / A-law (vectorized numpy port of the public CCITT
+# reference tables) and IMA/DVI ADPCM (block-based, WAVE_FORMAT tag
+# 0x11) — the compressed encodings that actually occur in crawled WAV
+# files.  Everything closed-form, zero external deps.
+
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8]
+_IMA_STEP = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 81, 89, 98, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+
+
+def g711_ulaw_decode(codes: np.ndarray) -> np.ndarray:
+    """mu-law bytes -> int16-domain linear (CCITT G.711, max 32124)."""
+    u = (~np.asarray(codes, dtype=np.uint8)).astype(np.int32)
+    t = (((u & 0xF) << 3) + 0x84) << ((u >> 4) & 0x7)
+    return np.where(u & 0x80, 0x84 - t, t - 0x84)
+
+
+def g711_ulaw_code(positive: bool, exp: int, mant: int) -> int:
+    """The mu-law byte whose decode is exactly
+    ``(((mant<<3)+0x84)<<exp)-0x84`` (sign per ``positive``)."""
+    u = (0 if positive else 0x80) | (exp << 4) | mant
+    return (~u) & 0xFF
+
+
+def g711_alaw_decode(codes: np.ndarray) -> np.ndarray:
+    """A-law bytes -> int16-domain linear (CCITT G.711, max 32256)."""
+    a = np.asarray(codes, dtype=np.uint8).astype(np.int32) ^ 0x55
+    t = (a & 0xF) << 4
+    seg = (a >> 4) & 0x7
+    mag = np.where(
+        seg == 0,
+        t + 8,
+        (t + 0x108) << np.maximum(seg - 1, 0),
+    )
+    return np.where(a & 0x80, mag, -mag)
+
+
+def g711_alaw_code(positive: bool, seg: int, mant: int) -> int:
+    """The A-law byte whose decode is exactly the segment/mantissa
+    magnitude (seg 0: ``(mant<<4)+8``; else ``((mant<<4)+0x108) <<
+    (seg-1)``), sign per ``positive``."""
+    a = (0x80 if positive else 0) | (seg << 4) | mant
+    return a ^ 0x55
+
+
+def ima_adpcm_decode(
+    payload: bytes, n_channels: int, block_align: int
+) -> np.ndarray:
+    """IMA/DVI ADPCM blocks -> int16 samples shaped (frames, channels).
+
+    Standard block layout: a 4-byte header per channel (int16
+    predictor = the block's first sample, verbatim; uint8 step index;
+    reserved), then nibble data interleaved in 4-byte groups per
+    channel, low nibble first.  Sequential state machine per the
+    public IMA spec — runs per row inside mapInPandas, never crosses
+    a shuffle."""
+    nch = max(1, n_channels)
+    out: list[list[int]] = [[] for _ in range(nch)]
+    hdr = 4 * nch
+    if block_align < hdr:
+        raise ValueError("IMA ADPCM block_align smaller than header")
+    for bpos in range(0, len(payload) - hdr + 1, block_align):
+        block = payload[bpos:bpos + block_align]
+        preds, idxs = [], []
+        for c in range(nch):
+            o = 4 * c
+            pred = int.from_bytes(block[o:o + 2], "little", signed=True)
+            idx = min(max(block[o + 2], 0), 88)
+            preds.append(pred)
+            idxs.append(idx)
+            out[c].append(pred)
+        data = block[hdr:]
+        for g in range(0, len(data) - 4 * nch + 1, 4 * nch):
+            for c in range(nch):
+                for byte in data[g + 4 * c:g + 4 * c + 4]:
+                    for nib in (byte & 0xF, byte >> 4):
+                        step = _IMA_STEP[idxs[c]]
+                        vpdiff = step >> 3
+                        if nib & 1:
+                            vpdiff += step >> 2
+                        if nib & 2:
+                            vpdiff += step >> 1
+                        if nib & 4:
+                            vpdiff += step
+                        p = preds[c] + (-vpdiff if nib & 8 else vpdiff)
+                        p = max(-32768, min(32767, p))
+                        preds[c] = p
+                        out[c].append(p)
+                        idxs[c] = max(0, min(88, idxs[c] + _IMA_INDEX[nib]))
+    return np.array(out, dtype=np.int32).T
+
+
+def ima_adpcm_encode(
+    samples: np.ndarray, block_align: int = 256
+) -> tuple[bytes, int]:
+    """int16 samples shaped (frames,) or (frames, channels) -> (IMA
+    ADPCM payload, samples_per_block).  Standard quantizer (the exact
+    inverse state machine of :func:`ima_adpcm_decode`); final partial
+    block is zero-nibble padded."""
+    arr = np.asarray(samples, dtype=np.int64)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n, nch = arr.shape
+    spb = (block_align - 4 * nch) * 2 // nch + 1
+    payload = bytearray()
+    for b0 in range(0, n, spb):
+        blk = arr[b0:b0 + spb]
+        idxs = [0] * nch
+        preds = [int(blk[0, c]) for c in range(nch)]
+        for c in range(nch):
+            payload += int(preds[c]).to_bytes(2, "little", signed=True)
+            payload += bytes((idxs[c], 0))
+        nibbles: list[list[int]] = [[] for _ in range(nch)]
+        for c in range(nch):
+            for s in blk[1:, c]:
+                step = _IMA_STEP[idxs[c]]
+                delta = int(s) - preds[c]
+                nib = 0
+                if delta < 0:
+                    nib = 8
+                    delta = -delta
+                if delta >= step:
+                    nib |= 4
+                    delta -= step
+                if delta >= step >> 1:
+                    nib |= 2
+                    delta -= step >> 1
+                if delta >= step >> 2:
+                    nib |= 1
+                vpdiff = step >> 3
+                if nib & 1:
+                    vpdiff += step >> 2
+                if nib & 2:
+                    vpdiff += step >> 1
+                if nib & 4:
+                    vpdiff += step
+                p = preds[c] + (-vpdiff if nib & 8 else vpdiff)
+                preds[c] = max(-32768, min(32767, p))
+                idxs[c] = max(0, min(88, idxs[c] + _IMA_INDEX[nib]))
+                nibbles[c].append(nib)
+        for c in range(nch):  # zero-pad to fill the block's nibble area
+            nibbles[c] += [0] * ((spb - 1) - len(nibbles[c]))
+        for g in range(0, spb - 1, 8):
+            for c in range(nch):
+                for j in range(g, g + 8, 2):
+                    lo = nibbles[c][j] if j < len(nibbles[c]) else 0
+                    hi = nibbles[c][j + 1] if j + 1 < len(nibbles[c]) else 0
+                    payload.append(lo | (hi << 4))
+    return bytes(payload), spb
+
+
+def wav_encode_compressed(
+    fmt_tag: int,
+    n_channels: int,
+    sample_rate: int,
+    bits_per_sample: int,
+    block_align: int,
+    payload: bytes,
+    n_frames: int,
+    samples_per_block: int | None = None,
+) -> bytes:
+    """RIFF/WAVE container for a non-PCM payload (mu-law tag 7, A-law
+    tag 6, IMA ADPCM tag 0x11): fmt chunk with cbSize extension, fact
+    chunk (required for compressed formats), data chunk."""
+    import struct
+
+    extra = (
+        b"" if samples_per_block is None
+        else struct.pack("<H", samples_per_block)
+    )
+    byte_rate = sample_rate * block_align // max(
+        1, samples_per_block or 1
+    ) if samples_per_block else sample_rate * n_channels * bits_per_sample // 8
+    fmt_body = struct.pack(
+        "<HHIIHH", fmt_tag, n_channels, sample_rate, byte_rate,
+        block_align, bits_per_sample,
+    ) + struct.pack("<H", len(extra)) + extra
+    chunks = (
+        _riff_chunk(b"fmt ", fmt_body)
+        + _riff_chunk(b"fact", struct.pack("<I", n_frames))
+        + _riff_chunk(b"data", payload)
+    )
+    return _riff_list(b"WAVE", chunks, tag=b"RIFF")
+
+
+def _wav_decode_compressed(data: bytes) -> tuple[int, np.ndarray]:
+    """Manual RIFF/WAVE parse for format tags stdlib ``wave`` refuses:
+    dispatch mu-law / A-law / IMA ADPCM; anything else is a codec
+    boundary (NotImplementedError), not corruption."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    fmt = payload = None
+    fact = None
+    for fcc, body, size in _riff_walk(data, 12, len(data)):
+        if fcc == b"fmt ":
+            fmt = data[body:body + size]
+        elif fcc == b"data":
+            payload = data[body:body + size]
+        elif fcc == b"fact" and size >= 4:
+            fact = int.from_bytes(data[body:body + 4], "little")
+    if fmt is None or len(fmt) < 16 or payload is None:
+        raise ValueError("WAVE without fmt/data chunks")
+    tag = int.from_bytes(fmt[0:2], "little")
+    nch = max(1, int.from_bytes(fmt[2:4], "little"))
+    sr = int.from_bytes(fmt[4:8], "little")
+    block_align = int.from_bytes(fmt[12:14], "little")
+    if tag == 7:
+        arr = g711_ulaw_decode(np.frombuffer(payload, dtype=np.uint8))
+    elif tag == 6:
+        arr = g711_alaw_decode(np.frombuffer(payload, dtype=np.uint8))
+    elif tag == 0x11:
+        frames = ima_adpcm_decode(payload, nch, block_align)
+        if fact is not None:
+            frames = frames[:fact]
+        return sr, frames
+    else:
+        raise NotImplementedError(
+            f"WAV format tag 0x{tag:x} not decodable in-sandbox (PCM, "
+            "G.711 mu-law/A-law, IMA ADPCM are real); deploy with "
+            "soundfile and keep this stage's schema"
+        )
+    frames = arr[: (len(arr) // nch) * nch].reshape(-1, nch)
+    if fact is not None:
+        frames = frames[:fact]
+    return sr, frames
+
+
 def wav_decode(data: bytes) -> tuple[int, np.ndarray]:
-    """PCM RIFF/WAV -> (sample_rate, int32 samples shaped
+    """RIFF/WAV -> (sample_rate, int32 samples shaped
     (frames, channels), int16-domain).  Handles 8/16/24/32-bit PCM —
     everything stdlib ``wave`` can read (24-bit via a packed-3-byte
-    unpack; 24/32-bit are truncated to the int16 domain)."""
+    unpack; 24/32-bit are truncated to the int16 domain) — plus the
+    compressed encodings G.711 mu-law (tag 7), A-law (tag 6), and IMA
+    ADPCM (tag 0x11) via the manual parser; other compressed tags
+    raise NotImplementedError (codec boundary)."""
     import io
     import wave
 
-    with wave.open(io.BytesIO(data), "rb") as w:
-        sr = w.getframerate()
-        nch = w.getnchannels()
-        sw = w.getsampwidth()
-        raw = w.readframes(w.getnframes())
+    try:
+        with wave.open(io.BytesIO(data), "rb") as w:
+            sr = w.getframerate()
+            nch = w.getnchannels()
+            sw = w.getsampwidth()
+            raw = w.readframes(w.getnframes())
+    except wave.Error:
+        return _wav_decode_compressed(data)
     if sw == 2:
         arr = np.frombuffer(raw, dtype="<i2").astype(np.int32)
     elif sw == 1:  # 8-bit WAV is unsigned; rescale to int16 domain

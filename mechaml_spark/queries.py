@@ -702,6 +702,125 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_g711_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-audio pipeline (G.711) with a CLOSED-FORM oracle:
+    square waves whose amplitude is an EXACTLY-representable G.711
+    magnitude — mu-law for even docs (``A = (((m<<3)+132)<<e)-132``,
+    m = 1+d%15, e = d%8), A-law for odd (segment/mantissa form) —
+    synthesized directly as code bytes, wrapped in real RIFF/WAVE
+    containers (fmt tag 7/6 + fact), then decoded by the REAL G.711
+    tables inside the decode_audio mapInPandas stage.  Every feature
+    is exact integer arithmetic the SQL oracle replays: N = 8*(400 +
+    d%40) frames at 8 kHz flipping sign every H = 4+d%5."""
+    import numpy as _np
+    import pandas as _pd
+
+    from mechaml_spark import multimodal
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 300
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 8 * (400 + did % 40)
+                h = 4 + did % 5
+                m = 1 + did % 15
+                pos = ((_np.arange(n) // h) % 2) == 0
+                if did % 2 == 0:
+                    e = did % 8
+                    cp = multimodal.g711_ulaw_code(True, e, m)
+                    cn = multimodal.g711_ulaw_code(False, e, m)
+                    tag = 7
+                else:
+                    seg = did % 8
+                    cp = multimodal.g711_alaw_code(True, seg, m)
+                    cn = multimodal.g711_alaw_code(False, seg, m)
+                    tag = 6
+                codes = _np.where(pos, cp, cn).astype(_np.uint8)
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "bytes": multimodal.wav_encode_compressed(
+                            tag, 1, 8000, 8, 1, codes.tobytes(), n
+                        ),
+                        "fmt": "wav",
+                    }
+                )
+            yield _pd.DataFrame(rows, columns=["doc_id", "bytes", "fmt"])
+
+    media = d.mapInPandas(gen, schema="doc_id long, bytes binary, fmt string")
+    a = multimodal.decode_audio(media)
+    return a.select(
+        "doc_id",
+        F.col("audio")["sample_rate"].alias("sample_rate"),
+        F.col("audio")["n_samples"].alias("n_samples"),
+        F.col("audio")["duration_ms"].alias("duration_ms"),
+        F.col("audio")["rms_x1000"].alias("rms_x1000"),
+        F.col("audio")["peak"].alias("peak"),
+        F.col("audio")["zero_crossings"].alias("zero_crossings"),
+    )
+
+
+def q_audio_adpcm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMA-ADPCM pipeline with a CLOSED-FORM oracle: blocks whose
+    nibble area is all zero keep the predictor constant (step 7 >> 3
+    = 0), so a stream of B = 3+d%4 blocks with alternating-sign
+    predictors A = 1000+(d%30)*500 decodes to an exact
+    block-granularity square wave — while still exercising the real
+    block-header parse, nibble unpack, and stepping loop.  Mono,
+    block_align 256 -> 505 samples/block."""
+    import pandas as _pd
+
+    from mechaml_spark import multimodal
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 200
+    )
+    BA, SPB = 256, 505
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                amp = 1000 + (did % 30) * 500
+                nb = 3 + did % 4
+                payload = b"".join(
+                    int(amp if b % 2 == 0 else -amp).to_bytes(
+                        2, "little", signed=True
+                    )
+                    + bytes((0, 0))
+                    + b"\x00" * (BA - 4)
+                    for b in range(nb)
+                )
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "bytes": multimodal.wav_encode_compressed(
+                            0x11, 1, 8000, 4, BA, payload, nb * SPB,
+                            samples_per_block=SPB,
+                        ),
+                        "fmt": "wav",
+                    }
+                )
+            yield _pd.DataFrame(rows, columns=["doc_id", "bytes", "fmt"])
+
+    media = d.mapInPandas(gen, schema="doc_id long, bytes binary, fmt string")
+    a = multimodal.decode_audio(media)
+    return a.select(
+        "doc_id",
+        F.col("audio")["n_samples"].alias("n_samples"),
+        F.col("audio")["duration_ms"].alias("duration_ms"),
+        F.col("audio")["rms_x1000"].alias("rms_x1000"),
+        F.col("audio")["peak"].alias("peak"),
+        F.col("audio")["zero_crossings"].alias("zero_crossings"),
+    )
+
+
 def q_video_frames_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MJPEG-in-AVI pipeline with a CLOSED-FORM oracle: deterministic
     AVI containers keyed by doc_id — ``F = 2 + d%3`` constant-plane
@@ -1112,6 +1231,8 @@ QUERIES = {
     "audio_features": q_audio_features,
     "video_frames": q_video_frames,
     "video_frames_avi": q_video_frames_avi,
+    "audio_g711_features": q_audio_g711_features,
+    "audio_adpcm_features": q_audio_adpcm_features,
     "token_stats": q_token_stats,
     "quality_filter": q_quality_filter,
     "lang_id": q_lang_id,
@@ -1397,6 +1518,43 @@ ORACLES = {
                CAST((doc_id * 13 + k * 41) % 251 AS BIGINT) * 1000 AS mean_b
         FROM documents, range(4) rk(k)
         WHERE doc_id < 200 AND k < 2 + doc_id % 3
+    """,
+    "audio_g711_features": """
+        WITH p AS (
+            SELECT doc_id,
+                   8 * (400 + doc_id % 40) AS n,
+                   4 + doc_id % 5 AS h,
+                   1 + doc_id % 15 AS m,
+                   doc_id % 8 AS e
+            FROM documents WHERE doc_id < 300
+        ), amp AS (
+            SELECT doc_id, n, h,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN ((m * 8 + 132) << e) - 132
+                        WHEN e = 0 THEN m * 16 + 8
+                        ELSE (m * 16 + 264) << (e - 1)
+                   END AS a
+            FROM p
+        )
+        SELECT doc_id,
+               CAST(8000 AS INT) AS sample_rate,
+               CAST(n AS BIGINT) AS n_samples,
+               CAST(n // 8 AS BIGINT) AS duration_ms,
+               CAST(a * 1000 AS BIGINT) AS rms_x1000,
+               CAST(a AS INT) AS peak,
+               CAST((n - 1) // h AS BIGINT) AS zero_crossings
+        FROM amp
+    """,
+    "audio_adpcm_features": """
+        SELECT doc_id,
+               CAST((3 + doc_id % 4) * 505 AS BIGINT) AS n_samples,
+               CAST((3 + doc_id % 4) * 505 * 1000 // 8000 AS BIGINT)
+                   AS duration_ms,
+               CAST((1000 + (doc_id % 30) * 500) * 1000 AS BIGINT)
+                   AS rms_x1000,
+               CAST(1000 + (doc_id % 30) * 500 AS INT) AS peak,
+               CAST(3 + doc_id % 4 - 1 AS BIGINT) AS zero_crossings
+        FROM documents WHERE doc_id < 200
     """,
     "video_frames_avi": """
         SELECT doc_id,

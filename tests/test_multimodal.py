@@ -284,3 +284,110 @@ def test_frame_sampling_real_avi(spark):
     want = [frames[0], frames[0], frames[1], frames[1], frames[2], frames[2]]
     for r, w in zip(rows, want):
         assert np.array_equal(imaging.png_decode(bytes(r["frame"])), w)
+
+
+def test_g711_tables_exact_pure():
+    """Every mu-law/A-law code decodes to the closed-form magnitude the
+    inverse code helpers target (all 128 magnitudes x 2 signs, both
+    laws) — the exactness the audio_g711_features oracle relies on."""
+    for e in range(8):
+        for m in range(16):
+            a = (((m << 3) + 0x84) << e) - 0x84
+            dp = multimodal.g711_ulaw_decode(
+                np.array([multimodal.g711_ulaw_code(True, e, m)]))[0]
+            dn = multimodal.g711_ulaw_decode(
+                np.array([multimodal.g711_ulaw_code(False, e, m)]))[0]
+            assert (dp, dn) == (a, -a)
+    for seg in range(8):
+        for m in range(16):
+            a = (m << 4) + 8 if seg == 0 else ((m << 4) + 0x108) << (seg - 1)
+            dp = multimodal.g711_alaw_decode(
+                np.array([multimodal.g711_alaw_code(True, seg, m)]))[0]
+            dn = multimodal.g711_alaw_decode(
+                np.array([multimodal.g711_alaw_code(False, seg, m)]))[0]
+            assert (dp, dn) == (a, -a)
+
+
+def test_g711_wav_roundtrip_pure():
+    n, h, e, m = 4000, 7, 5, 10
+    a = (((m << 3) + 0x84) << e) - 0x84
+    sign = 1 - 2 * ((np.arange(n) // h) % 2)
+    codes = np.where(
+        sign > 0,
+        multimodal.g711_ulaw_code(True, e, m),
+        multimodal.g711_ulaw_code(False, e, m),
+    ).astype(np.uint8)
+    wav = multimodal.wav_encode_compressed(7, 1, 8000, 8, 1, codes.tobytes(), n)
+    sr, frames = multimodal.wav_decode(wav)
+    assert sr == 8000 and frames.shape == (n, 1)
+    assert np.array_equal(frames[:, 0], sign * a)
+
+
+def test_ima_adpcm_zero_nibble_blocks_exact():
+    """All-zero nibble areas keep the block predictor constant (step 7
+    >> 3 == 0) — the audio_adpcm_features oracle's closed form."""
+    ba = 256
+    spb = (ba - 4) * 2 + 1
+    payload = b"".join(
+        int(p).to_bytes(2, "little", signed=True) + bytes((0, 0))
+        + b"\x00" * (ba - 4)
+        for p in (1200, -1200, 1200)
+    )
+    wav = multimodal.wav_encode_compressed(
+        0x11, 1, 8000, 4, ba, payload, 3 * spb, samples_per_block=spb
+    )
+    sr, frames = multimodal.wav_decode(wav)
+    assert frames.shape == (3 * spb, 1)
+    assert np.array_equal(np.unique(np.abs(frames)), [1200])
+    nonneg = frames[:, 0] >= 0
+    assert int(np.sum(nonneg[1:] != nonneg[:-1])) == 2
+
+
+def test_ima_adpcm_encode_decode_bounded_error():
+    """Own-encoder round trip: ADPCM is lossy, but tracking error stays
+    within the quantizer's step bound; stereo channels stay separated."""
+    rng = np.random.default_rng(3)
+    sig = (3000 * np.sin(np.arange(2000) / 15)
+           + rng.normal(0, 50, 2000)).astype(np.int16)
+    payload, spb = multimodal.ima_adpcm_encode(sig, 256)
+    dec = multimodal.ima_adpcm_decode(payload, 1, 256)[:2000, 0]
+    err = np.abs(dec - sig.astype(np.int32))
+    assert err.max() < 2000 and err.mean() < 100
+    st = np.stack([sig, (-sig // 2).astype(np.int16)], axis=1)
+    p2, _ = multimodal.ima_adpcm_encode(st, 256)
+    d2 = multimodal.ima_adpcm_decode(p2, 2, 256)[:2000]
+    assert np.abs(d2 - st.astype(np.int32)).max() < 2000
+
+
+def test_wav_unknown_tag_raises_not_implemented():
+    wav = multimodal.wav_encode_compressed(0x55, 1, 8000, 8, 1, b"\0" * 8, 8)
+    with pytest.raises(NotImplementedError, match="0x55"):
+        multimodal.wav_decode(wav)
+
+
+def test_decode_audio_spark_compressed(spark):
+    """decode_audio handles G.711 and IMA ADPCM WAVs through the same
+    mapInPandas stage as PCM; corrupt rows stay ok=false."""
+    e, m = 3, 4
+    a = (((m << 3) + 0x84) << e) - 0x84
+    codes = bytes(
+        multimodal.g711_ulaw_code(k % 2 == 0, e, m) for k in range(800)
+    )
+    g711 = multimodal.wav_encode_compressed(7, 1, 8000, 8, 1, codes, 800)
+    spb = (256 - 4) * 2 + 1
+    ima = multimodal.wav_encode_compressed(
+        0x11, 1, 8000, 4, 256,
+        int(900).to_bytes(2, "little", signed=True) + bytes((0, 0))
+        + b"\x00" * 252,
+        spb, samples_per_block=spb,
+    )
+    df = spark.createDataFrame(
+        [("u", g711, "wav"), ("i", ima, "wav"), ("bad", b"RIFFxxxxWAVE", "wav")],
+        "media_id string, bytes binary, fmt string",
+    )
+    out = {r["media_id"]: r["audio"] for r in multimodal.decode_audio(df).collect()}
+    assert out["u"]["ok"] and out["u"]["peak"] == a
+    assert out["u"]["n_samples"] == 800 and out["u"]["zero_crossings"] == 799
+    assert out["i"]["ok"] and out["i"]["peak"] == 900
+    assert out["i"]["n_samples"] == spb and out["i"]["zero_crossings"] == 0
+    assert out["bad"]["ok"] is False
