@@ -9,8 +9,10 @@ quantization tables, canonical Huffman entropy coding, JFIF container
   at 4 bits, AC symbols at 8 bits — spec-legal, simpler than optimal
   tables; any conforming decoder reads them from the DHT);
 * decode: baseline sequential only (SOF0), any Huffman tables from
-  the stream's DHT segments, 4:4:4 sampling only (subsampled streams
-  raise ValueError), restart markers unsupported.
+  the stream's DHT segments, ANY integer sampling factors — 4:4:4,
+  4:2:0 (the dominant crawled encoding), 4:2:2, 4:4:0 — with
+  nearest-neighbor chroma upsampling; progressive (SOF2) and restart
+  markers still raise ValueError.
 
 This is the codec behind the payload rule's "PSNR >= 40 dB for
 lossy" branch (BASELINE.json input_hint): a quality-90 round trip of
@@ -315,8 +317,9 @@ def _extend(v: int, size: int) -> int:
 
 
 def jpeg_decode(data: bytes) -> np.ndarray:
-    """Baseline JFIF/JPEG bytes -> uint8 HxWx3 RGB.  SOF0 + 4:4:4 +
-    one interleaved scan only; anything else — including truncated or
+    """Baseline JFIF/JPEG bytes -> uint8 HxWx3 RGB.  SOF0 with any
+    integer sampling factors (4:4:4 / 4:2:0 / 4:2:2 / 4:4:0), one
+    interleaved scan only; anything else — including truncated or
     garbled streams — raises ValueError (see module docstring)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
@@ -333,7 +336,7 @@ def _jpeg_decode(data: bytes) -> np.ndarray:
     qts: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
     h = w0 = 0
-    comps: list[tuple[int, int]] = []  # (component id, quant table id)
+    comps: list[tuple[int, int, int, int]] = []  # (cid, qt id, hi, vi)
     scan: list[tuple[int, int, int]] = []  # (cid, dc table, ac table)
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
@@ -367,11 +370,10 @@ def _jpeg_decode(data: bytes) -> np.ndarray:
                 raise ValueError("only 3-component JPEG supported")
             for i in range(nc):
                 cid, samp, tq = body[6 + 3 * i : 9 + 3 * i]
-                if samp != 0x11:
-                    raise ValueError(
-                        "chroma-subsampled JPEG unsupported (4:4:4 only)"
-                    )
-                comps.append((cid, tq))
+                hi, vi = samp >> 4, samp & 15
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise ValueError("bad JPEG sampling factors")
+                comps.append((cid, tq, hi, vi))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("only baseline SOF0 JPEG supported")
@@ -404,42 +406,72 @@ def _jpeg_decode(data: bytes) -> np.ndarray:
     if not comps or not scan or h == 0:
         raise ValueError("JPEG missing SOF/SOS")
 
+    # generalized MCU geometry (T.81 A.2.3): per-component sampling
+    # factors (hi, vi); 4:4:4 is the hmax=vmax=1 special case, 4:2:0
+    # the (2,2)/(1,1)/(1,1) one — the dominant encoding of crawled
+    # JPEGs.  Chroma upsampling is nearest-neighbor replication
+    # (spec-conformant; libjpeg's "fancy" bilinear is a quality
+    # choice, not a conformance requirement).
+    hmax = max(hi for _, _, hi, _ in comps)
+    vmax = max(vi for _, _, _, vi in comps)
+    if any(hmax % hi or vmax % vi for _, _, hi, vi in comps):
+        raise ValueError("non-integer JPEG subsampling ratios unsupported")
     reader = _BitReader(data, pos)
-    ph, pw = -(-h // 8) * 8, -(-w0 // 8) * 8
-    planes = [np.zeros((ph, pw)) for _ in comps]
+    mcux = -(-w0 // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = [
+        np.zeros((mcuy * vi * 8, mcux * hi * 8)) for _, _, hi, vi in comps
+    ]
     preds = [0] * len(comps)
-    qt_of = {cid: qts[tq] for cid, tq in comps}
-    order = [next(i for i, (c, _) in enumerate(comps) if c == cid)
+    qt_of = {cid: qts[tq] for cid, tq, _, _ in comps}
+    order = [next(i for i, (c, _, _, _) in enumerate(comps) if c == cid)
              for cid, _, _ in scan]
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
+    for my in range(mcuy):
+        for mx in range(mcux):
             for (cid, td, ta), ci in zip(scan, order):
-                size = _read_symbol(reader, huff[(0, td)])
-                diff = _extend(reader.bits(size), size) if size else 0
-                preds[ci] += diff
-                zz = np.zeros(64, np.int32)
-                zz[0] = preds[ci]
-                k = 1
-                while k < 64:
-                    sym = _read_symbol(reader, huff[(1, ta)])
-                    if sym == 0x00:  # EOB
-                        break
-                    if sym == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    run, size = sym >> 4, sym & 15
-                    k += run
-                    if k > 63:
-                        raise ValueError("AC coefficient index overflow")
-                    zz[k] = _extend(reader.bits(size), size)
-                    k += 1
-                coef = np.zeros(64, np.float64)
-                coef[_ZIGZAG] = zz * qt_of[cid].ravel()[_ZIGZAG]
-                block = _D.T @ coef.reshape(8, 8) @ _D + 128.0
-                planes[ci][by : by + 8, bx : bx + 8] = block
-    y = planes[0][:h, :w0]
-    cb = planes[1][:h, :w0] - 128.0
-    cr = planes[2][:h, :w0] - 128.0
+                _, _, chi, cvi = comps[ci]
+                for bv in range(cvi):
+                    for bh in range(chi):
+                        size = _read_symbol(reader, huff[(0, td)])
+                        diff = (
+                            _extend(reader.bits(size), size) if size else 0
+                        )
+                        preds[ci] += diff
+                        zz = np.zeros(64, np.int32)
+                        zz[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            sym = _read_symbol(reader, huff[(1, ta)])
+                            if sym == 0x00:  # EOB
+                                break
+                            if sym == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            run, size = sym >> 4, sym & 15
+                            k += run
+                            if k > 63:
+                                raise ValueError(
+                                    "AC coefficient index overflow"
+                                )
+                            zz[k] = _extend(reader.bits(size), size)
+                            k += 1
+                        coef = np.zeros(64, np.float64)
+                        coef[_ZIGZAG] = zz * qt_of[cid].ravel()[_ZIGZAG]
+                        block = _D.T @ coef.reshape(8, 8) @ _D + 128.0
+                        by = (my * cvi + bv) * 8
+                        bx = (mx * chi + bh) * 8
+                        planes[ci][by : by + 8, bx : bx + 8] = block
+    full = []
+    for ci, (_, _, chi, cvi) in enumerate(comps):
+        p = planes[ci]
+        if chi != hmax or cvi != vmax:
+            p = np.repeat(
+                np.repeat(p, vmax // cvi, axis=0), hmax // chi, axis=1
+            )
+        full.append(p[:h, :w0])
+    y = full[0]
+    cb = full[1] - 128.0
+    cr = full[2] - 128.0
     rgb = np.stack(
         [
             y + 1.402 * cr,

@@ -435,3 +435,128 @@ def test_jpeg_malformed_inputs_raise_valueerror():
     # sanity: the struct module path (garbage length field)
     with pytest.raises(ValueError):
         jpeg.jpeg_decode(b"\xff\xd8\xff\xdb\xff\xff")
+
+
+def _encode_subsampled_jpeg(planes, samps, h, w, quality=95):
+    """Test-side subsampled JPEG writer (the repo's public encoder
+    stays 4:4:4): YCbCr planes at COMPONENT resolution (MCU-padded),
+    per-component (hi, vi) sampling factors, one interleaved scan
+    using the module's canonical tables."""
+    import struct
+
+    from mechaml_spark import jpeg as J
+
+    qy = J._quality_scale(J._QY, quality)
+    qc = J._quality_scale(J._QC, quality)
+    out = bytearray(b"\xff\xd8")
+    for tid, qt in ((0, qy), (1, qc)):
+        zz = qt.ravel()[J._ZIGZAG]
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid])
+        out += bytes(int(x) for x in zz)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
+    for (cid, tq), (hi, vi) in zip(((1, 0), (2, 1), (3, 1)), samps):
+        out += bytes([cid, (hi << 4) | vi, tq])
+    out += J._dht(0, 0, J._DC_BITS, J._DC_VALS)
+    out += J._dht(1, 0, J._AC_BITS, J._AC_VALS)
+    out += b"\xff\xda" + struct.pack(">HB", 12, 3)
+    for cid in (1, 2, 3):
+        out += bytes([cid, 0x00])
+    out += b"\x00\x3f\x00"
+    hmax = max(hi for hi, _ in samps)
+    vmax = max(vi for _, vi in samps)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    wtr = J._BitWriter()
+    preds = [0, 0, 0]
+    qts = [qy, qc, qc]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (hi, vi) in enumerate(samps):
+                for bv in range(vi):
+                    for bh in range(hi):
+                        by, bx = (my * vi + bv) * 8, (mx * hi + bh) * 8
+                        block = planes[ci][by:by + 8, bx:bx + 8]
+                        preds[ci] = J._encode_block(
+                            wtr, block, qts[ci], preds[ci]
+                        )
+    wtr.flush()
+    out += wtr.out + b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_420_decode_exact_blocks():
+    """4:2:0 decode: per-block constant Y values land in the right
+    MCU quadrants (DC prediction across the 4 luma blocks of one MCU),
+    neutral chroma -> exact grayscale at q95 (DC step 2)."""
+    from mechaml_spark import jpeg
+
+    ypl = np.zeros((16, 16))
+    vals = [90, 110, 130, 150]
+    for i, v in enumerate(vals):
+        ypl[(i // 2) * 8:(i // 2) * 8 + 8, (i % 2) * 8:(i % 2) * 8 + 8] = v
+    cpl = np.full((8, 8), 128.0)
+    data = _encode_subsampled_jpeg(
+        [ypl, cpl, cpl], [(2, 2), (1, 1), (1, 1)], 16, 16
+    )
+    out = jpeg.jpeg_decode(data)
+    assert out.shape == (16, 16, 3)
+    for i, v in enumerate(vals):
+        quad = out[(i // 2) * 8:(i // 2) * 8 + 8, (i % 2) * 8:(i % 2) * 8 + 8]
+        assert np.array_equal(quad, np.full((8, 8, 3), v, np.uint8)), i
+
+
+def test_jpeg_420_odd_dims_and_chroma():
+    """4:2:0 with non-MCU-aligned dims (20x12): crop is exact; a
+    non-neutral constant chroma survives replication exactly."""
+    from mechaml_spark import jpeg
+
+    ypl = np.full((32, 16), 100.0)
+    cb = np.full((16, 8), 136.0)   # +8 chroma, exactly representable
+    cr = np.full((16, 8), 120.0)   # -8
+    data = _encode_subsampled_jpeg(
+        [ypl, cb, cr], [(2, 2), (1, 1), (1, 1)], 20, 12
+    )
+    out = jpeg.jpeg_decode(data)
+    assert out.shape == (20, 12, 3)
+    want = np.clip(np.round(np.array([
+        100 + 1.402 * -8,
+        100 - 0.344136 * 8 - 0.714136 * -8,
+        100 + 1.772 * 8,
+    ])), 0, 255).astype(np.uint8)
+    assert np.array_equal(out, np.broadcast_to(want, (20, 12, 3)))
+
+
+def test_jpeg_422_decode_exact():
+    from mechaml_spark import jpeg
+
+    ypl = np.zeros((8, 16))
+    ypl[:, :8], ypl[:, 8:] = 60, 200
+    cpl = np.full((8, 8), 128.0)
+    data = _encode_subsampled_jpeg(
+        [ypl, cpl, cpl], [(2, 1), (1, 1), (1, 1)], 8, 16
+    )
+    out = jpeg.jpeg_decode(data)
+    assert out.shape == (8, 16, 3)
+    assert np.array_equal(out[:, :8], np.full((8, 8, 3), 60, np.uint8))
+    assert np.array_equal(out[:, 8:], np.full((8, 8, 3), 200, np.uint8))
+
+
+def test_jpeg_own_encoder_roundtrip_unchanged_and_progressive_refused():
+    """Generalizing the sampling geometry must not change the 4:4:4
+    path (own-encoder round trip stays bit-identical to a fresh
+    decode) and progressive (SOF2) still refuses."""
+    from mechaml_spark import jpeg
+
+    yy, xx = np.mgrid[0:24, 0:40]
+    px = np.stack(
+        [yy * 255 // 24, xx * 255 // 40, (yy + xx) * 255 // 64], axis=-1
+    ).astype(np.uint8)
+    data = jpeg.jpeg_encode(px, quality=90)
+    out1 = jpeg.jpeg_decode(data)
+    out2 = jpeg.jpeg_decode(data)
+    assert np.array_equal(out1, out2)
+    assert imaging.psnr(px, out1) >= 40.0
+    prog = bytearray(data)
+    sof = data.find(b"\xff\xc0")
+    prog[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="baseline"):
+        jpeg.jpeg_decode(bytes(prog))
