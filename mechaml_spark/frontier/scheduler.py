@@ -559,7 +559,14 @@ def crawl(
             jar = jar.localCheckpoint(eager=_EAGER)
         mark(f"e{epoch} jar")
         # visit_log/pages_log union chains reference only checkpointed
-        # inputs (finals, frontier) — no per-epoch materialization needed
+        # inputs (finals, frontier), so no PER-EPOCH materialization is
+        # needed — but a long continuous crawl (10^4 epochs) would still
+        # grow one Union plan node per epoch without bound; fold them
+        # into the same periodic truncation cycle as payload/jar so
+        # plan depth stays O(truncate_every) at any crawl length
+        if _trunc:
+            visit_log = visit_log.localCheckpoint(eager=_EAGER)
+            pages_log = pages_log.localCheckpoint(eager=_EAGER)
 
         if store is not None:
             # delta-only metrics update: new_seen is the epoch's small

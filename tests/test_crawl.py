@@ -211,3 +211,30 @@ def test_dataframe_seeds_equal_list_seeds(spark, spark_result):
     seen_a = {r["url_norm"] for r in res.seen.seen_df.collect()}
     seen_b = {r["url_norm"] for r in spark_result.seen.seen_df.collect()}
     assert seen_a == seen_b
+
+
+def test_log_plan_depth_bounded_many_epochs(spark, oracle_result):
+    """visit/pages logs are folded into the periodic truncation cycle:
+    after many epochs their plans hold O(truncate_every) Union nodes,
+    not one per epoch — a continuous crawl cannot grow unbounded
+    lineage.  Crawl equivalence is unchanged."""
+    res = crawl(
+        spark,
+        SPEC,
+        SEEDS,
+        budget_per_host=BUDGET,
+        max_epochs=EPOCHS,
+        n_shards=4,
+        n_bits=1 << 16,
+        truncate_every=2,
+    )
+    assert _spark_visit_list(res) == oracle_result.visit_log
+
+    def unions(df):
+        return df._jdf.queryExecution().analyzed().toString().count("Union")
+
+    # epochs since the last truncation bound the chain: <= truncate_every
+    # epochs x (<=2 unions per epoch for pages_log) + slack for the
+    # checkpoint leaf; EPOCHS(6) epochs un-truncated would exceed this
+    assert unions(res.visit_log) <= 4, unions(res.visit_log)
+    assert unions(res.pages_log) <= 6, unions(res.pages_log)
