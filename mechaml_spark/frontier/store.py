@@ -86,6 +86,68 @@ class SnapshotStore:
         os.replace(tmp, self._manifest_path(epoch))  # atomic publish
         return snap
 
+    def merge_commit(
+        self,
+        spark: SparkSession,
+        epoch: int,
+        name: str,
+        updates: DataFrame,
+        key: list[str],
+        delete_updates: DataFrame | None = None,
+        metrics: dict | None = None,
+    ) -> Snapshot:
+        """``MERGE INTO``-shaped commit — the exact surface an Iceberg
+        backend swap must implement (Iceberg SQL: ``MERGE INTO t USING
+        u ON <key> WHEN MATCHED THEN UPDATE WHEN NOT MATCHED THEN
+        INSERT``, plus a keyed delete branch):
+
+        * rows of ``updates`` win on ``key`` (matched -> update,
+          unmatched -> insert);
+        * rows keyed by ``delete_updates`` are removed;
+        * ONLY the merged table gets new data files — every other
+          table of the parent snapshot is carried forward BY
+          REFERENCE (Iceberg's unchanged-manifest reuse; here the
+          manifest points at the parent's parquet paths);
+        * the parent snapshot stays readable afterwards (snapshots
+          are immutable; time travel by id keeps working).
+
+        On the parquet fallback the merge is computed relationally
+        (anti-join + union, the same algebra as
+        :func:`mechaml_spark.cookies.jar_upsert`) and written as the
+        new table; on Iceberg it becomes one MERGE statement + the
+        commit's new snapshot id."""
+        parent_snap, dfs = self.load(spark)
+        base = dfs[name]
+        kept = base.join(updates.select(*key), on=key, how="left_anti")
+        merged = kept.unionByName(updates)
+        if delete_updates is not None:
+            merged = merged.join(
+                delete_updates.select(*key), on=key, how="left_anti"
+            )
+        path = os.path.join(self.root, f"epoch={epoch:06d}", name)
+        merged.write.mode("overwrite").parquet(path)
+        paths = dict(parent_snap.tables)  # carry-forward by reference
+        paths[name] = path
+        snap = Snapshot(
+            epoch=epoch,
+            parent=parent_snap.epoch,
+            tables=paths,
+            metrics=metrics or {},
+            wall_time=0.0,
+        )
+        manifest = {
+            "epoch": snap.epoch,
+            "parent": snap.parent,
+            "tables": snap.tables,
+            "metrics": snap.metrics,
+            "wall_time_sec": snap.wall_time,
+        }
+        fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, self._manifest_path(epoch))  # atomic publish
+        return snap
+
     def load(self, spark: SparkSession, epoch: int | None = None
              ) -> tuple[Snapshot, dict[str, DataFrame]]:
         if epoch is None:
