@@ -298,15 +298,23 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash bucket join: docs sharing a (sig0, sig1) band bucket."""
-    d = _t(spark, sf_dir, "documents")
-    toks = _toks(d.text)
+def minhash_band_cols(text) -> list:
+    """The MinHash band signature stage as reusable columns — shared
+    verbatim by the batch ``dedup_minhash`` query and the streaming
+    crawl's incremental near-dup index (streaming.py), so the two
+    modes cannot drift."""
+    toks = _toks(text)
     sig = lambda salt: F.array_min(  # noqa: E731
         F.transform(toks, lambda w: F.md5(F.concat(w, F.lit(salt)).cast("binary")))
     )
+    return [sig("s0").alias("sig0"), sig("s1").alias("sig1")]
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash bucket join: docs sharing a (sig0, sig1) band bucket."""
+    d = _t(spark, sf_dir, "documents")
     return (
-        d.select(sig("s0").alias("sig0"), sig("s1").alias("sig1"))
+        d.select(*minhash_band_cols(d.text))
         .groupBy("sig0", "sig1")
         .agg(F.count("*").alias("n_docs"))
         .where(F.col("n_docs") > 1)

@@ -89,6 +89,13 @@ class StreamingCrawl:
         self._rules_df = fetch_robots_rules_df(
             spark, hosts_df, agent.CorpusFetcher(self.corpus)
         ).localCheckpoint(eager=True)
+        # incremental MinHash near-dup index: running (sig0, sig1)
+        # bucket counts over every 200-page body fetched so far,
+        # updated per micro-batch with the SAME signature stage the
+        # batch dedup_minhash query uses (queries.minhash_band_cols)
+        self._minhash_counts = spark.createDataFrame(
+            [], "sig0 string, sig1 string, n_docs long"
+        )
 
     def _robots_filter(self, df: DataFrame) -> DataFrame:
         # literally the batch scheduler's robots stage
@@ -145,6 +152,23 @@ class StreamingCrawl:
         ).parquet(self.visit_dir)
 
         ok = finals.where((F.col("status") == 200) & F.col("body").isNotNull())
+        # data-pipeline layer runs inside the same foreachBatch: fold
+        # this batch's body signatures into the running bucket counts
+        # (partial-agg per batch, then a merge groupBy — the shuffle
+        # carries one row per live bucket, never bodies)
+        from mechaml_spark.queries import minhash_band_cols
+
+        new_sigs = (
+            ok.select(*minhash_band_cols(F.col("body")))
+            .groupBy("sig0", "sig1")
+            .agg(F.count("*").alias("n_docs"))
+        )
+        self._minhash_counts = (
+            self._minhash_counts.unionByName(new_sigs)
+            .groupBy("sig0", "sig1")
+            .agg(F.sum("n_docs").alias("n_docs"))
+            .localCheckpoint(eager=True)
+        )
         # fused parse+resolve+filter — the exact stage the batch
         # scheduler runs (extract.parse_pages_crawl)
         parsed = extract.parse_pages_crawl(
@@ -243,6 +267,12 @@ class StreamingCrawl:
     # ------------------------------------------------------------ results
     def visits(self) -> DataFrame:
         return self.spark.read.parquet(self.visit_dir)
+
+    def minhash_buckets(self) -> DataFrame:
+        """Near-dup buckets (>1 doc) from the incrementally maintained
+        index — must equal the batch dedup_minhash stage run once over
+        all fetched bodies (asserted in tests)."""
+        return self._minhash_counts.where(F.col("n_docs") > 1)
 
 
 # ---------------------------------------------------------------------------

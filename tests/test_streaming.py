@@ -50,6 +50,34 @@ def test_streaming_crawl_visits_reachable_set(spark, tmp_path):
     # 200s parsed, link depths monotone from seeds
     assert visits.where(F.col("status") == 200).count() > 0
 
+    # data-pipeline parity: the incrementally maintained MinHash
+    # near-dup index (updated per micro-batch inside foreachBatch)
+    # must equal the batch dedup_minhash stage run ONCE over all
+    # fetched bodies — "same stages both modes" extended from crawl
+    # semantics to the pipeline layer
+    from mechaml_spark.queries import minhash_band_cols
+
+    bodies = (
+        visits.where(F.col("status") == 200)
+        .join(
+            sc.corpus.select(
+                F.col("url_norm").alias("final_url"), "body"
+            ),
+            "final_url",
+            "inner",
+        )
+        .where(F.col("body").isNotNull())
+    )
+    batch_buckets = (
+        bodies.select(*minhash_band_cols(F.col("body")))
+        .groupBy("sig0", "sig1")
+        .agg(F.count("*").alias("n_docs"))
+        .where(F.col("n_docs") > 1)
+    )
+    got_b = sorted(map(tuple, sc.minhash_buckets().collect()))
+    want_b = sorted(map(tuple, batch_buckets.collect()))
+    assert got_b == want_b and len(got_b) > 0
+
 
 @pytest.mark.timeout(300)
 def test_sessionize_stream_matches_batch_rule(spark, tmp_path):
