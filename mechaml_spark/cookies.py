@@ -24,10 +24,14 @@ Replicated quirks (cited; do NOT "fix"):
   * the matched ``Cookie`` header is built in jar key order and is
     added even when empty (cookiejar.ml:123-137).
 
-Scale notes: the jar is tiny relative to requests, so matching is an
-explicitly ``broadcast()`` theta-join (nested-loop on the broadcast
-side — no shuffle of the request stream); header synthesis is
-codegen'd ``array_sort`` + ``concat_ws`` after a single groupBy.
+Scale notes: request matching has two physical strategies behind one
+API (:func:`add_to_headers`): a map-only broadcast-array scan for
+small session jars (no shuffle of the request stream, O(|jar|) per
+row) and a host-suffix-chain explode + hash equi-join on cookie
+domain for crawl-wide jars (per-request cost independent of jar
+size); an ``auto`` gate picks by jar row count.  Both serialize the
+header in jar key order and are pinned equal to the pure jar oracle
+in tests.
 """
 
 from __future__ import annotations
