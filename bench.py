@@ -153,6 +153,7 @@ def main() -> None:
         "image_phash",
         "image_neardup",
         "image_jpeg_features",
+        "image_jpeg_progressive",
         "audio_features",
         "audio_g711_features",
         "audio_adpcm_features",

@@ -1,18 +1,23 @@
-"""Baseline JPEG (ITU T.81 sequential DCT, SOF0) in pure numpy.
+"""JPEG (ITU T.81 Huffman DCT — baseline SOF0 + progressive SOF2)
+in pure numpy.
 
 The in-sandbox LOSSY codec: real 8x8 DCT, quality-scaled Annex-K
 quantization tables, canonical Huffman entropy coding, JFIF container
 — no PIL/libjpeg.  Scope (documented boundaries):
 
-* encode: 4:4:4 (no chroma subsampling), one interleaved scan,
-  fixed-length canonical Huffman tables written into DHT (DC symbols
-  at 4 bits, AC symbols at 8 bits — spec-legal, simpler than optimal
-  tables; any conforming decoder reads them from the DHT);
-* decode: baseline sequential only (SOF0), any Huffman tables from
-  the stream's DHT segments, ANY integer sampling factors — 4:4:4,
-  4:2:0 (the dominant crawled encoding), 4:2:2, 4:4:0 — with
-  nearest-neighbor chroma upsampling; progressive (SOF2) and restart
-  markers still raise ValueError.
+* encode: baseline 4:4:4 one interleaved scan (jpeg_encode) and
+  progressive 4:4:4 with the libjpeg-shaped scan script
+  (jpeg_encode_progressive); fixed-length canonical Huffman tables
+  written into DHT (DC symbols at 4 bits, AC at 8 — spec-legal; any
+  conforming decoder reads them from the DHT);
+* decode: baseline sequential (SOF0, interleaved or per-component
+  scans) AND progressive (SOF2: spectral selection + successive
+  approximation, T.81 Annex G), any Huffman tables from the stream's
+  DHT segments, ANY integer sampling factors — 4:4:4, 4:2:0 (the
+  dominant crawled encoding), 4:2:2, 4:4:0 — with nearest-neighbor
+  chroma upsampling; restart intervals (DRI/RSTn, DC-predictor and
+  EOB-run reset per interval); arithmetic-coded, hierarchical,
+  lossless, and 12-bit modes raise ValueError.
 
 This is the codec behind the payload rule's "PSNR >= 40 dB for
 lossy" branch (BASELINE.json input_hint): a quality-90 round trip of
@@ -104,6 +109,14 @@ def _canonical_codes(sym_lengths: list[tuple[int, int]]):
 # 8 bits (162 codes, last = 161 < 255 — the all-ones code is unused)
 _DC_BITS, _DC_VALS, _DC_ENC = _canonical_codes([(s, 4) for s in _DC_SYMBOLS])
 _AC_BITS, _AC_VALS, _AC_ENC = _canonical_codes([(s, 8) for s in _AC_SYMBOLS])
+
+# progressive AC symbol set (T.81 G.1.2.2): size 0 means EOBn for runs
+# 0-14 and ZRL at 15, so EVERY (run, size 0-10) pair is a valid symbol
+# — 176 codes, all at 8 bits (< 255, all-ones unused)
+_AC_PROG_SYMBOLS = [(r << 4) | s for r in range(16) for s in range(11)]
+_AC_PROG_BITS, _AC_PROG_VALS, _AC_PROG_ENC = _canonical_codes(
+    [(s, 8) for s in _AC_PROG_SYMBOLS]
+)
 
 
 def _quality_scale(q: np.ndarray, quality: int) -> np.ndarray:
@@ -242,6 +255,263 @@ def jpeg_encode(pixels: np.ndarray, quality: int = 90) -> bytes:
     return bytes(out)
 
 
+# ----------------------------------------------------- progressive encode
+# T.81 Annex G (progressive DCT, Huffman): spectral selection +
+# successive approximation.  The scan-script shape follows the one
+# virtually all web encoders emit (libjpeg's default script): DC first
+# at Al=1, luma AC split 1-5 / 6-63 at Al=2, chroma AC at Al=1, then
+# refinement scans down to Al=0.  Used by the corpus generator so the
+# decoder's progressive paths (EOB runs, refinement correction bits)
+# are exercised by real in-repo streams.
+
+# (kind, component indices, Ss, Se, Ah, Al)
+_PROG_SCRIPT = [
+    ("dc", [0, 1, 2], 0, 0, 0, 1),
+    ("ac", [0], 1, 5, 0, 2),
+    ("ac", [1], 1, 63, 0, 1),
+    ("ac", [2], 1, 63, 0, 1),
+    ("ac", [0], 6, 63, 0, 2),
+    ("ac", [0], 1, 63, 2, 1),
+    ("dc", [0, 1, 2], 0, 0, 1, 0),
+    ("ac", [1], 1, 63, 1, 0),
+    ("ac", [2], 1, 63, 1, 0),
+    ("ac", [0], 1, 63, 1, 0),
+]
+
+
+def _put_sym(w: _BitWriter, enc: dict, sym: int) -> None:
+    code, ln = enc[sym]
+    w.put(code, ln)
+
+
+def _emit_dc_scan(w, coefs, cis, sampling, mcux, mcuy, ah, al) -> None:
+    """Interleaved DC scan over the full (padded) MCU grid — first
+    pass (Ah=0): Huffman-coded diffs of DC >> Al; refinement: one raw
+    bit (bit Al of DC) per block."""
+    preds = {ci: 0 for ci in cis}
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in cis:
+                hi, vi = sampling[ci]
+                for bv in range(vi):
+                    for bh in range(hi):
+                        dc = int(coefs[ci][my * vi + bv, mx * hi + bh, 0])
+                        if ah == 0:
+                            diff = (dc >> al) - preds[ci]
+                            preds[ci] = dc >> al
+                            size = _category(diff)
+                            _put_sym(w, _DC_ENC, size)
+                            if size:
+                                bits = (
+                                    diff if diff > 0
+                                    else diff + (1 << size) - 1
+                                )
+                                w.put(bits, size)
+                        else:
+                            w.put((dc >> al) & 1, 1)
+
+
+def _emit_ac_first(w, blocks, ss, se, al) -> None:
+    """Single-component AC first pass over band Ss..Se with EOB-run
+    accumulation (T.81 G.1.2.2).  Point transform truncates the
+    MAGNITUDE toward zero (|v| >> Al with sign reapplied), unlike the
+    DC arithmetic shift."""
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            nbits = eobrun.bit_length() - 1
+            _put_sym(w, _AC_PROG_ENC, nbits << 4)
+            if nbits:
+                w.put(eobrun - (1 << nbits), nbits)
+            eobrun = 0
+
+    for zz in blocks:
+        r = 0
+        for k in range(ss, se + 1):
+            v = int(zz[k])
+            t = abs(v) >> al
+            if t == 0:
+                r += 1
+                continue
+            flush_eob()
+            while r > 15:
+                _put_sym(w, _AC_PROG_ENC, 0xF0)
+                r -= 16
+            size = t.bit_length()
+            _put_sym(w, _AC_PROG_ENC, (r << 4) | size)
+            sv = t if v > 0 else -t
+            w.put(sv if sv > 0 else sv + (1 << size) - 1, size)
+            r = 0
+        if r:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+
+
+def _emit_ac_refine(w, blocks, ss, se, al) -> None:
+    """Single-component AC refinement (T.81 G.1.2.3): newly
+    significant coefficients (|v| >> Al == 1) get a run/size-1 symbol
+    + sign bit; already-significant ones get buffered correction bits
+    (bit Al of the magnitude) emitted after the next symbol; trailing
+    zeros fold into an EOB run whose correction bits stay buffered
+    until the run is flushed."""
+    eobrun = 0
+    pending: list[int] = []  # correction bits awaiting the next flush
+
+    def flush_eob():
+        nonlocal eobrun, pending
+        if eobrun:
+            nbits = eobrun.bit_length() - 1
+            _put_sym(w, _AC_PROG_ENC, nbits << 4)
+            if nbits:
+                w.put(eobrun - (1 << nbits), nbits)
+            eobrun = 0
+        for b in pending:
+            w.put(b, 1)
+        pending = []
+
+    for zz in blocks:
+        absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+        eob = 0  # band offset just past the last newly-significant coef
+        for i, t in enumerate(absv):
+            if t == 1:
+                eob = i + 1
+        r = 0
+        br: list[int] = []  # this block's buffered correction bits
+        for i, t in enumerate(absv):
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and i < eob:
+                flush_eob()
+                _put_sym(w, _AC_PROG_ENC, 0xF0)
+                r -= 16
+                for b in br:
+                    w.put(b, 1)
+                br = []
+            if t > 1:
+                br.append(t & 1)
+                continue
+            flush_eob()
+            _put_sym(w, _AC_PROG_ENC, (r << 4) | 1)
+            w.put(1 if int(zz[ss + i]) > 0 else 0, 1)
+            for b in br:
+                w.put(b, 1)
+            br = []
+            r = 0
+        if r > 0 or br:
+            eobrun += 1
+            pending.extend(br)
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+
+
+def _encode_progressive(planes, sampling, w0, h, quality) -> bytes:
+    """Component-resolution float planes + per-component (hi, vi) ->
+    progressive (SOF2) JFIF bytes via _PROG_SCRIPT.  4:4:4 is
+    sampling [(1,1)]*3; the test suite also drives subsampled
+    geometries through here."""
+    qy = _quality_scale(_QY, quality)
+    qc = _quality_scale(_QC, quality)
+    qts = [qy, qc, qc]
+    hmax = max(hi for hi, _ in sampling)
+    vmax = max(vi for _, vi in sampling)
+    mcux = -(-w0 // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    coefs = []
+    for p, (hi, vi), qt in zip(planes, sampling, qts):
+        ph, pw = mcuy * vi * 8, mcux * hi * 8
+        p = np.pad(
+            p,
+            ((0, ph - p.shape[0]), (0, pw - p.shape[1])),
+            mode="edge",
+        )
+        bh, bw = ph // 8, pw // 8
+        # per-block, the EXACT expression _encode_block uses — so a
+        # progressive stream carries bitwise-identical quantized
+        # coefficients to the baseline stream of the same input and
+        # the two decodes can be compared for equality
+        q = np.zeros((bh, bw, 64), np.int32)
+        for by in range(bh):
+            for bx in range(bw):
+                block = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                coef = _D @ (block - 128.0) @ _D.T
+                q[by, bx] = np.round(coef / qt).astype(np.int32).ravel()[
+                    _ZIGZAG
+                ]
+        coefs.append(q)
+
+    out = bytearray(b"\xff\xd8")
+    out += (
+        b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+        + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    )
+    for tid, qt in ((0, qy), (1, qc)):
+        zz = qt.ravel()[_ZIGZAG]
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid])
+        out += bytes(int(x) for x in zz)
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 17, 8, h, w0, 3)
+    for ci, (cid, tq) in enumerate(((1, 0), (2, 1), (3, 1))):
+        hi, vi = sampling[ci]
+        out += bytes([cid, (hi << 4) | vi, tq])
+    out += _dht(0, 0, _DC_BITS, _DC_VALS)
+    out += _dht(1, 0, _AC_PROG_BITS, _AC_PROG_VALS)
+
+    for kind, cis, ss, se, ah, al in _PROG_SCRIPT:
+        ns = len(cis)
+        out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ns, ns)
+        for ci in cis:
+            out += bytes([ci + 1, 0x00])
+        out += bytes([ss, se, (ah << 4) | al])
+        w = _BitWriter()
+        if kind == "dc":
+            _emit_dc_scan(w, coefs, cis, sampling, mcux, mcuy, ah, al)
+        else:
+            ci = cis[0]
+            hi, vi = sampling[ci]
+            cbw = -(-(-(-w0 * hi // hmax)) // 8)
+            cbh = -(-(-(-h * vi // vmax)) // 8)
+            # non-interleaved scans walk the component's ACTUAL block
+            # raster (T.81 A.2.2), not the MCU-padded array
+            blocks = [
+                coefs[ci][by, bx]
+                for by in range(cbh)
+                for bx in range(cbw)
+            ]
+            if ah == 0:
+                _emit_ac_first(w, blocks, ss, se, al)
+            else:
+                _emit_ac_refine(w, blocks, ss, se, al)
+        w.flush()
+        out += w.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def jpeg_encode_progressive(pixels: np.ndarray, quality: int = 90) -> bytes:
+    """uint8 HxWx3 RGB -> progressive JFIF bytes (4:4:4, SOF2,
+    libjpeg-shaped scan script).  Same colorspace/quantization as
+    jpeg_encode, so for inputs whose baseline round trip is exact
+    (e.g. constant planes at high quality) the progressive round trip
+    is exact too — the closed-form-oracle property the corpus uses."""
+    if pixels.dtype != np.uint8 or pixels.ndim != 3 or pixels.shape[2] != 3:
+        raise ValueError("jpeg_encode_progressive expects uint8 HxWx3 RGB")
+    h, w0 = pixels.shape[:2]
+    r = pixels[..., 0].astype(np.float64)
+    g = pixels[..., 1].astype(np.float64)
+    b = pixels[..., 2].astype(np.float64)
+    planes = [
+        0.299 * r + 0.587 * g + 0.114 * b,
+        -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+        0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+    ]
+    return _encode_progressive(planes, [(1, 1)] * 3, w0, h, quality)
+
+
 # ---------------------------------------------------------------- decode
 
 
@@ -282,6 +552,21 @@ class _BitReader:
         self.n -= 1
         return (self.acc >> self.n) & 1
 
+    def restart(self, m: int) -> None:
+        """Consume the byte-aligned RSTm marker between restart
+        intervals (T.81 E.1.4): discard the current interval's padding
+        bits, then expect exactly 0xFFD0+m."""
+        self.acc = 0
+        self.n = 0
+        if self.pos + 2 > len(self.data):
+            raise ValueError("JPEG truncated at restart marker")
+        b0, b1 = self.data[self.pos], self.data[self.pos + 1]
+        if b0 != 0xFF or b1 != 0xD0 + m:
+            raise ValueError(
+                f"expected restart marker RST{m}, got 0x{b0:02x}{b1:02x}"
+            )
+        self.pos += 2
+
     def bits(self, k: int) -> int:
         v = 0
         for _ in range(k):
@@ -317,10 +602,11 @@ def _extend(v: int, size: int) -> int:
 
 
 def jpeg_decode(data: bytes) -> np.ndarray:
-    """Baseline JFIF/JPEG bytes -> uint8 HxWx3 RGB.  SOF0 with any
-    integer sampling factors (4:4:4 / 4:2:0 / 4:2:2 / 4:4:0), one
-    interleaved scan only; anything else — including truncated or
-    garbled streams — raises ValueError (see module docstring)."""
+    """JFIF/JPEG bytes -> uint8 HxWx3 RGB.  Baseline (SOF0) or
+    progressive (SOF2) Huffman streams, any integer sampling factors
+    (4:4:4 / 4:2:0 / 4:2:2 / 4:4:0), restart intervals; anything else
+    — including truncated or garbled streams — raises ValueError (see
+    module docstring)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     try:
@@ -331,13 +617,221 @@ def jpeg_decode(data: bytes) -> np.ndarray:
         raise ValueError(f"malformed JPEG: {e!r}") from e
 
 
+# ---------------------------------------------- per-block entropy decoders
+# Coefficient storage is ZIGZAG-ordered int32 vectors of length 64 per
+# block (numpy views into the per-component (bh, bw, 64) arrays);
+# natural-order mapping + dequantization + IDCT happen once at the end.
+
+
+def _block_full_band(reader, dc_table, ac_table, zz, pred: int) -> int:
+    """Baseline sequential block: DC diff + full AC band (T.81 F.2)."""
+    size = _read_symbol(reader, dc_table)
+    diff = _extend(reader.bits(size), size) if size else 0
+    pred += diff
+    zz[0] = pred
+    k = 1
+    while k < 64:
+        sym = _read_symbol(reader, ac_table)
+        if sym == 0x00:  # EOB
+            break
+        if sym == 0xF0:  # ZRL
+            k += 16
+            continue
+        run, size = sym >> 4, sym & 15
+        k += run
+        if k > 63:
+            raise ValueError("AC coefficient index overflow")
+        zz[k] = _extend(reader.bits(size), size)
+        k += 1
+    return pred
+
+
+def _block_dc_first(reader, dc_table, zz, pred: int, al: int) -> int:
+    """Progressive DC, first pass (T.81 G.1.2.1): diffs of DC >> Al."""
+    size = _read_symbol(reader, dc_table)
+    diff = _extend(reader.bits(size), size) if size else 0
+    pred += diff
+    zz[0] = pred << al
+    return pred
+
+
+def _block_dc_refine(reader, zz, al: int) -> None:
+    """Progressive DC refinement: one correction bit per block."""
+    if reader.bit():
+        zz[0] = int(zz[0]) | (1 << al)
+
+
+def _block_ac_first(reader, ac_table, zz, ss, se, al, eobrun: int) -> int:
+    """Progressive AC, first pass over band Ss..Se (T.81 G.1.2.2) with
+    end-of-band run-lengths."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        sym = _read_symbol(reader, ac_table)
+        run, size = sym >> 4, sym & 15
+        if size == 0:
+            if run != 15:  # EOBn: this and the next (2^run-1+bits) blocks
+                eobrun = (1 << run) - 1
+                if run:
+                    eobrun += reader.bits(run)
+                return eobrun
+            k += 16  # ZRL
+            continue
+        k += run
+        if k > se:
+            raise ValueError("AC coefficient index overflow")
+        zz[k] = _extend(reader.bits(size), size) << al
+        k += 1
+    return 0
+
+
+def _block_ac_refine(reader, ac_table, zz, ss, se, al, eobrun: int) -> int:
+    """Progressive AC refinement (T.81 G.1.2.3): newly significant
+    coefficients arrive at +/-2^Al; every already-nonzero coefficient
+    in the band consumes a correction bit as the scan passes it —
+    including inside end-of-band runs."""
+    p1, m1 = 1 << al, -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = _read_symbol(reader, ac_table)
+            run, size = sym >> 4, sym & 15
+            val = 0
+            if size == 0:
+                if run != 15:
+                    eobrun = 1 << run
+                    if run:
+                        eobrun += reader.bits(run)
+                    break  # correction pass below, then eobrun -= 1
+                # run == 15: skip 16 zero-history coefficients
+            else:
+                if size != 1:
+                    raise ValueError("bad refinement magnitude size")
+                val = p1 if reader.bit() else m1
+            while k <= se:
+                c = int(zz[k])
+                if c != 0:
+                    if reader.bit() and (c & p1) == 0:
+                        zz[k] = c + (p1 if c >= 0 else m1)
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                k += 1
+            if val and k <= se:
+                zz[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            c = int(zz[k])
+            if c != 0 and reader.bit() and (c & p1) == 0:
+                zz[k] = c + (p1 if c >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _skip_entropy(data: bytes, p: int) -> int:
+    """Advance past entropy-coded data to the next true marker
+    (stuffed 0x00 and RSTn are part of the scan; 0xFF fill bytes are
+    not markers)."""
+    n = len(data)
+    while p + 1 < n:
+        if data[p] == 0xFF:
+            nxt = data[p + 1]
+            if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                p += 2
+                continue
+            if nxt == 0xFF:
+                p += 1
+                continue
+            return p
+        p += 1
+    raise ValueError("JPEG entropy data truncated (no trailing marker)")
+
+
+def _decode_scan(
+    data, start, comps, scan_comps, ss, se, ah, al,
+    coefs, progressive, ri, hmax, vmax, mcux, mcuy, h, w0,
+):
+    """Entropy-decode one scan into the per-component coefficient
+    arrays.  Interleaved scans (ns > 1) walk MCU order (T.81 A.2.3);
+    single-component scans walk the component's own block raster over
+    its ACTUAL block dims — ceil(ceil(w*hi/hmax)/8) etc., NOT the
+    MCU-padded array shape (T.81 A.2.2).  Restart intervals reset DC
+    predictors and the progressive EOB run, with RSTm markers cycling
+    m = 0..7 (T.81 E.1.4)."""
+    reader = _BitReader(data, start)
+    interleaved = len(scan_comps) > 1
+    if interleaved:
+        units = []  # (ci, dc_table, ac_table, by, bx) in MCU order
+        per_mcu = []
+        for ci, dct, act in scan_comps:
+            _, _, hi, vi = comps[ci]
+            per_mcu.append((ci, dct, act, hi, vi))
+        n_mcu = mcux * mcuy
+
+        def mcu_blocks(m):
+            my, mx = divmod(m, mcux)
+            for ci, dct, act, hi, vi in per_mcu:
+                for bv in range(vi):
+                    for bh_ in range(hi):
+                        yield ci, dct, act, my * vi + bv, mx * hi + bh_
+    else:
+        ci0, dct0, act0 = scan_comps[0]
+        _, _, hi, vi = comps[ci0]
+        cbw = -(-(-(-w0 * hi // hmax)) // 8)
+        cbh = -(-(-(-h * vi // vmax)) // 8)
+        n_mcu = cbw * cbh
+
+        def mcu_blocks(m):
+            my, mx = divmod(m, cbw)
+            yield ci0, dct0, act0, my, mx
+
+    dc_scan = ss == 0
+    first = ah == 0
+    preds = {ci: 0 for ci, _, _ in scan_comps}
+    eobrun = 0
+    rst_m = 0
+    for m in range(n_mcu):
+        if ri and m and m % ri == 0:
+            reader.restart(rst_m)
+            rst_m = (rst_m + 1) & 7
+            preds = {ci: 0 for ci in preds}
+            eobrun = 0
+        for ci, dct, act, by, bx in mcu_blocks(m):
+            zz = coefs[ci][by, bx]
+            if not progressive:
+                if dct is None or act is None:
+                    raise ValueError("scan references undefined DHT table")
+                preds[ci] = _block_full_band(reader, dct, act, zz, preds[ci])
+            elif dc_scan and first:
+                if dct is None:
+                    raise ValueError("scan references undefined DHT table")
+                preds[ci] = _block_dc_first(reader, dct, zz, preds[ci], al)
+            elif dc_scan:
+                _block_dc_refine(reader, zz, al)
+            elif first:
+                if act is None:
+                    raise ValueError("scan references undefined DHT table")
+                eobrun = _block_ac_first(reader, act, zz, ss, se, al, eobrun)
+            else:
+                if act is None:
+                    raise ValueError("scan references undefined DHT table")
+                eobrun = _block_ac_refine(reader, act, zz, ss, se, al, eobrun)
+
+
 def _jpeg_decode(data: bytes) -> np.ndarray:
     pos = 2
+    ri = 0  # restart interval (MCUs / blocks); 0 = none
+    progressive = False
     qts: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
     h = w0 = 0
     comps: list[tuple[int, int, int, int]] = []  # (cid, qt id, hi, vi)
-    scan: list[tuple[int, int, int]] = []  # (cid, dc table, ac table)
+    # (scan_comps [(ci, dc_table, ac_table)], ss, se, ah, al, start, ri)
+    scans: list[tuple] = []
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("JPEG marker sync lost")
@@ -364,7 +858,8 @@ def _jpeg_decode(data: bytes) -> np.ndarray:
                 qt[_ZIGZAG] = zz
                 qts[tq] = qt.reshape(8, 8)
                 bp += 65
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             _prec, h, w0, nc = struct.unpack_from(">BHHB", body, 0)
             if nc != 3:
                 raise ValueError("only 3-component JPEG supported")
@@ -374,9 +869,12 @@ def _jpeg_decode(data: bytes) -> np.ndarray:
                 if not (1 <= hi <= 4 and 1 <= vi <= 4):
                     raise ValueError("bad JPEG sampling factors")
                 comps.append((cid, tq, hi, vi))
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
-                        0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("only baseline SOF0 JPEG supported")
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCC, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "only baseline (SOF0) and progressive (SOF2) Huffman "
+                "JPEG supported"
+            )
         elif marker == 0xC4:  # DHT (possibly several tables)
             bp = 0
             while bp < len(body):
@@ -386,24 +884,44 @@ def _jpeg_decode(data: bytes) -> np.ndarray:
                 vals = list(body[bp + 17 : bp + 17 + nv])
                 huff[(tc, th)] = _build_decoder(bits, vals)
                 bp += 17 + nv
-        elif marker == 0xDA:  # SOS
+        elif marker == 0xDA:  # SOS — record the scan, skip its data
+            if not comps:
+                raise ValueError("SOS before SOF")
             ns = body[0]
-            if ns != 3:
-                # Ns=1 per-component scans are legal baseline but this
-                # decoder reads one interleaved scan only — refusing
-                # beats silently leaving two planes at zero
-                raise ValueError(
-                    "non-interleaved (multi-scan) JPEG unsupported"
-                )
+            if not (1 <= ns <= len(comps)):
+                raise ValueError("bad scan component count")
+            scan_comps = []
             for i in range(ns):
                 cid, tt = body[1 + 2 * i], body[2 + 2 * i]
-                scan.append((cid, tt >> 4, tt & 15))
-            pos += seg_len
-            break
-        elif marker == 0xDD:
-            raise ValueError("restart intervals unsupported")
+                ci = next(
+                    (j for j, (c, _, _, _) in enumerate(comps) if c == cid),
+                    None,
+                )
+                if ci is None:
+                    raise ValueError("scan references unknown component")
+                # tables snapshotted NOW: progressive streams may
+                # redefine DHT slots between scans
+                scan_comps.append(
+                    (ci, huff.get((0, tt >> 4)), huff.get((1, tt & 15)))
+                )
+            ss, se, a = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+            ah, al = a >> 4, a & 15
+            if progressive:
+                if ss == 0 and se != 0:
+                    raise ValueError("progressive DC scan must have Se=0")
+                if ss > 0 and ns != 1:
+                    raise ValueError("progressive AC scan must be 1-comp")
+                if ss > se or se > 63:
+                    raise ValueError("bad spectral selection band")
+            elif (ss, se, ah, al) != (0, 63, 0, 0):
+                raise ValueError("bad baseline scan parameters")
+            scans.append((scan_comps, ss, se, ah, al, pos + seg_len, ri))
+            pos = _skip_entropy(data, pos + seg_len)
+            continue
+        elif marker == 0xDD:  # DRI: restart interval in MCUs
+            ri = struct.unpack_from(">H", body, 0)[0]
         pos += seg_len
-    if not comps or not scan or h == 0:
+    if not comps or not scans or h == 0:
         raise ValueError("JPEG missing SOF/SOS")
 
     # generalized MCU geometry (T.81 A.2.3): per-component sampling
@@ -416,54 +934,30 @@ def _jpeg_decode(data: bytes) -> np.ndarray:
     vmax = max(vi for _, _, _, vi in comps)
     if any(hmax % hi or vmax % vi for _, _, hi, vi in comps):
         raise ValueError("non-integer JPEG subsampling ratios unsupported")
-    reader = _BitReader(data, pos)
     mcux = -(-w0 // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
-    planes = [
-        np.zeros((mcuy * vi * 8, mcux * hi * 8)) for _, _, hi, vi in comps
+    # zigzag-ordered coefficient planes, MCU-padded
+    coefs = [
+        np.zeros((mcuy * vi, mcux * hi, 64), np.int32)
+        for _, _, hi, vi in comps
     ]
-    preds = [0] * len(comps)
-    qt_of = {cid: qts[tq] for cid, tq, _, _ in comps}
-    order = [next(i for i, (c, _, _, _) in enumerate(comps) if c == cid)
-             for cid, _, _ in scan]
-    for my in range(mcuy):
-        for mx in range(mcux):
-            for (cid, td, ta), ci in zip(scan, order):
-                _, _, chi, cvi = comps[ci]
-                for bv in range(cvi):
-                    for bh in range(chi):
-                        size = _read_symbol(reader, huff[(0, td)])
-                        diff = (
-                            _extend(reader.bits(size), size) if size else 0
-                        )
-                        preds[ci] += diff
-                        zz = np.zeros(64, np.int32)
-                        zz[0] = preds[ci]
-                        k = 1
-                        while k < 64:
-                            sym = _read_symbol(reader, huff[(1, ta)])
-                            if sym == 0x00:  # EOB
-                                break
-                            if sym == 0xF0:  # ZRL
-                                k += 16
-                                continue
-                            run, size = sym >> 4, sym & 15
-                            k += run
-                            if k > 63:
-                                raise ValueError(
-                                    "AC coefficient index overflow"
-                                )
-                            zz[k] = _extend(reader.bits(size), size)
-                            k += 1
-                        coef = np.zeros(64, np.float64)
-                        coef[_ZIGZAG] = zz * qt_of[cid].ravel()[_ZIGZAG]
-                        block = _D.T @ coef.reshape(8, 8) @ _D + 128.0
-                        by = (my * cvi + bv) * 8
-                        bx = (mx * chi + bh) * 8
-                        planes[ci][by : by + 8, bx : bx + 8] = block
+
+    for scan_comps, ss, se, ah, al, start, scan_ri in scans:
+        _decode_scan(
+            data, start, comps, scan_comps, ss, se, ah, al,
+            coefs, progressive, scan_ri, hmax, vmax, mcux, mcuy, h, w0,
+        )
+
+    # dequantize + IDCT, one vectorized einsum per component
     full = []
-    for ci, (_, _, chi, cvi) in enumerate(comps):
-        p = planes[ci]
+    for ci, (_, tq, chi, cvi) in enumerate(comps):
+        qtflat = qts[tq].ravel().astype(np.float64)
+        bh, bw = coefs[ci].shape[:2]
+        nat = np.zeros((bh, bw, 64), np.float64)
+        nat[..., _ZIGZAG] = coefs[ci] * qtflat[_ZIGZAG]
+        blocks = nat.reshape(bh, bw, 8, 8)
+        out = np.einsum("ij,xyjk,kl->xyil", _D.T, blocks, _D) + 128.0
+        p = out.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
         if chi != hmax or cvi != vmax:
             p = np.repeat(
                 np.repeat(p, vmax // cvi, axis=0), hmax // chi, axis=1

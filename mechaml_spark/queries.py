@@ -591,6 +591,54 @@ def q_image_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Progressive (SOF2) JPEG decode, oracle-checked: 16x16 images
+    of four constant 8x8 quadrants keyed by doc_id — even docs encode
+    baseline (SOF0), odd docs encode PROGRESSIVE with the libjpeg-
+    shaped scan script (spectral selection + successive approximation,
+    EOBn runs across the four blocks) — then the REAL decoder + the
+    shared mapInPandas feature stage.  Constant blocks at q95 decode
+    exactly (DC step 2, the `image_jpeg_features` argument, which the
+    progressive stream inherits because it carries bitwise-identical
+    quantized coefficients), so mean*1000 = 250 * (sum of the four
+    quadrant values) is a closed form DuckDB shares."""
+    import numpy as _np
+    import pandas as _pd
+
+    from mechaml_spark import multimodal
+    from mechaml_spark.jpeg import jpeg_encode, jpeg_encode_progressive
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 200
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                px = _np.empty((16, 16, 3), dtype=_np.uint8)
+                for q in range(4):
+                    ys, xs = (q // 2) * 8, (q % 2) * 8
+                    px[ys : ys + 8, xs : xs + 8, 0] = (did * 7 + q * 17) % 251
+                    px[ys : ys + 8, xs : xs + 8, 1] = (did * 11 + q * 17) % 251
+                    px[ys : ys + 8, xs : xs + 8, 2] = (did * 13 + q * 17) % 251
+                enc = jpeg_encode if did % 2 == 0 else jpeg_encode_progressive
+                rows.append(
+                    {"doc_id": did, "bytes": enc(px, quality=95), "fmt": "jpg"}
+                )
+            yield _pd.DataFrame(rows, columns=["doc_id", "bytes", "fmt"])
+
+    media = d.mapInPandas(gen, schema="doc_id long, bytes binary, fmt string")
+    feats = multimodal.image_features(media)
+    return feats.select(
+        "doc_id",
+        F.col("features")["mean_r"].alias("mean_r"),
+        F.col("features")["mean_g"].alias("mean_g"),
+        F.col("features")["mean_b"].alias("mean_b"),
+    )
+
+
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio pipeline with a CLOSED-FORM oracle: deterministic mono
     16-bit PCM WAV square waves keyed by doc_id -> REAL stdlib
@@ -1236,6 +1284,7 @@ QUERIES = {
     "image_phash": q_image_phash,
     "image_neardup": q_image_neardup,
     "image_jpeg_features": q_image_jpeg_features,
+    "image_jpeg_progressive": q_image_jpeg_progressive,
     "audio_features": q_audio_features,
     "video_frames": q_video_frames,
     "video_frames_avi": q_video_frames_avi,
@@ -1503,6 +1552,19 @@ ORACLES = {
                CAST((doc_id * 7)  % 251 AS BIGINT) * 1000 AS mean_r,
                CAST((doc_id * 11) % 251 AS BIGINT) * 1000 AS mean_g,
                CAST((doc_id * 13) % 251 AS BIGINT) * 1000 AS mean_b
+        FROM documents WHERE doc_id < 200
+    """,
+    "image_jpeg_progressive": """
+        SELECT doc_id,
+               CAST(250 * ((doc_id * 7) % 251 + (doc_id * 7 + 17) % 251
+                    + (doc_id * 7 + 34) % 251 + (doc_id * 7 + 51) % 251)
+                    AS BIGINT) AS mean_r,
+               CAST(250 * ((doc_id * 11) % 251 + (doc_id * 11 + 17) % 251
+                    + (doc_id * 11 + 34) % 251 + (doc_id * 11 + 51) % 251)
+                    AS BIGINT) AS mean_g,
+               CAST(250 * ((doc_id * 13) % 251 + (doc_id * 13 + 17) % 251
+                    + (doc_id * 13 + 34) % 251 + (doc_id * 13 + 51) % 251)
+                    AS BIGINT) AS mean_b
         FROM documents WHERE doc_id < 200
     """,
     "audio_features": """

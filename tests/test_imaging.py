@@ -540,10 +540,10 @@ def test_jpeg_422_decode_exact():
     assert np.array_equal(out[:, 8:], np.full((8, 8, 3), 200, np.uint8))
 
 
-def test_jpeg_own_encoder_roundtrip_unchanged_and_progressive_refused():
+def test_jpeg_own_encoder_roundtrip_unchanged_and_sof1_refused():
     """Generalizing the sampling geometry must not change the 4:4:4
     path (own-encoder round trip stays bit-identical to a fresh
-    decode) and progressive (SOF2) still refuses."""
+    decode); extended-sequential (SOF1) still refuses."""
     from mechaml_spark import jpeg
 
     yy, xx = np.mgrid[0:24, 0:40]
@@ -555,8 +555,119 @@ def test_jpeg_own_encoder_roundtrip_unchanged_and_progressive_refused():
     out2 = jpeg.jpeg_decode(data)
     assert np.array_equal(out1, out2)
     assert imaging.psnr(px, out1) >= 40.0
-    prog = bytearray(data)
+    ext = bytearray(data)
     sof = data.find(b"\xff\xc0")
-    prog[sof + 1] = 0xC2
+    ext[sof + 1] = 0xC1
     with pytest.raises(ValueError, match="baseline"):
-        jpeg.jpeg_decode(bytes(prog))
+        jpeg.jpeg_decode(bytes(ext))
+
+
+def test_jpeg_progressive_equals_baseline_444():
+    """Progressive (SOF2) decode: the own progressive encoder carries
+    bitwise-identical quantized coefficients to the baseline stream,
+    so the two decodes must be exactly equal — exercising DC/AC
+    first + refinement scans and spectral-selection reassembly."""
+    from mechaml_spark import jpeg
+
+    yy, xx = np.mgrid[0:24, 0:40]
+    px = np.stack(
+        [yy * 255 // 24, xx * 255 // 40, (yy * 7 + xx * 13) % 256],
+        axis=-1,
+    ).astype(np.uint8)
+    base = jpeg.jpeg_decode(jpeg.jpeg_encode(px, quality=90))
+    prog_bytes = jpeg.jpeg_encode_progressive(px, quality=90)
+    assert b"\xff\xc2" in prog_bytes and b"\xff\xc0" not in prog_bytes
+    prog = jpeg.jpeg_decode(prog_bytes)
+    assert np.array_equal(prog, base)
+
+
+def test_jpeg_progressive_subsampled_odd_dims():
+    """Progressive + 4:2:0 + non-MCU-aligned dims (20x12): the
+    non-interleaved AC scans must walk the component's ACTUAL block
+    raster (not the MCU-padded array) — decode equals the baseline
+    subsampled stream of the same planes.  Constant chroma makes
+    every chroma AC block an end-of-band block, exercising EOBn
+    run-length accumulation (run > 0)."""
+    from mechaml_spark import jpeg
+
+    yy, xx = np.mgrid[0:32, 0:16]
+    ypl = ((yy * 11 + xx * 23) % 200 + 28).astype(np.float64)
+    cb = np.full((16, 8), 136.0)
+    cr = np.full((16, 8), 120.0)
+    planes = [ypl, cb, cr]
+    samps = [(2, 2), (1, 1), (1, 1)]
+    base = jpeg.jpeg_decode(
+        _encode_subsampled_jpeg(planes, samps, 20, 12, quality=95)
+    )
+    prog = jpeg.jpeg_decode(
+        jpeg._encode_progressive(planes, samps, 12, 20, quality=95)
+    )
+    assert base.shape == prog.shape == (20, 12, 3)
+    assert np.array_equal(prog, base)
+
+
+def test_jpeg_restart_markers_decode():
+    """DRI/RSTn streams decode: a 4:4:4 stream re-emitted with a
+    restart interval of 1 MCU (byte-aligned RSTm every MCU, DC
+    predictors reset) must decode identically to the marker-free
+    stream from the public encoder."""
+    import struct
+
+    from mechaml_spark import jpeg as J
+
+    yy, xx = np.mgrid[0:24, 0:24]
+    px = np.stack(
+        [yy * 255 // 24, xx * 255 // 24, (yy + xx) * 255 // 48], axis=-1
+    ).astype(np.uint8)
+    plain = J.jpeg_encode(px, quality=90)
+    want = J.jpeg_decode(plain)
+
+    # rebuild the same image as a restart-interval stream: headers as
+    # in jpeg_encode plus DRI, entropy data flushed + RSTm per MCU
+    q = 90
+    qy, qc = J._quality_scale(J._QY, q), J._quality_scale(J._QC, q)
+    r, g, b = (px[..., i].astype(np.float64) for i in range(3))
+    planes = [
+        0.299 * r + 0.587 * g + 0.114 * b,
+        -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+        0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+    ]
+    out = bytearray(b"\xff\xd8")
+    for tid, qt in ((0, qy), (1, qc)):
+        zz = qt.ravel()[J._ZIGZAG]
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid])
+        out += bytes(int(x) for x in zz)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, 24, 24, 3)
+    for cid, tq in ((1, 0), (2, 1), (3, 1)):
+        out += bytes([cid, 0x11, tq])
+    out += J._dht(0, 0, J._DC_BITS, J._DC_VALS)
+    out += J._dht(1, 0, J._AC_BITS, J._AC_VALS)
+    out += b"\xff\xdd" + struct.pack(">HH", 4, 1)  # DRI: every MCU
+    out += b"\xff\xda" + struct.pack(">HB", 12, 3)
+    for cid in (1, 2, 3):
+        out += bytes([cid, 0x00])
+    out += b"\x00\x3f\x00"
+    qts = [qy, qc, qc]
+    mcu = 0
+    chunks = []
+    for by in range(0, 24, 8):
+        for bx in range(0, 24, 8):
+            w = J._BitWriter()
+            preds = [0, 0, 0]  # DC reset per interval
+            for ci in range(3):
+                block = planes[ci][by:by + 8, bx:bx + 8]
+                preds[ci] = J._encode_block(w, block, qts[ci], preds[ci])
+            w.flush()
+            chunks.append(bytes(w.out))
+            mcu += 1
+    for i, c in enumerate(chunks):
+        out += c
+        if i < len(chunks) - 1:
+            out += bytes((0xFF, 0xD0 + (i & 7)))
+    out += b"\xff\xd9"
+    got = J.jpeg_decode(bytes(out))
+    assert np.array_equal(got, want)
+    # wrong marker ordinal is refused
+    bad = bytes(out).replace(b"\xff\xd0", b"\xff\xd3", 1)
+    with pytest.raises(ValueError, match="restart"):
+        J.jpeg_decode(bad)
