@@ -154,6 +154,7 @@ def main() -> None:
         "image_neardup",
         "image_jpeg_features",
         "image_jpeg_progressive",
+        "image_png_variants",
         "audio_features",
         "audio_g711_features",
         "audio_adpcm_features",

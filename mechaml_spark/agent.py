@@ -600,15 +600,19 @@ def resolve_redirect_closure(
     # is exactly the overhead the driver map exists to avoid at
     # local-corpus sizes).  A live deployment never builds a closure
     # at all: HttpLoopFetcher chases redirects inside the fetch task.
-    if red.count() > max_driver_redirect_rows:
+    # One pass, not count()-then-collect: pull at most gate+1 rows —
+    # if the limit is hit the subset exceeds the driver budget and we
+    # fall back; otherwise the collected frame IS the map input.  At
+    # the trickle bench shape the separate count job was ~half the
+    # closure's serial setup time.
+    red_pdf = red.limit(max_driver_redirect_rows + 1).toPandas()
+    if len(red_pdf) > max_driver_redirect_rows:
         chased = _chase_relational_closure(
             red, max_redirect, hop_t, hu_t
         ).localCheckpoint(eager=True)
         return _attach_closure_finals(
             corpus, nonred_finals, chased, hop_t
         )
-
-    red_pdf = red.toPandas()
     rmap = {
         u: (int(s), loc, None if sc is None else list(sc))
         for u, s, loc, sc in zip(

@@ -7,9 +7,14 @@ for lossy ones (we only emit lossless PNG/PPM in-sandbox, so the
 check is exact equality; the PSNR path is exercised by tests with
 synthetic noise).
 
-PNG here is the minimal spec subset we emit: 8-bit RGB, one IDAT,
-filter types 0-4 supported on decode (we encode filter 0).  Public
-spec: https://www.w3.org/TR/png/ .  BMP is uncompressed 24-bit.
+PNG decode covers the full static-image spec surface a crawl sees:
+all five color types (gray / truecolor / palette / gray+alpha /
+RGBA), every legal bit depth (1/2/4-bit packed, 8-bit, 16-bit
+truncated to the high byte), filter types 0-4, and Adam7 interlace;
+alpha is dropped (features/dedup consume pixels, not compositing).
+``png_encode`` emits the 8-bit RGB filter-0 subset; ``png_encode_ext``
+writes the other variants for tests/corpus.  Public spec:
+https://www.w3.org/TR/png/ .  BMP is uncompressed 24-bit.
 GIF decode is real (variable-width LZW, global/local color tables,
 interlace; first frame of animations, pure-Python bit reader — fine
 for test/bench scale, swap a C codec for bulk decode); GIF encode
@@ -80,12 +85,73 @@ def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
     return out
 
 
+# channels per PNG color type (0 gray, 2 RGB, 3 palette, 4 gray+A, 6 RGBA)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# legal bit depths per color type (PNG spec table 11.1)
+_PNG_DEPTHS = {
+    0: (1, 2, 4, 8, 16),
+    2: (8, 16),
+    3: (1, 2, 4, 8),
+    4: (8, 16),
+    6: (8, 16),
+}
+# Adam7 pass grid: (x0, y0, dx, dy)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_stride(w: int, bit_depth: int, channels: int) -> int:
+    return (w * bit_depth * channels + 7) // 8
+
+
+def _decode_subimage(
+    raw: np.ndarray, off: int, w: int, h: int, bit_depth: int, channels: int
+) -> tuple[np.ndarray, int]:
+    """Unfilter + unpack one (sub)image's scanlines starting at byte
+    ``off`` of the decompressed stream -> ((h, w, channels) uint8
+    samples — 16-bit depths truncated to the high byte — and the next
+    offset)."""
+    stride = _png_stride(w, bit_depth, channels)
+    bpp = max(1, (bit_depth * channels) // 8)
+    end = off + h * (stride + 1)
+    if end > raw.size:
+        raise ValueError("PNG pixel data truncated")
+    arr = raw[off:end].reshape(h, stride + 1)
+    out = _unfilter(arr, h, stride, bpp)
+    if bit_depth == 8:
+        px = out[:, : w * channels].reshape(h, w, channels)
+    elif bit_depth == 16:
+        # network byte order: high byte first — truncate (libpng's
+        # default 16->8 strip)
+        px = out.reshape(h, -1)[:, 0 : w * channels * 2 : 2].reshape(
+            h, w, channels
+        )
+    else:  # 1/2/4-bit packed samples, MSB first
+        bits = np.unpackbits(out, axis=1)
+        n = w * channels
+        groups = bits[:, : n * bit_depth].reshape(h, n, bit_depth)
+        weights = (1 << np.arange(bit_depth - 1, -1, -1)).astype(np.uint8)
+        px = (groups * weights).sum(axis=2).astype(np.uint8).reshape(
+            h, w, channels
+        )
+    return px, end
+
+
 def png_decode(data: bytes) -> np.ndarray:
-    """PNG bytes -> uint8 HxWx3 RGB (subset: 8-bit truecolor)."""
+    """PNG bytes -> uint8 HxWx3 RGB.  All five color types (gray,
+    truecolor, palette, gray+alpha, RGBA), every legal bit depth
+    (sub-byte palettes/grays unpacked, 16-bit truncated to the high
+    byte), and Adam7 interlace.  Alpha is dropped and tRNS ignored —
+    the pipeline consumes pixels for features/dedup, not compositing.
+    Gray at depth d scales by 255/(2^d - 1)."""
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
     pos = 8
     w = h = None
+    bit_depth = color_type = interlace = 0
+    palette = None
     idat = bytearray()
     while pos < len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
@@ -96,18 +162,108 @@ def png_decode(data: bytes) -> np.ndarray:
             w, h, bit_depth, color_type, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
-            if bit_depth != 8 or color_type != 2 or interlace != 0:
-                raise ValueError("unsupported PNG variant")
+            if color_type not in _PNG_CHANNELS:
+                raise ValueError(f"unsupported PNG color type {color_type}")
+            if bit_depth not in _PNG_DEPTHS[color_type]:
+                raise ValueError(
+                    f"illegal PNG bit depth {bit_depth} for color type "
+                    f"{color_type}"
+                )
+            if interlace not in (0, 1):
+                raise ValueError("unsupported PNG interlace method")
+        elif tag == b"PLTE":
+            palette = np.frombuffer(body, np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat.extend(body)
         elif tag == b"IEND":
             break
     if w is None:
         raise ValueError("missing IHDR")
+    channels = _PNG_CHANNELS[color_type]
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
-    stride = w * 3
-    raw = raw.reshape(h, stride + 1)
-    return _unfilter(raw, h, stride, 3).reshape(h, w, 3)
+    if interlace == 0:
+        samples, _ = _decode_subimage(raw, 0, w, h, bit_depth, channels)
+    else:
+        samples = np.zeros((h, w, channels), np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = max(0, -(-(w - x0) // dx))
+            ph = max(0, -(-(h - y0) // dy))
+            if pw == 0 or ph == 0:
+                continue
+            sub, off = _decode_subimage(raw, off, pw, ph, bit_depth, channels)
+            samples[y0::dy, x0::dx] = sub
+    if color_type == 3:
+        if palette is None:
+            raise ValueError("palette PNG missing PLTE")
+        idx = samples[..., 0]
+        if int(idx.max(initial=0)) >= palette.shape[0]:
+            raise ValueError("PNG palette index out of range")
+        return palette[idx]
+    if color_type in (0, 4):
+        g = samples[..., 0]
+        if bit_depth in (1, 2, 4):  # scale to full range
+            g = (
+                g.astype(np.uint16) * 255 // ((1 << bit_depth) - 1)
+            ).astype(np.uint8)
+        return np.repeat(g[..., None], 3, axis=2)
+    return np.ascontiguousarray(samples[..., :3])
+
+
+def _pack_scanlines(samples: np.ndarray, bit_depth: int) -> bytes:
+    """(h, w, channels) uint8 samples -> filter-0 scanline bytes."""
+    h, w, channels = samples.shape
+    if bit_depth == 8:
+        rows = samples.reshape(h, w * channels)
+    else:  # sub-byte packing, MSB first
+        n = w * channels
+        weights = np.arange(bit_depth - 1, -1, -1)
+        bits = (
+            (samples.reshape(h, n, 1) >> weights) & 1
+        ).astype(np.uint8).reshape(h, n * bit_depth)
+        rows = np.packbits(bits, axis=1)
+    out = np.empty((h, rows.shape[1] + 1), np.uint8)
+    out[:, 0] = 0
+    out[:, 1:] = rows
+    return out.tobytes()
+
+
+def png_encode_ext(
+    samples: np.ndarray,
+    color_type: int,
+    bit_depth: int = 8,
+    palette: np.ndarray | None = None,
+    interlace: int = 0,
+) -> bytes:
+    """General PNG writer for the decoder's full surface (filter 0
+    only): ``samples`` is (h, w, channels) uint8 — palette indices
+    for color type 3, gray[, alpha] for 0/4, RGB[A] for 2/6.  Used by
+    tests and the corpus generator to synthesize the palette / gray /
+    alpha / interlaced streams real crawls contain."""
+    if samples.ndim == 2:
+        samples = samples[..., None]
+    h, w, channels = samples.shape
+    if channels != _PNG_CHANNELS[color_type]:
+        raise ValueError("sample channels do not match color type")
+    if bit_depth not in _PNG_DEPTHS[color_type] or bit_depth == 16:
+        raise ValueError("unsupported encode bit depth")
+    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, color_type, 0, 0, interlace)
+    if interlace == 0:
+        body = _pack_scanlines(samples, bit_depth)
+    else:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = samples[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                parts.append(_pack_scanlines(sub, bit_depth))
+        body = b"".join(parts)
+    out = _PNG_SIG + _chunk(b"IHDR", ihdr)
+    if color_type == 3:
+        if palette is None:
+            raise ValueError("palette encode needs a palette")
+        out += _chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+    out += _chunk(b"IDAT", zlib.compress(body, 6)) + _chunk(b"IEND", b"")
+    return out
 
 
 def ppm_encode(pixels: np.ndarray) -> bytes:

@@ -639,6 +639,76 @@ def q_image_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_png_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG decode breadth, oracle-checked: per doc_id one of the four
+    real-web PNG shapes — doc_id % 4 = 0: 8-bit grayscale; 1: 4-bit
+    palette (8 entries, index (x+y)%8 so each entry covers exactly 32
+    of the 256 pixels); 2: RGBA (alpha dropped by decode); 3: RGB
+    Adam7-interlaced with four constant quadrants — through the same
+    mapInPandas feature stage.  All lossless, so means are exact
+    closed forms DuckDB mirrors (gray: v; palette: sum(entries)/8;
+    rgba: v; interlaced: sum(quadrants)/4)."""
+    import numpy as _np
+    import pandas as _pd
+
+    from mechaml_spark import imaging as _im
+    from mechaml_spark import multimodal
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 200
+    )
+
+    def gen(batches):
+        yy, xx = _np.mgrid[0:16, 0:16]
+        idx = ((yy + xx) % 8).astype(_np.uint8)
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                m = did % 4
+                if m == 0:
+                    g = _np.full((16, 16), (did * 7) % 251, _np.uint8)
+                    data = _im.png_encode_ext(g, 0)
+                elif m == 1:
+                    pal = _np.stack(
+                        [
+                            _np.array(
+                                [(did * f + k * 5) % 251 for k in range(8)],
+                                _np.uint8,
+                            )
+                            for f in (7, 11, 13)
+                        ],
+                        axis=1,
+                    )
+                    data = _im.png_encode_ext(idx, 3, bit_depth=4, palette=pal)
+                elif m == 2:
+                    px = _np.empty((16, 16, 4), _np.uint8)
+                    px[..., 0] = (did * 7) % 251
+                    px[..., 1] = (did * 11) % 251
+                    px[..., 2] = (did * 13) % 251
+                    px[..., 3] = did % 256
+                    data = _im.png_encode_ext(px, 6)
+                else:
+                    px = _np.empty((16, 16, 3), _np.uint8)
+                    for q in range(4):
+                        ys, xs = (q // 2) * 8, (q % 2) * 8
+                        px[ys : ys + 8, xs : xs + 8, 0] = (did * 7 + q * 17) % 251
+                        px[ys : ys + 8, xs : xs + 8, 1] = (did * 11 + q * 17) % 251
+                        px[ys : ys + 8, xs : xs + 8, 2] = (did * 13 + q * 17) % 251
+                    data = _im.png_encode_ext(px, 2, interlace=1)
+                rows.append({"doc_id": did, "bytes": data, "fmt": "png"})
+            yield _pd.DataFrame(rows, columns=["doc_id", "bytes", "fmt"])
+
+    media = d.mapInPandas(gen, schema="doc_id long, bytes binary, fmt string")
+    feats = multimodal.image_features(media)
+    return feats.select(
+        "doc_id",
+        F.col("features")["mean_r"].alias("mean_r"),
+        F.col("features")["mean_g"].alias("mean_g"),
+        F.col("features")["mean_b"].alias("mean_b"),
+    )
+
+
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio pipeline with a CLOSED-FORM oracle: deterministic mono
     16-bit PCM WAV square waves keyed by doc_id -> REAL stdlib
@@ -1285,6 +1355,7 @@ QUERIES = {
     "image_neardup": q_image_neardup,
     "image_jpeg_features": q_image_jpeg_features,
     "image_jpeg_progressive": q_image_jpeg_progressive,
+    "image_png_variants": q_image_png_variants,
     "audio_features": q_audio_features,
     "video_frames": q_video_frames,
     "video_frames_avi": q_video_frames_avi,
@@ -1565,6 +1636,37 @@ ORACLES = {
                CAST(250 * ((doc_id * 13) % 251 + (doc_id * 13 + 17) % 251
                     + (doc_id * 13 + 34) % 251 + (doc_id * 13 + 51) % 251)
                     AS BIGINT) AS mean_b
+        FROM documents WHERE doc_id < 200
+    """,
+    "image_png_variants": """
+        SELECT doc_id,
+               CASE doc_id % 4
+                 WHEN 0 THEN CAST((doc_id * 7) % 251 AS BIGINT) * 1000
+                 WHEN 1 THEN 125 * (SELECT CAST(SUM((doc_id * 7 + k * 5) % 251)
+                                    AS BIGINT) FROM range(8) t(k))
+                 WHEN 2 THEN CAST((doc_id * 7) % 251 AS BIGINT) * 1000
+                 ELSE 250 * CAST((doc_id * 7) % 251 + (doc_id * 7 + 17) % 251
+                      + (doc_id * 7 + 34) % 251 + (doc_id * 7 + 51) % 251
+                      AS BIGINT)
+               END AS mean_r,
+               CASE doc_id % 4
+                 WHEN 0 THEN CAST((doc_id * 7) % 251 AS BIGINT) * 1000
+                 WHEN 1 THEN 125 * (SELECT CAST(SUM((doc_id * 11 + k * 5) % 251)
+                                    AS BIGINT) FROM range(8) t(k))
+                 WHEN 2 THEN CAST((doc_id * 11) % 251 AS BIGINT) * 1000
+                 ELSE 250 * CAST((doc_id * 11) % 251 + (doc_id * 11 + 17) % 251
+                      + (doc_id * 11 + 34) % 251 + (doc_id * 11 + 51) % 251
+                      AS BIGINT)
+               END AS mean_g,
+               CASE doc_id % 4
+                 WHEN 0 THEN CAST((doc_id * 7) % 251 AS BIGINT) * 1000
+                 WHEN 1 THEN 125 * (SELECT CAST(SUM((doc_id * 13 + k * 5) % 251)
+                                    AS BIGINT) FROM range(8) t(k))
+                 WHEN 2 THEN CAST((doc_id * 13) % 251 AS BIGINT) * 1000
+                 ELSE 250 * CAST((doc_id * 13) % 251 + (doc_id * 13 + 17) % 251
+                      + (doc_id * 13 + 34) % 251 + (doc_id * 13 + 51) % 251
+                      AS BIGINT)
+               END AS mean_b
         FROM documents WHERE doc_id < 200
     """,
     "audio_features": """

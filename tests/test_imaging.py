@@ -50,6 +50,116 @@ def test_png_filtered_rows_decode():
     assert np.array_equal(imaging.png_decode(data), px)
 
 
+def test_png_palette_variants():
+    """Palette (color type 3) at 8-bit and packed 4-bit depths."""
+    rng = np.random.default_rng(5)
+    pal = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+    yy, xx = np.mgrid[0:16, 0:16]
+    idx = ((yy + xx) % 8).astype(np.uint8)
+    for depth in (4, 8):
+        data = imaging.png_encode_ext(idx, 3, bit_depth=depth, palette=pal)
+        assert np.array_equal(imaging.png_decode(data), pal[idx])
+    # 1-bit palette, odd width (packing padding per scanline)
+    pal2 = np.array([[10, 20, 30], [200, 100, 50]], np.uint8)
+    idx2 = ((yy[:5, :13] + xx[:5, :13]) % 2).astype(np.uint8)
+    data = imaging.png_encode_ext(idx2, 3, bit_depth=1, palette=pal2)
+    assert np.array_equal(imaging.png_decode(data), pal2[idx2])
+    # out-of-range index refuses
+    bad = imaging.png_encode_ext(
+        np.full((2, 2), 5, np.uint8), 3, bit_depth=8, palette=pal2
+    )
+    with pytest.raises(ValueError, match="palette index"):
+        imaging.png_decode(bad)
+
+
+def test_png_gray_and_alpha_variants():
+    """Gray (0), gray+alpha (4), RGBA (6): gray replicates to RGB
+    with sub-byte depths scaled to full range; alpha is dropped."""
+    yy, xx = np.mgrid[0:7, 0:11]
+    g8 = ((yy * 31 + xx * 17) % 256).astype(np.uint8)
+    assert np.array_equal(
+        imaging.png_decode(imaging.png_encode_ext(g8, 0)),
+        np.repeat(g8[..., None], 3, axis=2),
+    )
+    g1 = ((yy + xx) % 2).astype(np.uint8)  # 1-bit: 0 / 255
+    assert np.array_equal(
+        imaging.png_decode(imaging.png_encode_ext(g1, 0, bit_depth=1)),
+        np.repeat((g1 * 255)[..., None], 3, axis=2),
+    )
+    g4 = ((yy + xx) % 16).astype(np.uint8)  # 4-bit: v * 255 // 15
+    assert np.array_equal(
+        imaging.png_decode(imaging.png_encode_ext(g4, 0, bit_depth=4)),
+        np.repeat((g4.astype(np.uint16) * 255 // 15).astype(np.uint8)[..., None], 3, axis=2),
+    )
+    ga = np.stack([g8, (g8[::-1] // 2)], axis=-1)  # gray+alpha
+    assert np.array_equal(
+        imaging.png_decode(imaging.png_encode_ext(ga, 4)),
+        np.repeat(g8[..., None], 3, axis=2),
+    )
+    rgb = _px(19, 7, 11)
+    rgba = np.concatenate([rgb, (g8 ^ 255)[..., None]], axis=-1)
+    assert np.array_equal(
+        imaging.png_decode(imaging.png_encode_ext(rgba, 6)), rgb
+    )
+
+
+def test_png_adam7_interlace():
+    """Adam7 streams decode identically to their sequential twins,
+    including non-multiple-of-8 dims and packed palette depths."""
+    px = _px(23, 13, 9)  # odd dims: several passes partially empty
+    data = imaging.png_decode(imaging.png_encode_ext(px, 2, interlace=1))
+    assert np.array_equal(data, px)
+    pal = np.random.default_rng(2).integers(0, 256, (16, 3), dtype=np.uint8)
+    yy, xx = np.mgrid[0:10, 0:17]
+    idx = ((yy * 3 + xx) % 16).astype(np.uint8)
+    data = imaging.png_decode(
+        imaging.png_encode_ext(idx, 3, bit_depth=4, palette=pal, interlace=1)
+    )
+    assert np.array_equal(data, pal[idx])
+    # tiny image (single pixel: only pass 1 non-empty)
+    one = np.array([[[9, 8, 7]]], np.uint8)
+    assert np.array_equal(
+        imaging.png_decode(imaging.png_encode_ext(one, 2, interlace=1)), one
+    )
+
+
+def test_png_16bit_decode_truncates_high_byte():
+    import struct
+    import zlib
+
+    yy, xx = np.mgrid[0:4, 0:6]
+    hi = ((yy * 40 + xx * 9) % 256).astype(np.uint8)
+    raw = np.zeros((4, 6 * 2 + 1), np.uint8)
+    raw[:, 1::2] = hi  # big-endian high byte
+    raw[:, 2::2] = 0xAB  # low byte must be ignored
+    ihdr = struct.pack(">IIBBBBB", 6, 4, 16, 0, 0, 0, 0)
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + imaging._chunk(b"IHDR", ihdr)
+        + imaging._chunk(b"IDAT", zlib.compress(raw.tobytes()))
+        + imaging._chunk(b"IEND", b"")
+    )
+    assert np.array_equal(
+        imaging.png_decode(data), np.repeat(hi[..., None], 3, axis=2)
+    )
+
+
+def test_png_illegal_variants_refuse():
+    import struct
+    import zlib
+
+    for depth, ct in ((16, 3), (2, 2), (4, 6), (3, 0)):
+        ihdr = struct.pack(">IIBBBBB", 2, 2, depth, ct, 0, 0, 0)
+        data = (
+            b"\x89PNG\r\n\x1a\n"
+            + imaging._chunk(b"IHDR", ihdr)
+            + imaging._chunk(b"IDAT", zlib.compress(b"\x00" * 9))
+            + imaging._chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError):
+            imaging.png_decode(data)
+
+
 def test_psnr():
     px = _px()
     assert imaging.psnr(px, px) == float("inf")
