@@ -54,6 +54,12 @@ class CorpusSpec:
     img_w: int = 16
     img_h: int = 12
     seed: int = 42
+    # opt-in payload format mix (plain PNG / Adam7 PNG / baseline JPEG
+    # / progressive JPEG by image-id hash) — default off so bench
+    # corpora stay byte-identical across rounds; the crawl payload
+    # invariant (lossless bit-exact, lossy PSNR >= 40 dB) is format-
+    # agnostic and tested with the mix on
+    img_fmt_mix: bool = False
 
     @property
     def hosts(self) -> list[str]:
@@ -83,9 +89,29 @@ def image_ids(spec: CorpusSpec) -> list[str]:
     return [image_id_of_index(spec, i) for i in range(n_images(spec))]
 
 
+def img_variant(spec: CorpusSpec, iid: str) -> int:
+    """0 plain PNG / 1 Adam7 PNG / 2 baseline JPEG / 3 progressive
+    JPEG — deterministic per image id; always 0 with the mix off."""
+    if not spec.img_fmt_mix:
+        return 0
+    return (zlib.crc32(iid.encode()) ^ spec.seed) % 4
+
+
 def image_pixels(spec: CorpusSpec, iid: str) -> np.ndarray:
     key = zlib.crc32(iid.encode()) ^ spec.seed
     rng = np.random.default_rng(key)
+    if img_variant(spec, iid) >= 2:
+        # JPEG variants get SMOOTH content (linear ramps, no clipping)
+        # — random noise is the DCT worst case and would not clear the
+        # payload rule's 40 dB at q90; the web's lossy images are
+        # natural/smooth, which is what this models
+        base = rng.integers(70, 186, 3)
+        gx = rng.integers(-2, 3, 3)
+        gy = rng.integers(-2, 3, 3)
+        yy, xx = np.mgrid[0 : spec.img_h, 0 : spec.img_w]
+        return (
+            base[None, None, :] + yy[..., None] * gy + xx[..., None] * gx
+        ).astype(np.uint8)
     return rng.integers(0, 256, (spec.img_h, spec.img_w, 3), dtype=np.uint8)
 
 
@@ -301,13 +327,26 @@ def images_df(spark: SparkSession, spec: CorpusSpec) -> DataFrame:
             for i in pdf["id"]:
                 iid = image_id_of_index(spec, int(i))
                 px = image_pixels(spec, iid)
+                v = img_variant(spec, iid)
+                if v == 1:
+                    data, fmt = imaging.png_encode_ext(px, 2, interlace=1), "png"
+                elif v == 2:
+                    from mechaml_spark.jpeg import jpeg_encode
+
+                    data, fmt = jpeg_encode(px, quality=90), "jpg"
+                elif v == 3:
+                    from mechaml_spark.jpeg import jpeg_encode_progressive
+
+                    data, fmt = jpeg_encode_progressive(px, quality=90), "jpg"
+                else:
+                    data, fmt = imaging.png_encode(px), "png"
                 rows.append(
                     {
                         "image_id": iid,
-                        "bytes": imaging.png_encode(px),
+                        "bytes": data,
                         "w": spec.img_w,
                         "h": spec.img_h,
-                        "fmt": "png",
+                        "fmt": fmt,
                         "caption": caption_of(iid),
                         "phash": imaging.dhash64(px),
                     }

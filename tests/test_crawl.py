@@ -103,6 +103,38 @@ def test_payload_ids_and_invariant(oracle_result, spark_result):
         assert r["phash"] is not None
 
 
+def test_payload_format_mix_invariant(spark):
+    """With the corpus image-format mix on (plain PNG / Adam7 PNG /
+    baseline JPEG / progressive JPEG by image-id hash), the crawl is
+    still byte-equal to the oracle and every payload row satisfies
+    the format-agnostic invariant: lossless bit-exact, lossy
+    PSNR >= 40 dB, caption equality."""
+    spec = cp.CorpusSpec(n_hosts=3, pages_per_host=8, img_fmt_mix=True)
+    seeds = [cp.page_url(spec, 0, 0), cp.page_url(spec, 1, 3)]
+    oracle = crawl_oracle(spec, seeds, budget_per_host=2, max_epochs=6)
+    res = crawl(
+        spark, spec, seeds, budget_per_host=2, max_epochs=6,
+        n_shards=4, n_bits=1 << 16,
+    )
+    assert _spark_visit_list(res) == oracle.visit_log
+    rows = res.payload.collect()
+    assert {r["image_id"] for r in rows} == set(oracle.payload_ids)
+    variants = set()
+    for r in rows:
+        ref_px = cp.image_pixels(spec, r["image_id"])
+        assert imaging.payload_ok(bytes(r["bytes"]), r["fmt"], ref_px), (
+            r["image_id"]
+        )
+        assert r["alt"] == r["caption"] == cp.caption_of(r["image_id"])
+        v = cp.img_variant(spec, r["image_id"])
+        variants.add(v)
+        assert r["fmt"] == ("jpg" if v >= 2 else "png")
+        if v >= 2:  # genuinely lossy: bytes decode != reference pixels
+            decoded = imaging.decode(bytes(r["bytes"]), "jpg")
+            assert imaging.psnr(decoded, ref_px) >= 40.0
+    assert variants == {0, 1, 2, 3}  # all four formats crossed the crawl
+
+
 def test_cookie_jar_equivalence(oracle_result, spark_result):
     got = {
         (r["name"], r["value"], r["domain"], r["path"])
