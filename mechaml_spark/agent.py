@@ -346,11 +346,12 @@ class HttpLoopFetcher(HttpFetcher):
     collection.  This is the live-HTTP analogue of
     :class:`ResolvedCorpusFetcher`'s one-equi-join superstep.
 
-    The jar rides along as plain rows (``jar_rows`` — the jar is
-    small by design; the caller collects it once per superstep, the
-    epoch-start snapshot the parallel-map semantics require), matched
-    per hop by the same pure :class:`mechaml_spark.cookies.Jar` the
-    sequential oracle uses, so header synthesis cannot drift from
+    The jar rides along as a BROADCAST of plain rows (``jar_rows`` —
+    the caller collects it once per superstep, the epoch-start
+    snapshot the parallel-map semantics require; broadcast ships it
+    once per executor, not per task), matched per hop by the same
+    pure :class:`mechaml_spark.cookies.Jar` the sequential oracle
+    uses, so header synthesis cannot drift from
     ``cookies.add_to_headers``.
     """
 
@@ -406,7 +407,12 @@ class HttpLoopFetcher(HttpFetcher):
         # agent.fetch(jar=None)); an EMPTY jar still sends the empty
         # header, as the reference does (cookiejar.ml:136-137)
         has_jar = jar_rows is not None
-        jar_rows = list(jar_rows or [])
+        # broadcast, not closure capture: the jar snapshot ships once
+        # per executor instead of re-serializing with every task (at a
+        # large session jar the per-task copy was the scale caveat)
+        jar_bc = requests.sparkSession.sparkContext.broadcast(
+            list(jar_rows or [])
+        )
         cols = [f.name for f in base.schema.fields]
         out_cols = cols + [
             "final_url", "status", "body", "error", "cookie_hops", "hop_urls",
@@ -423,7 +429,7 @@ class HttpLoopFetcher(HttpFetcher):
             from mechaml_spark.cookies import Jar
 
             jar = Jar()
-            for c in jar_rows:
+            for c in jar_bc.value:
                 jar.add(dict(c))
             request, close_all = _transport(timeout_s, max_body)
 
