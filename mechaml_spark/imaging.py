@@ -605,6 +605,87 @@ def gif_encode_animated(
     return bytes(out)
 
 
+# ------------------------------------------------------------------- TIFF
+# Baseline uncompressed TIFF 6.0 (Compression=1, PlanarConfig=1,
+# 8-bit grayscale or RGB, strip-based) — the shape scanners and bulk
+# exports emit.  The IFD machinery is shared with the EXIF parser
+# (mechaml_spark.exif), which is the same TIFF 6.0 structure embedded
+# in a JPEG APP1.  LZW/PackBits/tiled TIFFs refuse loudly.
+
+
+def tiff_encode(pixels: np.ndarray) -> bytes:
+    """Single-strip uncompressed little-endian TIFF (gray or RGB)."""
+    if pixels.ndim == 2:
+        spp, photometric = 1, 1  # BlackIsZero
+    elif pixels.ndim == 3 and pixels.shape[2] == 3:
+        spp, photometric = 3, 2  # RGB
+    else:
+        raise ValueError("tiff_encode wants HxW or HxWx3 uint8")
+    h, w = pixels.shape[:2]
+    strip = np.ascontiguousarray(pixels, dtype=np.uint8).tobytes()
+    entries: list[tuple[int, int, object]] = [
+        (256, 4, w),  # ImageWidth
+        (257, 4, h),  # ImageLength
+        (258, 3, [8] * spp),  # BitsPerSample
+        (259, 3, 1),  # Compression: none
+        (262, 3, photometric),
+        (277, 3, spp),  # SamplesPerPixel
+        (278, 4, h),  # RowsPerStrip: one strip
+        (279, 4, len(strip)),  # StripByteCounts
+    ]
+    # Strip data sits after header(8) + IFD; StripOffsets needs the
+    # final IFD size, which only depends on the entry COUNT (+1 for
+    # StripOffsets itself) and the BitsPerSample overflow (6 bytes for
+    # RGB), so one sizing pass with a placeholder resolves it.
+    from mechaml_spark.exif import _build_ifd
+
+    probe, ov = _build_ifd("<", entries + [(273, 4, 0)], 8)
+    data_off = 8 + len(probe) + len(ov)
+    body, ov = _build_ifd("<", entries + [(273, 4, data_off)], 8)
+    return b"II" + struct.pack("<HI", 42, 8) + body + ov + strip
+
+
+def tiff_decode(data: bytes) -> np.ndarray:
+    """Decode baseline uncompressed TIFF (both byte orders)."""
+    from mechaml_spark.exif import ExifError, ifd_parse, tiff_byte_order
+
+    try:
+        e = tiff_byte_order(data)
+        (ifd_off,) = struct.unpack_from(f"{e}I", data, 4)
+        ifd, _ = ifd_parse(data, ifd_off, e)
+    except ExifError as exc:
+        raise ValueError(f"bad TIFF: {exc}") from exc
+    comp = ifd.get(259, 1)
+    if comp != 1:
+        raise NotImplementedError(
+            f"TIFF compression {comp} not supported (uncompressed only)"
+        )
+    if ifd.get(284, 1) != 1:
+        raise NotImplementedError("planar TIFF not supported")
+    w, h = int(ifd[256]), int(ifd[257])
+    spp = int(ifd.get(277, 1))
+    bits = ifd.get(258, 8)
+    bits = bits if isinstance(bits, list) else [bits]
+    if set(bits) != {8}:
+        raise NotImplementedError(f"TIFF bit depths {bits} not supported")
+    offs = ifd[273]
+    cnts = ifd[279]
+    offs = offs if isinstance(offs, list) else [offs]
+    cnts = cnts if isinstance(cnts, list) else [cnts]
+    raw = b"".join(data[o : o + c] for o, c in zip(offs, cnts))
+    if len(raw) < h * w * spp:
+        raise ValueError("TIFF strip data truncated")
+    px = np.frombuffer(raw[: h * w * spp], dtype=np.uint8)
+    if spp == 1:
+        g = px.reshape(h, w)
+        if ifd.get(262, 1) == 0:  # WhiteIsZero
+            g = 255 - g
+        return np.repeat(g[..., None], 3, axis=2)
+    if spp >= 3:
+        return px.reshape(h, w, spp)[..., :3].copy()
+    raise NotImplementedError(f"TIFF SamplesPerPixel {spp}")
+
+
 def decode(data: bytes, fmt: str) -> np.ndarray:
     if fmt == "png":
         return png_decode(data)
@@ -614,6 +695,8 @@ def decode(data: bytes, fmt: str) -> np.ndarray:
         return bmp_decode(data)
     if fmt == "gif":
         return gif_decode(data)
+    if fmt in ("tif", "tiff"):
+        return tiff_decode(data)
     if fmt in ("jpg", "jpeg"):
         from mechaml_spark.jpeg import jpeg_decode
 
@@ -633,6 +716,8 @@ def encode(pixels: np.ndarray, fmt: str) -> bytes:
         return bmp_encode(pixels)
     if fmt == "gif":
         return gif_encode(pixels)
+    if fmt in ("tif", "tiff"):
+        return tiff_encode(pixels)
     if fmt in ("jpg", "jpeg"):
         from mechaml_spark.jpeg import jpeg_encode
 

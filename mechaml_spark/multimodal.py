@@ -123,6 +123,111 @@ def resize_images(
     return df.mapInPandas(run, schema=out_schema)
 
 
+EXIF_T = T.StructType(
+    [
+        T.StructField("has_exif", T.BooleanType()),
+        T.StructField("orientation", T.IntegerType()),
+        T.StructField("make", T.StringType()),
+        T.StructField("model", T.StringType()),
+        T.StructField("px_w", T.IntegerType()),
+        T.StructField("px_h", T.IntegerType()),
+        T.StructField("lat_ref", T.StringType()),
+        T.StructField("lat_deg", T.IntegerType()),
+        T.StructField("lat_min", T.IntegerType()),
+        T.StructField("lat_sec_num", T.LongType()),
+        T.StructField("lat_sec_den", T.LongType()),
+    ]
+)
+
+
+def _exif_row(data: bytes | None) -> dict:
+    from mechaml_spark import exif as _exif
+
+    empty = {f.name: None for f in EXIF_T.fields}
+    empty["has_exif"] = False
+    if data is None:
+        return empty
+    try:
+        tags = _exif.exif_parse(bytes(data))
+    except Exception:
+        return empty
+    if not tags:
+        return empty
+    out = dict(empty)
+    out["has_exif"] = True
+    if "Orientation" in tags:
+        out["orientation"] = int(tags["Orientation"])
+    out["make"] = tags.get("Make")
+    out["model"] = tags.get("Model")
+    if "PixelXDimension" in tags:
+        out["px_w"] = int(tags["PixelXDimension"])
+    if "PixelYDimension" in tags:
+        out["px_h"] = int(tags["PixelYDimension"])
+    out["lat_ref"] = tags.get("GPSLatitudeRef")
+    lat = tags.get("GPSLatitude")
+    if lat and len(lat) == 3:
+        out["lat_deg"] = int(lat[0][0] // max(lat[0][1], 1))
+        out["lat_min"] = int(lat[1][0] // max(lat[1][1], 1))
+        out["lat_sec_num"] = int(lat[2][0])
+        out["lat_sec_den"] = int(lat[2][1])
+    return out
+
+
+def exif_metadata(
+    df: DataFrame, bytes_col: str = "bytes", out_col: str = "exif"
+) -> DataFrame:
+    """Append an ``exif`` struct parsed from JPEG APP1 bytes
+    (:mod:`mechaml_spark.exif`).  Header-only work: the parse stops at
+    SOS, so cost is independent of image size — the cheap pre-decode
+    metadata pass a 100-TB image table wants (orientation fix-up, size
+    filters, GPS presence) before any pixel touches memory."""
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, EXIF_T)]
+    )
+    cols = df.columns
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[cols].copy()
+            out[out_col] = [_exif_row(b) for b in pdf[bytes_col]]
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def strip_exif(
+    df: DataFrame, bytes_col: str = "bytes", out_col: str = "scrubbed"
+) -> DataFrame:
+    """Privacy scrub: remove every Exif APP1 segment from JPEG bytes
+    (GPS + camera identifiers leave; entropy-coded pixels stay
+    byte-identical).  Non-JPEG / already-clean rows pass through
+    unchanged; only the segment table is rewritten, never the image
+    data, so payload invariants (PSNR, phash) are preserved exactly."""
+    from mechaml_spark import exif as _exif
+
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.BinaryType())]
+    )
+    cols = df.columns
+
+    def one(data):
+        if data is None:
+            return None
+        b = bytes(data)
+        try:
+            return _exif.exif_strip(b)
+        except Exception:
+            return b
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[cols].copy()
+            out[out_col] = [one(b) for b in pdf[bytes_col]]
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 def dhash64_udf():
     """Arrow-batched perceptual-hash column: (bytes, fmt) -> int64
     dHash (see :func:`mechaml_spark.imaging.dhash64`).  NULL for

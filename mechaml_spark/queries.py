@@ -709,6 +709,127 @@ def q_image_png_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF metadata pipeline, oracle-checked end to end: JPEGs carry
+    a REAL APP1 Exif segment (TIFF IFD0 + Exif + GPS sub-IFDs, built
+    by :func:`mechaml_spark.exif.exif_payload` — even docs
+    little-endian II, odd docs big-endian MM, so both wire orders are
+    exercised), parsed back by the header-only ``exif_metadata``
+    stage, then privacy-scrubbed with ``strip_exif`` and re-parsed to
+    prove the GPS tags are gone.  Every tag value is a closed form of
+    doc_id, so DuckDB mirrors the whole row without parsing a byte."""
+    import numpy as _np
+    import pandas as _pd
+
+    from mechaml_spark import exif as _exif
+    from mechaml_spark import multimodal
+    from mechaml_spark.jpeg import jpeg_encode as _jenc
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 300
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                px = _np.full((16, 16, 3), (did * 7) % 251, _np.uint8)
+                tags = {
+                    "Make": f"cam{did % 5}",
+                    "Model": f"m{did % 7}",
+                    "Orientation": 1 + did % 8,
+                    "DateTime": "2021:01:01 00:00:00",
+                    "PixelXDimension": 16,
+                    "PixelYDimension": 16,
+                    "GPSLatitudeRef": "N" if did % 2 == 0 else "S",
+                    "GPSLatitude": [
+                        (did % 90, 1),
+                        (did % 60, 1),
+                        ((did * 37) % 6000, 100),
+                    ],
+                    "GPSLongitudeRef": "E" if did % 3 == 0 else "W",
+                    "GPSLongitude": [
+                        (did % 180, 1),
+                        ((did * 3) % 60, 1),
+                        ((did * 41) % 6000, 100),
+                    ],
+                }
+                payload = _exif.exif_payload(
+                    tags, byte_order="II" if did % 2 == 0 else "MM"
+                )
+                data = _exif.jpeg_set_exif(_jenc(px, quality=95), payload)
+                rows.append({"doc_id": did, "bytes": data, "fmt": "jpg"})
+            yield _pd.DataFrame(rows, columns=["doc_id", "bytes", "fmt"])
+
+    media = d.mapInPandas(gen, schema="doc_id long, bytes binary, fmt string")
+    parsed = multimodal.exif_metadata(media)
+    scrubbed = multimodal.exif_metadata(
+        multimodal.strip_exif(parsed), bytes_col="scrubbed", out_col="post"
+    )
+    return scrubbed.select(
+        "doc_id",
+        F.col("exif")["has_exif"].alias("has_exif"),
+        F.col("exif")["orientation"].alias("orientation"),
+        F.col("exif")["make"].alias("make"),
+        F.col("exif")["model"].alias("model"),
+        F.col("exif")["px_w"].alias("px_w"),
+        F.col("exif")["px_h"].alias("px_h"),
+        F.col("exif")["lat_ref"].alias("lat_ref"),
+        F.col("exif")["lat_deg"].alias("lat_deg"),
+        F.col("exif")["lat_min"].alias("lat_min"),
+        F.col("exif")["lat_sec_num"].alias("lat_sec_num"),
+        F.col("exif")["lat_sec_den"].alias("lat_sec_den"),
+        F.col("post")["has_exif"].alias("scrub_has_exif"),
+    )
+
+
+def q_image_tiff_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncompressed-TIFF decode through the shared feature stage:
+    even docs 8-bit grayscale (decode expands to RGB), odd docs RGB —
+    both constant planes, so means are exact closed forms.  The IFD
+    walk is the same code path the EXIF parser uses, pinned here
+    against real strip-based TIFF bytes."""
+    import numpy as _np
+    import pandas as _pd
+
+    from mechaml_spark import imaging as _im
+    from mechaml_spark import multimodal
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 200
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 2 == 0:
+                    px = _np.full((12, 16), (did * 7) % 251, _np.uint8)
+                else:
+                    px = _np.empty((12, 16, 3), _np.uint8)
+                    px[..., 0] = (did * 7) % 251
+                    px[..., 1] = (did * 11) % 251
+                    px[..., 2] = (did * 13) % 251
+                rows.append(
+                    {"doc_id": did, "bytes": _im.tiff_encode(px),
+                     "fmt": "tiff"}
+                )
+            yield _pd.DataFrame(rows, columns=["doc_id", "bytes", "fmt"])
+
+    media = d.mapInPandas(gen, schema="doc_id long, bytes binary, fmt string")
+    feats = multimodal.image_features(media)
+    return feats.select(
+        "doc_id",
+        F.col("features")["w"].alias("w"),
+        F.col("features")["h"].alias("h"),
+        F.col("features")["mean_r"].alias("mean_r"),
+        F.col("features")["mean_g"].alias("mean_g"),
+        F.col("features")["mean_b"].alias("mean_b"),
+    )
+
+
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio pipeline with a CLOSED-FORM oracle: deterministic mono
     16-bit PCM WAV square waves keyed by doc_id -> REAL stdlib
@@ -1356,6 +1477,8 @@ QUERIES = {
     "image_jpeg_features": q_image_jpeg_features,
     "image_jpeg_progressive": q_image_jpeg_progressive,
     "image_png_variants": q_image_png_variants,
+    "image_exif": q_image_exif,
+    "image_tiff_features": q_image_tiff_features,
     "audio_features": q_audio_features,
     "video_frames": q_video_frames,
     "video_frames_avi": q_video_frames_avi,
@@ -1667,6 +1790,32 @@ ORACLES = {
                       + (doc_id * 13 + 34) % 251 + (doc_id * 13 + 51) % 251
                       AS BIGINT)
                END AS mean_b
+        FROM documents WHERE doc_id < 200
+    """,
+    "image_exif": """
+        SELECT doc_id,
+               TRUE AS has_exif,
+               CAST(1 + doc_id % 8 AS INT) AS orientation,
+               'cam' || (doc_id % 5) AS make,
+               'm' || (doc_id % 7) AS model,
+               CAST(16 AS INT) AS px_w,
+               CAST(16 AS INT) AS px_h,
+               CASE WHEN doc_id % 2 = 0 THEN 'N' ELSE 'S' END AS lat_ref,
+               CAST(doc_id % 90 AS INT) AS lat_deg,
+               CAST(doc_id % 60 AS INT) AS lat_min,
+               CAST((doc_id * 37) % 6000 AS BIGINT) AS lat_sec_num,
+               CAST(100 AS BIGINT) AS lat_sec_den,
+               FALSE AS scrub_has_exif
+        FROM documents WHERE doc_id < 300
+    """,
+    "image_tiff_features": """
+        SELECT doc_id,
+               CAST(16 AS INT) AS w, CAST(12 AS INT) AS h,
+               CAST((doc_id * 7) % 251 AS BIGINT) * 1000 AS mean_r,
+               CAST((doc_id * CASE WHEN doc_id % 2 = 0 THEN 7 ELSE 11 END)
+                    % 251 AS BIGINT) * 1000 AS mean_g,
+               CAST((doc_id * CASE WHEN doc_id % 2 = 0 THEN 7 ELSE 13 END)
+                    % 251 AS BIGINT) * 1000 AS mean_b
         FROM documents WHERE doc_id < 200
     """,
     "audio_features": """

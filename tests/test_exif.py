@@ -1,0 +1,115 @@
+"""EXIF encode/parse/strip + baseline TIFF codec (pure byte work —
+no Spark session needed; the Spark stages are covered by the
+``image_exif`` / ``image_tiff_features`` driver queries)."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from mechaml_spark import exif, imaging
+from mechaml_spark.jpeg import jpeg_decode, jpeg_encode
+
+TAGS = {
+    "Make": "camco",
+    "Model": "m-7",
+    "Orientation": 6,
+    "DateTime": "2021:03:04 05:06:07",
+    "PixelXDimension": 24,
+    "PixelYDimension": 16,
+    "GPSLatitudeRef": "N",
+    "GPSLatitude": [(47, 1), (36, 1), (1234, 100)],
+    "GPSLongitudeRef": "W",
+    "GPSLongitude": [(122, 1), (19, 1), (5678, 100)],
+}
+
+
+@pytest.mark.parametrize("bo", ["II", "MM"])
+def test_payload_round_trip(bo):
+    parsed = exif.exif_parse(exif.exif_payload(TAGS, byte_order=bo))
+    assert parsed == TAGS
+
+
+@pytest.mark.parametrize("bo", ["II", "MM"])
+def test_jpeg_embed_parse_strip(bo):
+    px = np.full((16, 16, 3), 77, np.uint8)
+    clean = jpeg_encode(px, quality=95)
+    tagged = exif.jpeg_set_exif(clean, exif.exif_payload(TAGS, byte_order=bo))
+    # metadata reads back; pixels untouched
+    assert exif.exif_parse(tagged) == TAGS
+    assert (jpeg_decode(tagged) == jpeg_decode(clean)).all()
+    # privacy scrub restores the original bytes exactly
+    assert exif.exif_strip(tagged) == clean
+    assert exif.exif_parse(exif.exif_strip(tagged)) == {}
+
+
+def test_set_replaces_existing_app1():
+    px = np.full((8, 8, 3), 10, np.uint8)
+    clean = jpeg_encode(px, quality=95)
+    a = exif.jpeg_set_exif(clean, exif.exif_payload({"Orientation": 3}))
+    b = exif.jpeg_set_exif(a, exif.exif_payload({"Orientation": 8}))
+    assert exif.exif_parse(b) == {"Orientation": 8}
+    assert exif.exif_strip(b) == clean
+
+
+def test_parse_no_exif_and_errors():
+    px = np.full((8, 8, 3), 10, np.uint8)
+    assert exif.exif_parse(jpeg_encode(px)) == {}
+    with pytest.raises(exif.ExifError):
+        exif.exif_parse(b"II\x2b\x00")  # bad TIFF magic (43 != 42)
+    with pytest.raises(exif.ExifError):
+        exif.jpeg_set_exif(b"\x89PNG", b"Exif\x00\x00")
+    with pytest.raises(exif.ExifError):
+        exif.jpeg_set_exif(jpeg_encode(px), b"x" * 0x10000)
+    with pytest.raises(exif.ExifError):
+        exif.exif_payload({}, byte_order="II")
+    with pytest.raises(exif.ExifError):
+        exif.exif_payload({"Orientation": 1}, byte_order="XX")
+
+
+def test_tiff_round_trip_rgb_and_gray():
+    px = np.arange(12 * 16 * 3, dtype=np.uint8).reshape(12, 16, 3)
+    data = imaging.tiff_encode(px)
+    assert (imaging.tiff_decode(data) == px).all()
+    assert (imaging.decode(data, "tiff") == px).all()
+    # lossless: dHash invariant vs other lossless encodings
+    assert imaging.dhash64(imaging.tiff_decode(data)) == imaging.dhash64(px)
+
+    g = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    out = imaging.tiff_decode(imaging.tiff_encode(g))
+    assert out.shape == (8, 8, 3)
+    assert (out == g[..., None]).all()
+
+
+def test_tiff_big_endian_and_multistrip():
+    # Hand-build an MM, two-strip 4x4 grayscale TIFF: the decoder must
+    # honor byte order and strip concatenation (TIFF 6.0 baseline).
+    rows = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    s0, s1 = rows[:2].tobytes(), rows[2:].tobytes()
+    entries = [
+        (256, 4, 4), (257, 4, 4), (258, 3, 8), (259, 3, 1), (262, 3, 1),
+        (277, 3, 1), (278, 4, 2), (279, 4, [len(s0), len(s1)]),
+    ]
+    probe, ov = exif._build_ifd(">", entries + [(273, 4, [0, 0])], 8)
+    off = 8 + len(probe) + len(ov)
+    body, ov = exif._build_ifd(
+        ">", entries + [(273, 4, [off, off + len(s0)])], 8
+    )
+    data = b"MM" + struct.pack(">HI", 42, 8) + body + ov + s0 + s1
+    assert (imaging.tiff_decode(data)[..., 0] == rows).all()
+
+
+def test_tiff_refusals():
+    px = np.zeros((4, 4), np.uint8)
+    entries = [
+        (256, 4, 4), (257, 4, 4), (258, 3, 8), (259, 3, 5),  # LZW
+        (262, 3, 1), (273, 4, 8), (277, 3, 1), (278, 4, 4), (279, 4, 16),
+    ]
+    body, ov = exif._build_ifd("<", entries, 8)
+    lzw = b"II" + struct.pack("<HI", 42, 8) + body + ov + px.tobytes()
+    with pytest.raises(NotImplementedError, match="compression"):
+        imaging.tiff_decode(lzw)
+    with pytest.raises(ValueError):
+        imaging.tiff_decode(b"not a tiff at all")
+    with pytest.raises(ValueError):
+        imaging.tiff_encode(np.zeros((4, 4, 2), np.uint8))
