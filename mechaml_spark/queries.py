@@ -830,6 +830,114 @@ def q_image_tiff_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content sniffing over REAL bytes from every codec the engine
+    owns: doc_id % 12 picks PNG / JPEG / GIF / BMP / TIFF / PPM / WAV
+    / MJPEG-AVI / HTML (with a ``<meta charset>``) / XML / raw junk /
+    BOM text, generated by the repo's encoders inside mapInPandas —
+    then :func:`mechaml_spark.sniff.sniff_mime` and ``sniff_charset``
+    classify them as PURE Catalyst expressions (one codegen project,
+    no Python worker).  The oracle is the doc_id % 12 closed form,
+    so a sniffer regression on any signature shows as a hash miss."""
+    import numpy as _np
+    import pandas as _pd
+
+    from mechaml_spark import imaging as _im
+    from mechaml_spark import multimodal, sniff
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 240
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                m = did % 12
+                px = _np.full((8, 8, 3), (did * 7) % 251, _np.uint8)
+                if m == 0:
+                    data = _im.png_encode(px)
+                elif m == 1:
+                    data = _im.encode(px, "jpg")
+                elif m == 2:
+                    data = _im.gif_encode(px)
+                elif m == 3:
+                    data = _im.bmp_encode(px)
+                elif m == 4:
+                    data = _im.tiff_encode(px)
+                elif m == 5:
+                    data = _im.ppm_encode(px)
+                elif m == 6:
+                    data = multimodal.wav_encode(
+                        _np.zeros(64, dtype="<i2"), 8000
+                    )
+                elif m == 7:
+                    data = multimodal.avi_mjpeg_encode([px])
+                elif m == 8:
+                    data = (
+                        '\n <!DOCTYPE html><html><head><meta charset='
+                        f'"windows-1252"></head><body>d{did}</body></html>'
+                    ).encode("ascii")
+                elif m == 9:
+                    data = f"<?xml version='1.0'?><d id='{did}'/>".encode()
+                elif m == 10:
+                    data = bytes([1, 2, did % 256, 255, 0, 7])
+                else:
+                    data = b"\xef\xbb\xbf" + f"text {did}".encode()
+                rows.append({"doc_id": did, "bytes": data})
+            yield _pd.DataFrame(rows, columns=["doc_id", "bytes"])
+
+    media = d.mapInPandas(gen, schema="doc_id long, bytes binary")
+    return media.select(
+        "doc_id",
+        sniff.sniff_mime(F.col("bytes")).alias("mime"),
+        sniff.sniff_charset(F.col("bytes")).alias("charset"),
+    )
+
+
+def q_charset_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset sniff + decode of non-UTF-8 crawl text — the step
+    between fetch and every text operator (real pages are ~2-5%
+    legacy-encoded).  Bytes are documents text re-encoded per
+    doc_id % 4 as UTF-8 / BOM'd UTF-8 / UTF-16LE / Latin-1 (with a
+    ``<meta>`` hint), sniffed and decoded back ENTIRELY in Catalyst
+    expressions; the oracle checks the decoded text equals the
+    original, which only holds if both stages are right."""
+    import pandas as _pd
+
+    from mechaml_spark import sniff
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                m = did % 4
+                if m == 0:
+                    data = text.encode("utf-8")
+                elif m == 1:
+                    data = b"\xef\xbb\xbf" + text.encode("utf-8")
+                elif m == 2:
+                    data = b"\xff\xfe" + text.encode("utf-16le")
+                else:
+                    data = (
+                        '<meta charset="iso-8859-1">' + text
+                    ).encode("latin-1", errors="replace")
+                rows.append({"doc_id": did, "bytes": data})
+            yield _pd.DataFrame(rows, columns=["doc_id", "bytes"])
+
+    media = d.mapInPandas(gen, schema="doc_id long, bytes binary")
+    cs = sniff.sniff_charset(F.col("bytes"))
+    return media.select(
+        "doc_id",
+        cs.alias("charset"),
+        sniff.decode_text(F.col("bytes"), cs).alias("text_out"),
+    )
+
+
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio pipeline with a CLOSED-FORM oracle: deterministic mono
     16-bit PCM WAV square waves keyed by doc_id -> REAL stdlib
@@ -1479,6 +1587,8 @@ QUERIES = {
     "image_png_variants": q_image_png_variants,
     "image_exif": q_image_exif,
     "image_tiff_features": q_image_tiff_features,
+    "mime_sniff": q_mime_sniff,
+    "charset_decode": q_charset_decode,
     "audio_features": q_audio_features,
     "video_frames": q_video_frames,
     "video_frames_avi": q_video_frames_avi,
@@ -1817,6 +1927,34 @@ ORACLES = {
                CAST((doc_id * CASE WHEN doc_id % 2 = 0 THEN 7 ELSE 13 END)
                     % 251 AS BIGINT) * 1000 AS mean_b
         FROM documents WHERE doc_id < 200
+    """,
+    "mime_sniff": """
+        SELECT doc_id,
+               CASE doc_id % 12
+                 WHEN 0 THEN 'image/png'
+                 WHEN 1 THEN 'image/jpeg'
+                 WHEN 2 THEN 'image/gif'
+                 WHEN 3 THEN 'image/bmp'
+                 WHEN 4 THEN 'image/tiff'
+                 WHEN 5 THEN 'image/x-portable-pixmap'
+                 WHEN 6 THEN 'audio/wav'
+                 WHEN 7 THEN 'video/x-msvideo'
+                 WHEN 8 THEN 'text/html'
+                 WHEN 9 THEN 'text/xml'
+                 ELSE 'application/octet-stream'
+               END AS mime,
+               CASE doc_id % 12 WHEN 8 THEN 'windows-1252'
+                    ELSE 'utf-8' END AS charset
+        FROM documents WHERE doc_id < 240
+    """,
+    "charset_decode": """
+        SELECT doc_id,
+               CASE doc_id % 4 WHEN 2 THEN 'utf-16le'
+                    WHEN 3 THEN 'iso-8859-1' ELSE 'utf-8' END AS charset,
+               CASE WHEN doc_id % 4 = 3
+                    THEN '<meta charset="iso-8859-1">' || text
+                    ELSE text END AS text_out
+        FROM documents
     """,
     "audio_features": """
         SELECT doc_id,

@@ -36,6 +36,9 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+        # Crawl ingestion decodes UNTRUSTED bytes: charset errors must
+        # replace (U+FFFD), never fail the task (sniff.decode_text).
+        .config("spark.sql.legacy.codingErrorAction", "true")
         .config("spark.driver.memory", os.environ.get("MECHAML_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
