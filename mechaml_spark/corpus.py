@@ -158,9 +158,9 @@ def _page_html(spec: CorpusSpec, i: int, j: int) -> str:
     return "".join(parts)
 
 
-def robots_rules(spec: CorpusSpec) -> dict[str, list[str]]:
-    """host -> disallowed path prefixes."""
-    return {h: ["/blocked"] for h in spec.hosts}
+def robots_rules(spec: CorpusSpec) -> dict[str, list[tuple[bool, str]]]:
+    """host -> robots rules as (allow, pattern), RFC 9309 shape."""
+    return {h: [(False, "/blocked")] for h in spec.hosts}
 
 
 def server_response(spec: CorpusSpec, url: str) -> dict | None:

@@ -524,3 +524,41 @@ def parse_pages_crawl(
             yield out
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+# ------------------------------------------- visible-text extraction
+
+
+def html_visible_text(body):
+    """Visible text of an HTML column — pure Catalyst expressions.
+
+    The scale path for text-pipeline stages (lang-id, quality, dedup)
+    that want page TEXT, not markup: strips comments and
+    script/style/noscript/template blocks, drops tags, decodes the
+    common named entities (``&amp; &lt; &gt; &quot; &#39; &apos;
+    &nbsp;`` — ``&amp;`` last so double-escapes survive; numeric
+    entities are left as-is, documented boundary), and collapses
+    whitespace.  Everything is regexp/replace over the string column,
+    so the whole stage is one WholeStageCodegen project — no Python
+    worker, ~10-100x less per-byte cost than a DOM parse, which is
+    what a 100-TB text pipeline wants when it does not need structure
+    (the structured path stays :func:`parse_pages`).
+    """
+    from pyspark.sql import functions as F
+
+    x = F.regexp_replace(body, r"(?s)<!--.*?-->", " ")
+    x = F.regexp_replace(
+        x, r"(?is)<(script|style|noscript|template|title)\b[^>]*>.*?</\1\s*>", " "
+    )
+    x = F.regexp_replace(x, r"<[^>]+>", " ")
+    for ent, ch in (
+        ("&nbsp;", " "),
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&apos;", "'"),
+        ("&amp;", "&"),
+    ):
+        x = F.replace(x, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(x, r"\s+", " "))

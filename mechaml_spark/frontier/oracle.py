@@ -64,6 +64,7 @@ from mechaml_spark import urlkit
 from mechaml_spark.cookies import Jar, parse_set_cookie
 from mechaml_spark.corpus import CorpusSpec, robots_rules, server_response
 from mechaml_spark.extract import parse_page
+from mechaml_spark.frontier.robots import robots_allowed
 
 MAX_REDIRECT = 5  # src/agent.ml:65
 
@@ -108,9 +109,8 @@ def crawl_oracle(
         blocked = [
             u
             for u in frontier
-            if any(
-                urlkit.path_of(u).startswith(p)
-                for p in rules.get(urlkit.host_of(u), [])
+            if not robots_allowed(
+                urlkit.path_of(u), rules.get(urlkit.host_of(u), [])
             )
         ]
         for u in sorted(blocked):

@@ -1,38 +1,49 @@
 """robots.txt acquisition + parse: fetch ``/robots.txt`` per host
-through the SAME fetch stage as page fetches, parse Disallow rules
-(vectorized), collect the tiny host->prefixes dict to the driver and
-broadcast it (north rule: "robots.txt caches held as broadcast
-state").
+through the SAME fetch stage as page fetches, parse the rule groups
+(vectorized), and apply them distributed as a broadcast-join side
+(north rule: "robots.txt caches held as broadcast state").
 
-Parsing scope: the subset the reference crawl semantics need —
-``User-agent: *`` groups' ``Disallow:`` path prefixes (empty
-Disallow = allow-all, per the original robots.txt convention).
-Specific-agent groups are ignored (we always identify as ``*``).
-The collect is justified: one row per HOST (not per URL), and rules
-must be visible to every politeness/filter task — at 10^10 URLs the
-host count is ~10^7, a few hundred MB broadcast at worst; shard the
-broadcast by host-hash if it outgrows memory.
+Semantics: RFC 9309 (Robots Exclusion Protocol) for ``User-agent: *``
+groups — BOTH ``Allow`` and ``Disallow`` rules, longest-match
+precedence (the rule whose pattern has the most octets wins; on a
+tie ``Allow`` wins), and the two standard metacharacters: ``*``
+matches any byte run, a trailing ``$`` anchors the pattern at the
+path end.  No matching rule = allowed; empty rule values match
+nothing (the original "empty Disallow = allow-all" convention falls
+out of that).  Specific-agent groups are ignored (we always identify
+as ``*``); ``Crawl-delay`` is not consumed here — the scheduler's
+per-host politeness budget is the delay mechanism.
+
+Scale: rules are parsed ONCE per host into a precompiled form
+(plain-prefix fast path or a translated regex, plus the precedence
+length), so the per-URL match stage is a broadcast hash join + a
+codegen'd array fold — one row per HOST rides the broadcast (~10^7
+rows at the design point, shardable by host-hash if it outgrows
+memory), never a per-URL rules copy.
 """
 
 from __future__ import annotations
 
-from typing import Iterator
+import re
+from typing import Iterator, Sequence
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+Rule = tuple[bool, str]  # (allow, pattern) in file order
 
-def parse_robots(body: str | None) -> list[str]:
-    """Disallow prefixes for ``User-agent: *`` (pure function).
 
-    A group = one or more consecutive ``User-agent`` lines followed by
-    directives; the group applies to us iff any of its agent lines is
-    ``*``.  Empty ``Disallow:`` means allow-all (skipped)."""
+def parse_robots(body: str | None) -> list[Rule]:
+    """``(allow, pattern)`` rules for ``User-agent: *`` (pure).
+
+    A group = one or more consecutive ``User-agent`` lines followed
+    by directives; the group applies to us iff any of its agent lines
+    is ``*``.  Empty values are dropped (they can match nothing)."""
     if not body:
         return []
-    prefixes: list[str] = []
+    rules: list[Rule] = []
     group_agents: list[str] = []
     in_agent_block = False
     for raw in body.splitlines():
@@ -49,17 +60,78 @@ def parse_robots(body: str | None) -> list[str]:
             group_agents.append(val)
         else:
             in_agent_block = False
-            if key == "disallow" and "*" in group_agents and val:
-                prefixes.append(val)
-    return prefixes
+            if key in ("allow", "disallow") and "*" in group_agents and val:
+                rules.append((key == "allow", val))
+    return rules
 
 
+def _rule_regex(pattern: str) -> str:
+    """Translate a robots pattern (``*`` wildcard, trailing ``$``
+    anchor) to an anchored regex; every other byte is literal."""
+    anchored = pattern.endswith("$")
+    core = pattern[:-1] if anchored else pattern
+    rx = "".join(".*" if ch == "*" else re.escape(ch) for ch in core)
+    return "^" + rx + ("$" if anchored else "")
+
+
+def _is_plain(pattern: str) -> bool:
+    return "*" not in pattern and not pattern.endswith("$")
+
+
+def _precedence(allow: bool, pattern: str) -> int:
+    # Longest pattern wins; allow wins ties (RFC 9309 §2.2.2) — fold
+    # both into one maximizable integer so the distributed matcher is
+    # a single array aggregate.
+    return len(pattern) * 2 + (1 if allow else 0)
+
+
+def robots_allowed(path: str, rules: Sequence[Rule]) -> bool:
+    """RFC 9309 decision for one path (pure; the oracle's matcher —
+    the DataFrame stage in :func:`mark_blocked` must agree with it)."""
+    best = -1
+    for allow, pattern in rules:
+        if _is_plain(pattern):
+            hit = path.startswith(pattern)
+        else:
+            hit = re.match(_rule_regex(pattern), path) is not None
+        if hit:
+            code = _precedence(allow, pattern)
+            if code > best:
+                best = code
+    return best < 0 or best % 2 == 1
+
+
+_RULE_T = T.StructType(
+    [
+        T.StructField("allow", T.BooleanType()),
+        T.StructField("pattern", T.StringType()),
+        T.StructField("plain", T.BooleanType()),
+        T.StructField("rx", T.StringType()),
+        T.StructField("plen", T.IntegerType()),
+    ]
+)
 ROBOTS_T = T.StructType(
     [
         T.StructField("host", T.StringType()),
-        T.StructField("prefixes", T.ArrayType(T.StringType())),
+        T.StructField("rules", T.ArrayType(_RULE_T)),
     ]
 )
+
+
+def compile_rules(rules: Sequence[Rule]) -> list[dict]:
+    """Precompile parsed rules into the ``ROBOTS_T`` element shape
+    (fast-path flag, translated regex, precedence length) — done once
+    per host at parse time so the per-URL stage does no compilation."""
+    return [
+        {
+            "allow": allow,
+            "pattern": pattern,
+            "plain": _is_plain(pattern),
+            "rx": _rule_regex(pattern),
+            "plen": len(pattern),
+        }
+        for allow, pattern in rules
+    ]
 
 
 def fetch_robots_rules_df(
@@ -70,10 +142,9 @@ def fetch_robots_rules_df(
     scheme_col: str | None = None,
 ) -> DataFrame:
     """Fetch+parse robots.txt for every distinct host via the crawl's
-    fetch stage; returns a ``(host, prefixes: array<string>)``
-    DataFrame holding only hosts with at least one Disallow prefix.
-    Non-200/missing robots -> no row (reference behavior: only
-    explicit Disallow blocks).
+    fetch stage; returns a ``(host, rules: array<struct>)`` DataFrame
+    holding only hosts with at least one rule.  Non-200/missing
+    robots -> no row (no explicit rules = allow-all).
 
     The rules STAY distributed: the scheduler consumes this as a
     broadcast-join side, so at the 10^7-host design point the driver
@@ -107,8 +178,8 @@ def fetch_robots_rules_df(
             yield pd.DataFrame(
                 {
                     "host": pdf["host"],
-                    "prefixes": [
-                        parse_robots(b) if o else []
+                    "rules": [
+                        compile_rules(parse_robots(b)) if o else []
                         for b, o in zip(pdf["body"], ok)
                     ],
                 }
@@ -117,7 +188,16 @@ def fetch_robots_rules_df(
     return (
         fetched.select("host", "status", "body")
         .mapInPandas(parse, schema=ROBOTS_T)
-        .where(F.size("prefixes") > 0)
+        .where(F.size("rules") > 0)
+    )
+
+
+def _match_rule(path: Column, r: Column) -> Column:
+    # Plain prefixes (the overwhelming majority of real rules) stay a
+    # codegen'd startswith; wildcard/anchored rules fall to RLIKE with
+    # the precompiled per-rule regex.
+    return F.when(r["plain"], path.startswith(r["pattern"])).otherwise(
+        F.regexp_like(path, r["rx"])
     )
 
 
@@ -131,24 +211,32 @@ def mark_blocked(
 
     THE robots-application stage, shared verbatim by the batch
     scheduler and the streaming crawl (so semantics cannot drift):
-    broadcast join ``rules_df`` (``host, prefixes``) on ``host``, then
-    a codegen'd ``exists(prefixes, path startswith prefix)`` over the
-    crash-free :func:`mechaml_spark.page.path_col` path.  Hosts with
-    no rules row pass.  Adds ``out_col: boolean``; drops nothing else.
+    broadcast join ``rules_df`` (``host, rules``) on ``host``, then a
+    codegen'd filter+fold over the matching rules implementing RFC
+    9309 longest-match (max of the precompiled precedence codes; the
+    winning code's allow bit decides) over the crash-free
+    :func:`mechaml_spark.page.path_col` path.  Hosts with no rules
+    row pass.  Adds ``out_col: boolean``; drops nothing else.
     """
     from mechaml_spark.page import path_col
 
+    path = F.col("_path")
+    matched = F.filter("rules", lambda r: _match_rule(path, r))
+    best = F.aggregate(
+        matched,
+        F.lit(-1),
+        lambda acc, r: F.greatest(
+            acc, r["plen"] * F.lit(2) + r["allow"].cast("int")
+        ),
+    )
     return (
         df.join(F.broadcast(rules_df), "host", "left")
         .withColumn("_path", path_col(F.col(url_col)))
         .withColumn(
             out_col,
-            F.coalesce(
-                F.exists("prefixes", lambda p: F.col("_path").startswith(p)),
-                F.lit(False),
-            ),
+            F.coalesce((best >= 0) & (F.pmod(best, F.lit(2)) == 0), F.lit(False)),
         )
-        .drop("prefixes", "_path")
+        .drop("rules", "_path")
     )
 
 
@@ -158,10 +246,13 @@ def fetch_robots_rules(
     fetcher,
     host_col: str = "host",
     scheme_col: str | None = None,
-) -> dict[str, list[str]]:
+) -> dict[str, list[Rule]]:
     """Dict form of :func:`fetch_robots_rules_df` — for tests and the
     sequential oracle; the scheduler uses the DataFrame form."""
     rows = fetch_robots_rules_df(
         spark, hosts, fetcher, host_col=host_col, scheme_col=scheme_col
     ).collect()
-    return {r["host"]: list(r["prefixes"]) for r in rows}
+    return {
+        r["host"]: [(x["allow"], x["pattern"]) for x in r["rules"]]
+        for r in rows
+    }

@@ -830,6 +830,91 @@ def q_image_tiff_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_html_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visible-text extraction from full HTML pages, expression-only
+    (:func:`mechaml_spark.extract.html_visible_text`).  Pages are
+    built around documents text with every hazard the extractor must
+    survive — comments, <style>, a <script> whose body contains raw
+    ``<``/``>``/``&&``, nested tags, and all the named entities — so
+    the oracle is the closed form ``'menu ' || text || <entity tail>``
+    and any regression (block not stripped, entity order wrong,
+    whitespace not collapsed) is a hash miss."""
+    import pandas as _pd
+
+    from mechaml_spark.extract import html_visible_text
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                html = (
+                    "<!DOCTYPE html><html><head>"
+                    f"<title>T{did}</title>"
+                    "<style>p { color: red; }</style>"
+                    "<script>if (a<b && c>d) { x['<p>']=1; }</script>"
+                    "</head><body><!-- hidden --><nav>\n menu </nav>"
+                    f"<div><p>{text}</p>\n"
+                    "<p>A &amp; B &lt;tag&gt; &quot;q&quot; "
+                    "&#39;s&#39; x&nbsp;y</p></div></body></html>"
+                )
+                rows.append({"doc_id": did, "body": html})
+            yield _pd.DataFrame(rows, columns=["doc_id", "body"])
+
+    pages = d.mapInPandas(gen, schema="doc_id long, body string")
+    return pages.select(
+        "doc_id", html_visible_text(F.col("body")).alias("text_out")
+    )
+
+
+def q_robots_rfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 robots matching end-to-end: a literal robots.txt body
+    goes through :func:`frontier.robots.parse_robots` +
+    ``compile_rules`` once, then the SAME distributed ``mark_blocked``
+    stage the crawl scheduler uses (broadcast hash join + codegen'd
+    longest-match fold) classifies one URL per document.  doc_id % 6
+    picks a path exercising every RFC feature — no-match, plain
+    Disallow, longer-Allow override, anchored-wildcard Disallow,
+    allow-wins-tie, and a ``$`` anchor that must NOT match mid-path —
+    so the oracle is the closed form blocked = m IN (1, 3)."""
+    from mechaml_spark.frontier.robots import (
+        ROBOTS_T,
+        compile_rules,
+        mark_blocked,
+        parse_robots,
+    )
+
+    rules = parse_robots(
+        "User-agent: *\nDisallow: /d\nAllow: /d/ok\nDisallow: /*/no$\n"
+        "Allow: /p\nDisallow: /p\n"
+    )
+    rules_df = spark.createDataFrame(
+        [("h.test", compile_rules(rules))], ROBOTS_T
+    )
+    m = F.col("doc_id") % 6
+    path = (
+        F.when(m == 0, F.concat(F.lit("/open"), F.col("doc_id")))
+        .when(m == 1, F.concat(F.lit("/d/x"), F.col("doc_id")))
+        .when(m == 2, F.concat(F.lit("/d/ok/x"), F.col("doc_id")))
+        .when(m == 3, F.concat(F.lit("/d/ok"), F.col("doc_id"), F.lit("/no")))
+        .when(m == 4, F.concat(F.lit("/p"), F.col("doc_id")))
+        .otherwise(F.concat(F.lit("/x"), F.col("doc_id"), F.lit("/no_t")))
+    )
+    reqs = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.concat(F.lit("http://h.test"), path).alias("url_norm"),
+            F.lit("h.test").alias("host"),
+        )
+    )
+    return mark_blocked(reqs, rules_df).select(
+        "doc_id", F.col("url_norm").alias("url"), F.col("_blocked").alias("blocked")
+    )
+
+
 def q_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content sniffing over REAL bytes from every codec the engine
     owns: doc_id % 12 picks PNG / JPEG / GIF / BMP / TIFF / PPM / WAV
@@ -1587,6 +1672,8 @@ QUERIES = {
     "image_png_variants": q_image_png_variants,
     "image_exif": q_image_exif,
     "image_tiff_features": q_image_tiff_features,
+    "html_text": q_html_text,
+    "robots_rfc": q_robots_rfc,
     "mime_sniff": q_mime_sniff,
     "charset_decode": q_charset_decode,
     "audio_features": q_audio_features,
@@ -1927,6 +2014,24 @@ ORACLES = {
                CAST((doc_id * CASE WHEN doc_id % 2 = 0 THEN 7 ELSE 13 END)
                     % 251 AS BIGINT) * 1000 AS mean_b
         FROM documents WHERE doc_id < 200
+    """,
+    "html_text": """
+        SELECT doc_id,
+               'menu ' || text || ' A & B <tag> "q" ''s'' x y' AS text_out
+        FROM documents
+    """,
+    "robots_rfc": """
+        SELECT doc_id,
+               'http://h.test' || CASE doc_id % 6
+                 WHEN 0 THEN '/open' || doc_id
+                 WHEN 1 THEN '/d/x' || doc_id
+                 WHEN 2 THEN '/d/ok/x' || doc_id
+                 WHEN 3 THEN '/d/ok' || doc_id || '/no'
+                 WHEN 4 THEN '/p' || doc_id
+                 ELSE '/x' || doc_id || '/no_t'
+               END AS url,
+               doc_id % 6 IN (1, 3) AS blocked
+        FROM documents
     """,
     "mime_sniff": """
         SELECT doc_id,

@@ -14,11 +14,42 @@ def test_parse_robots_groups():
         "User-agent: googlebot\nDisallow: /g-only\n\n"
         "User-agent: other\nUser-agent: *\nDisallow: /blocked\n"
         "Disallow: /private\nAllow: /blocked/ok\n"
-        "User-agent: *\nDisallow:\n"          # empty = allow-all
+        "User-agent: *\nDisallow:\n"          # empty = allow-all (no rule)
     )
-    assert parse_robots(body) == ["/blocked", "/private"]
+    assert parse_robots(body) == [
+        (False, "/blocked"),
+        (False, "/private"),
+        (True, "/blocked/ok"),
+    ]
     assert parse_robots(None) == []
     assert parse_robots("User-agent: x\nDisallow: /y\n") == []
+
+
+def test_robots_allowed_rfc9309_precedence():
+    """Longest-match precedence, allow-wins-ties, * and $ wildcards
+    (the RFC 9309 §2.2.2 rule set + Google's documented examples)."""
+    from mechaml_spark.frontier.robots import robots_allowed
+
+    rules = parse_robots(
+        "User-agent: *\n"
+        "Disallow: /d\n"
+        "Allow: /d/ok\n"
+        "Disallow: /*/no$\n"
+        "Allow: /p\n"
+        "Disallow: /p\n"          # tie with the Allow above -> allow wins
+    )
+    assert robots_allowed("/open/x", rules)          # no rule matches
+    assert not robots_allowed("/d/x", rules)         # Disallow /d
+    assert robots_allowed("/d/ok/x", rules)          # longer Allow wins
+    assert not robots_allowed("/d/ok/no", rules)     # anchored wildcard longest
+    assert robots_allowed("/d/ok/not", rules)        # $ anchor must not match
+    assert robots_allowed("/p/x", rules)             # equal length -> allow
+    assert robots_allowed("/", rules)
+
+    # Google's example group: allow wins by length, not file order
+    g = parse_robots("User-agent: *\nAllow: /page\nDisallow: /*.htm\n")
+    assert robots_allowed("/page", g)
+    assert not robots_allowed("/page.htm", g)        # /*.htm len 6 > /page 5
 
 
 def test_fetched_rules_match_spec(spark):
@@ -68,11 +99,11 @@ def test_mark_blocked_survives_uri_invalid_urls(spark):
     it still blocks the matching URL."""
     from pyspark.sql import functions as F
 
-    from mechaml_spark.frontier.robots import mark_blocked
+    from mechaml_spark.frontier.robots import ROBOTS_T, compile_rules, mark_blocked
 
     rules = spark.createDataFrame(
-        [("h.test", ["/private", "/a b"])],
-        "host string, prefixes array<string>",
+        [("h.test", compile_rules([(False, "/private"), (False, "/a b")]))],
+        ROBOTS_T,
     )
     frontier = spark.createDataFrame(
         [
@@ -93,3 +124,41 @@ def test_mark_blocked_survives_uri_invalid_urls(spark):
         "http://h.test/ok|page": False,
         "http://other.test/a b": False,
     }
+
+
+def test_mark_blocked_matches_pure_matcher_rfc_rules(spark):
+    """The distributed mark_blocked stage must agree with the pure
+    robots_allowed matcher over a rule set exercising every RFC 9309
+    feature (longest match, allow-ties, * and $) on many paths."""
+    from pyspark.sql import functions as F
+
+    from mechaml_spark.frontier.robots import (
+        ROBOTS_T,
+        compile_rules,
+        mark_blocked,
+        parse_robots,
+        robots_allowed,
+    )
+
+    rules = parse_robots(
+        "User-agent: *\nDisallow: /d\nAllow: /d/ok\nDisallow: /*/no$\n"
+        "Allow: /p\nDisallow: /p\nDisallow: /q*x\n"
+    )
+    paths = [
+        "/", "/open", "/d", "/d/x", "/d/ok", "/d/ok/x", "/d/ok/no",
+        "/d/ok/not", "/p", "/p/x", "/q/ax", "/q/a", "/qx", "/no",
+        "/a/no", "/a/no/b",
+    ]
+    rules_df = spark.createDataFrame(
+        [("h.test", compile_rules(rules))], ROBOTS_T
+    )
+    frontier = spark.createDataFrame(
+        [(f"http://h.test{p}", "h.test") for p in paths],
+        "url_norm string, host string",
+    )
+    got = {
+        r["url_norm"]: r["_blocked"]
+        for r in mark_blocked(frontier, rules_df).collect()
+    }
+    for p in paths:
+        assert got[f"http://h.test{p}"] == (not robots_allowed(p, rules)), p
