@@ -686,6 +686,73 @@ def tiff_decode(data: bytes) -> np.ndarray:
     raise NotImplementedError(f"TIFF SamplesPerPixel {spp}")
 
 
+def ico_encode(pixels: np.ndarray, inner: str = "bmp") -> bytes:
+    """Single-image Windows ICO (favicon — the one image format every
+    crawl meets at /favicon.ico).  ``inner='bmp'`` embeds the classic
+    24-bit DIB (BITMAPINFOHEADER with DOUBLED height covering the XOR
+    pixels + an all-opaque 1-bit AND mask); ``inner='png'`` embeds a
+    whole PNG stream (the Vista+ form).  Max 256x256 per the format's
+    1-byte dimension fields (0 encodes 256)."""
+    h, w, _ = pixels.shape
+    if w > 256 or h > 256:
+        raise ValueError("ICO images are at most 256x256")
+    if inner == "png":
+        img = png_encode(pixels)
+        bpp = 24
+    elif inner == "bmp":
+        pad = (-(w * 3)) % 4
+        stride = w * 3 + pad
+        xor = np.zeros((h, stride), dtype=np.uint8)
+        xor[:, : w * 3] = pixels[::-1, :, ::-1].reshape(h, w * 3)
+        and_stride = ((w + 31) // 32) * 4
+        and_mask = np.zeros((h, and_stride), dtype=np.uint8)  # 0 = opaque
+        img = (
+            struct.pack(
+                "<IiiHHIIiiII", 40, w, h * 2, 1, 24, 0,
+                stride * h + and_stride * h, 0, 0, 0, 0,
+            )
+            + xor.tobytes()
+            + and_mask.tobytes()
+        )
+        bpp = 24
+    else:
+        raise ValueError(f"unknown ICO inner format {inner!r}")
+    entry = struct.pack(
+        "<BBBBHHII", w % 256, h % 256, 0, 0, 1, bpp, len(img), 6 + 16
+    )
+    return struct.pack("<HHH", 0, 1, 1) + entry + img
+
+
+def ico_decode(data: bytes) -> np.ndarray:
+    """Decode the first image of an ICO — PNG-compressed entries via
+    the own PNG decoder, classic DIB entries via the doubled-height
+    24-bit parse (AND mask skipped; the repo drops alpha everywhere).
+    """
+    if len(data) < 6 or data[:4] != b"\x00\x00\x01\x00":
+        raise ValueError("not an ICO")
+    count = struct.unpack_from("<H", data, 4)[0]
+    if count < 1:
+        raise ValueError("empty ICO")
+    size, off = struct.unpack_from("<II", data, 6 + 8)
+    img = data[off : off + size]
+    if img[: len(_PNG_SIG)] == _PNG_SIG:
+        return png_decode(img)
+    hdr_size, w, h2 = struct.unpack_from("<Iii", img, 0)
+    bpp = struct.unpack_from("<H", img, 14)[0]
+    comp = struct.unpack_from("<I", img, 16)[0]
+    if hdr_size != 40 or comp != 0 or bpp not in (24, 32):
+        raise ValueError(
+            f"only uncompressed 24/32-bit DIB or PNG entries (got "
+            f"hdr={hdr_size} {bpp}bpp comp={comp})"
+        )
+    h = h2 // 2  # XOR + AND mask share the doubled height
+    nch = bpp // 8
+    stride = (w * nch + 3) & ~3
+    rows = np.frombuffer(img, dtype=np.uint8, count=stride * h, offset=40)
+    px = rows.reshape(h, stride)[:, : w * nch].reshape(h, w, nch)
+    return px[::-1, :, 2::-1].copy()  # bottom-up BGR(A) -> RGB
+
+
 def decode(data: bytes, fmt: str) -> np.ndarray:
     if fmt == "png":
         return png_decode(data)
@@ -701,6 +768,8 @@ def decode(data: bytes, fmt: str) -> np.ndarray:
         from mechaml_spark.jpeg import jpeg_decode
 
         return jpeg_decode(data)
+    if fmt == "ico":
+        return ico_decode(data)
     raise NotImplementedError(
         f"decoder for {fmt!r} not available in-sandbox (no image libs); "
         "plug a real codec here on a full cluster image"
@@ -722,6 +791,8 @@ def encode(pixels: np.ndarray, fmt: str) -> bytes:
         from mechaml_spark.jpeg import jpeg_encode
 
         return jpeg_encode(pixels)
+    if fmt == "ico":
+        return ico_encode(pixels)
     raise NotImplementedError(f"encoder for {fmt!r} not available in-sandbox")
 
 

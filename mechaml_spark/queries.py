@@ -830,6 +830,50 @@ def q_image_tiff_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_ico_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windows ICO (favicon) decode through the shared feature stage:
+    even docs the classic doubled-height 24-bit DIB entry, odd docs a
+    PNG-compressed entry (Vista+ form) — both constant planes, so
+    means are exact closed forms.  Every crawl fetches favicons, so
+    the 9th real image container rides the same mapInPandas stage."""
+    import numpy as _np
+    import pandas as _pd
+
+    from mechaml_spark import imaging as _im
+    from mechaml_spark import multimodal
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 200
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                px = _np.empty((12, 16, 3), _np.uint8)
+                px[..., 0] = (did * 7) % 251
+                px[..., 1] = (did * 11) % 251
+                px[..., 2] = (did * 13) % 251
+                inner = "bmp" if did % 2 == 0 else "png"
+                rows.append(
+                    {"doc_id": did, "bytes": _im.ico_encode(px, inner=inner),
+                     "fmt": "ico"}
+                )
+            yield _pd.DataFrame(rows, columns=["doc_id", "bytes", "fmt"])
+
+    media = d.mapInPandas(gen, schema="doc_id long, bytes binary, fmt string")
+    feats = multimodal.image_features(media)
+    return feats.select(
+        "doc_id",
+        F.col("features")["w"].alias("w"),
+        F.col("features")["h"].alias("h"),
+        F.col("features")["mean_r"].alias("mean_r"),
+        F.col("features")["mean_g"].alias("mean_g"),
+        F.col("features")["mean_b"].alias("mean_b"),
+    )
+
+
 def q_html_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Visible-text extraction from full HTML pages, expression-only
     (:func:`mechaml_spark.extract.html_visible_text`).  Pages are
@@ -1672,6 +1716,7 @@ QUERIES = {
     "image_png_variants": q_image_png_variants,
     "image_exif": q_image_exif,
     "image_tiff_features": q_image_tiff_features,
+    "image_ico_features": q_image_ico_features,
     "html_text": q_html_text,
     "robots_rfc": q_robots_rfc,
     "mime_sniff": q_mime_sniff,
@@ -2013,6 +2058,14 @@ ORACLES = {
                     % 251 AS BIGINT) * 1000 AS mean_g,
                CAST((doc_id * CASE WHEN doc_id % 2 = 0 THEN 7 ELSE 13 END)
                     % 251 AS BIGINT) * 1000 AS mean_b
+        FROM documents WHERE doc_id < 200
+    """,
+    "image_ico_features": """
+        SELECT doc_id,
+               CAST(16 AS INT) AS w, CAST(12 AS INT) AS h,
+               CAST((doc_id * 7) % 251 AS BIGINT) * 1000 AS mean_r,
+               CAST((doc_id * 11) % 251 AS BIGINT) * 1000 AS mean_g,
+               CAST((doc_id * 13) % 251 AS BIGINT) * 1000 AS mean_b
         FROM documents WHERE doc_id < 200
     """,
     "html_text": """

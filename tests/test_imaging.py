@@ -781,3 +781,27 @@ def test_jpeg_restart_markers_decode():
     bad = bytes(out).replace(b"\xff\xd0", b"\xff\xd3", 1)
     with pytest.raises(ValueError, match="restart"):
         J.jpeg_decode(bad)
+
+
+def test_ico_roundtrip_both_inner_forms():
+    """ICO (favicon): classic doubled-height DIB entries and PNG
+    entries both round-trip bit-exact; truncated/foreign bytes raise."""
+    import numpy as np
+    import pytest
+
+    from mechaml_spark import imaging
+
+    rng = np.random.default_rng(11)
+    for shape in [(8, 8, 3), (5, 7, 3), (1, 1, 3), (256, 33, 3)]:
+        px = rng.integers(0, 256, shape, dtype=np.uint8)
+        for inner in ("bmp", "png"):
+            data = imaging.ico_encode(px, inner=inner)
+            assert data[:4] == b"\x00\x00\x01\x00"
+            assert (imaging.ico_decode(data) == px).all()
+    # dispatcher path
+    px = rng.integers(0, 256, (4, 4, 3), dtype=np.uint8)
+    assert (imaging.decode(imaging.encode(px, "ico"), "ico") == px).all()
+    with pytest.raises(ValueError):
+        imaging.ico_decode(b"BM not an ico")
+    with pytest.raises(ValueError):
+        imaging.ico_encode(np.zeros((300, 8, 3), np.uint8))
