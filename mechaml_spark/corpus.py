@@ -91,16 +91,17 @@ def image_ids(spec: CorpusSpec) -> list[str]:
 
 def img_variant(spec: CorpusSpec, iid: str) -> int:
     """0 plain PNG / 1 Adam7 PNG / 2 baseline JPEG / 3 progressive
-    JPEG — deterministic per image id; always 0 with the mix off."""
+    JPEG / 4 QOI — deterministic per image id; always 0 with the mix
+    off."""
     if not spec.img_fmt_mix:
         return 0
-    return (zlib.crc32(iid.encode()) ^ spec.seed) % 4
+    return (zlib.crc32(iid.encode()) ^ spec.seed) % 5
 
 
 def image_pixels(spec: CorpusSpec, iid: str) -> np.ndarray:
     key = zlib.crc32(iid.encode()) ^ spec.seed
     rng = np.random.default_rng(key)
-    if img_variant(spec, iid) >= 2:
+    if img_variant(spec, iid) in (2, 3):
         # JPEG variants get SMOOTH content (linear ramps, no clipping)
         # — random noise is the DCT worst case and would not clear the
         # payload rule's 40 dB at q90; the web's lossy images are
@@ -338,6 +339,8 @@ def images_df(spark: SparkSession, spec: CorpusSpec) -> DataFrame:
                     from mechaml_spark.jpeg import jpeg_encode_progressive
 
                     data, fmt = jpeg_encode_progressive(px, quality=90), "jpg"
+                elif v == 4:
+                    data, fmt = imaging.qoi_encode(px), "qoi"
                 else:
                     data, fmt = imaging.png_encode(px), "png"
                 rows.append(

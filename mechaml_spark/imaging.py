@@ -753,6 +753,129 @@ def ico_decode(data: bytes) -> np.ndarray:
     return px[::-1, :, 2::-1].copy()  # bottom-up BGR(A) -> RGB
 
 
+def qoi_encode(pixels: np.ndarray) -> bytes:
+    """QOI ("Quite OK Image", qoiformat.org spec, public domain
+    format) encoder — full op set: RUN, INDEX, DIFF, LUMA, RGB, RGBA.
+    Input is ``(h, w, 3)`` or ``(h, w, 4)`` uint8 (2-D grayscale is
+    expanded to RGB); lossless.  Per-pixel sequential state (prev
+    pixel + 64-slot index) makes this a Python loop, like the GIF LZW
+    path — it runs inside mapInPandas over already-partitioned rows,
+    never on the driver."""
+    if pixels.ndim == 2:
+        pixels = np.stack([pixels] * 3, axis=-1)
+    h, w, channels = pixels.shape
+    if channels not in (3, 4):
+        raise ValueError(f"QOI stores 3 or 4 channels, got {channels}")
+    out = bytearray(b"qoif")
+    out += struct.pack(">IIBB", w, h, channels, 0)
+    index = [(0, 0, 0, 0)] * 64
+    prev = (0, 0, 0, 255)
+    run = 0
+    flat = pixels.reshape(-1, channels).tolist()
+    for p in flat:
+        px = (p[0], p[1], p[2], p[3] if channels == 4 else 255)
+        if px == prev:
+            run += 1
+            if run == 62:
+                out.append(0xC0 | (run - 1))
+                run = 0
+            continue
+        if run:
+            out.append(0xC0 | (run - 1))
+            run = 0
+        slot = (px[0] * 3 + px[1] * 5 + px[2] * 7 + px[3] * 11) % 64
+        if index[slot] == px:
+            out.append(slot)
+        else:
+            index[slot] = px
+            if px[3] != prev[3]:
+                out.append(0xFF)
+                out.extend(px)
+            else:
+                # wraparound-signed channel diffs per the spec
+                dr = ((px[0] - prev[0] + 128) & 0xFF) - 128
+                dg = ((px[1] - prev[1] + 128) & 0xFF) - 128
+                db = ((px[2] - prev[2] + 128) & 0xFF) - 128
+                if -2 <= dr <= 1 and -2 <= dg <= 1 and -2 <= db <= 1:
+                    out.append(0x40 | ((dr + 2) << 4) | ((dg + 2) << 2) | (db + 2))
+                elif (
+                    -32 <= dg <= 31 and -8 <= dr - dg <= 7 and -8 <= db - dg <= 7
+                ):
+                    out.append(0x80 | (dg + 32))
+                    out.append(((dr - dg + 8) << 4) | (db - dg + 8))
+                else:
+                    out.append(0xFE)
+                    out.extend(px[:3])
+        prev = px
+    if run:
+        out.append(0xC0 | (run - 1))
+    out += b"\x00" * 7 + b"\x01"
+    return bytes(out)
+
+
+def qoi_decode(data: bytes) -> np.ndarray:
+    """QOI decoder (qoiformat.org spec).  Returns ``(h, w, 3)`` for
+    3-channel files and ``(h, w, 4)`` for 4-channel files.  The index
+    is updated exactly when a non-run op is read (reference decoder
+    semantics), so streams from any conforming encoder decode."""
+    if len(data) < 22 or data[:4] != b"qoif":
+        raise ValueError("not a QOI stream")
+    w, h, channels, _colorspace = struct.unpack_from(">IIBB", data, 4)
+    if channels not in (3, 4):
+        raise ValueError(f"QOI channels must be 3 or 4, got {channels}")
+    if data[-8:] != b"\x00" * 7 + b"\x01":
+        raise ValueError("missing QOI end marker")
+    n = h * w
+    out = np.empty((n, 4), dtype=np.uint8)
+    index = [(0, 0, 0, 0)] * 64
+    px = (0, 0, 0, 255)
+    pos, i = 14, 0
+    end = len(data) - 8
+    while i < n:
+        if pos >= end:
+            raise ValueError("truncated QOI stream")
+        b = data[pos]
+        pos += 1
+        if b == 0xFE:
+            px = (data[pos], data[pos + 1], data[pos + 2], px[3])
+            pos += 3
+        elif b == 0xFF:
+            px = (data[pos], data[pos + 1], data[pos + 2], data[pos + 3])
+            pos += 4
+        else:
+            tag = b >> 6
+            if tag == 0:
+                px = index[b]
+            elif tag == 1:
+                px = (
+                    (px[0] + ((b >> 4) & 3) - 2) & 0xFF,
+                    (px[1] + ((b >> 2) & 3) - 2) & 0xFF,
+                    (px[2] + (b & 3) - 2) & 0xFF,
+                    px[3],
+                )
+            elif tag == 2:
+                dg = (b & 0x3F) - 32
+                b2 = data[pos]
+                pos += 1
+                px = (
+                    (px[0] + dg + ((b2 >> 4) & 0xF) - 8) & 0xFF,
+                    (px[1] + dg) & 0xFF,
+                    (px[2] + dg + (b2 & 0xF) - 8) & 0xFF,
+                    px[3],
+                )
+            else:
+                run = (b & 0x3F) + 1
+                if i + run > n:
+                    raise ValueError("QOI run overflows the pixel count")
+                out[i : i + run] = px
+                i += run
+                continue
+        index[(px[0] * 3 + px[1] * 5 + px[2] * 7 + px[3] * 11) % 64] = px
+        out[i] = px
+        i += 1
+    return out.reshape(h, w, 4)[:, :, :channels].copy()
+
+
 def decode(data: bytes, fmt: str) -> np.ndarray:
     if fmt == "png":
         return png_decode(data)
@@ -770,6 +893,8 @@ def decode(data: bytes, fmt: str) -> np.ndarray:
         return jpeg_decode(data)
     if fmt == "ico":
         return ico_decode(data)
+    if fmt == "qoi":
+        return qoi_decode(data)
     raise NotImplementedError(
         f"decoder for {fmt!r} not available in-sandbox (no image libs); "
         "plug a real codec here on a full cluster image"
@@ -793,6 +918,8 @@ def encode(pixels: np.ndarray, fmt: str) -> bytes:
         return jpeg_encode(pixels)
     if fmt == "ico":
         return ico_encode(pixels)
+    if fmt == "qoi":
+        return qoi_encode(pixels)
     raise NotImplementedError(f"encoder for {fmt!r} not available in-sandbox")
 
 
@@ -841,7 +968,7 @@ def dhash64(pixels: np.ndarray) -> int:
     return int(acc.view(np.int64))  # reinterpret: bit 63 -> sign
 
 
-LOSSLESS = frozenset({"png", "ppm", "bmp", "gif"})
+LOSSLESS = frozenset({"png", "ppm", "bmp", "gif", "qoi"})
 
 
 def payload_ok(data: bytes, fmt: str, reference_pixels: np.ndarray) -> bool:

@@ -874,6 +874,51 @@ def q_image_ico_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_qoi_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QOI (qoiformat.org) decode through the shared feature stage.
+    Gradient content (R ramps along x, G along y, B constant) streams
+    through the DIFF/LUMA/RGB op mix rather than degenerate runs; the
+    per-channel means are exact closed forms (base + 7.5 / base + 5.5
+    / base), so the oracle is pure SQL.  Tenth real image container
+    on the same mapInPandas stage."""
+    import numpy as _np
+    import pandas as _pd
+
+    from mechaml_spark import imaging as _im
+    from mechaml_spark import multimodal
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 200
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                yy, xx = _np.mgrid[0:12, 0:16]
+                px = _np.empty((12, 16, 3), _np.uint8)
+                px[..., 0] = (did * 7) % 200 + xx
+                px[..., 1] = (did * 11) % 200 + yy
+                px[..., 2] = (did * 13) % 251
+                rows.append(
+                    {"doc_id": did, "bytes": _im.qoi_encode(px),
+                     "fmt": "qoi"}
+                )
+            yield _pd.DataFrame(rows, columns=["doc_id", "bytes", "fmt"])
+
+    media = d.mapInPandas(gen, schema="doc_id long, bytes binary, fmt string")
+    feats = multimodal.image_features(media)
+    return feats.select(
+        "doc_id",
+        F.col("features")["w"].alias("w"),
+        F.col("features")["h"].alias("h"),
+        F.col("features")["mean_r"].alias("mean_r"),
+        F.col("features")["mean_g"].alias("mean_g"),
+        F.col("features")["mean_b"].alias("mean_b"),
+    )
+
+
 def q_html_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Visible-text extraction from full HTML pages, expression-only
     (:func:`mechaml_spark.extract.html_visible_text`).  Pages are
@@ -1717,6 +1762,7 @@ QUERIES = {
     "image_exif": q_image_exif,
     "image_tiff_features": q_image_tiff_features,
     "image_ico_features": q_image_ico_features,
+    "image_qoi_features": q_image_qoi_features,
     "html_text": q_html_text,
     "robots_rfc": q_robots_rfc,
     "mime_sniff": q_mime_sniff,
@@ -2065,6 +2111,14 @@ ORACLES = {
                CAST(16 AS INT) AS w, CAST(12 AS INT) AS h,
                CAST((doc_id * 7) % 251 AS BIGINT) * 1000 AS mean_r,
                CAST((doc_id * 11) % 251 AS BIGINT) * 1000 AS mean_g,
+               CAST((doc_id * 13) % 251 AS BIGINT) * 1000 AS mean_b
+        FROM documents WHERE doc_id < 200
+    """,
+    "image_qoi_features": """
+        SELECT doc_id,
+               CAST(16 AS INT) AS w, CAST(12 AS INT) AS h,
+               CAST((doc_id * 7) % 200 AS BIGINT) * 1000 + 7500 AS mean_r,
+               CAST((doc_id * 11) % 200 AS BIGINT) * 1000 + 5500 AS mean_g,
                CAST((doc_id * 13) % 251 AS BIGINT) * 1000 AS mean_b
         FROM documents WHERE doc_id < 200
     """,

@@ -805,3 +805,46 @@ def test_ico_roundtrip_both_inner_forms():
         imaging.ico_decode(b"BM not an ico")
     with pytest.raises(ValueError):
         imaging.ico_encode(np.zeros((300, 8, 3), np.uint8))
+
+
+def test_qoi_roundtrip_all_ops():
+    """QOI (qoiformat.org): every op family round-trips bit-exact —
+    RUN (constant regions), INDEX (palette repeats), DIFF/LUMA (small
+    gradients), RGB (big jumps), RGBA (alpha changes); RGB + RGBA +
+    grayscale inputs; truncated/foreign bytes raise."""
+    import numpy as np
+    import pytest
+
+    from mechaml_spark import imaging
+
+    rng = np.random.default_rng(23)
+    # constant -> long runs incl. the 62-run split
+    px = np.full((40, 40, 3), 129, np.uint8)
+    assert (imaging.qoi_decode(imaging.qoi_encode(px)) == px).all()
+    # small palette -> INDEX hits
+    pal = rng.integers(0, 256, (4, 3), dtype=np.uint8)
+    px = pal[rng.integers(0, 4, (16, 16))]
+    assert (imaging.qoi_decode(imaging.qoi_encode(px)) == px).all()
+    # +-1 jitter -> DIFF; +-10 jitter -> LUMA; random -> RGB
+    for spread in (2, 10, 256):
+        base = rng.integers(60, 190, 3)
+        px = ((base + rng.integers(-spread // 2, spread // 2 + 1,
+                                   (13, 17, 3))) % 256).astype(np.uint8)
+        assert (imaging.qoi_decode(imaging.qoi_encode(px)) == px).all()
+    # RGBA with varying alpha -> RGBA ops; output keeps 4 channels
+    px = rng.integers(0, 256, (9, 11, 4), dtype=np.uint8)
+    out = imaging.qoi_decode(imaging.qoi_encode(px))
+    assert out.shape == (9, 11, 4) and (out == px).all()
+    # grayscale expands to RGB
+    g = rng.integers(0, 256, (5, 7), dtype=np.uint8)
+    assert (
+        imaging.qoi_decode(imaging.qoi_encode(g))
+        == np.stack([g] * 3, axis=-1)
+    ).all()
+    # dispatcher + lossless payload invariant
+    px = rng.integers(0, 256, (12, 16, 3), dtype=np.uint8)
+    assert imaging.payload_ok(imaging.encode(px, "qoi"), "qoi", px)
+    with pytest.raises(ValueError):
+        imaging.qoi_decode(b"notqoi" + b"\x00" * 30)
+    with pytest.raises(ValueError):
+        imaging.qoi_decode(imaging.qoi_encode(px)[:-9])  # lost end marker
