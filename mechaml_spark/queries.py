@@ -919,6 +919,117 @@ def q_image_qoi_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_pixel_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-format pixel-exact image dedup — the pipeline op a
+    content hash over ENCODED bytes cannot do: the same pixels saved
+    as PNG vs BMP vs PPM vs TIFF vs QOI hash differently as bytes but
+    identically after decode.  Stage shape at 100 TB: decode inside
+    mapInPandas (bytes never shuffle), emit a 32-byte canonical-pixel
+    digest, then a hash-partitioned groupBy on the digest — the
+    shuffle carries (digest, doc_id, fmt), never pixels.
+
+    Corpus: doc_id < 280, pixel content keyed by gid = doc_id % 60,
+    container cycling with doc_id // 60, so gids < 40 exist in all
+    five formats and gids >= 40 in four — group sizes the oracle
+    states in closed form."""
+    import hashlib as _hashlib
+
+    import numpy as _np
+    import pandas as _pd
+
+    from mechaml_spark import imaging as _im
+
+    fmts = ["png", "bmp", "ppm", "tiff", "qoi"]
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 280
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                gid = did % 60
+                yy, xx = _np.mgrid[0:12, 0:16]
+                px = _np.empty((12, 16, 3), _np.uint8)
+                px[..., 0] = (gid * 7) % 200 + xx
+                px[..., 1] = (gid * 11) % 200 + yy
+                px[..., 2] = (gid * 13) % 251
+                fmt = fmts[did // 60]
+                rows.append(
+                    {"doc_id": did, "bytes": _im.encode(px, fmt), "fmt": fmt}
+                )
+            yield _pd.DataFrame(rows, columns=["doc_id", "bytes", "fmt"])
+
+    media = d.mapInPandas(gen, schema="doc_id long, bytes binary, fmt string")
+
+    def keyed(batches):
+        for pdf in batches:
+            keys = []
+            for data, fmt in zip(pdf["bytes"], pdf["fmt"]):
+                px = _im.decode(bytes(data), fmt)
+                h = _hashlib.sha256()
+                h.update(_np.int64(px.shape[0]).tobytes())
+                h.update(_np.int64(px.shape[1]).tobytes())
+                h.update(_np.ascontiguousarray(px).tobytes())
+                keys.append(h.hexdigest())
+            yield _pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "fmt": pdf["fmt"], "pxkey": keys}
+            )
+
+    hashed = media.mapInPandas(
+        keyed, schema="doc_id long, fmt string, pxkey string"
+    )
+    return (
+        hashed.groupBy("pxkey")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.concat_ws(",", F.sort_array(F.collect_set("fmt"))).alias("fmts"),
+        )
+        .select(
+            "keeper_doc_id",
+            "n_copies",
+            F.size(F.split("fmts", ",")).alias("n_formats"),
+            "fmts",
+        )
+    )
+
+
+def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC 1.1 sink -> source roundtrip (mechaml_spark.warc): each
+    document becomes a ``response`` record wrapping a minimal HTTP
+    response; segments are one-per-partition (no shuffle — the
+    Common Crawl sharding shape), then parsed back by Content-Length
+    framing.  The WARC Content-Length is a closed form over the body
+    byte length (63 fixed header bytes + the digits of the length +
+    the body), so the oracle is pure SQL."""
+    from mechaml_spark import warc as _warc
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 300)
+        .select(
+            F.col("doc_id"),
+            F.concat(F.lit("http://docs.test/"), F.col("doc_id")).alias("uri"),
+            F.col("text").alias("body"),
+            F.lit("2026-01-01T00:00:00Z").alias("date"),
+        )
+    )
+    segs = _warc.to_warc_segments(d)
+    recs = _warc.parse_warc_segments(segs)
+    block_s = F.col("block").cast("string")
+    return recs.select(
+        F.element_at(F.split("uri", "/"), -1).cast("long").alias("doc_id"),
+        "warc_type",
+        "content_length",
+        F.substring(block_s, 10, 3).cast("int").alias("status"),
+        F.substring(F.split(block_s, "\r\n\r\n", 2)[1], 1, 12).alias(
+            "body_prefix"
+        ),
+    )
+
+
 def q_html_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Visible-text extraction from full HTML pages, expression-only
     (:func:`mechaml_spark.extract.html_visible_text`).  Pages are
@@ -1763,6 +1874,8 @@ QUERIES = {
     "image_tiff_features": q_image_tiff_features,
     "image_ico_features": q_image_ico_features,
     "image_qoi_features": q_image_qoi_features,
+    "image_pixel_dedup": q_image_pixel_dedup,
+    "warc_roundtrip": q_warc_roundtrip,
     "html_text": q_html_text,
     "robots_rfc": q_robots_rfc,
     "mime_sniff": q_mime_sniff,
@@ -2121,6 +2234,26 @@ ORACLES = {
                CAST((doc_id * 11) % 200 AS BIGINT) * 1000 + 5500 AS mean_g,
                CAST((doc_id * 13) % 251 AS BIGINT) * 1000 AS mean_b
         FROM documents WHERE doc_id < 200
+    """,
+    "image_pixel_dedup": """
+        SELECT gid AS keeper_doc_id,
+               CAST(CASE WHEN gid < 40 THEN 5 ELSE 4 END AS BIGINT)
+                   AS n_copies,
+               CAST(CASE WHEN gid < 40 THEN 5 ELSE 4 END AS INT)
+                   AS n_formats,
+               CASE WHEN gid < 40 THEN 'bmp,png,ppm,qoi,tiff'
+                    ELSE 'bmp,png,ppm,tiff' END AS fmts
+        FROM (SELECT DISTINCT doc_id % 60 AS gid
+              FROM documents WHERE doc_id < 280) t
+    """,
+    "warc_roundtrip": """
+        SELECT doc_id,
+               'response' AS warc_type,
+               CAST(63 + length(CAST(strlen(text) AS VARCHAR))
+                    + strlen(text) AS BIGINT) AS content_length,
+               CAST(200 AS INT) AS status,
+               substr(text, 1, 12) AS body_prefix
+        FROM documents WHERE doc_id < 300
     """,
     "html_text": """
         SELECT doc_id,

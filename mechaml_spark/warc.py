@@ -1,0 +1,255 @@
+"""WARC 1.1 (ISO 28500) segment writer + reader, Spark-first.
+
+The Web ARChive format is the interchange format every production
+crawl speaks (Common Crawl, Heritrix, wget --warc).  This module
+gives the engine a WARC sink and source with the scale shape right:
+
+- **sink**: one WARC *segment* per input partition — records are
+  serialized inside ``mapInPandas`` and concatenated per partition,
+  so no shuffle and no driver involvement; a 1000-executor crawl
+  writes 1000s of independent segment objects, which is exactly how
+  Common Crawl shards its corpus.  Optional per-record gzip members
+  (the ``.warc.gz`` convention: each record its own gzip member so
+  readers can seek to member boundaries).
+- **source**: segments split back into records by honest
+  Content-Length framing (never regex over the block), again inside
+  ``mapInPandas`` — one segment is one task, records never cross
+  segment boundaries by construction.
+
+Determinism: record ids are UUIDv5-style names derived from the
+target URI, and WARC-Date is caller-provided — same input, same
+bytes, which is what the snapshot/equivalence testing story needs.
+
+Spec: https://iipc.github.io/warc-specifications/ (WARC/1.1).
+Reference parity note: the reference engine has no archive sink; this
+is engine-brief breadth for the crawl tier (BASELINE.json category
+"crawl").
+"""
+
+from __future__ import annotations
+
+import hashlib
+import io
+import zlib
+from typing import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+CRLF = b"\r\n"
+
+
+def build_http_response(
+    body: bytes,
+    status: int = 200,
+    reason: str = "OK",
+    content_type: str = "text/plain",
+) -> bytes:
+    """Serialize a minimal HTTP/1.1 response message (the payload of
+    a WARC ``response`` record per the spec's
+    ``application/http;msgtype=response`` block type)."""
+    head = (
+        f"HTTP/1.1 {status} {reason}\r\n"
+        f"Content-Type: {content_type}\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    )
+    return head.encode("ascii") + body
+
+
+def parse_http_response(block: bytes) -> tuple[int, dict[str, str], bytes]:
+    """Split an HTTP response block into (status, headers, body)."""
+    sep = block.index(b"\r\n\r\n")
+    head_lines = block[:sep].decode("iso-8859-1").split("\r\n")
+    status = int(head_lines[0].split(" ", 2)[1])
+    headers = {}
+    for line in head_lines[1:]:
+        k, _, v = line.partition(":")
+        headers[k.strip().lower()] = v.strip()
+    return status, headers, block[sep + 4 :]
+
+
+def record_id_for(uri: str) -> str:
+    """Deterministic ``urn:uuid:`` record id: UUIDv5-shaped name from
+    the target URI (md5-based so no uuid module variance)."""
+    h = hashlib.md5(uri.encode("utf-8")).hexdigest()
+    return (
+        f"urn:uuid:{h[0:8]}-{h[8:12]}-5{h[13:16]}-"
+        f"a{h[17:20]}-{h[20:32]}"
+    )
+
+
+def warc_record(
+    warc_type: str,
+    uri: str,
+    date: str,
+    block: bytes,
+    content_type: str = "application/http;msgtype=response",
+) -> bytes:
+    """One WARC/1.1 record: named headers, CRLF framing, the block,
+    and the spec's two trailing CRLFs.  Header order is fixed for
+    byte-determinism."""
+    head = (
+        "WARC/1.1\r\n"
+        f"WARC-Type: {warc_type}\r\n"
+        f"WARC-Record-ID: <{record_id_for(uri)}>\r\n"
+        f"WARC-Date: {date}\r\n"
+        f"WARC-Target-URI: {uri}\r\n"
+        f"Content-Type: {content_type}\r\n"
+        f"Content-Length: {len(block)}\r\n\r\n"
+    )
+    return head.encode("ascii") + block + CRLF + CRLF
+
+
+def gzip_member(data: bytes) -> bytes:
+    """One gzip member (mtime pinned to 0 for byte-determinism)."""
+    co = zlib.compressobj(9, zlib.DEFLATED, zlib.MAX_WBITS | 16)
+    # wbits|16 writes a gzip header with mtime taken from time() — so
+    # build the member manually: fixed header, raw deflate, crc+size
+    raw = zlib.compressobj(9, zlib.DEFLATED, -zlib.MAX_WBITS)
+    del co
+    body = raw.compress(data) + raw.flush()
+    header = b"\x1f\x8b\x08\x00\x00\x00\x00\x00\x00\xff"
+    import struct as _struct
+
+    trailer = _struct.pack(
+        "<II", zlib.crc32(data) & 0xFFFFFFFF, len(data) & 0xFFFFFFFF
+    )
+    return header + body + trailer
+
+
+def gunzip_members(data: bytes) -> bytes:
+    """Decompress a concatenation of gzip members (the .warc.gz
+    layout) back into one byte stream."""
+    out = io.BytesIO()
+    pos = 0
+    while pos < len(data):
+        d = zlib.decompressobj(zlib.MAX_WBITS | 16)
+        out.write(d.decompress(data[pos:]))
+        rest = d.unused_data
+        if not rest:
+            break
+        pos = len(data) - len(rest)
+    return out.getvalue()
+
+
+def warc_split(stream: bytes) -> Iterator[tuple[dict[str, str], bytes]]:
+    """Iterate (headers, block) over a WARC stream using the spec's
+    Content-Length framing."""
+    pos = 0
+    n = len(stream)
+    while pos < n:
+        sep = stream.find(b"\r\n\r\n", pos)
+        if sep < 0:
+            raise ValueError("truncated WARC header")
+        head = stream[pos:sep].decode("iso-8859-1").split("\r\n")
+        if not head[0].startswith("WARC/"):
+            raise ValueError(f"bad WARC version line {head[0]!r}")
+        headers = {"WARC-Version": head[0]}
+        for line in head[1:]:
+            k, _, v = line.partition(":")
+            headers[k.strip()] = v.strip()
+        length = int(headers["Content-Length"])
+        start = sep + 4
+        block = stream[start : start + length]
+        if len(block) != length:
+            raise ValueError("truncated WARC block")
+        if stream[start + length : start + length + 4] != CRLF + CRLF:
+            raise ValueError("missing record trailer CRLFs")
+        yield headers, block
+        pos = start + length + 4
+
+
+SEGMENT_T = T.StructType(
+    [
+        T.StructField("segment", T.BinaryType()),
+        T.StructField("n_records", T.LongType()),
+    ]
+)
+
+RECORD_T = T.StructType(
+    [
+        T.StructField("uri", T.StringType()),
+        T.StructField("warc_type", T.StringType()),
+        T.StructField("warc_date", T.StringType()),
+        T.StructField("record_id", T.StringType()),
+        T.StructField("content_length", T.LongType()),
+        T.StructField("block", T.BinaryType()),
+    ]
+)
+
+
+def to_warc_segments(
+    df: DataFrame,
+    uri_col: str = "uri",
+    body_col: str = "body",
+    date_col: str = "date",
+    compress: bool = False,
+) -> DataFrame:
+    """Sink: one WARC segment per input partition.  Each row becomes
+    a ``response`` record whose block is a minimal HTTP/1.1 response
+    wrapping ``body_col``; with ``compress`` each record is its own
+    gzip member (.warc.gz convention)."""
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        buf = io.BytesIO()
+        count = 0
+        for pdf in batches:
+            for uri, body, date in zip(
+                pdf[uri_col], pdf[body_col], pdf[date_col]
+            ):
+                body_b = (
+                    body if isinstance(body, (bytes, bytearray))
+                    else str(body).encode("utf-8")
+                )
+                rec = warc_record(
+                    "response", str(uri), str(date),
+                    build_http_response(bytes(body_b)),
+                )
+                buf.write(gzip_member(rec) if compress else rec)
+                count += 1
+        if count:
+            yield pd.DataFrame(
+                [{"segment": buf.getvalue(), "n_records": count}]
+            )
+
+    return df.mapInPandas(run, schema=SEGMENT_T)
+
+
+def parse_warc_segments(
+    seg_df: DataFrame, segment_col: str = "segment", compressed: bool = False
+) -> DataFrame:
+    """Source: explode WARC segments back into records — one segment
+    per task, Content-Length framing, loud failure on malformed
+    streams."""
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for seg in pdf[segment_col]:
+                stream = bytes(seg)
+                if compressed:
+                    stream = gunzip_members(stream)
+                for headers, block in warc_split(stream):
+                    rows.append(
+                        {
+                            "uri": headers.get("WARC-Target-URI"),
+                            "warc_type": headers.get("WARC-Type"),
+                            "warc_date": headers.get("WARC-Date"),
+                            "record_id": headers.get(
+                                "WARC-Record-ID", ""
+                            ).strip("<>"),
+                            "content_length": int(headers["Content-Length"]),
+                            "block": block,
+                        }
+                    )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "uri", "warc_type", "warc_date", "record_id",
+                        "content_length", "block",
+                    ],
+                )
+
+    return seg_df.mapInPandas(run, schema=RECORD_T)
