@@ -1030,6 +1030,68 @@ def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sitemap_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemaps-protocol extraction (mechaml_spark.sitemap): even
+    docs carry a ``<urlset>`` (3 entries exercising canonicalization
+    — uppercase scheme/host, default :80, dot segments, ``&amp;`` —
+    plus absent lastmod/priority fields), odd docs a
+    ``<sitemapindex>`` (2 children).  Parsing is regexp_extract_all +
+    posexplode, JVM-side; locs go through the frontier's
+    canonicalizer so they dedupe against crawl-discovered URLs."""
+    from mechaml_spark import sitemap as _sm
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    h = F.col("doc_id") % 20
+    dd = F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0")
+    base = F.concat(F.lit("http://host"), h, F.lit(".test"))
+    urlset = F.concat(
+        F.lit('<?xml version="1.0"?><urlset '
+              'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+              "<url><loc> HTTP://Host"),
+        h,
+        F.lit(".TEST:80/s"),
+        F.col("doc_id"),
+        F.lit("/p0 </loc><lastmod>2026-01-"),
+        dd,
+        F.lit("</lastmod><priority>0.1</priority></url>\n<url><loc>"),
+        base,
+        F.lit("/s"),
+        F.col("doc_id"),
+        F.lit("/p1?a=1&amp;b=2</loc><priority>0.9</priority></url>\n"
+              "<url><loc>"),
+        base,
+        F.lit("/s"),
+        F.col("doc_id"),
+        F.lit("/x/../p2</loc><lastmod>2026-02-"),
+        dd,
+        F.lit("</lastmod></url>\n</urlset>"),
+    )
+    index = F.concat(
+        F.lit('<?xml version="1.0"?><sitemapindex '
+              'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+              "<sitemap><loc>"),
+        base,
+        F.lit("/sitemaps/"),
+        F.col("doc_id"),
+        F.lit("-0.xml</loc><lastmod>2026-03-"),
+        dd,
+        F.lit("</lastmod></sitemap>\n<sitemap><loc>"),
+        base,
+        F.lit("/sitemaps/"),
+        F.col("doc_id"),
+        F.lit("-1.xml</loc><lastmod>2026-03-"),
+        dd,
+        F.lit("</lastmod></sitemap>\n</sitemapindex>"),
+    )
+    pages = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, urlset).otherwise(index).alias(
+            "body"
+        ),
+    )
+    return _sm.parse_sitemaps(pages, keep_cols=("doc_id",))
+
+
 def q_html_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Visible-text extraction from full HTML pages, expression-only
     (:func:`mechaml_spark.extract.html_visible_text`).  Pages are
@@ -1876,6 +1938,7 @@ QUERIES = {
     "image_qoi_features": q_image_qoi_features,
     "image_pixel_dedup": q_image_pixel_dedup,
     "warc_roundtrip": q_warc_roundtrip,
+    "sitemap_extract": q_sitemap_extract,
     "html_text": q_html_text,
     "robots_rfc": q_robots_rfc,
     "mime_sniff": q_mime_sniff,
@@ -2254,6 +2317,40 @@ ORACLES = {
                CAST(200 AS INT) AS status,
                substr(text, 1, 12) AS body_prefix
         FROM documents WHERE doc_id < 300
+    """,
+    "sitemap_extract": """
+        WITH ks AS (SELECT unnest(range(3)) AS k)
+        SELECT d.doc_id,
+               CASE WHEN d.doc_id % 2 = 0 THEN 'url'
+                    ELSE 'sitemap' END AS kind,
+               CAST(k AS INT) AS pos,
+               CASE WHEN d.doc_id % 2 = 0 THEN
+                    'http://host' || (d.doc_id % 20) || '.test/s'
+                        || d.doc_id ||
+                    CASE k WHEN 0 THEN '/p0'
+                           WHEN 1 THEN '/p1?a=1&b=2'
+                           ELSE '/p2' END
+               ELSE
+                    'http://host' || (d.doc_id % 20) || '.test/sitemaps/'
+                        || d.doc_id || '-' || k || '.xml'
+               END AS loc,
+               CASE WHEN d.doc_id % 2 = 0 THEN
+                    CASE k WHEN 0 THEN '2026-01-'
+                               || lpad(CAST(d.doc_id % 28 + 1 AS VARCHAR),
+                                       2, '0')
+                           WHEN 2 THEN '2026-02-'
+                               || lpad(CAST(d.doc_id % 28 + 1 AS VARCHAR),
+                                       2, '0')
+                    END
+               ELSE '2026-03-'
+                        || lpad(CAST(d.doc_id % 28 + 1 AS VARCHAR), 2, '0')
+               END AS lastmod,
+               CASE WHEN d.doc_id % 2 = 0 THEN
+                    CAST(CASE k WHEN 0 THEN 0.1 WHEN 1 THEN 0.9 END
+                         AS DOUBLE)
+               END AS priority
+        FROM documents d CROSS JOIN ks
+        WHERE d.doc_id < 200 AND (d.doc_id % 2 = 0 OR k < 2)
     """,
     "html_text": """
         SELECT doc_id,

@@ -1,0 +1,82 @@
+"""Sitemaps-protocol support (sitemaps.org, the public standard every
+production crawler consumes alongside robots.txt).
+
+Expression-only: ``<urlset>`` / ``<sitemapindex>`` documents are
+split with JVM-side ``regexp_extract_all`` + ``posexplode`` — no
+Python in the hot path, so a 100-TB sweep over fetched sitemap bodies
+stays inside whole-stage codegen.  Extracted ``<loc>`` values are
+canonicalized with the same :func:`mechaml_spark.page.canonicalize_col`
+expression the frontier uses, so sitemap-discovered URLs dedupe
+against crawl-discovered ones in the seen-set by construction.
+
+Boundaries (documented, loud): gzipped ``sitemap.xml.gz`` bodies must
+be decompressed upstream (the fetch layer owns transfer decoding);
+entity-encoded ``&amp;`` in ``<loc>`` is unescaped here (the spec
+requires escaping), other entities pass through.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mechaml_spark import page
+
+_URL_BLOCK = r"(?s)<url>(.*?)</url>"
+_IDX_BLOCK = r"(?s)<sitemap>(.*?)</sitemap>"
+_LOC = r"(?s)<loc>\s*(.*?)\s*</loc>"
+_LASTMOD = r"(?s)<lastmod>\s*(.*?)\s*</lastmod>"
+_PRIORITY = r"(?s)<priority>\s*(.*?)\s*</priority>"
+
+
+def _field(entry: Column, pattern: str) -> Column:
+    got = F.regexp_extract(entry, pattern, 1)
+    return F.when(got != "", got)
+
+
+def parse_sitemaps(
+    df: DataFrame, xml_col: str = "body", keep_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Explode sitemap XML into one row per entry.
+
+    Output columns: ``keep_cols`` + ``kind`` ('url' for ``<urlset>``
+    entries, 'sitemap' for ``<sitemapindex>`` children), ``pos``
+    (document order), ``loc`` (canonicalized), ``lastmod`` and
+    ``priority`` (null where absent — index entries carry no
+    priority per the spec).
+    """
+    xml = F.col(xml_col)
+    is_index = xml.contains("<sitemapindex")
+    blocks = F.when(
+        is_index, F.regexp_extract_all(xml, F.lit(_IDX_BLOCK), 1)
+    ).otherwise(F.regexp_extract_all(xml, F.lit(_URL_BLOCK), 1))
+    kind = F.when(is_index, F.lit("sitemap")).otherwise(F.lit("url"))
+
+    exploded = df.select(
+        *[F.col(c) for c in keep_cols],
+        kind.alias("kind"),
+        F.posexplode(blocks).alias("pos", "entry"),
+    )
+    raw_loc = _field(F.col("entry"), _LOC)
+    loc = page.canonicalize_col(F.replace(raw_loc, F.lit("&amp;"), F.lit("&")))
+    return exploded.select(
+        *keep_cols,
+        "kind",
+        "pos",
+        loc.alias("loc"),
+        _field(F.col("entry"), _LASTMOD).alias("lastmod"),
+        _field(F.col("entry"), _PRIORITY).cast("double").alias("priority"),
+    ).where(F.col("loc").isNotNull())
+
+
+def sitemap_seeds(entries: DataFrame) -> DataFrame:
+    """Frontier-shaped seed rows from parsed entries: ``url`` kind
+    only, deduped on the canonical loc, priority defaulted to the
+    spec's 0.5, highest-priority copy kept per URL.  Shuffle carries
+    (loc, priority) — a hash-partitioned groupBy, never a window over
+    all rows."""
+    urls = entries.where(F.col("kind") == "url").select(
+        F.col("loc").alias("url_norm"),
+        F.coalesce(F.col("priority"), F.lit(0.5)).alias("priority"),
+    )
+    return urls.groupBy("url_norm").agg(F.max("priority").alias("priority"))
