@@ -228,6 +228,148 @@ def strip_exif(
     return df.mapInPandas(run, schema=out_schema)
 
 
+def area_downsample(px: np.ndarray, fy: int, fx: int) -> np.ndarray:
+    """Exact integer box-filter downsample by (fy, fx): each output
+    pixel is the floor-mean of its fy x fx block (the standard
+    thumbnail filter, deterministic across platforms).  Dimensions
+    must divide evenly — loud failure otherwise."""
+    h, w = px.shape[:2]
+    if h % fy or w % fx:
+        raise ValueError(f"{h}x{w} not divisible by {fy}x{fx}")
+    acc = (
+        px.reshape(h // fy, fy, w // fx, fx, -1)
+        .astype(np.uint32)
+        .sum(axis=(1, 3))
+    )
+    return (acc // (fy * fx)).astype(np.uint8)
+
+
+def center_crop(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Center crop to (out_h, out_w); floor-offset like the common
+    training-pipeline transform; loud failure when the crop exceeds
+    the image."""
+    h, w = px.shape[:2]
+    if out_h > h or out_w > w:
+        raise ValueError(f"crop {out_h}x{out_w} exceeds image {h}x{w}")
+    y0 = (h - out_h) // 2
+    x0 = (w - out_w) // 2
+    return px[y0 : y0 + out_h, x0 : x0 + out_w]
+
+
+def thumbnail_images(
+    df: DataFrame,
+    fy: int,
+    fx: int,
+    crop_h: int,
+    crop_w: int,
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+    out_col: str = "thumb",
+) -> DataFrame:
+    """Training-data preprocessing chain: decode -> exact area
+    downsample by (fy, fx) -> center crop to (crop_h, crop_w) ->
+    re-encode in the same format.  One decode per row inside
+    mapInPandas; only encoded bytes cross stage boundaries."""
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.BinaryType())]
+    )
+    cols = df.columns
+
+    def one(data, fmt):
+        if data is None:
+            return None
+        px = imaging.decode(bytes(data), fmt)
+        small = area_downsample(px, fy, fx)
+        return imaging.encode(
+            np.ascontiguousarray(center_crop(small, crop_h, crop_w)), fmt
+        )
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[cols].copy()
+            out[out_col] = [
+                one(b, f) for b, f in zip(pdf[bytes_col], pdf[fmt_col])
+            ]
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+_ORIENT_OPS = {
+    # EXIF orientation tag -> upright transform of the STORED pixels
+    # (TIFF 6.0 / EXIF 2.32 table: 2 mirror-H, 3 rot180, 4 mirror-V,
+    # 5 transpose, 6 rotate-90-CW, 7 transverse, 8 rotate-270-CW)
+    1: lambda px: px,
+    2: lambda px: px[:, ::-1],
+    3: lambda px: px[::-1, ::-1],
+    4: lambda px: px[::-1, :],
+    5: lambda px: np.transpose(px, (1, 0, 2)),
+    6: lambda px: np.rot90(px, k=-1),
+    7: lambda px: np.transpose(px[::-1, ::-1], (1, 0, 2)),
+    8: lambda px: np.rot90(px, k=1),
+}
+
+# inverse transforms (stored = distort(upright)); 2/3/4/5/7 are
+# self-inverse, 6 and 8 swap
+ORIENT_DISTORT = {**_ORIENT_OPS, 6: _ORIENT_OPS[8], 8: _ORIENT_OPS[6]}
+
+
+def normalize_orientation(
+    df: DataFrame,
+    bytes_col: str = "bytes",
+    out_col: str = "upright",
+    quality: int = 95,
+) -> DataFrame:
+    """Bake the EXIF Orientation tag into the pixels: decode the
+    JPEG, apply the upright transform for tags 2-8 (rotations swap
+    w/h), re-encode with the orientation metadata gone.  Tag 1 /
+    missing EXIF rows re-encode untransformed.  Adds a struct column
+    ``out_col``: (orientation, w, h, bytes) where w/h are the
+    UPRIGHT dimensions.  Runs per Arrow batch inside mapInPandas —
+    encoded bytes in, encoded bytes out, nothing decoded crosses a
+    shuffle."""
+    from mechaml_spark import exif as _exif
+    from mechaml_spark.jpeg import jpeg_decode, jpeg_encode
+
+    out_t = T.StructType(
+        [
+            T.StructField("orientation", T.IntegerType()),
+            T.StructField("w", T.IntegerType()),
+            T.StructField("h", T.IntegerType()),
+            T.StructField("bytes", T.BinaryType()),
+        ]
+    )
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, out_t)]
+    )
+    cols = df.columns
+
+    def one(data):
+        if data is None:
+            return {"orientation": None, "w": None, "h": None, "bytes": None}
+        b = bytes(data)
+        try:
+            tag = int(_exif.exif_parse(b).get("Orientation", 1))
+        except Exception:
+            tag = 1
+        px = jpeg_decode(b)
+        up = _ORIENT_OPS.get(tag, _ORIENT_OPS[1])(px)
+        return {
+            "orientation": tag,
+            "w": int(up.shape[1]),
+            "h": int(up.shape[0]),
+            "bytes": jpeg_encode(np.ascontiguousarray(up), quality=quality),
+        }
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[cols].copy()
+            out[out_col] = [one(b) for b in pdf[bytes_col]]
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 def dhash64_udf():
     """Arrow-batched perceptual-hash column: (bytes, fmt) -> int64
     dHash (see :func:`mechaml_spark.imaging.dhash64`).  NULL for

@@ -1092,6 +1092,157 @@ def q_sitemap_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sm.parse_sitemaps(pages, keep_cols=("doc_id",))
 
 
+def q_image_orientation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF-orientation normalization (multimodal.normalize_
+    orientation): every doc is a 16x16 four-quadrant-constant JPEG
+    (q95 round-trips bit-exact on 8x8-aligned constant blocks) whose
+    pixels are stored DISTORTED per its EXIF Orientation tag
+    (1 + doc_id % 8 — all eight dihedral elements), so only the
+    correct upright transform restores the canonical quadrant layout.
+    The oracle states the restored corners in closed form; a wrong
+    (or identity) transform permutes them and hash-mismatches.  Also
+    proves the baked-out bytes carry no EXIF anymore."""
+    import numpy as _np
+    import pandas as _pd
+
+    from mechaml_spark import exif as _exif
+    from mechaml_spark import multimodal
+    from mechaml_spark.jpeg import jpeg_decode as _jdec
+    from mechaml_spark.jpeg import jpeg_encode as _jenc
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 240
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                tag = 1 + did % 8
+                up = _np.empty((16, 16, 3), _np.uint8)
+                up[:8, :8] = (did * 7) % 200 + 10
+                up[:8, 8:] = (did * 11) % 200 + 20
+                up[8:, :8] = (did * 13) % 200 + 5
+                up[8:, 8:] = (did * 17) % 200 + 15
+                stored = _np.ascontiguousarray(
+                    multimodal.ORIENT_DISTORT[tag](up)
+                )
+                data = _exif.jpeg_set_exif(
+                    _jenc(stored, quality=95),
+                    _exif.exif_payload({"Orientation": tag}),
+                )
+                rows.append({"doc_id": did, "bytes": data})
+            yield _pd.DataFrame(rows, columns=["doc_id", "bytes"])
+
+    media = d.mapInPandas(gen, schema="doc_id long, bytes binary")
+    fixed = multimodal.normalize_orientation(media)
+
+    def corners(batches):
+        for pdf in batches:
+            rows = []
+            for did, up in zip(pdf["doc_id"], pdf["upright"]):
+                px = _jdec(bytes(up["bytes"]))
+                rows.append(
+                    {
+                        "doc_id": int(did),
+                        "orientation": int(up["orientation"]),
+                        "w": int(up["w"]),
+                        "h": int(up["h"]),
+                        "tl": int(px[0, 0, 0]),
+                        "tr": int(px[0, 15, 0]),
+                        "bl": int(px[15, 0, 0]),
+                        "br": int(px[15, 15, 0]),
+                        "exif_gone": not _exif.exif_parse(
+                            bytes(up["bytes"])
+                        ),
+                    }
+                )
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "orientation", "w", "h",
+                    "tl", "tr", "bl", "br", "exif_gone",
+                ],
+            )
+
+    return fixed.mapInPandas(
+        corners,
+        schema=(
+            "doc_id long, orientation int, w int, h int, "
+            "tl int, tr int, bl int, br int, exif_gone boolean"
+        ),
+    )
+
+
+def q_image_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnail preprocessing chain (multimodal.thumbnail_images):
+    decode -> exact 2x2 box-filter downsample -> center crop 8x8 ->
+    re-encode, cycling PNG/BMP/QOI containers.  Source images are
+    32x32 four-quadrant constants, so the downsample is exact, the
+    crop corners land one per quadrant, and the whole row is a
+    closed form the oracle states directly."""
+    import numpy as _np
+    import pandas as _pd
+
+    from mechaml_spark import imaging as _im
+    from mechaml_spark import multimodal
+
+    fmts = ["png", "bmp", "qoi"]
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 240
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                px = _np.empty((32, 32, 3), _np.uint8)
+                px[:16, :16] = (did * 7) % 200 + 10
+                px[:16, 16:] = (did * 11) % 200 + 20
+                px[16:, :16] = (did * 13) % 200 + 5
+                px[16:, 16:] = (did * 17) % 200 + 15
+                fmt = fmts[did % 3]
+                rows.append(
+                    {"doc_id": did, "bytes": _im.encode(px, fmt), "fmt": fmt}
+                )
+            yield _pd.DataFrame(rows, columns=["doc_id", "bytes", "fmt"])
+
+    media = d.mapInPandas(gen, schema="doc_id long, bytes binary, fmt string")
+    thumbed = multimodal.thumbnail_images(media, 2, 2, 8, 8)
+
+    def corners(batches):
+        for pdf in batches:
+            rows = []
+            for did, fmt, tb in zip(
+                pdf["doc_id"], pdf["fmt"], pdf["thumb"]
+            ):
+                px = _im.decode(bytes(tb), str(fmt))
+                rows.append(
+                    {
+                        "doc_id": int(did),
+                        "fmt": str(fmt),
+                        "w": int(px.shape[1]),
+                        "h": int(px.shape[0]),
+                        "tl": int(px[0, 0, 0]),
+                        "tr": int(px[0, 7, 0]),
+                        "bl": int(px[7, 0, 0]),
+                        "br": int(px[7, 7, 0]),
+                    }
+                )
+            yield _pd.DataFrame(
+                rows,
+                columns=["doc_id", "fmt", "w", "h", "tl", "tr", "bl", "br"],
+            )
+
+    return thumbed.mapInPandas(
+        corners,
+        schema="doc_id long, fmt string, w int, h int, "
+        "tl int, tr int, bl int, br int",
+    )
+
+
 def q_html_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Visible-text extraction from full HTML pages, expression-only
     (:func:`mechaml_spark.extract.html_visible_text`).  Pages are
@@ -1658,6 +1809,114 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", guess.alias("guess"))
 
 
+def q_line_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide line-level dedup (the CCNet-style boilerplate
+    killer: a line is dropped when it occurs in >= 10 documents).
+    Bodies are synthesized expression-only — a per-host copyright
+    line (40 docs each), a universal cookie banner, a unique content
+    line, a 5-doc promo line, and a 1-in-3 newsletter line — so kept
+    vs dropped is a closed form.
+
+    Scale shape: explode lines -> groupBy(xxhash64(line)) count (the
+    shuffle carries an 8-byte hash + count, never bodies) -> hash
+    join back on the hash -> per-doc reassembly via sorted
+    collect_list.  No window over the corpus, no broadcast of the
+    (huge) line-frequency table."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    body = F.concat(
+        F.lit("(c) host"), F.col("doc_id") % 10,
+        F.lit(" - all rights reserved\naccept cookies to continue\ndoc "),
+        F.col("doc_id"), F.lit(" "), F.substring("text", 1, 40),
+        F.lit("\npromo code "), F.col("doc_id") % 80,
+        F.when(
+            F.col("doc_id") % 3 == 0, F.lit("\nsubscribe to our newsletter")
+        ).otherwise(F.lit("")),
+    )
+    lines = d.select(
+        "doc_id", F.posexplode(F.split(body, "\n")).alias("pos", "line")
+    ).withColumn("lh", F.xxhash64("line"))
+    counts = lines.groupBy("lh").agg(
+        F.count_distinct("doc_id").alias("n_docs")
+    )
+    tagged = lines.join(counts, "lh").withColumn(
+        "boiler", F.col("n_docs") >= 10
+    )
+    return tagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("boiler").cast("long")).alias("n_boiler"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            ~F.col("boiler"),
+                            F.struct(F.col("pos"), F.col("line")),
+                        )
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("kept"),
+    )
+
+
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals, per document: most
+    frequent token count, most frequent token-2-gram count, and the
+    repetition flag (top-unigram fraction > 0.3 or top-bigram
+    fraction > 0.2, integer arithmetic only).  Expression-only
+    2-gram construction (sequence + element_at), then two
+    partial-aggregating groupBys — shuffles carry (doc_id, term hash)
+    pairs, never documents."""
+    d = _t(spark, sf_dir, "documents")
+    toks = _toks(d.text)
+    base = d.select("doc_id", toks.alias("t"))
+    grams = base.select(
+        "doc_id",
+        F.size("t").alias("n_tokens"),
+        F.explode(
+            F.concat(
+                F.transform(F.col("t"), lambda x: F.concat(F.lit("1:"), x)),
+                F.when(
+                    F.size("t") >= 2,
+                    F.transform(
+                        # guard: sequence(1, 0) would DESCEND in Spark
+                        F.sequence(F.lit(1), F.size("t") - 1),
+                        lambda i: F.concat(
+                            F.lit("2:"),
+                            F.element_at(F.col("t"), i),
+                            F.lit(" "),
+                            F.element_at(F.col("t"), i + 1),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>")),
+            )
+        ).alias("term"),
+    )
+    per_term = grams.groupBy(
+        "doc_id", "n_tokens", F.substring("term", 1, 1).alias("order"), "term"
+    ).count()
+    per_doc = per_term.groupBy("doc_id", "n_tokens").agg(
+        F.max(F.when(F.col("order") == "1", F.col("count"))).alias(
+            "top_tok_n"
+        ),
+        F.max(F.when(F.col("order") == "2", F.col("count"))).alias(
+            "top_bigram_n"
+        ),
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "top_tok_n",
+        "top_bigram_n",
+        (
+            (10 * F.col("top_tok_n") > 3 * F.col("n_tokens"))
+            | (5 * F.col("top_bigram_n") > F.col("n_tokens") - 1)
+        ).alias("flagged"),
+    )
+
+
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force max-inner-product top-5 on integer-quantized
     embeddings (quantization keeps the cross-engine compare exact;
@@ -1939,6 +2198,10 @@ QUERIES = {
     "image_pixel_dedup": q_image_pixel_dedup,
     "warc_roundtrip": q_warc_roundtrip,
     "sitemap_extract": q_sitemap_extract,
+    "line_dedupe": q_line_dedupe,
+    "image_orientation": q_image_orientation,
+    "image_thumbnail": q_image_thumbnail,
+    "repetition_filter": q_repetition_filter,
     "html_text": q_html_text,
     "robots_rfc": q_robots_rfc,
     "mime_sniff": q_mime_sniff,
@@ -2351,6 +2614,62 @@ ORACLES = {
                END AS priority
         FROM documents d CROSS JOIN ks
         WHERE d.doc_id < 200 AND (d.doc_id % 2 = 0 OR k < 2)
+    """,
+    "image_thumbnail": """
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
+                    ELSE 'qoi' END AS fmt,
+               CAST(8 AS INT) AS w, CAST(8 AS INT) AS h,
+               CAST((doc_id * 7) % 200 + 10 AS INT) AS tl,
+               CAST((doc_id * 11) % 200 + 20 AS INT) AS tr,
+               CAST((doc_id * 13) % 200 + 5 AS INT) AS bl,
+               CAST((doc_id * 17) % 200 + 15 AS INT) AS br
+        FROM documents WHERE doc_id < 240
+    """,
+    "image_orientation": """
+        SELECT doc_id,
+               CAST(1 + doc_id % 8 AS INT) AS orientation,
+               CAST(16 AS INT) AS w, CAST(16 AS INT) AS h,
+               CAST((doc_id * 7) % 200 + 10 AS INT) AS tl,
+               CAST((doc_id * 11) % 200 + 20 AS INT) AS tr,
+               CAST((doc_id * 13) % 200 + 5 AS INT) AS bl,
+               CAST((doc_id * 17) % 200 + 15 AS INT) AS br,
+               TRUE AS exif_gone
+        FROM documents WHERE doc_id < 240
+    """,
+    "line_dedupe": """
+        SELECT doc_id,
+               CAST(4 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+                    AS BIGINT) AS n_lines,
+               CAST(2 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+                    AS BIGINT) AS n_boiler,
+               'doc ' || doc_id || ' ' || substr(text, 1, 40)
+                   || chr(10) || 'promo code ' || (doc_id % 80) AS kept
+        FROM documents WHERE doc_id < 400
+    """,
+    "repetition_filter": """
+        WITH base AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'),
+                               x -> x <> '') AS t
+            FROM documents),
+        uni AS (SELECT doc_id, unnest(t) AS term FROM base),
+        bi AS (SELECT b.doc_id, b.t[u.k] || ' ' || b.t[u.k + 1] AS term
+               FROM base b, unnest(range(1, len(b.t))) u(k)),
+        t1 AS (SELECT doc_id, max(n) AS top_tok_n FROM (
+                   SELECT doc_id, count(*) AS n FROM uni
+                   GROUP BY doc_id, term) GROUP BY doc_id),
+        b1 AS (SELECT doc_id, max(n) AS top_bigram_n FROM (
+                   SELECT doc_id, count(*) AS n FROM bi
+                   GROUP BY doc_id, term) GROUP BY doc_id)
+        SELECT base.doc_id,
+               CAST(len(base.t) AS BIGINT) AS n_tokens,
+               t1.top_tok_n, b1.top_bigram_n,
+               (10 * t1.top_tok_n > 3 * len(base.t)
+                OR 5 * b1.top_bigram_n > len(base.t) - 1) AS flagged
+        FROM base
+        JOIN t1 USING (doc_id)
+        LEFT JOIN b1 USING (doc_id)
     """,
     "html_text": """
         SELECT doc_id,

@@ -185,6 +185,7 @@ def to_warc_segments(
     body_col: str = "body",
     date_col: str = "date",
     compress: bool = False,
+    content_type: str = "text/plain",
 ) -> DataFrame:
     """Sink: one WARC segment per input partition.  Each row becomes
     a ``response`` record whose block is a minimal HTTP/1.1 response
@@ -204,7 +205,9 @@ def to_warc_segments(
                 )
                 rec = warc_record(
                     "response", str(uri), str(date),
-                    build_http_response(bytes(body_b)),
+                    build_http_response(
+                        bytes(body_b), content_type=content_type
+                    ),
                 )
                 buf.write(gzip_member(rec) if compress else rec)
                 count += 1

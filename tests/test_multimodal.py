@@ -391,3 +391,102 @@ def test_decode_audio_spark_compressed(spark):
     assert out["i"]["ok"] and out["i"]["peak"] == 900
     assert out["i"]["n_samples"] == spb and out["i"]["zero_crossings"] == 0
     assert out["bad"]["ok"] is False
+
+
+def test_orient_ops_dihedral_group():
+    """The eight EXIF orientation transforms: each upright op undoes
+    its distortion (stored = distort(upright) -> op(stored) ==
+    upright), on a non-square array so dimension swaps are exercised."""
+    import numpy as np
+
+    from mechaml_spark import multimodal
+
+    rng = np.random.default_rng(3)
+    up = rng.integers(0, 256, (6, 10, 3), dtype=np.uint8)
+    for tag in range(1, 9):
+        stored = multimodal.ORIENT_DISTORT[tag](up)
+        if tag in (5, 6, 7, 8):
+            assert stored.shape == (10, 6, 3)  # rotated/transposed
+        back = multimodal._ORIENT_OPS[tag](stored)
+        assert back.shape == up.shape and (back == up).all(), tag
+
+
+def test_normalize_orientation_spark(spark):
+    """Distorted JPEGs with EXIF Orientation 1-8 come back upright,
+    dimensions corrected, EXIF baked out; missing-EXIF rows pass as
+    tag 1."""
+    import numpy as np
+    import pandas as pd
+
+    from mechaml_spark import exif, multimodal
+    from mechaml_spark.jpeg import jpeg_decode, jpeg_encode
+
+    up = np.empty((16, 16, 3), np.uint8)
+    up[:8, :8], up[:8, 8:], up[8:, :8], up[8:, 8:] = 40, 90, 140, 190
+    rows = []
+    for tag in range(1, 9):
+        stored = np.ascontiguousarray(multimodal.ORIENT_DISTORT[tag](up))
+        data = exif.jpeg_set_exif(
+            jpeg_encode(stored, quality=95),
+            exif.exif_payload({"Orientation": tag}),
+        )
+        rows.append({"tag": tag, "bytes": data})
+    rows.append({"tag": 0, "bytes": jpeg_encode(up, quality=95)})  # no EXIF
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    got = {
+        r["tag"]: r["upright"]
+        for r in multimodal.normalize_orientation(df).collect()
+    }
+    for tag in range(1, 9):
+        u = got[tag]
+        assert u["orientation"] == tag
+        assert (u["w"], u["h"]) == (16, 16)
+        px = jpeg_decode(bytes(u["bytes"]))
+        assert (px == up).all(), tag
+        assert exif.exif_parse(bytes(u["bytes"])) == {}
+    assert got[0]["orientation"] == 1
+    assert (jpeg_decode(bytes(got[0]["bytes"])) == up).all()
+
+
+def test_area_downsample_and_center_crop_pure():
+    import numpy as np
+    import pytest
+
+    from mechaml_spark import multimodal
+
+    # floor-mean over 2x2 blocks, exact
+    px = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    small = multimodal.area_downsample(px, 2, 2)
+    assert small.shape == (2, 2, 3)
+    blk = px[:2, :2].astype(int)
+    assert (small[0, 0] == blk.reshape(4, 3).sum(0) // 4).all()
+    # asymmetric factors
+    assert multimodal.area_downsample(px, 4, 2).shape == (1, 2, 3)
+    with pytest.raises(ValueError):
+        multimodal.area_downsample(px, 3, 2)  # 4 % 3 != 0
+    crop = multimodal.center_crop(px, 2, 2)
+    assert (crop == px[1:3, 1:3]).all()
+    with pytest.raises(ValueError):
+        multimodal.center_crop(px, 8, 2)
+
+
+def test_thumbnail_images_spark(spark):
+    import numpy as np
+    import pandas as pd
+
+    from mechaml_spark import imaging, multimodal
+
+    up = np.empty((32, 32, 3), np.uint8)
+    up[:16, :16], up[:16, 16:], up[16:, :16], up[16:, 16:] = 10, 20, 30, 40
+    rows = [
+        {"fmt": fmt, "bytes": imaging.encode(up, fmt)}
+        for fmt in ("png", "bmp", "qoi")
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    for r in multimodal.thumbnail_images(df, 2, 2, 8, 8).collect():
+        px = imaging.decode(bytes(r["thumb"]), r["fmt"])
+        assert px.shape == (8, 8, 3)
+        # crop spans all four quadrants
+        assert (px[0, 0, 0], px[0, 7, 0], px[7, 0, 0], px[7, 7, 0]) == (
+            10, 20, 30, 40,
+        )
