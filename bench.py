@@ -142,42 +142,10 @@ def main() -> None:
     spark.conf.set("spark.sql.adaptive.enabled", "true")
 
     # ---- headline queries over the driver testdata ----
-    headline = [] if os.environ.get("BENCH_ONLY_CRAWL") else [
-        "extract_links",
-        "selector_suffix",
-        "dedup_exact",
-        "dedup_minhash",
-        "simhash_buckets",
-        "ngram_jaccard",
-        "image_features",
-        "image_phash",
-        "image_neardup",
-        "image_jpeg_features",
-        "image_jpeg_progressive",
-        "image_png_variants",
-        "audio_features",
-        "audio_g711_features",
-        "audio_adpcm_features",
-        "video_frames",
-        "video_frames_avi",
-        "token_stats",
-        "quality_filter",
-        "lang_id",
-        "embedding_topk",
-        "embedding_ann_lsh",
-        "embedding_ann_ivf",
-        "embedding_neardup",
-        "doc_fingerprint",
-        "politeness_topk",
-        "seen_dedupe",
-        "cookie_match",
-        "sessionize",
-        "pricing_summary",
-        "url_canonicalize",
-        "form_defaults",
-        "format_scalars",
-        "submit_fetch",
-    ]
+    # every registered driver query, in registration order — keeps
+    # the bench in lockstep with the correctness gate as operators
+    # are added
+    headline = [] if os.environ.get("BENCH_ONLY_CRAWL") else list(QUERIES)
     for name in headline:
         fn = QUERIES[name]
         t0 = time.perf_counter()
