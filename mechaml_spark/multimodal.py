@@ -95,10 +95,14 @@ def resize_images(
     bytes_col: str = "bytes",
     fmt_col: str = "fmt",
     out_col: str = "resized",
+    method: str = "nearest",
 ) -> DataFrame:
-    """Nearest-neighbor resize, re-encoded in the same format.  Real
-    for PNG/PPM/BMP/GIF/JPEG (JPEG re-encodes at quality 90); other
-    formats raise (no codecs in-sandbox)."""
+    """Resize (``method='nearest'`` or ``'bilinear'`` — fixed-point
+    half-pixel-center bilinear, bit-reproducible), re-encoded in the
+    same format.  Real for every repo codec (JPEG re-encodes at
+    quality 90); other formats raise (no codecs in-sandbox)."""
+    if method not in ("nearest", "bilinear"):
+        raise ValueError(f"unknown resize method {method!r}")
     out_schema = T.StructType(
         list(df.schema.fields) + [T.StructField(out_col, T.BinaryType())]
     )
@@ -109,6 +113,11 @@ def resize_images(
             if data is None:
                 return None
             px = imaging.decode(bytes(data), fmt)
+            if method == "bilinear":
+                return imaging.encode(
+                    np.ascontiguousarray(bilinear_resize(px, out_h, out_w)),
+                    fmt,
+                )
             ys = (np.arange(out_h) * px.shape[0] // out_h).astype(np.int64)
             xs = (np.arange(out_w) * px.shape[1] // out_w).astype(np.int64)
             return imaging.encode(px[ys][:, xs], fmt)
@@ -226,6 +235,39 @@ def strip_exif(
             yield out
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+def bilinear_resize(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Bilinear resize with the standard half-pixel-center convention
+    (align_corners=False: source coordinate = (dst + 0.5) * scale -
+    0.5, edges clamped).  Fixed-point integer arithmetic — weights in
+    1/256ths, rounded half-up — so results are bit-reproducible
+    across platforms, like every other pixel op in the repo.
+    Vectorized numpy; runs inside mapInPandas."""
+    h, w = px.shape[:2]
+    arr = px.reshape(h, w, -1).astype(np.int64)
+
+    def axis_coords(n_out, n_in):
+        # fixed-point source centers in 1/256ths of a pixel
+        c = ((2 * np.arange(n_out, dtype=np.int64) + 1) * n_in * 256) // (
+            2 * n_out
+        ) - 128
+        c = np.clip(c, 0, (n_in - 1) * 256)
+        i0 = c // 256
+        frac = c - i0 * 256
+        i1 = np.minimum(i0 + 1, n_in - 1)
+        return i0, i1, frac
+
+    y0, y1, fy = axis_coords(out_h, h)
+    x0, x1, fx = axis_coords(out_w, w)
+    fy = fy[:, None, None]
+    fx = fx[None, :, None]
+    top = arr[y0][:, x0] * (256 - fx) + arr[y0][:, x1] * fx
+    bot = arr[y1][:, x0] * (256 - fx) + arr[y1][:, x1] * fx
+    out = (top * (256 - fy) + bot * fy + 32768) // 65536
+    return np.clip(out, 0, 255).astype(np.uint8).reshape(
+        out_h, out_w, *px.shape[2:]
+    )
 
 
 def area_downsample(px: np.ndarray, fy: int, fx: int) -> np.ndarray:

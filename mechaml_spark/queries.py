@@ -1243,6 +1243,111 @@ def q_image_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_robots_sitemap_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl-bootstrap discovery chain, end to end: robots.txt
+    ``Sitemap:`` directives (mixed case, comment decoys, URL needing
+    canonicalization) -> declared sitemap URLs -> per-sitemap
+    ``<urlset>`` bodies -> seed URLs.  Everything expression-only;
+    even hosts declare two sitemaps, odd hosts one, each sitemap
+    listing two pages — all closed forms."""
+    from mechaml_spark import sitemap as _sm
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 120)
+    h = F.col("doc_id")
+    robots = F.concat(
+        F.lit("# Sitemap: http://decoy.test/ignored.xml\n"
+              "User-agent: *\nDisallow: /private\n"
+              "SiteMap: HTTP://Host"),
+        h,
+        F.lit(".TEST:80/sm/main.xml\n"),
+        F.when(
+            h % 2 == 0,
+            F.concat(
+                F.lit("sitemap: http://host"), h, F.lit(".test/sm/extra.xml\n")
+            ),
+        ).otherwise(F.lit("")),
+    )
+    discovered = _sm.robots_sitemap_discovery(
+        d.select("doc_id", robots.alias("body")), keep_cols=("doc_id",)
+    )
+    sm_name = F.regexp_extract("sitemap_url", r"sm/(\w+)\.xml", 1)
+    xml = F.concat(
+        F.lit("<urlset><url><loc>http://host"),
+        F.col("doc_id"),
+        F.lit(".test/"),
+        sm_name,
+        F.lit("/p0</loc></url><url><loc>http://host"),
+        F.col("doc_id"),
+        F.lit(".test/"),
+        sm_name,
+        F.lit("/p1</loc></url></urlset>"),
+    )
+    sitemaps = discovered.select("doc_id", "sm_pos", xml.alias("body"))
+    return _sm.parse_sitemaps(
+        sitemaps, keep_cols=("doc_id", "sm_pos")
+    ).select("doc_id", "sm_pos", "pos", "loc")
+
+
+def q_image_resize_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilinear resize (multimodal.resize_images method='bilinear',
+    fixed-point half-pixel centers): 16x16 even-slope ramps downscale
+    2x to exactly a + 2 + 4*(ox + oy) at every output pixel, so all
+    four corners are closed forms; a wrong convention (corner-aligned
+    sampling, nearest fallback) shifts them."""
+    import numpy as _np
+    import pandas as _pd
+
+    from mechaml_spark import imaging as _im
+    from mechaml_spark import multimodal
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 240
+    )
+
+    def gen(batches):
+        yy, xx = _np.mgrid[0:16, 0:16]
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                a = (did * 7) % 190
+                px = _np.empty((16, 16, 3), _np.uint8)
+                px[...] = (a + 2 * xx + 2 * yy)[..., None]
+                rows.append(
+                    {"doc_id": did, "bytes": _im.png_encode(px),
+                     "fmt": "png"}
+                )
+            yield _pd.DataFrame(rows, columns=["doc_id", "bytes", "fmt"])
+
+    media = d.mapInPandas(gen, schema="doc_id long, bytes binary, fmt string")
+    resized = multimodal.resize_images(media, 8, 8, method="bilinear")
+
+    def corners(batches):
+        for pdf in batches:
+            rows = []
+            for did, rb in zip(pdf["doc_id"], pdf["resized"]):
+                px = _im.png_decode(bytes(rb))
+                rows.append(
+                    {
+                        "doc_id": int(did),
+                        "w": int(px.shape[1]),
+                        "h": int(px.shape[0]),
+                        "tl": int(px[0, 0, 0]),
+                        "tr": int(px[0, 7, 0]),
+                        "bl": int(px[7, 0, 0]),
+                        "br": int(px[7, 7, 0]),
+                    }
+                )
+            yield _pd.DataFrame(
+                rows, columns=["doc_id", "w", "h", "tl", "tr", "bl", "br"]
+            )
+
+    return resized.mapInPandas(
+        corners,
+        schema="doc_id long, w int, h int, tl int, tr int, bl int, br int",
+    )
+
+
 def q_html_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Visible-text extraction from full HTML pages, expression-only
     (:func:`mechaml_spark.extract.html_visible_text`).  Pages are
@@ -2201,6 +2306,8 @@ QUERIES = {
     "line_dedupe": q_line_dedupe,
     "image_orientation": q_image_orientation,
     "image_thumbnail": q_image_thumbnail,
+    "robots_sitemap_chain": q_robots_sitemap_chain,
+    "image_resize_bilinear": q_image_resize_bilinear,
     "repetition_filter": q_repetition_filter,
     "html_text": q_html_text,
     "robots_rfc": q_robots_rfc,
@@ -2625,6 +2732,27 @@ ORACLES = {
                CAST((doc_id * 13) % 200 + 5 AS INT) AS bl,
                CAST((doc_id * 17) % 200 + 15 AS INT) AS br
         FROM documents WHERE doc_id < 240
+    """,
+    "image_resize_bilinear": """
+        SELECT doc_id,
+               CAST(8 AS INT) AS w, CAST(8 AS INT) AS h,
+               CAST((doc_id * 7) % 190 + 2 AS INT) AS tl,
+               CAST((doc_id * 7) % 190 + 30 AS INT) AS tr,
+               CAST((doc_id * 7) % 190 + 30 AS INT) AS bl,
+               CAST((doc_id * 7) % 190 + 58 AS INT) AS br
+        FROM documents WHERE doc_id < 240
+    """,
+    "robots_sitemap_chain": """
+        WITH sp AS (SELECT unnest(range(2)) AS sm_pos),
+             pp AS (SELECT unnest(range(2)) AS pos)
+        SELECT d.doc_id,
+               CAST(sm_pos AS INT) AS sm_pos,
+               CAST(pos AS INT) AS pos,
+               'http://host' || d.doc_id || '.test/'
+                   || CASE WHEN sm_pos = 0 THEN 'main' ELSE 'extra' END
+                   || '/p' || pos AS loc
+        FROM documents d, sp, pp
+        WHERE d.doc_id < 120 AND (sm_pos = 0 OR d.doc_id % 2 = 0)
     """,
     "image_orientation": """
         SELECT doc_id,

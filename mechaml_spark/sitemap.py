@@ -69,6 +69,38 @@ def parse_sitemaps(
     ).where(F.col("loc").isNotNull())
 
 
+_ROBOTS_SITEMAP = r"(?im)^[ \t]*sitemap[ \t]*:[ \t]*(\S+)"
+
+
+def sitemap_urls_col(body: Column) -> Column:
+    """``Sitemap:`` directives from a robots.txt body (RFC 9309 §2.3
+    / sitemaps.org discovery): case-insensitive key, one URL per
+    line, group-independent per the spec — so a single JVM-side
+    ``regexp_extract_all`` is the complete parse.  Returns the array
+    of raw URLs in file order; canonicalize per element downstream."""
+    return F.regexp_extract_all(body, F.lit(_ROBOTS_SITEMAP), 1)
+
+
+def robots_sitemap_discovery(
+    robots_df: DataFrame, body_col: str = "body", keep_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Explode each robots.txt into its declared sitemap URLs,
+    canonicalized into the frontier URL space — the crawl-bootstrap
+    edge robots -> sitemap.  Comment lines are dead per the robots
+    line parse (a ``#`` line cannot match ``^sitemap:``)."""
+    exploded = robots_df.select(
+        *[F.col(c) for c in keep_cols],
+        F.posexplode(sitemap_urls_col(F.col(body_col))).alias(
+            "sm_pos", "raw"
+        ),
+    )
+    return exploded.select(
+        *keep_cols,
+        "sm_pos",
+        page.canonicalize_col(F.col("raw")).alias("sitemap_url"),
+    )
+
+
 def sitemap_seeds(entries: DataFrame) -> DataFrame:
     """Frontier-shaped seed rows from parsed entries: ``url`` kind
     only, deduped on the canonical loc, priority defaulted to the

@@ -490,3 +490,56 @@ def test_thumbnail_images_spark(spark):
         assert (px[0, 0, 0], px[0, 7, 0], px[7, 0, 0], px[7, 7, 0]) == (
             10, 20, 30, 40,
         )
+
+
+def test_bilinear_resize_pure():
+    """Fixed-point half-pixel-center bilinear: exact on even-slope
+    ramps at integer downscale; within 2 of the float reference
+    anywhere (1/256 coordinate quantization); bit-reproducible."""
+    import numpy as np
+
+    from mechaml_spark.multimodal import bilinear_resize
+
+    yy, xx = np.mgrid[0:16, 0:16]
+    for a in (0, 7, 100, 193):
+        px = np.empty((16, 16, 3), np.uint8)
+        px[...] = (a + 2 * xx + 2 * yy)[..., None]
+        out = bilinear_resize(px, 8, 8)
+        oy, ox = np.mgrid[0:8, 0:8]
+        assert (out[..., 0] == (a + 2 + 4 * (ox + oy)).astype(np.uint8)).all()
+
+    rng = np.random.default_rng(5)
+    for (h, w, oh, ow) in [(16, 16, 8, 8), (9, 13, 17, 5), (4, 4, 11, 11),
+                           (1, 1, 3, 3), (12, 16, 7, 9)]:
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        got = bilinear_resize(px, oh, ow).astype(np.float64)
+        cy = np.clip((np.arange(oh) + 0.5) * h / oh - 0.5, 0, h - 1)
+        cx = np.clip((np.arange(ow) + 0.5) * w / ow - 0.5, 0, w - 1)
+        y0 = np.floor(cy).astype(int); x0 = np.floor(cx).astype(int)
+        y1 = np.minimum(y0 + 1, h - 1); x1 = np.minimum(x0 + 1, w - 1)
+        fy = (cy - y0)[:, None, None]; fx = (cx - x0)[None, :, None]
+        p = px.astype(np.float64)
+        top = p[y0][:, x0] * (1 - fx) + p[y0][:, x1] * fx
+        bot = p[y1][:, x0] * (1 - fx) + p[y1][:, x1] * fx
+        ref = top * (1 - fy) + bot * fy
+        assert np.abs(got - ref).max() <= 2.0, (h, w, oh, ow)
+        # deterministic
+        assert (bilinear_resize(px, oh, ow) == got.astype(np.uint8)).all()
+
+
+def test_resize_images_bilinear_spark(spark):
+    import numpy as np
+    import pandas as pd
+
+    from mechaml_spark import imaging, multimodal
+
+    yy, xx = np.mgrid[0:16, 0:16]
+    px = np.empty((16, 16, 3), np.uint8)
+    px[...] = (10 + 2 * xx + 2 * yy)[..., None]
+    df = spark.createDataFrame(
+        pd.DataFrame([{"fmt": "png", "bytes": imaging.png_encode(px)}])
+    )
+    [r] = multimodal.resize_images(df, 8, 8, method="bilinear").collect()
+    out = imaging.decode(bytes(r["resized"]), "png")
+    oy, ox = np.mgrid[0:8, 0:8]
+    assert (out[..., 0] == (12 + 4 * (ox + oy)).astype(np.uint8)).all()

@@ -94,3 +94,28 @@ def test_seeds_feed_the_frontier_seen_set(spark):
         crawl_side, "url_norm", "inner"
     )
     assert joined.count() == 1
+
+
+def test_robots_sitemap_discovery(spark):
+    """Sitemap: directives in robots.txt — case-insensitive key,
+    group-independent placement, comment lines dead, URLs
+    canonicalized."""
+    body = (
+        "# sitemap: http://decoy.test/no.xml\n"
+        "User-agent: googlebot\n"
+        "Disallow: /\n"
+        "SITEMAP: HTTP://Ex.COM:80/a.xml\n"
+        "User-agent: *\n"
+        "Allow: /\n"
+        "  Sitemap:   http://ex.com/b.xml\n"
+    )
+    df = spark.createDataFrame([{"host": "ex.com", "body": body}])
+    rows = (
+        sitemap.robots_sitemap_discovery(df, keep_cols=("host",))
+        .orderBy("sm_pos")
+        .collect()
+    )
+    assert [(r["sm_pos"], r["sitemap_url"]) for r in rows] == [
+        (0, "http://ex.com/a.xml"),
+        (1, "http://ex.com/b.xml"),
+    ]
