@@ -91,11 +91,11 @@ def image_ids(spec: CorpusSpec) -> list[str]:
 
 def img_variant(spec: CorpusSpec, iid: str) -> int:
     """0 plain PNG / 1 Adam7 PNG / 2 baseline JPEG / 3 progressive
-    JPEG / 4 QOI — deterministic per image id; always 0 with the mix
-    off."""
+    JPEG / 4 QOI / 5 lossless WebP (VP8L) — deterministic per image
+    id; always 0 with the mix off."""
     if not spec.img_fmt_mix:
         return 0
-    return (zlib.crc32(iid.encode()) ^ spec.seed) % 5
+    return (zlib.crc32(iid.encode()) ^ spec.seed) % 6
 
 
 def image_pixels(spec: CorpusSpec, iid: str) -> np.ndarray:
@@ -341,6 +341,10 @@ def images_df(spark: SparkSession, spec: CorpusSpec) -> DataFrame:
                     data, fmt = jpeg_encode_progressive(px, quality=90), "jpg"
                 elif v == 4:
                     data, fmt = imaging.qoi_encode(px), "qoi"
+                elif v == 5:
+                    from mechaml_spark.webp import webp_encode
+
+                    data, fmt = webp_encode(px), "webp"
                 else:
                     data, fmt = imaging.png_encode(px), "png"
                 rows.append(

@@ -895,6 +895,10 @@ def decode(data: bytes, fmt: str) -> np.ndarray:
         return ico_decode(data)
     if fmt == "qoi":
         return qoi_decode(data)
+    if fmt == "webp":
+        from mechaml_spark.webp import webp_decode
+
+        return webp_decode(data)
     raise NotImplementedError(
         f"decoder for {fmt!r} not available in-sandbox (no image libs); "
         "plug a real codec here on a full cluster image"
@@ -920,6 +924,10 @@ def encode(pixels: np.ndarray, fmt: str) -> bytes:
         return ico_encode(pixels)
     if fmt == "qoi":
         return qoi_encode(pixels)
+    if fmt == "webp":
+        from mechaml_spark.webp import webp_encode
+
+        return webp_encode(pixels)
     raise NotImplementedError(f"encoder for {fmt!r} not available in-sandbox")
 
 
@@ -968,7 +976,7 @@ def dhash64(pixels: np.ndarray) -> int:
     return int(acc.view(np.int64))  # reinterpret: bit 63 -> sign
 
 
-LOSSLESS = frozenset({"png", "ppm", "bmp", "gif", "qoi"})
+LOSSLESS = frozenset({"png", "ppm", "bmp", "gif", "qoi", "webp"})
 
 
 def payload_ok(data: bytes, fmt: str, reference_pixels: np.ndarray) -> bool:

@@ -919,6 +919,54 @@ def q_image_qoi_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_webp_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossless WebP (VP8L, :mod:`mechaml_spark.webp`) decode through
+    the shared feature stage — the eleventh image container on the
+    same mapInPandas shape.  Gradient content (R ramps along x, G
+    along y, B constant, 192 distinct colors) is encoded with the
+    color-indexing transform for even doc_ids and subtract-green for
+    odd ones, so BOTH transform paths cross the oracle; VP8L is
+    lossless, so the per-channel means are the same closed forms as
+    the QOI query."""
+    import numpy as _np
+    import pandas as _pd
+
+    from mechaml_spark import multimodal
+    from mechaml_spark.webp import webp_encode
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 200
+    )
+
+    def gen(batches):
+        yy, xx = _np.mgrid[0:12, 0:16]
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                px = _np.empty((12, 16, 3), _np.uint8)
+                px[..., 0] = (did * 7) % 200 + xx
+                px[..., 1] = (did * 11) % 200 + yy
+                px[..., 2] = (did * 13) % 251
+                mode = "palette" if did % 2 == 0 else "subtract-green"
+                rows.append(
+                    {"doc_id": did, "bytes": webp_encode(px, mode=mode),
+                     "fmt": "webp"}
+                )
+            yield _pd.DataFrame(rows, columns=["doc_id", "bytes", "fmt"])
+
+    media = d.mapInPandas(gen, schema="doc_id long, bytes binary, fmt string")
+    feats = multimodal.image_features(media)
+    return feats.select(
+        "doc_id",
+        F.col("features")["w"].alias("w"),
+        F.col("features")["h"].alias("h"),
+        F.col("features")["mean_r"].alias("mean_r"),
+        F.col("features")["mean_g"].alias("mean_g"),
+        F.col("features")["mean_b"].alias("mean_b"),
+    )
+
+
 def q_image_pixel_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-format pixel-exact image dedup — the pipeline op a
     content hash over ENCODED bytes cannot do: the same pixels saved
@@ -2300,6 +2348,7 @@ QUERIES = {
     "image_tiff_features": q_image_tiff_features,
     "image_ico_features": q_image_ico_features,
     "image_qoi_features": q_image_qoi_features,
+    "image_webp_features": q_image_webp_features,
     "image_pixel_dedup": q_image_pixel_dedup,
     "warc_roundtrip": q_warc_roundtrip,
     "sitemap_extract": q_sitemap_extract,
@@ -2661,6 +2710,14 @@ ORACLES = {
         FROM documents WHERE doc_id < 200
     """,
     "image_qoi_features": """
+        SELECT doc_id,
+               CAST(16 AS INT) AS w, CAST(12 AS INT) AS h,
+               CAST((doc_id * 7) % 200 AS BIGINT) * 1000 + 7500 AS mean_r,
+               CAST((doc_id * 11) % 200 AS BIGINT) * 1000 + 5500 AS mean_g,
+               CAST((doc_id * 13) % 251 AS BIGINT) * 1000 AS mean_b
+        FROM documents WHERE doc_id < 200
+    """,
+    "image_webp_features": """
         SELECT doc_id,
                CAST(16 AS INT) AS w, CAST(12 AS INT) AS h,
                CAST((doc_id * 7) % 200 AS BIGINT) * 1000 + 7500 AS mean_r,
