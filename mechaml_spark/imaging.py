@@ -266,6 +266,235 @@ def png_encode_ext(
     return out
 
 
+# --------------------------------------------------------------- APNG
+
+
+def _png_rgba(
+    samples: np.ndarray,
+    color_type: int,
+    bit_depth: int,
+    palette: np.ndarray | None,
+    trns: bytes | None,
+) -> np.ndarray:
+    """Raw (h, w, channels) samples -> (h, w, 4) RGBA uint8 — the
+    alpha-preserving sibling of png_decode's RGB flattening, needed
+    for APNG OVER blending.  tRNS: alpha table for palette, color key
+    for gray/RGB (16-bit keys compared on the high byte, matching the
+    decoder's 16->8 strip)."""
+    h, w = samples.shape[:2]
+    out = np.empty((h, w, 4), np.uint8)
+    out[..., 3] = 255
+    if color_type == 3:
+        if palette is None:
+            raise ValueError("palette PNG missing PLTE")
+        idx = samples[..., 0]
+        if int(idx.max(initial=0)) >= palette.shape[0]:
+            raise ValueError("PNG palette index out of range")
+        out[..., :3] = palette[idx]
+        if trns:
+            alpha = np.full(palette.shape[0], 255, np.uint8)
+            alpha[: len(trns)] = np.frombuffer(trns, np.uint8)
+            out[..., 3] = alpha[idx]
+        return out
+    if color_type in (0, 4):
+        g = samples[..., 0]
+        if bit_depth in (1, 2, 4):
+            g = (g.astype(np.uint16) * 255 // ((1 << bit_depth) - 1)).astype(
+                np.uint8
+            )
+        out[..., 0] = out[..., 1] = out[..., 2] = g
+        if color_type == 4:
+            out[..., 3] = samples[..., 1]
+        elif trns and len(trns) >= 2:
+            key = trns[0] if bit_depth == 16 else trns[1]
+            out[..., 3] = np.where(samples[..., 0] == key, 0, 255)
+        return out
+    out[..., : samples.shape[2]] = samples[..., :4]
+    if color_type == 2 and trns and len(trns) >= 6:
+        key = (
+            np.frombuffer(trns, np.uint8)[0::2]
+            if bit_depth == 16
+            else np.frombuffer(trns, np.uint8)[1::2]
+        )[:3]
+        out[..., 3] = np.where((samples == key).all(axis=2), 0, 255)
+    return out
+
+
+def _blend_over(dst: np.ndarray, src: np.ndarray) -> np.ndarray:
+    """APNG blend_op OVER (Porter-Duff source-over, straight alpha)
+    in exact integer arithmetic, rounded to nearest — deterministic
+    like every pixel op in the repo."""
+    sa = src[..., 3].astype(np.int64)
+    da = dst[..., 3].astype(np.int64)
+    oa_num = sa * 255 + da * (255 - sa)  # out_alpha * 255^2
+    num = (
+        src[..., :3].astype(np.int64) * sa[..., None] * 255
+        + dst[..., :3].astype(np.int64) * (da * (255 - sa))[..., None]
+    )
+    safe = np.maximum(oa_num, 1)
+    out = np.empty_like(dst)
+    out[..., :3] = ((num + safe[..., None] // 2) // safe[..., None]).astype(
+        np.uint8
+    )
+    out[..., 3] = ((oa_num + 127) // 255).astype(np.uint8)
+    return out
+
+
+def apng_decode_frames(data: bytes) -> list[tuple[int, np.ndarray]]:
+    """APNG bytes -> [(delay_ms, composited RGB canvas), ...] — the
+    animated-PNG sibling of :func:`gif_decode_frames` (same contract
+    for the video sampling stage).  Full spec compositing: per-frame
+    regions, blend_op SOURCE/OVER (integer Porter-Duff), dispose_op
+    NONE/BACKGROUND/PREVIOUS (PREVIOUS on frame 0 = BACKGROUND), the
+    default image joining the animation only when the first fcTL
+    precedes IDAT.  A plain PNG (no acTL) yields one 100 ms frame.
+    Transparent canvas areas flatten to black on emit (the pipeline
+    consumes RGB)."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos = 8
+    w = h = None
+    bit_depth = color_type = interlace = 0
+    palette = None
+    trns: bytes | None = None
+    has_actl = False
+    idat = bytearray()
+    frames_meta: list[tuple[dict, bytearray]] = []
+    first_fctl_before_idat = False
+    seen_idat = False
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, bit_depth, color_type, _c, _f, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+        elif tag == b"PLTE":
+            palette = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif tag == b"tRNS":
+            trns = bytes(body)
+        elif tag == b"acTL":
+            has_actl = True
+        elif tag == b"fcTL":
+            (_seq, fw, fh, fx, fy, dnum, dden, dispose, blend) = struct.unpack(
+                ">IIIIIHHBB", body
+            )
+            if not seen_idat and not frames_meta:
+                first_fctl_before_idat = True
+            frames_meta.append(
+                (
+                    {
+                        "w": fw, "h": fh, "x": fx, "y": fy,
+                        "delay_ms": (1000 * dnum + (dden or 100) // 2)
+                        // (dden or 100),
+                        "dispose": dispose, "blend": blend,
+                    },
+                    bytearray(),
+                )
+            )
+        elif tag == b"IDAT":
+            seen_idat = True
+            idat.extend(body)
+            if first_fctl_before_idat and frames_meta:
+                frames_meta[0][1].extend(body)
+        elif tag == b"fdAT":
+            if not frames_meta:
+                raise ValueError("APNG fdAT before any fcTL")
+            frames_meta[-1][1].extend(body[4:])  # strip sequence number
+        elif tag == b"IEND":
+            break
+    if w is None:
+        raise ValueError("missing IHDR")
+    if not has_actl or not frames_meta:
+        return [(100, png_decode(data))]
+    if interlace != 0:
+        raise ValueError("interlaced APNG frames unsupported")
+    channels = _PNG_CHANNELS[color_type]
+
+    def region_rgba(raw_z: bytes, fw: int, fh: int) -> np.ndarray:
+        raw = np.frombuffer(zlib.decompress(raw_z), np.uint8)
+        samples, _ = _decode_subimage(raw, 0, fw, fh, bit_depth, channels)
+        return _png_rgba(samples, color_type, bit_depth, palette, trns)
+
+    canvas = np.zeros((h, w, 4), np.uint8)
+    out: list[tuple[int, np.ndarray]] = []
+    for i, (meta, raw_z) in enumerate(frames_meta):
+        fw, fh, fx, fy = meta["w"], meta["h"], meta["x"], meta["y"]
+        if fx + fw > w or fy + fh > h:
+            raise ValueError("APNG frame region exceeds canvas")
+        src = region_rgba(bytes(raw_z), fw, fh)
+        view = canvas[fy : fy + fh, fx : fx + fw]
+        saved = view.copy() if meta["dispose"] == 2 else None
+        if meta["blend"] == 1 and i > 0:
+            view[:] = _blend_over(view, src)
+        else:  # SOURCE (and frame 0, where OVER == SOURCE)
+            view[:] = src
+        a = canvas[..., 3].astype(np.uint16)
+        rgb = (
+            (canvas[..., :3].astype(np.uint16) * a[..., None]) // 255
+        ).astype(np.uint8)
+        out.append((meta["delay_ms"], rgb))
+        if meta["dispose"] == 1 or (meta["dispose"] == 2 and i == 0):
+            view[:] = 0
+        elif meta["dispose"] == 2:
+            view[:] = saved
+    return out
+
+
+def apng_encode(
+    frames: list[np.ndarray], delay_ms: int = 100, num_plays: int = 0
+) -> bytes:
+    """Full-canvas RGB(A) frames -> APNG bytes (color type 6, blend
+    SOURCE, dispose NONE) — the fixture writer for the video stage."""
+    return apng_encode_ext(
+        frames[0].shape[1],
+        frames[0].shape[0],
+        [
+            {"x": 0, "y": 0, "px": f, "delay_ms": delay_ms}
+            for f in frames
+        ],
+        num_plays=num_plays,
+    )
+
+
+def apng_encode_ext(
+    w: int, h: int, fcs: list[dict], num_plays: int = 0
+) -> bytes:
+    """APNG writer with per-frame control for decode tests: each
+    entry is {x, y, px (hxwx3|4 uint8), delay_ms, dispose, blend}.
+    Frame 0 must cover the canvas (APNG requirement)."""
+    seq = 0
+    out = _PNG_SIG + _chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0)
+    )
+    out += _chunk(b"acTL", struct.pack(">II", len(fcs), num_plays))
+    for i, fc in enumerate(fcs):
+        px = fc["px"]
+        if px.shape[2] == 3:
+            px = np.dstack([px, np.full(px.shape[:2], 255, np.uint8)])
+        fh, fw = px.shape[:2]
+        if i == 0 and (fw, fh, fc.get("x", 0), fc.get("y", 0)) != (w, h, 0, 0):
+            raise ValueError("APNG frame 0 must cover the canvas")
+        out += _chunk(
+            b"fcTL",
+            struct.pack(
+                ">IIIIIHHBB", seq, fw, fh, fc.get("x", 0), fc.get("y", 0),
+                fc.get("delay_ms", 100), 1000,
+                fc.get("dispose", 0), fc.get("blend", 0),
+            ),
+        )
+        seq += 1
+        body = zlib.compress(_pack_scanlines(px, 8), 6)
+        if i == 0:
+            out += _chunk(b"IDAT", body)
+        else:
+            out += _chunk(b"fdAT", struct.pack(">I", seq) + body)
+            seq += 1
+    return out + _chunk(b"IEND", b"")
+
+
 def ppm_encode(pixels: np.ndarray) -> bytes:
     h, w, _ = pixels.shape
     return b"P6\n%d %d\n255\n" % (w, h) + pixels.astype(np.uint8).tobytes()

@@ -599,9 +599,11 @@ def sample_video_frames(
     """Frame sampling: one output row per sampled frame (PNG bytes).
 
     REAL for animated GIF (``fmt == 'gif'``: frames decoded via
-    :func:`mechaml_spark.imaging.gif_decode_frames`, composited
+    :func:`mechaml_spark.imaging.gif_decode_frames`) and animated PNG
+    (``fmt == 'apng'``: :func:`mechaml_spark.imaging.apng_decode_frames`
+    — full fcTL/fdAT compositing, dispose + blend ops), composited
     canvases sampled at every ``every_ms`` tick using the per-frame
-    GCE delays — the frame on display at each tick is emitted;
+    delays — the frame on display at each tick is emitted;
     zero delays are clamped to 100 ms like real players, so
     all-zero-delay GIFs still sample every frame) and for MJPEG-in-AVI
     (``fmt == 'avi'``: RIFF parse via :func:`avi_mjpeg_frames`, each
@@ -634,9 +636,14 @@ def sample_video_frames(
         for pdf in batches:
             rows = []
             for mid, data, fmt in zip(pdf[id_col], pdf[bytes_col], pdf[fmt_col]):
-                if fmt == "gif":
+                if fmt in ("gif", "apng"):
+                    decode_frames = (
+                        imaging.gif_decode_frames
+                        if fmt == "gif"
+                        else imaging.apng_decode_frames
+                    )
                     try:
-                        frames = imaging.gif_decode_frames(bytes(data))
+                        frames = decode_frames(bytes(data))
                     except ValueError:
                         continue  # corrupt row: zero frames, task lives
                     # zero delays (the "as fast as possible" encoding)

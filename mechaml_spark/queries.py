@@ -1827,6 +1827,77 @@ def q_audio_adpcm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_video_frames_apng(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Animated-PNG pipeline with a CLOSED-FORM oracle covering the
+    APNG-specific machinery: per-frame REGIONS, dispose_op PREVIOUS,
+    and integer Porter-Duff OVER blending.
+
+    Doc d, 4x4 canvas, 3 frames every 100 ms (ticks land on frames):
+    frame 0 = solid c0; frame 1 = 2x2 patch c1 at (1,1), blend
+    SOURCE, dispose PREVIOUS (canvas reverts to c0 after emit);
+    frame 2 = 2x2 patch c2 with alpha 128 at (2,2), blend OVER onto
+    the restored c0.  Every per-channel mean is pure integer
+    arithmetic both engines share: tick 1 mean*1000 = (3*c0+c1)*250,
+    tick 2 uses the exact rounded blend (255*(128*c2+127*c0)+32512)
+    // 65025."""
+    import numpy as _np
+    import pandas as _pd
+
+    from mechaml_spark import imaging as _imaging
+    from mechaml_spark import multimodal
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 200
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                c0 = [(did * p) % 251 for p in (7, 11, 13)]
+                c1 = [(did * p) % 251 for p in (17, 19, 23)]
+                c2 = [(did * p) % 251 for p in (29, 31, 37)]
+                full = _np.empty((4, 4, 4), _np.uint8)
+                full[..., :3] = _np.array(c0, _np.uint8)
+                full[..., 3] = 255
+                p1 = _np.empty((2, 2, 4), _np.uint8)
+                p1[..., :3] = _np.array(c1, _np.uint8)
+                p1[..., 3] = 255
+                p2 = _np.empty((2, 2, 4), _np.uint8)
+                p2[..., :3] = _np.array(c2, _np.uint8)
+                p2[..., 3] = 128
+                data = _imaging.apng_encode_ext(4, 4, [
+                    {"x": 0, "y": 0, "px": full, "delay_ms": 100},
+                    {"x": 1, "y": 1, "px": p1, "delay_ms": 100,
+                     "dispose": 2},
+                    {"x": 2, "y": 2, "px": p2, "delay_ms": 100,
+                     "blend": 1},
+                ])
+                rows.append(
+                    {"media_id": str(did), "bytes": data, "fmt": "apng"}
+                )
+            yield _pd.DataFrame(rows, columns=["media_id", "bytes", "fmt"])
+
+    media = d.mapInPandas(
+        gen, schema="media_id string, bytes binary, fmt string"
+    )
+    sampled = multimodal.sample_video_frames(media, every_ms=100)
+    feats = multimodal.image_features(
+        sampled.withColumnRenamed("frame", "bytes").withColumn(
+            "fmt", F.lit("png")
+        )
+    )
+    return feats.select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        "frame_idx",
+        "ts_ms",
+        F.col("features")["mean_r"].alias("mean_r"),
+        F.col("features")["mean_g"].alias("mean_g"),
+        F.col("features")["mean_b"].alias("mean_b"),
+    )
+
+
 def q_video_frames_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MJPEG-in-AVI pipeline with a CLOSED-FORM oracle: deterministic
     AVI containers keyed by doc_id — ``F = 2 + d%3`` constant-plane
@@ -2365,6 +2436,7 @@ QUERIES = {
     "audio_features": q_audio_features,
     "video_frames": q_video_frames,
     "video_frames_avi": q_video_frames_avi,
+    "video_frames_apng": q_video_frames_apng,
     "audio_g711_features": q_audio_g711_features,
     "audio_adpcm_features": q_audio_adpcm_features,
     "token_stats": q_token_stats,
@@ -2970,6 +3042,34 @@ ORACLES = {
                CAST((doc_id * 13 + k * 41) % 251 AS BIGINT) * 1000 AS mean_b
         FROM documents, range(4) rk(k)
         WHERE doc_id < 200 AND k < 2 + doc_id % 3
+    """,
+    "video_frames_apng": """
+        WITH c AS (
+            SELECT doc_id, k,
+                   (doc_id * 7)  % 251 AS r0, (doc_id * 11) % 251 AS g0,
+                   (doc_id * 13) % 251 AS b0,
+                   (doc_id * 17) % 251 AS r1, (doc_id * 19) % 251 AS g1,
+                   (doc_id * 23) % 251 AS b1,
+                   (doc_id * 29) % 251 AS r2, (doc_id * 31) % 251 AS g2,
+                   (doc_id * 37) % 251 AS b2
+            FROM documents, range(3) rk(k) WHERE doc_id < 200
+        )
+        SELECT doc_id,
+               CAST(k AS INT) AS frame_idx,
+               CAST(k * 100 AS BIGINT) AS ts_ms,
+               CAST(CASE k WHEN 0 THEN r0 * 1000
+                    WHEN 1 THEN (3 * r0 + r1) * 250
+                    ELSE (3 * r0 + (255 * (128 * r2 + 127 * r0) + 32512)
+                          // 65025) * 250 END AS BIGINT) AS mean_r,
+               CAST(CASE k WHEN 0 THEN g0 * 1000
+                    WHEN 1 THEN (3 * g0 + g1) * 250
+                    ELSE (3 * g0 + (255 * (128 * g2 + 127 * g0) + 32512)
+                          // 65025) * 250 END AS BIGINT) AS mean_g,
+               CAST(CASE k WHEN 0 THEN b0 * 1000
+                    WHEN 1 THEN (3 * b0 + b1) * 250
+                    ELSE (3 * b0 + (255 * (128 * b2 + 127 * b0) + 32512)
+                          // 65025) * 250 END AS BIGINT) AS mean_b
+        FROM c
     """,
     "token_stats": f"""
         SELECT lang,

@@ -177,8 +177,10 @@ def test_payload_ok():
     other = _px(99)
     assert not imaging.payload_ok(imaging.png_encode(other), "png", px)
     assert not imaging.payload_ok(b"junk", "png", px)
+    with pytest.raises(ValueError):
+        imaging.decode(b"x", "webp")  # now a real codec: bad bytes raise
     with pytest.raises(NotImplementedError):
-        imaging.decode(b"x", "webp")  # genuinely absent codec stays a stub
+        imaging.decode(b"x", "heic")  # genuinely absent codec stays a stub
 
 
 def test_dhash64_perceptual_not_content():
@@ -848,3 +850,96 @@ def test_qoi_roundtrip_all_ops():
         imaging.qoi_decode(b"notqoi" + b"\x00" * 30)
     with pytest.raises(ValueError):
         imaging.qoi_decode(imaging.qoi_encode(px)[:-9])  # lost end marker
+
+
+# ----------------------------------------------------------- APNG
+
+
+def _rgba(r, g, b, a=255):
+    return np.array([r, g, b, a], np.uint8)
+
+
+def test_apng_round_trip_full_frames():
+    from mechaml_spark.imaging import apng_decode_frames, apng_encode
+
+    rng = np.random.default_rng(8)
+    frames = [rng.integers(0, 256, (6, 5, 3), dtype=np.uint8)
+              for _ in range(3)]
+    data = apng_encode(frames, delay_ms=40)
+    got = apng_decode_frames(data)
+    assert len(got) == 3
+    for (delay, px), want in zip(got, frames):
+        assert delay == 40
+        assert (px == want).all()
+
+
+def test_apng_region_and_dispose_ops():
+    """Patch frames with every dispose op: NONE keeps the patch,
+    BACKGROUND clears the region (black after flatten), PREVIOUS
+    restores the pre-frame canvas."""
+    from mechaml_spark.imaging import apng_decode_frames, apng_encode_ext
+
+    base = np.full((4, 4, 4), 255, np.uint8)
+    base[..., :3] = 10
+    patch = np.zeros((2, 2, 4), np.uint8)
+    patch[...] = _rgba(200, 0, 0)
+    data = apng_encode_ext(4, 4, [
+        {"x": 0, "y": 0, "px": base, "delay_ms": 10},
+        {"x": 1, "y": 1, "px": patch, "delay_ms": 10, "dispose": 2},
+        {"x": 0, "y": 0, "px": patch, "delay_ms": 10, "dispose": 1},
+        {"x": 2, "y": 2, "px": patch, "delay_ms": 10},
+    ])
+    frames = [px for _, px in apng_decode_frames(data)]
+    assert (frames[0] == 10).all()
+    # frame 1: red patch at (1,1)
+    assert tuple(frames[1][1, 1]) == (200, 0, 0)
+    assert tuple(frames[1][0, 0]) == (10, 10, 10)
+    # frame 2 rendered after PREVIOUS restore: patch at (0,0) only
+    assert tuple(frames[2][1, 1]) == (200, 0, 0)  # inside new patch
+    assert tuple(frames[2][2, 2]) == (10, 10, 10)  # restored
+    # frame 3 rendered after BACKGROUND clear of (0,0) 2x2 region
+    assert tuple(frames[3][0, 0]) == (0, 0, 0)  # cleared -> black
+    assert tuple(frames[3][2, 2]) == (200, 0, 0)  # new patch
+    assert tuple(frames[3][3, 3]) == (200, 0, 0)
+
+
+def test_apng_blend_over():
+    """OVER with 50%-alpha source: integer Porter-Duff mid-blend."""
+    from mechaml_spark.imaging import apng_decode_frames, apng_encode_ext
+
+    base = np.zeros((2, 2, 4), np.uint8)
+    base[...] = _rgba(100, 200, 40)
+    half = np.zeros((2, 2, 4), np.uint8)
+    half[...] = _rgba(255, 0, 0, 128)
+    data = apng_encode_ext(2, 2, [
+        {"x": 0, "y": 0, "px": base},
+        {"x": 0, "y": 0, "px": half, "blend": 1},
+    ])
+    frames = [px for _, px in apng_decode_frames(data)]
+    # sa=128: out = round((255*128*255 + 100*255*127) / (128*255+255*127))
+    r, g, b = frames[1][0, 0]
+    assert (r, g, b) == (178, 100, 20), (r, g, b)
+
+
+def test_apng_plain_png_single_frame():
+    from mechaml_spark.imaging import apng_decode_frames, png_encode
+
+    px = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
+    assert len(apng_decode_frames(png_encode(px))) == 1
+
+
+def test_apng_sample_video_frames_spark(spark):
+    import pandas as pd
+
+    from mechaml_spark import multimodal
+    from mechaml_spark.imaging import apng_encode, png_decode
+
+    frames = [np.full((3, 3, 3), 40 * (i + 1), np.uint8) for i in range(3)]
+    df = spark.createDataFrame(pd.DataFrame([
+        {"media_id": "m1", "fmt": "apng",
+         "bytes": apng_encode(frames, delay_ms=500)},
+    ]))
+    rows = multimodal.sample_video_frames(df, every_ms=500).collect()
+    assert [r["ts_ms"] for r in rows] == [0, 500, 1000]
+    for r, want in zip(sorted(rows, key=lambda r: r["ts_ms"]), frames):
+        assert (png_decode(bytes(r["frame"])) == want).all()
