@@ -17,6 +17,7 @@ Design (training-data pipeline over ~100 TB of media):
 
 from __future__ import annotations
 
+import struct
 from typing import Iterable, Iterator
 
 import numpy as np
@@ -1028,6 +1029,171 @@ def wav_decode(data: bytes) -> tuple[int, np.ndarray]:
     return sr, arr.reshape(-1, nch)
 
 
+def _pcm_be_to_int16_domain(payload: bytes, bits: int) -> np.ndarray:
+    """Big-endian signed PCM -> int32 in the int16 domain (the repo's
+    audio-feature domain; wider widths truncate like the WAV path)."""
+    if bits == 8:  # AIFF/AU 8-bit is SIGNED (unlike RIFF/WAV)
+        return np.frombuffer(payload, np.int8).astype(np.int32) * 256
+    if bits == 16:
+        return np.frombuffer(payload, ">i2").astype(np.int32)
+    if bits == 24:
+        b = np.frombuffer(payload, np.uint8).reshape(-1, 3)
+        v = (
+            (b[:, 0].astype(np.int32) << 16)
+            | (b[:, 1].astype(np.int32) << 8)
+            | b[:, 2].astype(np.int32)
+        )
+        return ((v ^ 0x800000) - 0x800000) >> 8
+    if bits == 32:
+        return (np.frombuffer(payload, ">i4") >> 16).astype(np.int32)
+    raise ValueError(f"unsupported PCM sample size {bits}")
+
+
+def au_decode(data: bytes) -> tuple[int, np.ndarray]:
+    """Sun/NeXT .au (audio/basic) -> (sample_rate, int32 frames,
+    int16-domain).  Big-endian header; encodings 1 (G.711 mu-law,
+    the RFC 2046 audio/basic payload), 2/3/4/5 (8/16/24/32-bit
+    signed linear PCM) and 27 (A-law) decode; anything else raises
+    NotImplementedError (codec boundary)."""
+    if len(data) < 24 or data[:4] != b".snd":
+        raise ValueError("not a Sun AU stream")
+    offset, size, enc, sr, nch = struct.unpack(">IIIII", data[4:24])
+    if offset < 24 or nch < 1:
+        raise ValueError("bad AU header")
+    payload = (
+        data[offset:]
+        if size == 0xFFFFFFFF
+        else data[offset : offset + size]
+    )
+    if enc == 1:
+        arr = g711_ulaw_decode(np.frombuffer(payload, np.uint8))
+    elif enc == 27:
+        arr = g711_alaw_decode(np.frombuffer(payload, np.uint8))
+    elif enc in (2, 3, 4, 5):
+        arr = _pcm_be_to_int16_domain(payload, 8 * (enc - 1))
+    else:
+        raise NotImplementedError(
+            f"AU encoding {enc} not available in-sandbox (mu-law/A-law/"
+            "linear PCM are real); plug a real codec on a full image"
+        )
+    usable = (arr.size // nch) * nch
+    return int(sr), arr[:usable].reshape(-1, nch)
+
+
+def au_encode(
+    sr: int, frames: np.ndarray, encoding: int = 3,
+    codes: bytes | None = None, n_channels: int | None = None,
+) -> bytes:
+    """Fixture writer: 16-bit linear PCM from ``frames`` (encoding 3)
+    or raw ``codes`` bytes for companded encodings (1/27)."""
+    if codes is not None:
+        payload, nch = codes, n_channels or 1
+    elif encoding == 3:
+        payload = frames.astype(">i2").tobytes()
+        nch = frames.shape[1] if frames.ndim == 2 else 1
+    else:
+        raise ValueError("au_encode writes PCM16 or raw codes")
+    return (
+        b".snd"
+        + struct.pack(">IIIII", 24, len(payload), encoding, sr, nch)
+        + payload
+    )
+
+
+def _f80_decode(b: bytes) -> int:
+    """80-bit IEEE 754 extended (AIFF sample rate) -> int Hz."""
+    exp = ((b[0] & 0x7F) << 8) | b[1]
+    mant = int.from_bytes(b[2:10], "big")
+    if exp == 0 and mant == 0:
+        return 0
+    val = mant * 2.0 ** (exp - 16383 - 63)
+    return int(round(-val if b[0] & 0x80 else val))
+
+
+def _f80_encode(n: int) -> bytes:
+    if n <= 0:
+        return b"\x00" * 10
+    e = n.bit_length() - 1
+    mant = n << (63 - e)
+    return struct.pack(">H", 16383 + e) + mant.to_bytes(8, "big")
+
+
+def aiff_decode(data: bytes) -> tuple[int, np.ndarray]:
+    """AIFF / AIFF-C -> (sample_rate, int32 frames, int16-domain).
+    IFF big-endian walk: COMM (channels, frames, bits, 80-bit-float
+    rate [+ AIFC compression fourcc]) + SSND.  PCM 8 (signed)/16/24/
+    32-bit; AIFC 'NONE' (BE) and 'sowt' (little-endian 16-bit, the
+    Mac-era variant real crawls contain) decode; other compressors
+    raise NotImplementedError."""
+    if len(data) < 12 or data[:4] != b"FORM" or data[8:12] not in (
+        b"AIFF", b"AIFC",
+    ):
+        raise ValueError("not an AIFF stream")
+    is_aifc = data[8:12] == b"AIFC"
+    pos = 12
+    nch = bits = sr = None
+    comp = b"NONE"
+    ssnd = None
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (length,) = struct.unpack(">I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 8 + length + (length & 1)
+        if tag == b"COMM":
+            nch, _nf, bits = struct.unpack(">HIH", body[:8])
+            sr = _f80_decode(body[8:18])
+            if is_aifc and len(body) >= 22:
+                comp = body[18:22]
+        elif tag == b"SSND":
+            off, _block = struct.unpack(">II", body[:8])
+            ssnd = body[8 + off :]
+    if nch is None or ssnd is None:
+        raise ValueError("AIFF missing COMM/SSND")
+    if comp == b"sowt":
+        if bits != 16:
+            raise ValueError("AIFC sowt must be 16-bit")
+        arr = np.frombuffer(ssnd, "<i2").astype(np.int32)
+    elif comp == b"NONE":
+        arr = _pcm_be_to_int16_domain(ssnd, bits)
+    else:
+        raise NotImplementedError(
+            f"AIFC compression {comp!r} not available in-sandbox; "
+            "plug a real codec on a full image"
+        )
+    usable = (arr.size // nch) * nch
+    return int(sr), arr[:usable].reshape(-1, nch)
+
+
+def aiff_encode(
+    sr: int, frames: np.ndarray, sowt: bool = False
+) -> bytes:
+    """Fixture writer: 16-bit AIFF (big-endian) or AIFC 'sowt'."""
+    if frames.ndim == 1:
+        frames = frames[:, None]
+    nf, nch = frames.shape
+    payload = frames.astype("<i2" if sowt else ">i2").tobytes()
+    if sowt:
+        comm_body = (
+            struct.pack(">HIH", nch, nf, 16) + _f80_encode(sr)
+            + b"sowt" + b"\x05not_c\x00"  # pascal-string compressor name
+        )
+    else:
+        comm_body = struct.pack(">HIH", nch, nf, 16) + _f80_encode(sr)
+    comm = b"COMM" + struct.pack(">I", len(comm_body)) + comm_body
+    if len(comm_body) & 1:
+        comm += b"\x00"
+    ssnd_body = struct.pack(">II", 0, 0) + payload
+    ssnd = b"SSND" + struct.pack(">I", len(ssnd_body)) + ssnd_body
+    if len(ssnd_body) & 1:
+        ssnd += b"\x00"
+    if sowt:
+        fver = b"FVER" + struct.pack(">II", 4, 0xA2805140)
+        body = b"AIFC" + fver + comm + ssnd
+    else:
+        body = b"AIFF" + comm + ssnd
+    return b"FORM" + struct.pack(">I", len(body)) + body
+
+
 def _audio_row(data: bytes | None, fmt: str) -> dict:
     bad = {
         "ok": False, "sample_rate": None, "n_channels": None,
@@ -1036,16 +1202,23 @@ def _audio_row(data: bytes | None, fmt: str) -> dict:
     }
     if fmt is None:
         return bad  # missing format metadata = bad row, not a stage kill
-    if fmt != "wav":
+    decoders = {
+        "wav": wav_decode,
+        "au": au_decode, "snd": au_decode,
+        "aiff": aiff_decode, "aif": aiff_decode, "aifc": aiff_decode,
+    }
+    if fmt not in decoders:
         raise NotImplementedError(
-            f"no {fmt!r} audio codec in-sandbox (PCM WAV is real via "
-            "stdlib `wave`); deploy with soundfile/librosa and keep "
-            "this stage's schema"
+            f"no {fmt!r} audio codec in-sandbox (PCM/G.711/ADPCM WAV, "
+            "Sun AU, AIFF are real); deploy with soundfile/librosa "
+            "and keep this stage's schema"
         )
     if data is None:
         return bad
     try:
-        sr, frames = wav_decode(bytes(data))
+        sr, frames = decoders[fmt](bytes(data))
+    except NotImplementedError:
+        raise
     except Exception:
         return bad
     ch0 = frames[:, 0].astype(np.float64)

@@ -1771,6 +1771,64 @@ def q_audio_g711_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_container_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio CONTAINER breadth with a CLOSED-FORM oracle: the same
+    square-wave scheme as the G.711 query, carried by Sun AU and
+    AIFF instead of RIFF/WAVE.  Even docs: AU encoding 1 (mu-law —
+    the RFC 2046 audio/basic payload), exactly-representable
+    amplitude ``((m*8+132)<<e)-132``; odd docs: 16-bit PCM with
+    amplitude 500+(d%64)*100 in plain big-endian AIFF (d%4==1) or
+    AIFC 'sowt' little-endian (d%4==3), so all three container parse
+    paths cross one oracle.  N = 8*(400+d%40) frames at 8 kHz
+    flipping sign every H = 4+d%5."""
+    import numpy as _np
+    import pandas as _pd
+
+    from mechaml_spark import multimodal
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 300
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 8 * (400 + did % 40)
+                h = 4 + did % 5
+                pos = ((_np.arange(n) // h) % 2) == 0
+                if did % 2 == 0:
+                    m, e = 1 + did % 15, did % 8
+                    cp = multimodal.g711_ulaw_code(True, e, m)
+                    cn = multimodal.g711_ulaw_code(False, e, m)
+                    codes = _np.where(pos, cp, cn).astype(_np.uint8)
+                    data, fmt = multimodal.au_encode(
+                        8000, None, encoding=1, codes=codes.tobytes()
+                    ), "au"
+                else:
+                    a = 500 + (did % 64) * 100
+                    sq = _np.where(pos, a, -a).astype(_np.int32)[:, None]
+                    sowt = did % 4 == 3
+                    data, fmt = multimodal.aiff_encode(
+                        8000, sq, sowt=sowt
+                    ), ("aifc" if sowt else "aiff")
+                rows.append({"doc_id": did, "bytes": data, "fmt": fmt})
+            yield _pd.DataFrame(rows, columns=["doc_id", "bytes", "fmt"])
+
+    media = d.mapInPandas(gen, schema="doc_id long, bytes binary, fmt string")
+    a = multimodal.decode_audio(media)
+    return a.select(
+        "doc_id",
+        F.col("audio")["sample_rate"].alias("sample_rate"),
+        F.col("audio")["n_samples"].alias("n_samples"),
+        F.col("audio")["duration_ms"].alias("duration_ms"),
+        F.col("audio")["rms_x1000"].alias("rms_x1000"),
+        F.col("audio")["peak"].alias("peak"),
+        F.col("audio")["zero_crossings"].alias("zero_crossings"),
+    )
+
+
 def q_audio_adpcm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IMA-ADPCM pipeline with a CLOSED-FORM oracle: blocks whose
     nibble area is all zero keep the predictor constant (step 7 >> 3
@@ -2439,6 +2497,7 @@ QUERIES = {
     "video_frames_apng": q_video_frames_apng,
     "audio_g711_features": q_audio_g711_features,
     "audio_adpcm_features": q_audio_adpcm_features,
+    "audio_container_features": q_audio_container_features,
     "token_stats": q_token_stats,
     "quality_filter": q_quality_filter,
     "lang_id": q_lang_id,
@@ -3010,6 +3069,31 @@ ORACLES = {
                         THEN ((m * 8 + 132) << e) - 132
                         WHEN e = 0 THEN m * 16 + 8
                         ELSE (m * 16 + 264) << (e - 1)
+                   END AS a
+            FROM p
+        )
+        SELECT doc_id,
+               CAST(8000 AS INT) AS sample_rate,
+               CAST(n AS BIGINT) AS n_samples,
+               CAST(n // 8 AS BIGINT) AS duration_ms,
+               CAST(a * 1000 AS BIGINT) AS rms_x1000,
+               CAST(a AS INT) AS peak,
+               CAST((n - 1) // h AS BIGINT) AS zero_crossings
+        FROM amp
+    """,
+    "audio_container_features": """
+        WITH p AS (
+            SELECT doc_id,
+                   8 * (400 + doc_id % 40) AS n,
+                   4 + doc_id % 5 AS h,
+                   1 + doc_id % 15 AS m,
+                   doc_id % 8 AS e
+            FROM documents WHERE doc_id < 300
+        ), amp AS (
+            SELECT doc_id, n, h,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN ((m * 8 + 132) << e) - 132
+                        ELSE 500 + (doc_id % 64) * 100
                    END AS a
             FROM p
         )

@@ -543,3 +543,113 @@ def test_resize_images_bilinear_spark(spark):
     out = imaging.decode(bytes(r["resized"]), "png")
     oy, ox = np.mgrid[0:8, 0:8]
     assert (out[..., 0] == (12 + 4 * (ox + oy)).astype(np.uint8)).all()
+
+
+# --------------------------------------------------- AU + AIFF containers
+
+
+def test_au_round_trip_pcm16():
+    import numpy as np
+
+    from mechaml_spark.multimodal import au_decode, au_encode
+
+    frames = (np.arange(-50, 50, dtype=np.int32) * 100).reshape(-1, 2)
+    sr, got = au_decode(au_encode(8000, frames))
+    assert sr == 8000 and got.shape == frames.shape
+    assert (got == frames).all()
+
+
+def test_au_mulaw_and_alaw_codes():
+    import numpy as np
+
+    from mechaml_spark import multimodal as mm
+
+    cp = mm.g711_ulaw_code(True, 3, 5)
+    cn = mm.g711_ulaw_code(False, 3, 5)
+    codes = bytes([cp, cn] * 10)
+    sr, frames = mm.au_decode(
+        mm.au_encode(8000, None, encoding=1, codes=codes)
+    )
+    a = ((5 * 8 + 132) << 3) - 132
+    assert sr == 8000
+    assert (np.abs(frames[:, 0]) == a).all()
+    # A-law, encoding 27
+    cap = mm.g711_alaw_code(True, 2, 7)
+    sr, fr = mm.au_decode(
+        b".snd" + __import__("struct").pack(">IIIII", 24, 4, 27, 8000, 1)
+        + bytes([cap] * 4)
+    )
+    assert fr.shape == (4, 1) and (fr > 0).all()
+
+
+def test_au_wide_pcm_and_errors():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from mechaml_spark.multimodal import au_decode
+
+    # 24-bit BE: value 0x123456 -> int16 domain 0x1234
+    payload = b"\x12\x34\x56" * 3
+    data = b".snd" + struct.pack(">IIIII", 24, len(payload), 4, 44100, 1)
+    data += payload
+    sr, fr = au_decode(data)
+    assert sr == 44100 and (fr == 0x1234).all()
+    with pytest.raises(ValueError):
+        au_decode(b"nope")
+    with pytest.raises(NotImplementedError):  # encoding 23 = G.721 ADPCM
+        au_decode(b".snd" + struct.pack(">IIIII", 24, 0, 23, 8000, 1))
+
+
+def test_aiff_round_trips():
+    import numpy as np
+    import pytest
+
+    from mechaml_spark.multimodal import aiff_decode, aiff_encode
+
+    frames = (np.arange(-30, 30, dtype=np.int32) * 500).reshape(-1, 2)
+    for sowt in (False, True):
+        sr, got = aiff_decode(aiff_encode(44100, frames, sowt=sowt))
+        assert sr == 44100 and (got == frames).all(), sowt
+    with pytest.raises(ValueError):
+        aiff_decode(b"FORMxxxxWAVE")
+    with pytest.raises(NotImplementedError, match="ima4"):
+        import struct
+        comm = struct.pack(">HIH", 1, 4, 16) + b"\x40\x0e" + b"\xac\x44" + \
+            b"\x00" * 6 + b"ima4" + b"\x00\x00"
+        body = b"AIFC" + b"COMM" + struct.pack(">I", len(comm)) + comm + \
+            b"SSND" + struct.pack(">I", 8) + struct.pack(">II", 0, 0)
+        aiff_decode(b"FORM" + struct.pack(">I", len(body)) + body)
+
+
+def test_f80_sample_rates():
+    from mechaml_spark.multimodal import _f80_decode, _f80_encode
+
+    for sr in (8000, 11025, 22050, 44100, 48000, 96000, 1):
+        assert _f80_decode(_f80_encode(sr)) == sr
+    # the canonical 44100 bytes real AIFFs carry
+    assert _f80_decode(b"\x40\x0e\xac\x44\x00\x00\x00\x00\x00\x00") == 44100
+
+
+def test_decode_audio_stage_au_aiff(spark):
+    import numpy as np
+    import pandas as pd
+
+    from mechaml_spark import multimodal as mm
+
+    sq = np.where((np.arange(800) // 4) % 2 == 0, 700, -700).astype(
+        np.int32
+    )[:, None]
+    df = spark.createDataFrame(pd.DataFrame([
+        {"fmt": "au", "bytes": mm.au_encode(8000, sq)},
+        {"fmt": "aiff", "bytes": mm.aiff_encode(8000, sq)},
+        {"fmt": "aifc", "bytes": mm.aiff_encode(8000, sq, sowt=True)},
+    ]))
+    rows = mm.decode_audio(df).select("fmt", "audio.*").collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r["ok"] and r["sample_rate"] == 8000
+        assert r["n_samples"] == 800 and r["peak"] == 700
+        assert r["rms_x1000"] == 700000
+        assert r["zero_crossings"] == 799 // 4
