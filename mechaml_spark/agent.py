@@ -47,11 +47,33 @@ def _transport(timeout_s: float, max_body: int):
     Returns ``(request, close)``:
     ``request(url, method, body, headers) ->
     (status, location, set_cookie_list, body_text)``.
+
+    Content negotiation: ``Accept-Encoding: gzip, deflate`` goes on
+    the wire unless the caller set its own, and gzip/x-gzip/deflate
+    response bodies are transparently inflated (deflate tries the
+    RFC 9110 zlib wrapping first, then the widespread raw-deflate
+    server quirk), capped at ``max_body`` decoded bytes.  An
+    undecodable encoded body raises — the callers' per-row catch
+    turns that into the status-0 transport sentinel, never a fake
+    page.
     """
     import http.client
+    import zlib
     from urllib.parse import urlsplit
 
     conns: dict[tuple, http.client.HTTPConnection] = {}
+
+    def _inflate(data: bytes, enc: str) -> bytes:
+        if enc == "deflate":
+            try:
+                return zlib.decompressobj().decompress(data, max_body)
+            except zlib.error:
+                return zlib.decompressobj(-zlib.MAX_WBITS).decompress(
+                    data, max_body
+                )
+        return zlib.decompressobj(16 + zlib.MAX_WBITS).decompress(
+            data, max_body
+        )
 
     def request(url, method, body, headers):
         parts = urlsplit(url)
@@ -72,12 +94,17 @@ def _transport(timeout_s: float, max_body: int):
                 )
                 conn = conns[key] = cls(host, port, timeout=timeout_s)
             try:
+                if not any(k.lower() == "accept-encoding" for k in headers):
+                    headers = {**headers, "Accept-Encoding": "gzip, deflate"}
                 conn.request(method, target, body=body, headers=headers)
                 resp = conn.getresponse()
                 data = resp.read(max_body)
                 # drain so keep-alive stays usable
                 while resp.read(1 << 16):
                     pass
+                enc = (resp.getheader("Content-Encoding") or "").lower()
+                if data and enc in ("gzip", "x-gzip", "deflate"):
+                    data = _inflate(data, enc)  # zlib.error -> sentinel
                 return (
                     resp.status,
                     resp.getheader("Location"),

@@ -57,6 +57,7 @@ def _make_handler(rec: _Recorder):
                         "method": self.command,
                         "path": self.path,
                         "cookie": self.headers.get("Cookie"),
+                        "aenc": self.headers.get("Accept-Encoding"),
                         "xhdr": self.headers.get("X-Client"),
                         "ctype": self.headers.get("Content-Type"),
                         "body": body,
@@ -94,6 +95,22 @@ def _make_handler(rec: _Recorder):
                 self._reply(200, body)
             elif self.path.startswith("/missing"):
                 self._reply(404, b"nope")
+            elif self.path.startswith("/gz"):
+                import gzip
+                self._reply(200, gzip.compress(b"unzipped!"),
+                            [("Content-Encoding", "gzip")])
+            elif self.path.startswith("/defl"):
+                import zlib
+                self._reply(200, zlib.compress(b"inflated-zlib"),
+                            [("Content-Encoding", "deflate")])
+            elif self.path.startswith("/rawdefl"):
+                import zlib
+                co = zlib.compressobj(wbits=-zlib.MAX_WBITS)
+                raw = co.compress(b"inflated-raw") + co.flush()
+                self._reply(200, raw, [("Content-Encoding", "deflate")])
+            elif self.path.startswith("/badgz"):
+                self._reply(200, b"\x1f\x8bgarbage",
+                            [("Content-Encoding", "gzip")])
             else:
                 self._reply(200, b"root")
 
@@ -241,6 +258,32 @@ def test_transport_error_is_status_zero_not_404(spark, loopback):
         assert rows[tag]["status"] == 0 and rows[tag]["body"] is None
         assert rows[tag]["error"]  # exception text preserved
     assert rows["c"]["status"] == 404 and rows["c"]["error"] is None
+
+
+def test_content_encoding_negotiated_and_inflated(spark, loopback):
+    """Accept-Encoding goes on the wire; gzip, zlib-deflate, and the
+    raw-deflate server quirk all inflate transparently; an
+    undecodable encoded body is the status-0 transport sentinel,
+    never a garbage page."""
+    base, rec = loopback
+    reqs = spark.createDataFrame(
+        [(f"{base}/gz", "g"), (f"{base}/defl", "d"),
+         (f"{base}/rawdefl", "r"), (f"{base}/badgz", "x")],
+        "url_norm string, tag string",
+    )
+    rows = {
+        r["tag"]: r
+        for r in agent.HttpFetcher(timeout_s=5.0)
+        .fetch(reqs, "url_norm").collect()
+    }
+    assert rows["g"]["body"] == "unzipped!"
+    assert rows["d"]["body"] == "inflated-zlib"
+    assert rows["r"]["body"] == "inflated-raw"
+    assert rows["x"]["status"] == 0 and "error" in rows["x"]["error"].lower()
+    assert all(
+        r["aenc"] == "gzip, deflate" for r in rec.requests
+        if r["path"].startswith(("/gz", "/defl", "/rawdefl", "/badgz"))
+    )
 
 
 def test_http_fetcher_composes_with_hop_loop(spark):
