@@ -46,7 +46,9 @@ def _transport(timeout_s: float, max_body: int):
 
     Returns ``(request, close)``:
     ``request(url, method, body, headers) ->
-    (status, location, set_cookie_list, body_text)``.
+    (status, location, set_cookie_list, body_text, validators)``
+    where ``validators`` is the ``(ETag, Last-Modified)`` response
+    pair a revisit pipeline stores for conditional GETs.
 
     Content negotiation: ``Accept-Encoding: gzip, deflate`` goes on
     the wire unless the caller set its own, and gzip/x-gzip/deflate
@@ -110,6 +112,10 @@ def _transport(timeout_s: float, max_body: int):
                     resp.getheader("Location"),
                     resp.msg.get_all("Set-Cookie") or [],
                     data.decode("utf-8", errors="replace"),
+                    (
+                        resp.getheader("ETag"),
+                        resp.getheader("Last-Modified"),
+                    ),
                 )
             except (
                 http.client.NotConnected,
@@ -277,13 +283,18 @@ class HttpFetcher:
                 T.StructField("set_cookie", T.ArrayType(T.StringType())),
                 T.StructField("body", T.StringType()),
                 T.StructField("error", T.StringType()),
+                T.StructField("etag", T.StringType()),
+                T.StructField("last_modified", T.StringType()),
             ]
         )
         timeout_s, delay_s = self.timeout_s, self.delay_s
         max_body, ua = self.max_body, self.user_agent
         base_headers = dict(self.default_headers)
         cols = [f.name for f in in_fields]
-        out_cols = cols + ["status", "location", "set_cookie", "body", "error"]
+        out_cols = cols + [
+            "status", "location", "set_cookie", "body", "error",
+            "etag", "last_modified",
+        ]
 
         def run(pdf):
             import time as _time
@@ -315,15 +326,26 @@ class HttpFetcher:
                 ):
                     # sent even when "" (cookiejar.ml:136-137)
                     headers["Cookie"] = ch
-                status, location, set_cookie, text = request(
+                # conditional GET (revisit pipeline): stored
+                # validators ride optional per-row columns
+                for col, hdr in (
+                    ("if_none_match", "If-None-Match"),
+                    ("if_modified_since", "If-Modified-Since"),
+                ):
+                    v = rec.get(col)
+                    if isinstance(v, str) and v:
+                        headers[hdr] = v
+                status, location, set_cookie, text, validators = request(
                     url, method, body, headers
                 )
                 return {
                     "status": status,
                     "location": location,
                     "set_cookie": set_cookie,
-                    "body": text,
+                    "body": None if status == 304 else text,
                     "error": None,
+                    "etag": validators[0],
+                    "last_modified": validators[1],
                 }
 
             rows = []
@@ -342,6 +364,8 @@ class HttpFetcher:
                         "set_cookie": [],
                         "body": None,
                         "error": f"{type(e).__name__}: {e}",
+                        "etag": None,
+                        "last_modified": None,
                     }
                 rows.append({**{c: rec[c] for c in cols}, **out})
             close_all()
@@ -468,7 +492,7 @@ class HttpLoopFetcher(HttpFetcher):
                     headers["Content-Type"] = (
                         "application/x-www-form-urlencoded"
                     )
-                status, location, set_cookie, text = request(
+                status, location, set_cookie, text, _validators = request(
                     url, method, body if method == "POST" else None, headers
                 )
                 return status, location, set_cookie, text, None

@@ -1396,6 +1396,46 @@ def q_image_resize_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_revisit_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl freshness scheduling
+    (:func:`mechaml_spark.frontier.revisit.revisit_schedule`, the Cho
+    & Garcia-Molina change-rate-proportional policy): synthesized
+    per-URL fetch histories — doc d fetched K=2+d%4 times every
+    T=60+d%60 ticks, content hash changing every J=1+d%3 fetches —
+    flow through the real window-lag transition count + per-URL agg;
+    next_due = last_ts + clamp(span//(changes+1), 100, 10000), due
+    vs now=5000.  Everything integer and expression-only, so the
+    oracle is pure SQL."""
+    from mechaml_spark.frontier.revisit import revisit_schedule
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 400
+    )
+    base = d.select(
+        "doc_id",
+        (2 + F.col("doc_id") % 4).alias("kk"),
+        (60 + F.col("doc_id") % 60).alias("t"),
+        (1 + F.col("doc_id") % 3).alias("j"),
+        (F.col("doc_id") % 97).alias("t0"),
+    )
+    hist = base.select(
+        "doc_id", "t", "j", "t0",
+        F.explode(F.sequence(F.lit(0), F.col("kk") - 1)).alias("k"),
+    ).select(
+        F.concat(
+            F.lit("http://host"), F.col("doc_id") % 40,
+            F.lit(".test/p"), F.col("doc_id"),
+        ).alias("url"),
+        (F.col("t0") + F.col("k") * F.col("t")).alias("ts"),
+        F.concat(
+            F.lit("h"), F.floor(F.col("k") / F.col("j"))
+        ).alias("content_hash"),
+    )
+    return revisit_schedule(
+        hist, now_ts=5000, min_interval=100, max_interval=10000
+    )
+
+
 def q_html_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Visible-text extraction from full HTML pages, expression-only
     (:func:`mechaml_spark.extract.html_visible_text`).  Pages are
@@ -2486,6 +2526,7 @@ QUERIES = {
     "image_thumbnail": q_image_thumbnail,
     "robots_sitemap_chain": q_robots_sitemap_chain,
     "image_resize_bilinear": q_image_resize_bilinear,
+    "revisit_policy": q_revisit_policy,
     "repetition_filter": q_repetition_filter,
     "html_text": q_html_text,
     "robots_rfc": q_robots_rfc,
@@ -2929,6 +2970,27 @@ ORACLES = {
                CAST((doc_id * 7) % 190 + 30 AS INT) AS bl,
                CAST((doc_id * 7) % 190 + 58 AS INT) AS br
         FROM documents WHERE doc_id < 240
+    """,
+    "revisit_policy": """
+        WITH p AS (
+            SELECT doc_id, 2 + doc_id % 4 AS kk, 60 + doc_id % 60 AS t,
+                   1 + doc_id % 3 AS j, doc_id % 97 AS t0
+            FROM documents WHERE doc_id < 400
+        ), s AS (
+            SELECT doc_id, kk,
+                   t0 + (kk - 1) * t AS last_ts,
+                   (kk - 1) // j AS n_changes,
+                   LEAST(GREATEST(((kk - 1) * t) // ((kk - 1) // j + 1),
+                                  100), 10000) AS iv
+            FROM p
+        )
+        SELECT 'http://host' || (doc_id % 40) || '.test/p' || doc_id AS url,
+               CAST(kk AS BIGINT) AS n_fetches,
+               CAST(n_changes AS BIGINT) AS n_changes,
+               CAST(last_ts AS BIGINT) AS last_ts,
+               CAST(last_ts + iv AS BIGINT) AS next_due,
+               last_ts + iv <= 5000 AS due
+        FROM s
     """,
     "robots_sitemap_chain": """
         WITH sp AS (SELECT unnest(range(2)) AS sm_pos),

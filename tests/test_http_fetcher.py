@@ -111,6 +111,18 @@ def _make_handler(rec: _Recorder):
             elif self.path.startswith("/badgz"):
                 self._reply(200, b"\x1f\x8bgarbage",
                             [("Content-Encoding", "gzip")])
+            elif self.path.startswith("/cond"):
+                etag = '"v7"'
+                lm = "Tue, 18 Aug 2026 00:00:00 GMT"
+                if self.headers.get("If-None-Match") == etag or (
+                    self.headers.get("If-Modified-Since") == lm
+                ):
+                    self._reply(304, b"", [("ETag", etag)])
+                else:
+                    self._reply(
+                        200, b"fresh-content",
+                        [("ETag", etag), ("Last-Modified", lm)],
+                    )
             else:
                 self._reply(200, b"root")
 
@@ -284,6 +296,73 @@ def test_content_encoding_negotiated_and_inflated(spark, loopback):
         r["aenc"] == "gzip, deflate" for r in rec.requests
         if r["path"].startswith(("/gz", "/defl", "/rawdefl", "/badgz"))
     )
+
+
+def test_conditional_get_revisit(spark, loopback):
+    """RFC 9110 conditional requests: validators captured on first
+    fetch, If-None-Match/If-Modified-Since go on the wire from the
+    optional request columns, a match is a 304 with a NULL body (the
+    revisit pipeline reuses its stored payload), a stale validator
+    refetches in full."""
+    base, rec = loopback
+    first = (
+        agent.HttpFetcher(timeout_s=5.0)
+        .fetch(
+            spark.createDataFrame([(f"{base}/cond",)], "url_norm string"),
+            "url_norm",
+        )
+        .collect()[0]
+    )
+    assert first["status"] == 200 and first["body"] == "fresh-content"
+    assert first["etag"] == '"v7"'
+    assert first["last_modified"] == "Tue, 18 Aug 2026 00:00:00 GMT"
+    revisit = spark.createDataFrame(
+        [
+            (f"{base}/cond", "match", first["etag"], None),
+            (f"{base}/cond", "stale", '"v0"', None),
+            (f"{base}/cond", "lm", None, first["last_modified"]),
+        ],
+        "url_norm string, tag string, if_none_match string, "
+        "if_modified_since string",
+    )
+    rows = {
+        r["tag"]: r
+        for r in agent.HttpFetcher(timeout_s=5.0)
+        .fetch(revisit, "url_norm").collect()
+    }
+    assert rows["match"]["status"] == 304 and rows["match"]["body"] is None
+    assert rows["lm"]["status"] == 304 and rows["lm"]["body"] is None
+    assert rows["stale"]["status"] == 200
+    assert rows["stale"]["body"] == "fresh-content"
+
+
+def test_revisit_schedule_operator(spark):
+    """Change-rate policy: a fast-changing URL comes due before a
+    static one; single-fetch URLs get min_interval."""
+    from mechaml_spark.frontier.revisit import revisit_schedule
+
+    hist = spark.createDataFrame(
+        [
+            # changes every fetch: est = span//(changes+1) = 300//3
+            ("u/hot", 0, "a"), ("u/hot", 150, "b"), ("u/hot", 300, "c"),
+            # never changes: est = 300//1 = 300 -> clamped to 200
+            ("u/cold", 0, "x"), ("u/cold", 150, "x"), ("u/cold", 300, "x"),
+            ("u/new", 300, "y"),
+        ],
+        "url string, ts long, content_hash string",
+    )
+    rows = {
+        r["url"]: r
+        for r in revisit_schedule(
+            hist, now_ts=410, min_interval=50, max_interval=200
+        ).collect()
+    }
+    assert rows["u/hot"]["n_changes"] == 2
+    assert rows["u/hot"]["next_due"] == 400 and rows["u/hot"]["due"]
+    assert rows["u/cold"]["n_changes"] == 0
+    assert rows["u/cold"]["next_due"] == 500 and not rows["u/cold"]["due"]
+    assert rows["u/new"]["n_fetches"] == 1
+    assert rows["u/new"]["next_due"] == 350 and rows["u/new"]["due"]
 
 
 def test_http_fetcher_composes_with_hop_loop(spark):
