@@ -1396,6 +1396,97 @@ def q_image_resize_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_span_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-SPAN exact-substring dedup (the Lee et al. 2021
+    "Deduplicating Training Data Makes Language Models Better"
+    operator, at window size 8): every 8-token sliding window is
+    hashed; windows occurring in >1 document are duplicated spans,
+    and every token covered by a flagged window is dropped.
+
+    Corpus: docs carry a unique prefix (3+d%3 tokens) and suffix
+    (2+d%2), plus — when (d%20)%4 < 2 — a 10-token span shared by all
+    20 docs with the same d%20.  Exactly the 3 windows fully inside
+    the span duplicate, covering exactly the 10 span tokens, so
+    kept/dropped counts are closed forms.
+
+    Scale shape: explode windows -> groupBy(xxhash64(window)) count
+    (shuffle carries an 8-byte hash, never text) -> hash join back ->
+    per-doc coverage via a higher-order filter over the token array.
+    No window function over the corpus, no all-pairs comparison."""
+    W = 8
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 400
+    )
+    did = F.col("doc_id")
+    shared = (did % 20 % 4) < 2
+    prefix = F.transform(
+        F.sequence(F.lit(0), (2 + did % 3).cast("int")),
+        lambda i: F.concat(F.lit("u"), did, F.lit("_"), i),
+    )
+    span = F.when(
+        shared,
+        F.transform(
+            F.sequence(F.lit(0), F.lit(9)),
+            lambda i: F.concat(F.lit("s"), did % 20, F.lit("_"), i),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    suffix = F.transform(
+        F.sequence(F.lit(0), (1 + did % 2).cast("int")),
+        lambda i: F.concat(F.lit("v"), did, F.lit("_"), i),
+    )
+    docs = d.select(
+        "doc_id", F.concat(prefix, span, suffix).alias("toks")
+    )
+    wins = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("toks") >= W,
+                F.sequence(F.lit(0), F.size("toks") - W),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("wstart"),
+        F.col("toks"),
+    ).select(
+        "doc_id",
+        "wstart",
+        F.xxhash64(
+            F.array_join(F.slice("toks", F.col("wstart") + 1, W), " ")
+        ).alias("wh"),
+    )
+    dup = (
+        wins.groupBy("wh")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 2)
+        .select("wh")
+    )
+    flagged = (
+        wins.join(dup, "wh")
+        .groupBy("doc_id")
+        .agg(
+            F.collect_set("wstart").alias("flags"),
+            F.count(F.lit(1)).alias("n_dup_windows"),
+        )
+    )
+    joined = docs.join(flagged, "doc_id", "left").select(
+        "doc_id",
+        "toks",
+        F.coalesce("flags", F.array().cast("array<int>")).alias("flags"),
+        F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+    )
+    kept = F.filter(
+        F.col("toks"),
+        lambda _t_, i: ~F.exists(
+            F.col("flags"), lambda s: (i >= s) & (i < s + W)
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.col("n_dup_windows").cast("long").alias("n_dup_windows"),
+        F.size(kept).alias("n_kept"),
+    )
+
+
 def q_revisit_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recrawl freshness scheduling
     (:func:`mechaml_spark.frontier.revisit.revisit_schedule`, the Cho
@@ -2527,6 +2618,7 @@ QUERIES = {
     "robots_sitemap_chain": q_robots_sitemap_chain,
     "image_resize_bilinear": q_image_resize_bilinear,
     "revisit_policy": q_revisit_policy,
+    "span_dedupe": q_span_dedupe,
     "repetition_filter": q_repetition_filter,
     "html_text": q_html_text,
     "robots_rfc": q_robots_rfc,
@@ -2970,6 +3062,19 @@ ORACLES = {
                CAST((doc_id * 7) % 190 + 30 AS INT) AS bl,
                CAST((doc_id * 7) % 190 + 58 AS INT) AS br
         FROM documents WHERE doc_id < 240
+    """,
+    "span_dedupe": """
+        WITH p AS (
+            SELECT doc_id,
+                   3 + doc_id % 3 AS np, 2 + doc_id % 2 AS nq,
+                   CASE WHEN (doc_id % 20) % 4 < 2 THEN 1 ELSE 0 END AS sh
+            FROM documents WHERE doc_id < 400
+        )
+        SELECT doc_id,
+               CAST(np + nq + 10 * sh AS INT) AS n_tokens,
+               CAST(3 * sh AS BIGINT) AS n_dup_windows,
+               CAST(np + nq AS INT) AS n_kept
+        FROM p
     """,
     "revisit_policy": """
         WITH p AS (
