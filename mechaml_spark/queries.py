@@ -1396,6 +1396,46 @@ def q_image_resize_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF text extraction (:mod:`mechaml_spark.pdfkit`) — the web's
+    second document format through a real parse: two-page PDFs with
+    escape-needing text (parens, backslash), FlateDecode-compressed
+    streams for even docs and plain for odd, extracted inside
+    mapInPandas.  The expected text is a closed form the oracle
+    rebuilds with string concatenation."""
+    import pandas as _pd
+
+    from mechaml_spark.pdfkit import extract_pdf_text_stage, pdf_write
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 300
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                pages = [
+                    [f"Doc {did} (report) \\ draft",
+                     f"Value: {(did * 7) % 100}"],
+                    [f"Appendix {did % 5}"],
+                ]
+                rows.append({
+                    "doc_id": did,
+                    "bytes": pdf_write(pages, compress=did % 2 == 0),
+                })
+            yield _pd.DataFrame(rows, columns=["doc_id", "bytes"])
+
+    media = d.mapInPandas(gen, schema="doc_id long, bytes binary")
+    out = extract_pdf_text_stage(media)
+    return out.select(
+        "doc_id",
+        F.col("pdf_text").alias("text"),
+        F.length("pdf_text").alias("n_chars"),
+    )
+
+
 def q_span_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-SPAN exact-substring dedup (the Lee et al. 2021
     "Deduplicating Training Data Makes Language Models Better"
@@ -2619,6 +2659,7 @@ QUERIES = {
     "image_resize_bilinear": q_image_resize_bilinear,
     "revisit_policy": q_revisit_policy,
     "span_dedupe": q_span_dedupe,
+    "pdf_text_extract": q_pdf_text_extract,
     "repetition_filter": q_repetition_filter,
     "html_text": q_html_text,
     "robots_rfc": q_robots_rfc,
@@ -3062,6 +3103,17 @@ ORACLES = {
                CAST((doc_id * 7) % 190 + 30 AS INT) AS bl,
                CAST((doc_id * 7) % 190 + 58 AS INT) AS br
         FROM documents WHERE doc_id < 240
+    """,
+    "pdf_text_extract": """
+        SELECT doc_id,
+               'Doc ' || doc_id || ' (report) ' || chr(92) || ' draft'
+                   || chr(10) || 'Value: ' || (doc_id * 7) % 100
+                   || chr(10) || 'Appendix ' || doc_id % 5 AS text,
+               CAST(length('Doc ' || doc_id || ' (report) ' || chr(92)
+                   || ' draft' || chr(10) || 'Value: '
+                   || (doc_id * 7) % 100 || chr(10) || 'Appendix '
+                   || doc_id % 5) AS INT) AS n_chars
+        FROM documents WHERE doc_id < 300
     """,
     "span_dedupe": """
         WITH p AS (
