@@ -842,8 +842,155 @@ def gif_encode_animated(
 # in a JPEG APP1.  LZW/PackBits/tiled TIFFs refuse loudly.
 
 
-def tiff_encode(pixels: np.ndarray) -> bytes:
-    """Single-strip uncompressed little-endian TIFF (gray or RGB)."""
+def _tiff_lzw_decode(data: bytes) -> bytes:
+    """TIFF 6.0 LZW (section 13): MSB-first code packing, 9->12 bit
+    codes, Clear=256 / EOI=257, and the spec's EARLY-CHANGE width
+    bump (one code earlier than GIF's LZW — the documented wart)."""
+    out = bytearray()
+    pos = 0  # bit position
+    nbits = len(data) * 8
+    width = 9
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    prev: bytes | None = None
+
+    def read_code() -> int:
+        nonlocal pos
+        if pos + width > nbits:
+            return 257  # truncated stream: treat as EOI
+        v = 0
+        for _ in range(width):
+            v = (v << 1) | ((data[pos >> 3] >> (7 - (pos & 7))) & 1)
+            pos += 1
+        return v
+
+    while True:
+        code = read_code()
+        if code == 257:
+            break
+        if code == 256:
+            table = table[:258]
+            width = 9
+            prev = None
+            continue
+        if prev is None:
+            if code > 255:
+                raise ValueError("TIFF LZW: bad first code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("TIFF LZW: code out of range")
+        out += entry
+        if len(table) == (1 << width) - 1 and width < 12:  # early change
+            width += 1
+        prev = entry
+    return bytes(out)
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF 6.0 LZW writer (real match-finding table), the mirror of
+    :func:`_tiff_lzw_decode`'s early-change convention."""
+    out = bytearray()
+    acc = 0
+    nacc = 0
+    width = 9
+
+    def emit(code: int) -> None:
+        nonlocal acc, nacc
+        acc = (acc << width) | code
+        nacc += width
+        while nacc >= 8:
+            out.append((acc >> (nacc - 8)) & 0xFF)
+            nacc -= 8
+
+    def fresh() -> dict[bytes, int]:
+        return {bytes([i]): i for i in range(256)}
+
+    table = fresh()
+    nxt = 258
+    emit(256)  # Clear
+    w = b""
+    for b in data:
+        wc = w + bytes([b])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        table[wc] = nxt
+        nxt += 1
+        # early change, encoder side: the writer's next-code counter
+        # leads the reader's table size by one, so the reader's
+        # (1<<width)-1 bump lands here at (1<<width) — pinned against
+        # real libtiff in tests/test_imaging.py
+        if nxt == (1 << width) and width < 12:
+            width += 1
+        if nxt >= 4093:  # refresh before 12 bits overflow
+            emit(256)
+            table = fresh()
+            nxt = 258
+            width = 9
+        w = bytes([b])
+    if w:
+        emit(table[w])
+    emit(257)  # EOI
+    if nacc:
+        out.append((acc << (8 - nacc)) & 0xFF)
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes) -> bytes:
+    """TIFF PackBits (Apple RLE, TIFF 6.0 section 9)."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        c = data[i]
+        i += 1
+        if c < 128:  # literal run of c+1
+            out += data[i : i + c + 1]
+            i += c + 1
+        elif c > 128:  # repeat next byte 257-c times
+            out += data[i : i + 1] * (257 - c)
+            i += 1
+        # 128: no-op
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 2:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        j = i + 1
+        while (
+            j < n
+            and j - i < 128
+            and not (j + 1 < n and data[j] == data[j + 1])
+        ):
+            j += 1
+        out += bytes([j - i - 1]) + data[i:j]
+        i = j
+    return bytes(out)
+
+
+def tiff_encode(
+    pixels: np.ndarray, compression: int = 1, predictor: int = 1,
+    rows_per_strip: int | None = None,
+) -> bytes:
+    """Little-endian TIFF (gray or RGB): uncompressed (1), LZW (5),
+    Deflate (8), or PackBits (32773), optional horizontal predictor
+    (317=2, the LZW/Deflate companion), optional multi-strip."""
     if pixels.ndim == 2:
         spp, photometric = 1, 1  # BlackIsZero
     elif pixels.ndim == 3 and pixels.shape[2] == 3:
@@ -851,31 +998,75 @@ def tiff_encode(pixels: np.ndarray) -> bytes:
     else:
         raise ValueError("tiff_encode wants HxW or HxWx3 uint8")
     h, w = pixels.shape[:2]
-    strip = np.ascontiguousarray(pixels, dtype=np.uint8).tobytes()
+    samples = np.ascontiguousarray(pixels, dtype=np.uint8).reshape(
+        h, w * spp
+    )
+    if predictor == 2:  # horizontal differencing per sample channel
+        s3 = samples.reshape(h, w, spp).astype(np.int16)
+        s3[:, 1:, :] = s3[:, 1:, :] - s3[:, :-1, :]
+        samples = (s3 & 0xFF).astype(np.uint8).reshape(h, w * spp)
+    elif predictor != 1:
+        raise ValueError(f"unsupported TIFF predictor {predictor}")
+    rps = rows_per_strip or h
+    packers = {
+        1: lambda b: b,
+        5: _tiff_lzw_encode,
+        8: lambda b: zlib.compress(b, 6),
+        # TIFF 6.0 section 9: PackBits must pack each ROW separately
+        32773: None,
+    }
+    if compression not in packers:
+        raise ValueError(f"unsupported TIFF compression {compression}")
+
+    def pack_strip(rows: np.ndarray) -> bytes:
+        if compression == 32773:
+            return b"".join(_packbits_encode(r.tobytes()) for r in rows)
+        return packers[compression](rows.tobytes())
+
+    strips = [pack_strip(samples[y : y + rps]) for y in range(0, h, rps)]
+    n_strips = len(strips)
     entries: list[tuple[int, int, object]] = [
         (256, 4, w),  # ImageWidth
         (257, 4, h),  # ImageLength
         (258, 3, [8] * spp),  # BitsPerSample
-        (259, 3, 1),  # Compression: none
+        (259, 3, compression),
         (262, 3, photometric),
         (277, 3, spp),  # SamplesPerPixel
-        (278, 4, h),  # RowsPerStrip: one strip
-        (279, 4, len(strip)),  # StripByteCounts
+        (278, 4, rps),  # RowsPerStrip
+        (279, 4, [len(s) for s in strips] if n_strips > 1
+         else len(strips[0])),
+        (317, 3, predictor),
     ]
-    # Strip data sits after header(8) + IFD; StripOffsets needs the
-    # final IFD size, which only depends on the entry COUNT (+1 for
-    # StripOffsets itself) and the BitsPerSample overflow (6 bytes for
-    # RGB), so one sizing pass with a placeholder resolves it.
+    # Strip data sits after header(8) + IFD (+ overflow); StripOffsets
+    # needs the final layout, which only depends on entry count and
+    # overflow sizes, so one sizing pass with placeholders resolves it.
     from mechaml_spark.exif import _build_ifd
 
-    probe, ov = _build_ifd("<", entries + [(273, 4, 0)], 8)
+    placeholder = (
+        [0] * n_strips if n_strips > 1 else 0
+    )
+    probe, ov = _build_ifd("<", entries + [(273, 4, placeholder)], 8)
     data_off = 8 + len(probe) + len(ov)
-    body, ov = _build_ifd("<", entries + [(273, 4, data_off)], 8)
-    return b"II" + struct.pack("<HI", 42, 8) + body + ov + strip
+    offsets: list[int] = []
+    at = data_off
+    for s in strips:
+        offsets.append(at)
+        at += len(s)
+    body, ov = _build_ifd(
+        "<",
+        entries + [(273, 4, offsets if n_strips > 1 else offsets[0])],
+        8,
+    )
+    return (
+        b"II" + struct.pack("<HI", 42, 8) + body + ov + b"".join(strips)
+    )
 
 
 def tiff_decode(data: bytes) -> np.ndarray:
-    """Decode baseline uncompressed TIFF (both byte orders)."""
+    """Decode baseline TIFF (both byte orders): uncompressed, LZW
+    (5), Deflate (8 / legacy 32946), PackBits (32773), with the
+    horizontal predictor (317=2); other compressions (JPEG-in-TIFF,
+    CCITT fax) raise NotImplementedError."""
     from mechaml_spark.exif import ExifError, ifd_parse, tiff_byte_order
 
     try:
@@ -885,9 +1076,17 @@ def tiff_decode(data: bytes) -> np.ndarray:
     except ExifError as exc:
         raise ValueError(f"bad TIFF: {exc}") from exc
     comp = ifd.get(259, 1)
-    if comp != 1:
+    unpackers = {
+        1: lambda b: b,
+        5: _tiff_lzw_decode,
+        8: zlib.decompress,
+        32946: zlib.decompress,
+        32773: _packbits_decode,
+    }
+    if comp not in unpackers:
         raise NotImplementedError(
-            f"TIFF compression {comp} not supported (uncompressed only)"
+            f"TIFF compression {comp} not supported (none/LZW/Deflate/"
+            "PackBits are real)"
         )
     if ifd.get(284, 1) != 1:
         raise NotImplementedError("planar TIFF not supported")
@@ -897,13 +1096,26 @@ def tiff_decode(data: bytes) -> np.ndarray:
     bits = bits if isinstance(bits, list) else [bits]
     if set(bits) != {8}:
         raise NotImplementedError(f"TIFF bit depths {bits} not supported")
+    predictor = int(ifd.get(317, 1))
+    if predictor not in (1, 2):
+        raise NotImplementedError(f"TIFF predictor {predictor}")
     offs = ifd[273]
     cnts = ifd[279]
     offs = offs if isinstance(offs, list) else [offs]
     cnts = cnts if isinstance(cnts, list) else [cnts]
-    raw = b"".join(data[o : o + c] for o, c in zip(offs, cnts))
+    raw = b"".join(
+        unpackers[comp](data[o : o + c]) for o, c in zip(offs, cnts)
+    )
     if len(raw) < h * w * spp:
         raise ValueError("TIFF strip data truncated")
+    if predictor == 2:  # undo horizontal differencing per channel
+        rows = np.frombuffer(raw[: h * w * spp], np.uint8).reshape(
+            h, w, spp
+        )
+        raw = (
+            np.cumsum(rows.astype(np.uint32), axis=1, dtype=np.uint32)
+            & 0xFF
+        ).astype(np.uint8).tobytes()
     px = np.frombuffer(raw[: h * w * spp], dtype=np.uint8)
     if spp == 1:
         g = px.reshape(h, w)

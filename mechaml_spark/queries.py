@@ -967,6 +967,55 @@ def q_image_webp_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_tiff_compressed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-TIFF decode through the shared feature stage: the
+    QOI gradient content in LZW / Deflate / PackBits TIFFs (doc_id%3),
+    horizontal predictor on for doc_id%2==0, multi-strip for
+    doc_id%5==0 — nine parse-path combinations, one closed-form
+    oracle.  The LZW early-change convention is pinned against the
+    real libtiff in tests/test_imaging.py."""
+    import numpy as _np
+    import pandas as _pd
+
+    from mechaml_spark import imaging as _im
+    from mechaml_spark import multimodal
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 200
+    )
+
+    def gen(batches):
+        yy, xx = _np.mgrid[0:12, 0:16]
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                px = _np.empty((12, 16, 3), _np.uint8)
+                px[..., 0] = (did * 7) % 200 + xx
+                px[..., 1] = (did * 11) % 200 + yy
+                px[..., 2] = (did * 13) % 251
+                comp = (5, 8, 32773)[did % 3]
+                data = _im.tiff_encode(
+                    px,
+                    compression=comp,
+                    predictor=2 if did % 2 == 0 else 1,
+                    rows_per_strip=4 if did % 5 == 0 else None,
+                )
+                rows.append({"doc_id": did, "bytes": data, "fmt": "tiff"})
+            yield _pd.DataFrame(rows, columns=["doc_id", "bytes", "fmt"])
+
+    media = d.mapInPandas(gen, schema="doc_id long, bytes binary, fmt string")
+    feats = multimodal.image_features(media)
+    return feats.select(
+        "doc_id",
+        F.col("features")["w"].alias("w"),
+        F.col("features")["h"].alias("h"),
+        F.col("features")["mean_r"].alias("mean_r"),
+        F.col("features")["mean_g"].alias("mean_g"),
+        F.col("features")["mean_b"].alias("mean_b"),
+    )
+
+
 def q_image_pixel_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-format pixel-exact image dedup — the pipeline op a
     content hash over ENCODED bytes cannot do: the same pixels saved
@@ -2649,6 +2698,7 @@ QUERIES = {
     "image_ico_features": q_image_ico_features,
     "image_qoi_features": q_image_qoi_features,
     "image_webp_features": q_image_webp_features,
+    "image_tiff_compressed": q_image_tiff_compressed,
     "image_pixel_dedup": q_image_pixel_dedup,
     "warc_roundtrip": q_warc_roundtrip,
     "sitemap_extract": q_sitemap_extract,
@@ -3023,6 +3073,14 @@ ORACLES = {
         FROM documents WHERE doc_id < 200
     """,
     "image_webp_features": """
+        SELECT doc_id,
+               CAST(16 AS INT) AS w, CAST(12 AS INT) AS h,
+               CAST((doc_id * 7) % 200 AS BIGINT) * 1000 + 7500 AS mean_r,
+               CAST((doc_id * 11) % 200 AS BIGINT) * 1000 + 5500 AS mean_g,
+               CAST((doc_id * 13) % 251 AS BIGINT) * 1000 AS mean_b
+        FROM documents WHERE doc_id < 200
+    """,
+    "image_tiff_compressed": """
         SELECT doc_id,
                CAST(16 AS INT) AS w, CAST(12 AS INT) AS h,
                CAST((doc_id * 7) % 200 AS BIGINT) * 1000 + 7500 AS mean_r,

@@ -76,7 +76,8 @@ def test_http_fetcher_builds_plan(spark):
         spark.createDataFrame([("http://x/",)], "url_norm string"), "url_norm"
     )
     assert [f.name for f in out.schema.fields] == [
-        "url_norm", "status", "location", "set_cookie", "body", "error"
+        "url_norm", "status", "location", "set_cookie", "body", "error",
+        "etag", "last_modified",
     ]
 
 

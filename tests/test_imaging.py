@@ -943,3 +943,116 @@ def test_apng_sample_video_frames_spark(spark):
     assert [r["ts_ms"] for r in rows] == [0, 500, 1000]
     for r, want in zip(sorted(rows, key=lambda r: r["ts_ms"]), frames):
         assert (png_decode(bytes(r["frame"])) == want).all()
+
+
+# --------------------------------------------- compressed TIFF
+
+
+def test_tiff_compression_matrix():
+    """LZW / Deflate / PackBits x predictor x multi-strip round
+    trips, RGB and gray, incl. data large enough to cross the LZW
+    9->10->11-bit width changes."""
+    from mechaml_spark.imaging import tiff_decode, tiff_encode
+
+    rng = np.random.default_rng(4)
+    px = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    gray = rng.integers(0, 256, (33, 17), dtype=np.uint8)
+    for comp in (1, 5, 8, 32773):
+        for pred in (1, 2):
+            for rps in (None, 3):
+                d = tiff_encode(px, compression=comp, predictor=pred,
+                                rows_per_strip=rps)
+                assert (tiff_decode(d) == px).all(), (comp, pred, rps)
+    d = tiff_encode(gray, compression=5, predictor=2)
+    assert (tiff_decode(d) == np.repeat(gray[..., None], 3, 2)).all()
+
+
+def test_tiff_lzw_clear_refresh():
+    """Streams long enough to exhaust the 12-bit table force a
+    mid-stream Clear; decode must survive the refresh."""
+    from mechaml_spark.imaging import _tiff_lzw_decode, _tiff_lzw_encode
+
+    rng = np.random.default_rng(5)
+    blob = rng.integers(0, 256, 60000, dtype=np.uint8).tobytes()
+    assert _tiff_lzw_decode(_tiff_lzw_encode(blob)) == blob
+
+
+def test_tiff_unsupported_compression_raises():
+    from mechaml_spark.imaging import tiff_decode, tiff_encode
+
+    d = bytearray(tiff_encode(np.zeros((2, 2, 3), np.uint8)))
+    # patch the Compression IFD value to 7 (JPEG-in-TIFF)
+    i = d.find((259).to_bytes(2, "little"))
+    d[i + 8] = 7
+    with pytest.raises(NotImplementedError, match="compression 7"):
+        tiff_decode(bytes(d))
+
+
+def test_tiff_against_real_libtiff():
+    """Ground truth: round trip THROUGH the reference C libtiff when
+    the shared library is present (encoder output read by libtiff,
+    libtiff LZW/Deflate+predictor output read by our decoder) — pins
+    the LZW early-change convention to the real world, not to our
+    own mirror-image pair."""
+    import ctypes
+
+    from mechaml_spark.imaging import tiff_decode, tiff_encode
+
+    try:
+        lt = ctypes.CDLL("libtiff.so.6")
+    except OSError:
+        pytest.skip("libtiff not present")
+    lt.TIFFOpen.restype = ctypes.c_void_p
+    lt.TIFFOpen.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+    rng = np.random.default_rng(4)
+    px = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+
+    def libtiff_write(path, comp, pred, rps):
+        tif = lt.TIFFOpen(path, b"w")
+        assert tif
+
+        def setf(tag, val):
+            lt.TIFFSetField(
+                ctypes.c_void_p(tif), ctypes.c_uint32(tag),
+                ctypes.c_int(val),
+            )
+
+        setf(256, 64); setf(257, 64); setf(258, 8); setf(277, 3)
+        setf(259, comp); setf(262, 2); setf(284, 1); setf(278, rps)
+        if pred != 1:
+            setf(317, pred)
+        for y in range(64):
+            assert lt.TIFFWriteScanline(
+                ctypes.c_void_p(tif), px[y].tobytes(),
+                ctypes.c_uint32(y), ctypes.c_uint16(0),
+            ) == 1
+        lt.TIFFClose(ctypes.c_void_p(tif))
+
+    def libtiff_read(path):
+        tif = lt.TIFFOpen(path, b"r")
+        assert tif
+        buf = ctypes.create_string_buffer(64 * 3)
+        rows = []
+        for y in range(64):
+            assert lt.TIFFReadScanline(
+                ctypes.c_void_p(tif), buf, ctypes.c_uint32(y),
+                ctypes.c_uint16(0),
+            ) == 1
+            rows.append(np.frombuffer(buf.raw, np.uint8).copy())
+        lt.TIFFClose(ctypes.c_void_p(tif))
+        return np.stack(rows).reshape(64, 64, 3)
+
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        for comp, pred, rps in [(5, 1, 64), (5, 2, 16), (8, 2, 16),
+                                (32773, 1, 64)]:
+            p = f"{td}/ref.tif".encode()
+            libtiff_write(p, comp, pred, rps)
+            got = tiff_decode(open(p, "rb").read())
+            assert (got == px).all(), ("decode", comp, pred, rps)
+        for comp, pred in [(5, 1), (5, 2), (8, 2), (32773, 1)]:
+            p = f"{td}/mine.tif".encode()
+            open(p, "wb").write(
+                tiff_encode(px, compression=comp, predictor=pred)
+            )
+            assert (libtiff_read(p) == px).all(), ("encode", comp, pred)
