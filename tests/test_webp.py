@@ -353,3 +353,59 @@ def test_vp8x_wrapped_lossless_decodes():
     body = b"WEBP" + vp8x + vp8l
     data = b"RIFF" + struct.pack("<I", len(body)) + body
     assert (webp_decode(data) == px).all()
+
+
+def test_against_real_libwebp():
+    """Ground truth when the reference C libwebp is present: real
+    libwebp lossless streams (which use predictor/cross-color
+    transforms, color cache, meta-Huffman and LZ77 as the reference
+    encoder chooses) must decode bit-exact, and libwebp must decode
+    every one of our encoder modes bit-exact."""
+    import ctypes
+
+    try:
+        lw = ctypes.CDLL("libwebp.so.7")
+    except OSError:
+        pytest.skip("libwebp not present")
+    lw.WebPEncodeLosslessRGB.restype = ctypes.c_size_t
+    lw.WebPEncodeLosslessRGB.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_void_p),
+    ]
+    lw.WebPDecodeRGB.restype = ctypes.POINTER(ctypes.c_ubyte)
+    lw.WebPDecodeRGB.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ]
+    rng = np.random.default_rng(17)
+    cases = []
+    for (h, w) in [(16, 16), (37, 53), (64, 64)]:
+        cases.append(rng.integers(0, 256, (h, w, 3), dtype=np.uint8))
+        yy, xx = np.mgrid[0:h, 0:w]
+        cases.append(np.stack(
+            [(xx * 3) % 256, (yy * 5) % 256, ((xx + yy) * 2) % 256], -1
+        ).astype(np.uint8))
+        cases.append((rng.integers(0, 4, (h, w, 3)) * 80).astype(np.uint8))
+        cases.append(np.clip(
+            128 + 40 * np.sin(xx / 7.0) + 40 * np.cos(yy / 5.0), 0, 255
+        ).astype(np.uint8)[..., None].repeat(3, 2))
+    for i, px in enumerate(cases):
+        h, w = px.shape[:2]
+        out = ctypes.c_void_p()
+        n = lw.WebPEncodeLosslessRGB(
+            px.tobytes(), w, h, w * 3, ctypes.byref(out)
+        )
+        assert n > 0
+        assert (webp_decode(ctypes.string_at(out, n)) == px).all(), i
+    for i, px in enumerate(cases[:6]):
+        for mode in ("none", "subtract-green", "auto"):
+            data = webp_encode(px, mode=mode)
+            wid, hei = ctypes.c_int(), ctypes.c_int()
+            p = lw.WebPDecodeRGB(
+                data, len(data), ctypes.byref(wid), ctypes.byref(hei)
+            )
+            assert p, (i, mode)
+            arr = np.ctypeslib.as_array(
+                p, shape=(hei.value, wid.value, 3)
+            ).copy()
+            assert (arr == px).all(), (i, mode)
