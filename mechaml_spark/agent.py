@@ -35,6 +35,44 @@ from mechaml_spark import page
 MAX_REDIRECT = 5  # src/agent.ml:65
 
 
+def _brotli_decoder():
+    """One-shot brotli decompressor over the SYSTEM libbrotlidec via
+    ctypes when present, else None (the transport then simply doesn't
+    advertise ``br``).  Never a hard dependency: try the import-style
+    gate first — no pip package exists in-sandbox, but a cluster
+    image may ship the `brotli` wheel."""
+    try:  # a real brotli wheel wins if a deployment installs one
+        import brotli  # type: ignore
+
+        return lambda data, cap: brotli.decompress(data)[:cap]
+    except ImportError:
+        pass
+    import ctypes
+
+    try:
+        lib = ctypes.CDLL("libbrotlidec.so.1")
+    except OSError:
+        return None
+    lib.BrotliDecoderDecompress.restype = ctypes.c_int
+    lib.BrotliDecoderDecompress.argtypes = [
+        ctypes.c_size_t,
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_size_t),
+        ctypes.c_char_p,
+    ]
+
+    def decode(data: bytes, cap: int) -> bytes:
+        out = ctypes.create_string_buffer(cap)
+        n = ctypes.c_size_t(cap)
+        # 1 = BROTLI_DECODER_RESULT_SUCCESS
+        if lib.BrotliDecoderDecompress(len(data), data, ctypes.byref(n),
+                                       out) != 1:
+            raise ValueError("undecodable brotli body")
+        return out.raw[: n.value]
+
+    return decode
+
+
 def _transport(timeout_s: float, max_body: int):
     """Per-task HTTP transport shared by BOTH live backends
     (:class:`HttpFetcher` and :class:`HttpLoopFetcher`): a connection
@@ -51,21 +89,30 @@ def _transport(timeout_s: float, max_body: int):
     pair a revisit pipeline stores for conditional GETs.
 
     Content negotiation: ``Accept-Encoding: gzip, deflate`` goes on
-    the wire unless the caller set its own, and gzip/x-gzip/deflate
-    response bodies are transparently inflated (deflate tries the
-    RFC 9110 zlib wrapping first, then the widespread raw-deflate
-    server quirk), capped at ``max_body`` decoded bytes.  An
-    undecodable encoded body raises — the callers' per-row catch
-    turns that into the status-0 transport sentinel, never a fake
-    page.
+    the wire unless the caller set its own (plus ``br`` when the
+    system libbrotlidec loads — gated, never a hard dependency), and
+    gzip/x-gzip/deflate/br response bodies are transparently inflated
+    (deflate tries the RFC 9110 zlib wrapping first, then the
+    widespread raw-deflate server quirk), capped at ``max_body``
+    decoded bytes.  An undecodable encoded body raises — the callers'
+    per-row catch turns that into the status-0 transport sentinel,
+    never a fake page.
     """
     import http.client
     import zlib
     from urllib.parse import urlsplit
 
     conns: dict[tuple, http.client.HTTPConnection] = {}
+    brotli = _brotli_decoder()
+    accept = "gzip, deflate, br" if brotli else "gzip, deflate"
 
     def _inflate(data: bytes, enc: str) -> bytes:
+        if enc == "br":
+            if brotli is None:
+                raise ValueError(
+                    "brotli response but libbrotlidec unavailable"
+                )
+            return brotli(data, max_body)
         if enc == "deflate":
             try:
                 return zlib.decompressobj().decompress(data, max_body)
@@ -97,7 +144,7 @@ def _transport(timeout_s: float, max_body: int):
                 conn = conns[key] = cls(host, port, timeout=timeout_s)
             try:
                 if not any(k.lower() == "accept-encoding" for k in headers):
-                    headers = {**headers, "Accept-Encoding": "gzip, deflate"}
+                    headers = {**headers, "Accept-Encoding": accept}
                 conn.request(method, target, body=body, headers=headers)
                 resp = conn.getresponse()
                 data = resp.read(max_body)
@@ -105,8 +152,8 @@ def _transport(timeout_s: float, max_body: int):
                 while resp.read(1 << 16):
                     pass
                 enc = (resp.getheader("Content-Encoding") or "").lower()
-                if data and enc in ("gzip", "x-gzip", "deflate"):
-                    data = _inflate(data, enc)  # zlib.error -> sentinel
+                if data and enc in ("gzip", "x-gzip", "deflate", "br"):
+                    data = _inflate(data, enc)  # decode error -> sentinel
                 return (
                     resp.status,
                     resp.getheader("Location"),

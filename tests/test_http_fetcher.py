@@ -111,6 +111,9 @@ def _make_handler(rec: _Recorder):
             elif self.path.startswith("/badgz"):
                 self._reply(200, b"\x1f\x8bgarbage",
                             [("Content-Encoding", "gzip")])
+            elif self.path.startswith("/br"):
+                self._reply(200, _brotli_compress(b"brotli-body!"),
+                            [("Content-Encoding", "br")])
             elif self.path.startswith("/cond"):
                 etag = '"v7"'
                 lm = "Tue, 18 Aug 2026 00:00:00 GMT"
@@ -293,9 +296,45 @@ def test_content_encoding_negotiated_and_inflated(spark, loopback):
     assert rows["r"]["body"] == "inflated-raw"
     assert rows["x"]["status"] == 0 and "error" in rows["x"]["error"].lower()
     assert all(
-        r["aenc"] == "gzip, deflate" for r in rec.requests
+        r["aenc"] in ("gzip, deflate", "gzip, deflate, br")
+        for r in rec.requests
         if r["path"].startswith(("/gz", "/defl", "/rawdefl", "/badgz"))
     )
+
+
+def _brotli_compress(data: bytes) -> bytes:
+    """Test-server-side brotli via the system libbrotlienc."""
+    import ctypes
+
+    lib = ctypes.CDLL("libbrotlienc.so.1")
+    lib.BrotliEncoderCompress.restype = ctypes.c_int
+    lib.BrotliEncoderCompress.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_size_t,
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_size_t), ctypes.c_char_p,
+    ]
+    out = ctypes.create_string_buffer(len(data) + 512)
+    n = ctypes.c_size_t(len(out))
+    assert lib.BrotliEncoderCompress(
+        5, 22, 0, len(data), data, ctypes.byref(n), out
+    ) == 1
+    return out.raw[: n.value]
+
+
+def test_brotli_content_encoding(spark, loopback):
+    """`br` negotiated and inflated when the system brotli libs are
+    present (gated: absent libs mean br is simply not advertised)."""
+    import ctypes
+
+    try:
+        ctypes.CDLL("libbrotlidec.so.1")
+        ctypes.CDLL("libbrotlienc.so.1")
+    except OSError:
+        pytest.skip("brotli libs not present")
+    base, rec = loopback
+    reqs = spark.createDataFrame([(f"{base}/br",)], "url_norm string")
+    [row] = agent.HttpFetcher(timeout_s=5.0).fetch(reqs, "url_norm").collect()
+    assert row["body"] == "brotli-body!"
+    assert rec.requests[-1]["aenc"] == "gzip, deflate, br"
 
 
 def test_conditional_get_revisit(spark, loopback):
