@@ -1056,3 +1056,96 @@ def test_tiff_against_real_libtiff():
                 tiff_encode(px, compression=comp, predictor=pred)
             )
             assert (libtiff_read(p) == px).all(), ("encode", comp, pred)
+
+
+def test_png_against_real_libpng():
+    """Ground truth via the system libpng16 (simplified API) when
+    present: libpng-written PNGs (real filter heuristics) decode
+    bit-exact with ours; libpng decodes our encoder output."""
+    import ctypes
+
+    try:
+        lp = ctypes.CDLL("libpng16.so.16")
+    except OSError:
+        pytest.skip("libpng not present")
+
+    class PngImage(ctypes.Structure):
+        _fields_ = [
+            ("opaque", ctypes.c_void_p), ("version", ctypes.c_uint32),
+            ("width", ctypes.c_uint32), ("height", ctypes.c_uint32),
+            ("format", ctypes.c_uint32), ("flags", ctypes.c_uint32),
+            ("colormap_entries", ctypes.c_uint32),
+            ("warning_or_error", ctypes.c_uint32),
+            ("message", ctypes.c_char * 64),
+        ]
+
+    for seed, (h, w) in [(2, (21, 13)), (3, (64, 64)), (4, (5, 1))]:
+        px = np.random.default_rng(seed).integers(
+            0, 256, (h, w, 3), dtype=np.uint8
+        )
+        img = PngImage(version=1, width=w, height=h, format=2)  # RGB
+        size = ctypes.c_size_t(0)
+        assert lp.png_image_write_to_memory(
+            ctypes.byref(img), None, ctypes.byref(size), 0,
+            px.tobytes(), 0, None,
+        )
+        buf = ctypes.create_string_buffer(size.value)
+        img = PngImage(version=1, width=w, height=h, format=2)
+        assert lp.png_image_write_to_memory(
+            ctypes.byref(img), buf, ctypes.byref(size), 0,
+            px.tobytes(), 0, None,
+        )
+        assert (imaging.png_decode(buf.raw[: size.value]) == px).all()
+        mine = imaging.png_encode(px)
+        rd = PngImage(version=1)
+        assert lp.png_image_begin_read_from_memory(
+            ctypes.byref(rd), mine, len(mine)
+        )
+        rd.format = 2
+        out = ctypes.create_string_buffer(w * h * 3)
+        assert lp.png_image_finish_read(
+            ctypes.byref(rd), None, out, 0, None
+        ), rd.message
+        assert (
+            np.frombuffer(out.raw, np.uint8).reshape(h, w, 3) == px
+        ).all()
+
+
+def test_gif_against_real_giflib():
+    """Ground truth via the system giflib when present: a
+    giflib-written GIF (the reference LZW encoder) decodes bit-exact
+    with our decoder."""
+    import ctypes
+    import tempfile
+
+    try:
+        lg = ctypes.CDLL("libgif.so.7")
+    except OSError:
+        pytest.skip("giflib not present")
+    lg.EGifOpenFileName.restype = ctypes.c_void_p
+    lg.EGifOpenFileName.argtypes = [
+        ctypes.c_char_p, ctypes.c_bool, ctypes.POINTER(ctypes.c_int)
+    ]
+    lg.GifMakeMapObject.restype = ctypes.c_void_p
+    rng = np.random.default_rng(2)
+    pal = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+    idx = rng.integers(0, 8, (47, 61), dtype=np.uint8)
+    err = ctypes.c_int(0)
+    with tempfile.TemporaryDirectory() as td:
+        path = f"{td}/ref.gif".encode()
+        g = lg.EGifOpenFileName(path, False, ctypes.byref(err))
+        assert g, err.value
+        cmap = lg.GifMakeMapObject(8, pal.tobytes())
+        assert lg.EGifPutScreenDesc(
+            ctypes.c_void_p(g), 61, 47, 3, 0, ctypes.c_void_p(cmap)
+        ) == 1
+        assert lg.EGifPutImageDesc(
+            ctypes.c_void_p(g), 0, 0, 61, 47, False, None
+        ) == 1
+        for y in range(47):
+            assert lg.EGifPutLine(
+                ctypes.c_void_p(g), idx[y].tobytes(), 61
+            ) == 1
+        assert lg.EGifCloseFile(ctypes.c_void_p(g), ctypes.byref(err)) == 1
+        data = open(path, "rb").read()
+    assert (imaging.gif_decode(data) == pal[idx]).all()
