@@ -172,6 +172,7 @@ def crawl(
     max_transport_retries: int = 2,
     fetcher=None,
     robots_fetcher=None,
+    seen_cls: type = SeenSet,
 ) -> CrawlResult:
     """``corpus``/``images`` may be passed pre-materialized (cached)
     so their generation cost — the simulated *network*, not crawl
@@ -183,7 +184,13 @@ def crawl(
     design point the seed list is a table, and the list path's
     driver-side canonicalize + createDataFrame (~307k rows = several
     serial seconds) never happens: canonicalization, host
-    extraction, and dedup all run distributed."""
+    extraction, and dedup all run distributed.
+
+    ``seen_cls`` picks the URL-seen prefilter backend (north rule:
+    "bloom/cuckoo"): :class:`SeenSet` (bloom, default) or
+    :class:`~mechaml_spark.frontier.seen.CuckooSeenSet` (deletable,
+    same sharded state shape) — crawl results are byte-equal across
+    backends (tested) because the exact table is authoritative."""
     from mechaml_spark import urlkit
 
     mark = _dbg_timer()
@@ -278,7 +285,7 @@ def crawl(
         frontier = dfs["frontier"]
         if "attempt" not in frontier.columns:  # pre-retry snapshots
             frontier = frontier.withColumn("attempt", F.lit(0))
-        seen = SeenSet(spark, n_shards, n_bits, dfs["seen"], dfs["bloom"])
+        seen = seen_cls(spark, n_shards, n_bits, dfs["seen"], dfs["bloom"])
         jar = dfs["jar"]
         visit_log = dfs["visit_log"]
         pages_log = dfs["pages_log"]
@@ -303,7 +310,7 @@ def crawl(
                 ],
                 FRONTIER_T,
             )
-        seen = SeenSet(spark, n_shards, n_bits).add(frontier)
+        seen = seen_cls(spark, n_shards, n_bits).add(frontier)
         jar = ck.empty_jar(spark)
         visit_log = spark.createDataFrame([], VISIT_T)
         pages_log = spark.createDataFrame([], PAGES_T)
@@ -467,7 +474,7 @@ def crawl(
             .select("url_norm", "host", "depth", "is_hop", "host_shard")
             .localCheckpoint(eager=_EAGER)
         )
-        seen = SeenSet(
+        seen = seen_cls(
             spark,
             n_shards,
             n_bits,

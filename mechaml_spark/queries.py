@@ -166,6 +166,36 @@ def q_seen_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seen.filter_new(cands).agg(F.count("*").alias("n_new"))
 
 
+def q_seen_dedupe_cuckoo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cuckoo-filter URL-seen backend (north rule names "bloom/cuckoo"):
+    add seeds, DELETE a revisit subset — the operation the bloom backend
+    cannot express — then dedup candidates against the remaining
+    membership.  Same sharded-cogroup plan shape as ``seen_dedupe``."""
+    from mechaml_spark.frontier.seen import CuckooSeenSet
+
+    o = _t(spark, sf_dir, "orders")
+    url = F.concat(
+        F.lit("http://h"), o.o_custkey % 50, F.lit(".test/p"), o.o_orderkey % 1000
+    )
+    host = F.concat(F.lit("h"), o.o_custkey % 50, F.lit(".test"))
+    seeds = o.select(url.alias("url_norm"), host.alias("host")).distinct()
+    revisit = (
+        o.where(o.o_orderkey % 7 == 0)
+        .select(url.alias("url_norm"), host.alias("host"))
+        .distinct()
+    )
+    e = _t(spark, sf_dir, "events")
+    cands = e.select(
+        F.concat(
+            F.lit("http://h"), e.user_id % 50, F.lit(".test/p"), e.event_id % 1000
+        ).alias("url_norm"),
+        F.concat(F.lit("h"), e.user_id % 50, F.lit(".test")).alias("host"),
+    ).distinct()
+    seen = CuckooSeenSet(spark, n_shards=8, n_bits=1 << 18).add(seeds)
+    seen = seen.delete(revisit)
+    return seen.filter_new(cands).agg(F.count("*").alias("n_new"))
+
+
 def q_form_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part")
     body = F.concat(
@@ -2680,6 +2710,7 @@ QUERIES = {
     "cookie_match": q_cookie_match,
     "politeness_topk": q_politeness_topk,
     "seen_dedupe": q_seen_dedupe,
+    "seen_dedupe_cuckoo": q_seen_dedupe_cuckoo,
     "form_defaults": q_form_defaults,
     "format_scalars": q_format_scalars,
     "submit_fetch": q_submit_fetch,
@@ -2855,6 +2886,26 @@ ORACLES = {
         ) WHERE u NOT IN (
             SELECT 'http://h' || (o_custkey % 50) || '.test/p' || (o_orderkey % 1000)
             FROM orders
+        )
+    """,
+    "seen_dedupe_cuckoo": """
+        WITH seeds AS (
+            SELECT DISTINCT
+                'http://h' || (o_custkey % 50) || '.test/p' || (o_orderkey % 1000) AS u
+            FROM orders
+        ), deleted AS (
+            SELECT DISTINCT
+                'http://h' || (o_custkey % 50) || '.test/p' || (o_orderkey % 1000) AS u
+            FROM orders WHERE o_orderkey % 7 = 0
+        ), cand AS (
+            SELECT DISTINCT
+                'http://h' || (user_id % 50) || '.test/p' || (event_id % 1000) AS u
+            FROM events
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_new
+        FROM cand
+        WHERE u NOT IN (
+            SELECT u FROM seeds WHERE u NOT IN (SELECT u FROM deleted)
         )
     """,
     "form_defaults": """

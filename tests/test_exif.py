@@ -102,7 +102,7 @@ def test_tiff_big_endian_and_multistrip():
 def test_tiff_refusals():
     px = np.zeros((4, 4), np.uint8)
     entries = [
-        (256, 4, 4), (257, 4, 4), (258, 3, 8), (259, 3, 5),  # LZW
+        (256, 4, 4), (257, 4, 4), (258, 3, 8), (259, 3, 7),  # JPEG-in-TIFF
         (262, 3, 1), (273, 4, 8), (277, 3, 1), (278, 4, 4), (279, 4, 16),
     ]
     body, ov = exif._build_ifd("<", entries, 8)
