@@ -73,6 +73,43 @@ def _brotli_decoder():
     return decode
 
 
+def _zstd_decoder():
+    """One-shot zstd decompressor (RFC 8878 ``Content-Encoding:
+    zstd``) over the SYSTEM libzstd via ctypes when present, else
+    None — same gating discipline as :func:`_brotli_decoder`: the
+    transport only advertises ``zstd`` when it can actually decode
+    it, and a missing lib is never an import error."""
+    try:  # a real python-zstandard wheel wins if a deployment ships one
+        import zstandard  # type: ignore
+
+        return lambda data, cap: zstandard.ZstdDecompressor().decompress(
+            data, max_output_size=cap
+        )
+    except ImportError:
+        pass
+    import ctypes
+
+    try:
+        lib = ctypes.CDLL("libzstd.so.1")
+    except OSError:
+        return None
+    lib.ZSTD_decompress.restype = ctypes.c_size_t
+    lib.ZSTD_decompress.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p, ctypes.c_size_t,
+    ]
+    lib.ZSTD_isError.restype = ctypes.c_uint
+    lib.ZSTD_isError.argtypes = [ctypes.c_size_t]
+
+    def decode(data: bytes, cap: int) -> bytes:
+        out = ctypes.create_string_buffer(cap)
+        n = lib.ZSTD_decompress(out, cap, data, len(data))
+        if lib.ZSTD_isError(n):
+            raise ValueError("undecodable zstd body")
+        return out.raw[:n]
+
+    return decode
+
+
 def _transport(timeout_s: float, max_body: int):
     """Per-task HTTP transport shared by BOTH live backends
     (:class:`HttpFetcher` and :class:`HttpLoopFetcher`): a connection
@@ -90,8 +127,9 @@ def _transport(timeout_s: float, max_body: int):
 
     Content negotiation: ``Accept-Encoding: gzip, deflate`` goes on
     the wire unless the caller set its own (plus ``br`` when the
-    system libbrotlidec loads — gated, never a hard dependency), and
-    gzip/x-gzip/deflate/br response bodies are transparently inflated
+    system libbrotlidec loads and ``zstd`` when libzstd loads —
+    both gated, never hard dependencies), and
+    gzip/x-gzip/deflate/br/zstd response bodies are transparently inflated
     (deflate tries the RFC 9110 zlib wrapping first, then the
     widespread raw-deflate server quirk), capped at ``max_body``
     decoded bytes.  An undecodable encoded body raises — the callers'
@@ -104,7 +142,10 @@ def _transport(timeout_s: float, max_body: int):
 
     conns: dict[tuple, http.client.HTTPConnection] = {}
     brotli = _brotli_decoder()
-    accept = "gzip, deflate, br" if brotli else "gzip, deflate"
+    zstd = _zstd_decoder()
+    accept = "gzip, deflate" + (", br" if brotli else "") + (
+        ", zstd" if zstd else ""
+    )
 
     def _inflate(data: bytes, enc: str) -> bytes:
         if enc == "br":
@@ -113,6 +154,10 @@ def _transport(timeout_s: float, max_body: int):
                     "brotli response but libbrotlidec unavailable"
                 )
             return brotli(data, max_body)
+        if enc == "zstd":
+            if zstd is None:
+                raise ValueError("zstd response but libzstd unavailable")
+            return zstd(data, max_body)
         if enc == "deflate":
             try:
                 return zlib.decompressobj().decompress(data, max_body)
@@ -152,7 +197,9 @@ def _transport(timeout_s: float, max_body: int):
                 while resp.read(1 << 16):
                     pass
                 enc = (resp.getheader("Content-Encoding") or "").lower()
-                if data and enc in ("gzip", "x-gzip", "deflate", "br"):
+                if data and enc in (
+                    "gzip", "x-gzip", "deflate", "br", "zstd",
+                ):
                     data = _inflate(data, enc)  # decode error -> sentinel
                 return (
                     resp.status,

@@ -114,6 +114,9 @@ def _make_handler(rec: _Recorder):
             elif self.path.startswith("/br"):
                 self._reply(200, _brotli_compress(b"brotli-body!"),
                             [("Content-Encoding", "br")])
+            elif self.path.startswith("/zst"):
+                self._reply(200, _zstd_compress(b"zstd-body!"),
+                            [("Content-Encoding", "zstd")])
             elif self.path.startswith("/cond"):
                 etag = '"v7"'
                 lm = "Tue, 18 Aug 2026 00:00:00 GMT"
@@ -296,7 +299,7 @@ def test_content_encoding_negotiated_and_inflated(spark, loopback):
     assert rows["r"]["body"] == "inflated-raw"
     assert rows["x"]["status"] == 0 and "error" in rows["x"]["error"].lower()
     assert all(
-        r["aenc"] in ("gzip, deflate", "gzip, deflate, br")
+        r["aenc"].startswith("gzip, deflate")
         for r in rec.requests
         if r["path"].startswith(("/gz", "/defl", "/rawdefl", "/badgz"))
     )
@@ -334,7 +337,44 @@ def test_brotli_content_encoding(spark, loopback):
     reqs = spark.createDataFrame([(f"{base}/br",)], "url_norm string")
     [row] = agent.HttpFetcher(timeout_s=5.0).fetch(reqs, "url_norm").collect()
     assert row["body"] == "brotli-body!"
-    assert rec.requests[-1]["aenc"] == "gzip, deflate, br"
+    assert "br" in rec.requests[-1]["aenc"].split(", ")
+
+
+def _zstd_compress(data: bytes) -> bytes:
+    """Test-server-side zstd via the system libzstd."""
+    import ctypes
+
+    lib = ctypes.CDLL("libzstd.so.1")
+    lib.ZSTD_compressBound.restype = ctypes.c_size_t
+    lib.ZSTD_compressBound.argtypes = [ctypes.c_size_t]
+    lib.ZSTD_compress.restype = ctypes.c_size_t
+    lib.ZSTD_compress.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
+    ]
+    lib.ZSTD_isError.restype = ctypes.c_uint
+    lib.ZSTD_isError.argtypes = [ctypes.c_size_t]
+    cap = lib.ZSTD_compressBound(len(data))
+    out = ctypes.create_string_buffer(cap)
+    n = lib.ZSTD_compress(out, cap, data, len(data), 3)
+    assert lib.ZSTD_isError(n) == 0
+    return out.raw[:n]
+
+
+def test_zstd_content_encoding(spark, loopback):
+    """`zstd` negotiated and inflated when the system libzstd is
+    present (gated: an absent lib means zstd is not advertised)."""
+    import ctypes
+
+    try:
+        ctypes.CDLL("libzstd.so.1")
+    except OSError:
+        pytest.skip("libzstd not present")
+    base, rec = loopback
+    reqs = spark.createDataFrame([(f"{base}/zst",)], "url_norm string")
+    [row] = agent.HttpFetcher(timeout_s=5.0).fetch(reqs, "url_norm").collect()
+    assert row["body"] == "zstd-body!"
+    assert rec.requests[-1]["aenc"].endswith("zstd")
 
 
 def test_conditional_get_revisit(spark, loopback):
