@@ -1,0 +1,502 @@
+"""Container metadata probes (ffprobe-style, header-only, no decode).
+
+At the 100-TB design point most fetched video/audio payloads cannot be
+decoded in-cluster (codec licensing, CPU cost) — yet the pipeline must
+still route, filter, and bucket media rows by container facts: duration,
+dimensions, codec fourcc, bitrate, track layout.  These probes read ONLY
+container structure with stdlib ``struct``: cost per row is bounded by
+header size, independent of payload size, and the bytes never cross a
+shuffle (probe inside ``mapInPandas``, project the struct, drop the
+binary).
+
+Implemented from the public specs:
+
+* ISO/IEC 14496-12 (ISO Base Media File Format — MP4/MOV/M4A box
+  structure): ``ftyp`` brand, ``mvhd`` movie duration (version 0 and 1),
+  per-``trak`` ``tkhd`` dimensions, ``mdhd`` media timescale, ``hdlr``
+  handler type, ``stsd`` sample-entry fourcc (visual width/height,
+  audio samplerate).  64-bit ``largesize``, ``size==0`` (to EOF) and
+  ``uuid`` boxes are handled.
+* ISO/IEC 11172-3 / 13818-3 (MPEG-1/2 audio): frame-header walk for
+  Layer III — version/layer/bitrate/samplerate/padding decode, ID3v2
+  skip (syncsafe length), ID3v1 trailer skip, frame counting, CBR/VBR
+  detection, sample-exact duration.
+
+The reference engine stores fetched media opaquely (mechaml's
+``save_image``, src/agent.ml) — probing is engine-side breadth for the
+multimodal pipeline, same contract as :mod:`mechaml_spark.multimodal`:
+per-row failure yields ``ok=false``, never a task kill; a genuinely
+unknown container raises ``NotImplementedError`` behind a stable schema.
+
+Deterministic fixture writers (``mp4_write`` / ``mp3_write``) exist so
+tests and driver queries can synthesize closed-form-verifiable streams —
+no external data, per the brief.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+__all__ = [
+    "mp4_write", "mp4_probe", "mp3_write", "mp3_probe",
+    "probe_media", "PROBE_T",
+]
+
+
+# --------------------------------------------------------------------------
+# ISO BMFF (MP4) writer
+# --------------------------------------------------------------------------
+
+def _box(tag: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+
+def _full(tag: bytes, version: int, flags: int, payload: bytes) -> bytes:
+    return _box(tag, struct.pack(">I", (version << 24) | flags) + payload)
+
+
+_UNITY_MATRIX = struct.pack(
+    ">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000
+)
+
+
+def _visual_entry(fourcc: bytes, w: int, h: int) -> bytes:
+    body = (
+        b"\x00" * 6 + struct.pack(">H", 1)          # reserved + data_ref_idx
+        + struct.pack(">HH", 0, 0) + b"\x00" * 12    # pre/rsvd/pre3
+        + struct.pack(">HH", w, h)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + struct.pack(">I", 0)
+        + struct.pack(">H", 1)                        # frame_count
+        + b"\x00" * 32                                # compressorname
+        + struct.pack(">Hh", 24, -1)                  # depth, pre-defined
+    )
+    return _box(fourcc, body)
+
+
+def _audio_entry(fourcc: bytes, sample_rate: int, channels: int) -> bytes:
+    body = (
+        b"\x00" * 6 + struct.pack(">H", 1)
+        + struct.pack(">II", 0, 0)
+        + struct.pack(">HHHH", channels, 16, 0, 0)
+        + struct.pack(">I", sample_rate << 16)
+    )
+    return _box(fourcc, body)
+
+
+def _trak(
+    track_id: int,
+    movie_timescale: int,
+    duration_mt: int,
+    handler: bytes,
+    entry: bytes,
+    media_timescale: int,
+    media_duration: int,
+    w: int = 0,
+    h: int = 0,
+) -> bytes:
+    tkhd = _full(
+        b"tkhd", 0, 7,
+        struct.pack(">IIII", 0, 0, track_id, 0)
+        + struct.pack(">I", duration_mt)
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0x0100 if handler == b"soun" else 0, 0)
+        + _UNITY_MATRIX
+        + struct.pack(">II", w << 16, h << 16),
+    )
+    mdhd = _full(
+        b"mdhd", 0, 0,
+        struct.pack(">IIII", 0, 0, media_timescale, media_duration)
+        + struct.pack(">HH", 0x55C4, 0),              # 'und' language
+    )
+    hdlr = _full(
+        b"hdlr", 0, 0,
+        struct.pack(">I", 0) + handler + b"\x00" * 12 + b"probe\x00",
+    )
+    mhd = (
+        _full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+        if handler == b"vide"
+        else _full(b"smhd", 0, 0, struct.pack(">HH", 0, 0))
+    )
+    dinf = _box(
+        b"dinf",
+        _full(b"dref", 0, 0, struct.pack(">I", 1) + _full(b"url ", 0, 1, b"")),
+    )
+    stbl = _box(
+        b"stbl",
+        _full(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
+        + _full(b"stts", 0, 0, struct.pack(">I", 0))
+        + _full(b"stsc", 0, 0, struct.pack(">I", 0))
+        + _full(b"stsz", 0, 0, struct.pack(">II", 0, 0))
+        + _full(b"stco", 0, 0, struct.pack(">I", 0)),
+    )
+    minf = _box(b"minf", mhd + dinf + stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    return _box(b"trak", tkhd + mdia)
+
+
+def mp4_write(
+    width: int,
+    height: int,
+    duration_ms: int,
+    video_codec: bytes = b"avc1",
+    audio: tuple[bytes, int] | None = None,
+    brand: bytes = b"isom",
+    mdat_bytes: int = 64,
+    largesize_mdat: bool = False,
+) -> bytes:
+    """Deterministic ISO-BMFF fixture: one video trak (+ optional audio
+    trak ``(fourcc, sample_rate)``), movie timescale 1000 so
+    ``duration_ms`` is stored exactly.  ``largesize_mdat`` exercises the
+    64-bit box-size path of the prober."""
+    ts = 1000
+    dur = duration_ms
+    ftyp = _box(b"ftyp", brand + struct.pack(">I", 512) + brand + b"iso2")
+    mvhd = _full(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, ts, dur)
+        + struct.pack(">IH", 0x00010000, 0x0100)
+        + b"\x00" * 10
+        + _UNITY_MATRIX
+        + b"\x00" * 24
+        + struct.pack(">I", 3),
+    )
+    traks = _trak(
+        1, ts, dur, b"vide", _visual_entry(video_codec, width, height),
+        30000, duration_ms * 30, w=width, h=height,
+    )
+    if audio is not None:
+        fourcc, rate = audio
+        traks += _trak(
+            2, ts, dur, b"soun", _audio_entry(fourcc, rate, 2),
+            rate, duration_ms * rate // 1000,
+        )
+    moov = _box(b"moov", mvhd + traks)
+    fill = bytes(i & 0xFF for i in range(mdat_bytes))
+    if largesize_mdat:
+        mdat = struct.pack(">I", 1) + b"mdat" + struct.pack(
+            ">Q", 16 + mdat_bytes
+        ) + fill
+    else:
+        mdat = _box(b"mdat", fill)
+    return ftyp + moov + mdat
+
+
+# --------------------------------------------------------------------------
+# ISO BMFF (MP4) prober
+# --------------------------------------------------------------------------
+
+def _walk_boxes(data: bytes, start: int, end: int):
+    """Yield ``(fourcc, payload_start, payload_end)`` for each box in
+    ``data[start:end]`` — largesize, to-EOF, and uuid handled."""
+    off = start
+    while off + 8 <= end:
+        size = struct.unpack_from(">I", data, off)[0]
+        tag = data[off + 4:off + 8]
+        hdr = 8
+        if size == 1:
+            if off + 16 > end:
+                return
+            size = struct.unpack_from(">Q", data, off + 8)[0]
+            hdr = 16
+        elif size == 0:
+            size = end - off
+        if tag == b"uuid":
+            hdr += 16
+        if size < hdr or off + size > end:
+            return  # truncated / corrupt: stop cleanly
+        yield tag, off + hdr, off + size
+        off += size
+
+
+_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+def _mp4_track(data: bytes, s: int, e: int) -> dict:
+    out: dict = {"handler": None, "codec": None, "w": None, "h": None,
+                 "rate": None}
+    for tag, ps, pe in _walk_boxes(data, s, e):
+        if tag in _CONTAINERS:
+            sub = _mp4_track(data, ps, pe)
+            for k, v in sub.items():
+                if out.get(k) is None:
+                    out[k] = v
+        elif tag == b"hdlr":
+            out["handler"] = data[ps + 8:ps + 12].decode("latin-1")
+        elif tag == b"stsd" and pe - ps >= 16:
+            ec = struct.unpack_from(">I", data, ps + 4)[0]
+            if ec >= 1 and pe - ps >= 24:
+                entry_fourcc = data[ps + 12:ps + 16]
+                out["codec"] = entry_fourcc.decode("latin-1")
+                body = ps + 16  # past entry size+fourcc
+                if pe - body >= 70:
+                    # visual sample entry: width/height at offset 24/26
+                    out["w"] = struct.unpack_from(">H", data, body + 24)[0]
+                    out["h"] = struct.unpack_from(">H", data, body + 26)[0]
+                elif pe - body >= 28:
+                    # audio sample entry: samplerate 16.16 at offset 24
+                    out["rate"] = (
+                        struct.unpack_from(">I", data, body + 24)[0] >> 16
+                    )
+    return out
+
+
+def mp4_probe(data: bytes) -> dict | None:
+    """Header-only ISO-BMFF probe: brand, movie duration, per-track
+    handler/codec/dimensions/samplerate.  Returns None when the bytes
+    are not a plausible BMFF stream (no ftyp/moov)."""
+    brand = None
+    mvhd_ts = mvhd_dur = None
+    tracks: list[dict] = []
+    for tag, ps, pe in _walk_boxes(data, 0, len(data)):
+        if tag == b"ftyp" and pe - ps >= 4:
+            brand = data[ps:ps + 4].decode("latin-1")
+        elif tag == b"moov":
+            for t2, s2, e2 in _walk_boxes(data, ps, pe):
+                if t2 == b"mvhd":
+                    ver = data[s2]
+                    if ver == 1:
+                        mvhd_ts, mvhd_dur = struct.unpack_from(
+                            ">IQ", data, s2 + 4 + 16
+                        )
+                    else:
+                        _, _, mvhd_ts, mvhd_dur = struct.unpack_from(
+                            ">IIII", data, s2 + 4
+                        )
+                elif t2 == b"trak":
+                    tracks.append(_mp4_track(data, s2, e2))
+    if brand is None and mvhd_ts is None:
+        return None
+    video = next((t for t in tracks if t["handler"] == "vide"), None)
+    sound = next((t for t in tracks if t["handler"] == "soun"), None)
+    dur_ms = (
+        mvhd_dur * 1000 // mvhd_ts if mvhd_ts else None
+    )
+    return {
+        "container": "mp4",
+        "brand": brand,
+        "duration_ms": dur_ms,
+        "n_tracks": len(tracks),
+        "video_codec": video["codec"] if video else None,
+        "width": video["w"] if video else None,
+        "height": video["h"] if video else None,
+        "audio_codec": sound["codec"] if sound else None,
+        "audio_rate": sound["rate"] if sound else None,
+        "bitrate_kbps": None,
+        "n_frames": None,
+        "cbr": None,
+    }
+
+
+# --------------------------------------------------------------------------
+# MPEG audio (MP3) frame-header walk
+# --------------------------------------------------------------------------
+
+# ISO/IEC 11172-3 Table B.1 / 13818-3: Layer III bitrates (kbps)
+_BR_V1L3 = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+_BR_V2L3 = (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+_SR_V1 = (44100, 48000, 32000)
+_SR_V2 = (22050, 24000, 16000)
+_SR_V25 = (11025, 12000, 8000)
+
+
+def _syncsafe(n: int) -> bytes:
+    return bytes(
+        ((n >> s) & 0x7F) for s in (21, 14, 7, 0)
+    )
+
+
+def mp3_write(
+    n_frames: int,
+    bitrate_idx: int = 9,
+    sr_idx: int = 0,
+    version: int = 1,
+    id3v2_size: int = 0,
+    id3v1: bool = False,
+    pad_alternate: bool = True,
+    vbr_step: int = 0,
+) -> bytes:
+    """Deterministic CBR (or, with ``vbr_step``, VBR) Layer-III stream:
+    valid frame headers with zeroed payloads.  ``pad_alternate`` toggles
+    the padding bit every other frame (exercises the variable frame
+    length); ``id3v2_size`` prepends a real syncsafe-length ID3v2.3 tag;
+    ``id3v1`` appends the fixed 128-byte trailer."""
+    br_tab, sr_tab, ver_bits, coef = (
+        (_BR_V1L3, _SR_V1, 0b11, 144) if version == 1
+        else (_BR_V2L3, _SR_V2, 0b10, 72)
+    )
+    out = bytearray()
+    if id3v2_size:
+        out += b"ID3" + bytes((3, 0, 0)) + _syncsafe(id3v2_size)
+        out += b"\x00" * id3v2_size
+    sr = sr_tab[sr_idx]
+    for i in range(n_frames):
+        bi = bitrate_idx + (i % 3) * vbr_step
+        bi = min(bi, 14)
+        pad = (i % 2) if pad_alternate else 0
+        flen = coef * br_tab[bi] * 1000 // sr + pad
+        hdr = bytes((
+            0xFF,
+            0b111_00000 | (ver_bits << 3) | (0b01 << 1) | 1,  # L3, no CRC
+            (bi << 4) | (sr_idx << 2) | (pad << 1),
+            (0b01 << 6) | (1 << 2),                            # j-stereo
+        ))
+        out += hdr + b"\x00" * (flen - 4)
+    if id3v1:
+        out += b"TAG" + b"\x00" * 125
+    return bytes(out)
+
+
+def mp3_probe(data: bytes) -> dict | None:
+    """Frame-header walk: skips ID3v2 (syncsafe length) and the ID3v1
+    trailer, validates each sync, decodes version/layer/bitrate/
+    samplerate/padding, and accumulates sample-exact duration.  Returns
+    None when no valid Layer-III frame is found at the start."""
+    off, end = 0, len(data)
+    if data[:3] == b"ID3" and end >= 10:
+        sz = 0
+        for b in data[6:10]:
+            sz = (sz << 7) | (b & 0x7F)
+        off = 10 + sz + (10 if (data[5] & 0x10) else 0)
+    if end - off >= 128 and data[end - 128:end - 125] == b"TAG":
+        end -= 128
+    n_frames = 0
+    samples = 0
+    total_bytes = 0
+    sr = None
+    bitrates: set[int] = set()
+    while off + 4 <= end:
+        b0, b1, b2, _b3 = data[off:off + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            break
+        ver_bits = (b1 >> 3) & 0b11
+        layer_bits = (b1 >> 1) & 0b11
+        if layer_bits != 0b01 or ver_bits == 0b01:  # not L3 / reserved
+            break
+        bi = (b2 >> 4) & 0xF
+        si = (b2 >> 2) & 0b11
+        pad = (b2 >> 1) & 1
+        if bi in (0, 15) or si == 3:
+            break
+        if ver_bits == 0b11:
+            br, fsr, coef, spf = _BR_V1L3[bi], _SR_V1[si], 144, 1152
+        elif ver_bits == 0b10:
+            br, fsr, coef, spf = _BR_V2L3[bi], _SR_V2[si], 72, 576
+        else:  # MPEG-2.5
+            br, fsr, coef, spf = _BR_V2L3[bi], _SR_V25[si], 72, 576
+        flen = coef * br * 1000 // fsr + pad
+        if off + flen > end:
+            break
+        if sr is None:
+            sr = fsr
+        elif fsr != sr:
+            break
+        n_frames += 1
+        samples += spf
+        total_bytes += flen
+        bitrates.add(br)
+        off += flen
+    if n_frames == 0 or sr is None:
+        return None
+    dur_ms = samples * 1000 // sr
+    cbr = len(bitrates) == 1
+    kbps = (
+        next(iter(bitrates)) if cbr
+        else int(total_bytes * 8 // max(dur_ms, 1))
+    )
+    return {
+        "container": "mp3",
+        "brand": None,
+        "duration_ms": dur_ms,
+        "n_tracks": 1,
+        "video_codec": None,
+        "width": None,
+        "height": None,
+        "audio_codec": "mp3",
+        "audio_rate": sr,
+        "bitrate_kbps": kbps,
+        "n_frames": n_frames,
+        "cbr": cbr,
+    }
+
+
+# --------------------------------------------------------------------------
+# Spark stage
+# --------------------------------------------------------------------------
+
+PROBE_T = T.StructType([
+    T.StructField("ok", T.BooleanType()),
+    T.StructField("container", T.StringType()),
+    T.StructField("brand", T.StringType()),
+    T.StructField("duration_ms", T.LongType()),
+    T.StructField("n_tracks", T.IntegerType()),
+    T.StructField("video_codec", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("audio_codec", T.StringType()),
+    T.StructField("audio_rate", T.IntegerType()),
+    T.StructField("bitrate_kbps", T.IntegerType()),
+    T.StructField("n_frames", T.LongType()),
+    T.StructField("cbr", T.BooleanType()),
+])
+
+_BAD = {f.name: None for f in PROBE_T.fields} | {"ok": False}
+
+_PROBERS = {
+    "mp4": mp4_probe, "mov": mp4_probe, "m4a": mp4_probe, "m4v": mp4_probe,
+    "mp3": mp3_probe,
+}
+
+
+def _probe_row(data: bytes | None, fmt: str | None) -> dict:
+    if fmt is None:
+        return dict(_BAD)
+    if fmt not in _PROBERS:
+        raise NotImplementedError(
+            f"no {fmt!r} container probe in-sandbox (ISO-BMFF mp4/mov/m4a "
+            "and MPEG Layer-III are real); extend mediaprobe and keep this "
+            "stage's schema"
+        )
+    if data is None:
+        return dict(_BAD)
+    try:
+        r = _PROBERS[fmt](bytes(data))
+    except NotImplementedError:
+        raise
+    except Exception:
+        return dict(_BAD)
+    if r is None:
+        return dict(_BAD)
+    return {"ok": True} | r
+
+
+def probe_media(
+    df: DataFrame, bytes_col: str = "bytes", fmt_col: str = "fmt"
+) -> DataFrame:
+    """Container-probe stage: appends a ``probe`` struct (container,
+    brand, duration, tracks, codecs, dimensions, bitrate) per Arrow
+    batch.  Header-only — bounded work per row, payload never decoded,
+    bytes never shuffled (probe then project the struct and drop the
+    binary).  Undecodable bytes and NULL fmt yield ``ok=false`` rows —
+    per-row catch, never a task failure; an unknown container raises
+    ``NotImplementedError`` (explicit stub contract, same as
+    :func:`mechaml_spark.multimodal.decode_audio`)."""
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("probe", PROBE_T)]
+    )
+    cols = df.columns
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[cols].copy()
+            out["probe"] = [
+                _probe_row(b, f) for b, f in zip(pdf[bytes_col], pdf[fmt_col])
+            ]
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)

@@ -2702,6 +2702,73 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ffprobe-style container metadata with a CLOSED-FORM oracle:
+    header-only ISO-BMFF and MPEG-Layer-III probing, no decode — the
+    routing stage a 100-TB multimodal pipeline runs on every fetched
+    media row before deciding what (if anything) to decode.  Even
+    docs: MP4 with movie timescale 1000 (duration stored exactly),
+    avc1/hev1 visual entry, an mp4a audio trak on every 3rd doc,
+    exercising tkhd/mdhd/hdlr/stsd walks.  Odd docs: CBR MP3 at
+    sr [44.1k/48k/32k][d%3], bitrate table index 1+d%14, 50+d%50
+    frames with alternating padding bits, an ID3v2 tag every 5th doc
+    and an ID3v1 trailer every 7th — all skipped by the frame walk,
+    so duration is sample-exact: frames*1152*1000//sr."""
+    import pandas as _pd
+
+    from mechaml_spark import mediaprobe
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 400
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 2 == 0:
+                    data = mediaprobe.mp4_write(
+                        16 * (2 + did % 20),
+                        16 * (1 + did % 12),
+                        3000 + did * 7,
+                        video_codec=b"avc1" if did % 4 == 0 else b"hev1",
+                        audio=(
+                            (b"mp4a", 44100 if did % 12 == 0 else 48000)
+                            if did % 3 == 0 else None
+                        ),
+                        largesize_mdat=did % 8 == 0,
+                    )
+                    fmt = "mp4"
+                else:
+                    data = mediaprobe.mp3_write(
+                        50 + did % 50,
+                        bitrate_idx=1 + did % 14,
+                        sr_idx=did % 3,
+                        id3v2_size=(64 + did % 64) if did % 5 == 0 else 0,
+                        id3v1=did % 7 == 0,
+                    )
+                    fmt = "mp3"
+                rows.append({"doc_id": did, "bytes": data, "fmt": fmt})
+            yield _pd.DataFrame(rows, columns=["doc_id", "bytes", "fmt"])
+
+    media = d.mapInPandas(gen, schema="doc_id long, bytes binary, fmt string")
+    p = mediaprobe.probe_media(media)
+    return p.select(
+        "doc_id",
+        F.col("probe")["container"].alias("container"),
+        F.col("probe")["duration_ms"].alias("duration_ms"),
+        F.col("probe")["n_tracks"].alias("n_tracks"),
+        F.col("probe")["video_codec"].alias("video_codec"),
+        F.col("probe")["width"].alias("width"),
+        F.col("probe")["height"].alias("height"),
+        F.col("probe")["audio_codec"].alias("audio_codec"),
+        F.col("probe")["audio_rate"].alias("audio_rate"),
+        F.col("probe")["bitrate_kbps"].alias("bitrate_kbps"),
+        F.col("probe")["n_frames"].alias("n_frames"),
+    )
+
+
 QUERIES = {
     "extract_links": q_extract_links,
     "selector_suffix": q_selector_suffix,
@@ -2753,6 +2820,7 @@ QUERIES = {
     "audio_g711_features": q_audio_g711_features,
     "audio_adpcm_features": q_audio_adpcm_features,
     "audio_container_features": q_audio_container_features,
+    "media_probe": q_media_probe,
     "token_stats": q_token_stats,
     "quality_filter": q_quality_filter,
     "lang_id": q_lang_id,
@@ -3408,6 +3476,44 @@ ORACLES = {
                CAST(a AS INT) AS peak,
                CAST((n - 1) // h AS BIGINT) AS zero_crossings
         FROM amp
+    """,
+    "media_probe": """
+        WITH p AS (
+            SELECT doc_id, doc_id % 2 = 0 AS is_mp4,
+                   ([44100, 48000, 32000])[(doc_id % 3) + 1] AS mp3_sr,
+                   50 + doc_id % 50 AS nf,
+                   ([32,40,48,56,64,80,96,112,128,160,192,224,256,320]
+                   )[(doc_id % 14) + 1] AS kbps
+            FROM documents WHERE doc_id < 400
+        )
+        SELECT doc_id,
+               CASE WHEN is_mp4 THEN 'mp4' ELSE 'mp3' END AS container,
+               CAST(CASE WHEN is_mp4 THEN 3000 + doc_id * 7
+                         ELSE nf * 1152 * 1000 // mp3_sr
+                    END AS BIGINT) AS duration_ms,
+               CAST(CASE WHEN is_mp4
+                         THEN 1 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+                         ELSE 1 END AS INT) AS n_tracks,
+               CASE WHEN is_mp4
+                    THEN CASE WHEN doc_id % 4 = 0 THEN 'avc1' ELSE 'hev1' END
+               END AS video_codec,
+               CAST(CASE WHEN is_mp4 THEN 16 * (2 + doc_id % 20) END
+                    AS INT) AS width,
+               CAST(CASE WHEN is_mp4 THEN 16 * (1 + doc_id % 12) END
+                    AS INT) AS height,
+               CASE WHEN is_mp4
+                    THEN CASE WHEN doc_id % 3 = 0 THEN 'mp4a' END
+                    ELSE 'mp3' END AS audio_codec,
+               CAST(CASE WHEN is_mp4
+                         THEN CASE WHEN doc_id % 3 = 0 THEN
+                              CASE WHEN doc_id % 12 = 0
+                                   THEN 44100 ELSE 48000 END END
+                         ELSE mp3_sr END AS INT) AS audio_rate,
+               CAST(CASE WHEN NOT is_mp4 THEN kbps END
+                    AS INT) AS bitrate_kbps,
+               CAST(CASE WHEN NOT is_mp4 THEN nf END
+                    AS BIGINT) AS n_frames
+        FROM p
     """,
     "audio_container_features": """
         WITH p AS (

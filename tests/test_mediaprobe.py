@@ -1,0 +1,139 @@
+"""Container metadata probes: ISO-BMFF (MP4) box walk and MPEG
+Layer-III frame walk — writer/prober round trips, malformed-stream
+degradation, and the Spark stage contract."""
+
+import pytest
+
+from mechaml_spark import mediaprobe as mp
+
+
+# --------------------------------------------------------------------------
+# MP4
+# --------------------------------------------------------------------------
+
+def test_mp4_roundtrip_video_only():
+    data = mp.mp4_write(640, 360, 12345, video_codec=b"hev1")
+    r = mp.mp4_probe(data)
+    assert r["brand"] == "isom"
+    assert r["duration_ms"] == 12345
+    assert r["n_tracks"] == 1
+    assert r["video_codec"] == "hev1"
+    assert (r["width"], r["height"]) == (640, 360)
+    assert r["audio_codec"] is None and r["audio_rate"] is None
+
+
+def test_mp4_roundtrip_with_audio_track():
+    data = mp.mp4_write(1920, 1080, 60000, audio=(b"mp4a", 48000))
+    r = mp.mp4_probe(data)
+    assert r["n_tracks"] == 2
+    assert (r["width"], r["height"]) == (1920, 1080)
+    assert r["video_codec"] == "avc1"
+    assert r["audio_codec"] == "mp4a"
+    assert r["audio_rate"] == 48000
+
+
+def test_mp4_largesize_and_uuid_boxes():
+    import struct
+    data = mp.mp4_write(320, 240, 777, largesize_mdat=True)
+    # prepend a uuid box the walker must skip over
+    uuid_box = struct.pack(">I", 8 + 16 + 4) + b"uuid" + b"\xAA" * 16 + b"junk"
+    r = mp.mp4_probe(uuid_box + data)
+    assert r["duration_ms"] == 777 and (r["width"], r["height"]) == (320, 240)
+
+
+def test_mp4_truncated_and_garbage():
+    data = mp.mp4_write(64, 64, 1000)
+    assert mp.mp4_probe(data[:20]) is None            # moov cut off
+    assert mp.mp4_probe(b"\x00" * 40) is None
+    assert mp.mp4_probe(b"") is None
+
+
+def test_mp4_mvhd_version1():
+    # hand-build a v1 mvhd (64-bit duration) inside a minimal moov
+    import struct
+    mvhd_payload = (
+        struct.pack(">I", 1 << 24)
+        + struct.pack(">QQIQ", 0, 0, 90000, 90000 * 42)  # 42 s
+    )
+    mvhd = struct.pack(">I", 8 + len(mvhd_payload)) + b"mvhd" + mvhd_payload
+    moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+    ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom" + struct.pack(">I", 0)
+    r = mp.mp4_probe(ftyp + moov)
+    assert r["duration_ms"] == 42000 and r["n_tracks"] == 0
+
+
+# --------------------------------------------------------------------------
+# MP3
+# --------------------------------------------------------------------------
+
+def test_mp3_cbr_roundtrip():
+    data = mp.mp3_write(100, bitrate_idx=9, sr_idx=0)   # 128 kbps, 44.1 kHz
+    r = mp.mp3_probe(data)
+    assert r["n_frames"] == 100
+    assert r["audio_rate"] == 44100
+    assert r["bitrate_kbps"] == 128 and r["cbr"] is True
+    assert r["duration_ms"] == 100 * 1152 * 1000 // 44100
+
+
+def test_mp3_id3v2_and_id3v1_skipped():
+    data = mp.mp3_write(40, bitrate_idx=5, sr_idx=1,
+                        id3v2_size=321, id3v1=True)
+    r = mp.mp3_probe(data)
+    assert r["n_frames"] == 40 and r["audio_rate"] == 48000
+    assert r["bitrate_kbps"] == 64
+
+
+def test_mp3_mpeg2_layer3():
+    data = mp.mp3_write(30, bitrate_idx=4, sr_idx=2, version=2)
+    r = mp.mp3_probe(data)  # MPEG-2: 16 kHz, 32 kbps, 576 samples/frame
+    assert r["audio_rate"] == 16000
+    assert r["bitrate_kbps"] == 32
+    assert r["duration_ms"] == 30 * 576 * 1000 // 16000
+
+
+def test_mp3_vbr_detection():
+    data = mp.mp3_write(60, bitrate_idx=5, sr_idx=0, vbr_step=2)
+    r = mp.mp3_probe(data)
+    assert r["cbr"] is False
+    assert r["n_frames"] == 60
+    # average of the header rates, weighted by frame bytes
+    assert 64 < r["bitrate_kbps"] < 160
+
+
+def test_mp3_bad_sync_stops_cleanly():
+    good = mp.mp3_write(10)
+    r = mp.mp3_probe(good + b"\x00\x00\x00\x00" + mp.mp3_write(10))
+    assert r["n_frames"] == 10                           # stops at junk
+    assert mp.mp3_probe(b"\x12\x34" * 50) is None
+    assert mp.mp3_probe(b"") is None
+
+
+# --------------------------------------------------------------------------
+# Spark stage
+# --------------------------------------------------------------------------
+
+def test_probe_media_stage(spark):
+    rows = [
+        (0, mp.mp4_write(640, 480, 5000), "mp4"),
+        (1, mp.mp3_write(50, bitrate_idx=11, sr_idx=1), "mp3"),
+        (2, None, "mp4"),
+        (3, b"not a container", "mp3"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, bytes binary, fmt string")
+    out = {
+        r["doc_id"]: r["probe"]
+        for r in mp.probe_media(df).select("doc_id", "probe").collect()
+    }
+    assert out[0]["ok"] and out[0]["container"] == "mp4"
+    assert out[0]["width"] == 640 and out[0]["duration_ms"] == 5000
+    assert out[1]["ok"] and out[1]["bitrate_kbps"] == 192
+    assert out[1]["audio_rate"] == 48000
+    assert not out[2]["ok"] and not out[3]["ok"]
+
+
+def test_probe_media_unknown_container_raises(spark):
+    df = spark.createDataFrame(
+        [(0, b"x", "mkv")], "doc_id long, bytes binary, fmt string"
+    )
+    with pytest.raises(Exception, match="NotImplementedError|mkv"):
+        mp.probe_media(df).collect()
