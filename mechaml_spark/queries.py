@@ -2769,6 +2769,46 @@ def q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_warc_cdx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX indexing over .warc.gz segments with a CLOSED-FORM oracle:
+    documents become response records (mixed-case URLs, default :443
+    ports, unsorted query params — all normalized by the SURT key),
+    archived as per-record gzip members, then indexed.  Every
+    SQL-expressible CDX field (SURT, 14-digit timestamp, url, mime,
+    status, sha256 digest, payload length) is a pure function of
+    doc_id; the seek fields (offset/length into the gzip stream) are
+    compression-dependent and pinned by test_warc.py's seek-contract
+    test instead."""
+    import pandas as _pd
+
+    from mechaml_spark import warc
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 500
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [
+                {
+                    "uri": (
+                        f"HTTPS://W{did % 7}.Example.COM:443/P/{did}"
+                        f"?b=2&a={did % 5}"
+                    ),
+                    "body": f"doc-{did}-" + "x" * (did % 97),
+                    "date": "2026-08-18T12:34:56Z",
+                }
+                for did in (int(x) for x in pdf["doc_id"])
+            ]
+            yield _pd.DataFrame(rows, columns=["uri", "body", "date"])
+
+    media = d.mapInPandas(gen, schema="uri string, body string, date string")
+    segs = warc.to_warc_segments(media, compress=True)
+    return warc.cdx_index(segs).select(
+        "surt", "ts", "url", "mime", "status", "digest", "payload_length"
+    )
+
+
 QUERIES = {
     "extract_links": q_extract_links,
     "selector_suffix": q_selector_suffix,
@@ -2799,6 +2839,7 @@ QUERIES = {
     "image_tiff_compressed": q_image_tiff_compressed,
     "image_pixel_dedup": q_image_pixel_dedup,
     "warc_roundtrip": q_warc_roundtrip,
+    "warc_cdx": q_warc_cdx,
     "sitemap_extract": q_sitemap_extract,
     "line_dedupe": q_line_dedupe,
     "image_orientation": q_image_orientation,
@@ -3217,6 +3258,24 @@ ORACLES = {
                     ELSE 'bmp,png,ppm,tiff' END AS fmts
         FROM (SELECT DISTINCT doc_id % 60 AS gid
               FROM documents WHERE doc_id < 280) t
+    """,
+    "warc_cdx": """
+        WITH p AS (
+            SELECT doc_id,
+                   'doc-' || doc_id || '-'
+                       || repeat('x', CAST(doc_id % 97 AS INT)) AS body
+            FROM documents WHERE doc_id < 500
+        )
+        SELECT 'com,example,w' || (doc_id % 7) || ')/p/' || doc_id
+                   || '?a=' || (doc_id % 5) || '&b=2' AS surt,
+               '20260818123456' AS ts,
+               'HTTPS://W' || (doc_id % 7) || '.Example.COM:443/P/'
+                   || doc_id || '?b=2&a=' || (doc_id % 5) AS url,
+               'text/plain' AS mime,
+               CAST(200 AS INT) AS status,
+               'sha256:' || sha256(body) AS digest,
+               CAST(length(body) AS BIGINT) AS payload_length
+        FROM p
     """,
     "warc_roundtrip": """
         SELECT doc_id,

@@ -133,9 +133,12 @@ def gunzip_members(data: bytes) -> bytes:
     return out.getvalue()
 
 
-def warc_split(stream: bytes) -> Iterator[tuple[dict[str, str], bytes]]:
-    """Iterate (headers, block) over a WARC stream using the spec's
-    Content-Length framing."""
+def warc_split_offsets(
+    stream: bytes,
+) -> Iterator[tuple[dict[str, str], bytes, int, int]]:
+    """Iterate ``(headers, block, record_start, record_end)`` over a
+    WARC stream using the spec's Content-Length framing — the offset
+    form :func:`cdx_index` needs for uncompressed segments."""
     pos = 0
     n = len(stream)
     while pos < n:
@@ -156,8 +159,15 @@ def warc_split(stream: bytes) -> Iterator[tuple[dict[str, str], bytes]]:
             raise ValueError("truncated WARC block")
         if stream[start + length : start + length + 4] != CRLF + CRLF:
             raise ValueError("missing record trailer CRLFs")
-        yield headers, block
+        yield headers, block, pos, start + length + 4
         pos = start + length + 4
+
+
+def warc_split(stream: bytes) -> Iterator[tuple[dict[str, str], bytes]]:
+    """Iterate (headers, block) over a WARC stream using the spec's
+    Content-Length framing."""
+    for headers, block, _s, _e in warc_split_offsets(stream):
+        yield headers, block
 
 
 SEGMENT_T = T.StructType(
@@ -256,3 +266,153 @@ def parse_warc_segments(
                 )
 
     return seg_df.mapInPandas(run, schema=RECORD_T)
+
+
+# --------------------------------------------------------------------------
+# CDX(J) index — what makes a 100-TB WARC corpus randomly accessible
+# --------------------------------------------------------------------------
+
+def gzip_member_bounds(data: bytes) -> list[tuple[int, int]]:
+    """Byte bounds ``(offset, length)`` of each gzip member in a
+    concatenated-member stream (the .warc.gz layout) — the member
+    boundary walk a CDX indexer records so a reader can seek straight
+    to one record without touching the rest of the segment."""
+    bounds = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        d = zlib.decompressobj(zlib.MAX_WBITS | 16)
+        d.decompress(data[pos:])
+        if not d.eof:
+            raise ValueError("truncated gzip member")
+        end = n - len(d.unused_data)
+        bounds.append((pos, end - pos))
+        pos = end
+    return bounds
+
+
+def surt_key(url: str) -> str:
+    """Sort-friendly URI Reordering Transform (SURT), the canonical
+    CDX key: lowercase, scheme dropped, host labels reversed and
+    comma-joined, default ports dropped, query parameters sorted —
+    so one host's records sort contiguously and the same URL written
+    with cosmetic differences collides.  Matches the shape pywb /
+    OpenWayback use (``com,example)/path?a=1&b=2``)."""
+    from urllib.parse import urlsplit
+
+    p = urlsplit(url.strip())
+    host = (p.hostname or "").lower().strip(".")
+    key = ",".join(reversed(host.split("."))) if host else ""
+    port = p.port
+    default = {"http": 80, "": 80, "https": 443}.get(p.scheme.lower())
+    if port is not None and port != default:
+        key += f":{port}"
+    path = (p.path or "/").lower()
+    key += ")" + path
+    if p.query:
+        key += "?" + "&".join(sorted(p.query.lower().split("&")))
+    return key
+
+
+CDX_T = T.StructType(
+    [
+        T.StructField("surt", T.StringType()),
+        T.StructField("ts", T.StringType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("status", T.IntegerType()),
+        T.StructField("digest", T.StringType()),
+        T.StructField("payload_length", T.LongType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("length", T.LongType()),
+        T.StructField("filename", T.StringType()),
+    ]
+)
+
+
+def _cdx_row(headers: dict, block: bytes, off: int, length: int,
+             filename: str) -> dict:
+    status, http_headers, payload = parse_http_response(block)
+    date = headers.get("WARC-Date", "")
+    ts = "".join(c for c in date if c.isdigit())[:14]
+    url = headers.get("WARC-Target-URI", "")
+    mime = http_headers.get("content-type", "").split(";")[0].strip()
+    return {
+        "surt": surt_key(url),
+        "ts": ts,
+        "url": url,
+        "mime": mime,
+        "status": status,
+        # sha256-hex rather than CDX-legacy sha1-b32: stdlib-stable,
+        # stronger, and SQL-mirrorable; documented deviation.
+        "digest": "sha256:" + hashlib.sha256(payload).hexdigest(),
+        "payload_length": len(payload),
+        "offset": off,
+        "length": length,
+        "filename": filename,
+    }
+
+
+def cdx_index(
+    seg_df: DataFrame,
+    segment_col: str = "segment",
+    filename_col: str | None = None,
+    compressed: bool = True,
+) -> DataFrame:
+    """CDX index over WARC segments: one row per ``response`` record
+    with its SURT key, 14-digit timestamp, HTTP status/mime, payload
+    digest, and — the point of the exercise — the byte ``(offset,
+    length)`` a reader seeks to.  For ``.warc.gz`` segments that is
+    the record's own gzip-member bounds (each record is one member by
+    construction in :func:`to_warc_segments`); for plain segments the
+    Content-Length record frame.  Runs inside ``mapInPandas`` — one
+    segment per task, no shuffle; sort the result by ``(surt, ts)``
+    (a range-partitioned Spark sort) to materialize the classic
+    merged CDX artifact."""
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            fn_series = (
+                pdf[filename_col] if filename_col is not None
+                else ["" for _ in range(len(pdf))]
+            )
+            for seg, fn in zip(pdf[segment_col], fn_series):
+                stream = bytes(seg)
+                if compressed:
+                    for off, mlen in gzip_member_bounds(stream):
+                        rec = gunzip_members(stream[off:off + mlen])
+                        for headers, block in warc_split(rec):
+                            if headers.get("WARC-Type") != "response":
+                                continue
+                            rows.append(
+                                _cdx_row(headers, block, off, mlen, str(fn))
+                            )
+                else:
+                    for headers, block, s, e in warc_split_offsets(stream):
+                        if headers.get("WARC-Type") != "response":
+                            continue
+                        rows.append(
+                            _cdx_row(headers, block, s, e - s, str(fn))
+                        )
+            if rows:
+                yield pd.DataFrame(rows, columns=[f.name for f in CDX_T])
+
+    return seg_df.mapInPandas(run, schema=CDX_T)
+
+
+def cdx_line(row: dict) -> str:
+    """Serialize one index row as a CDXJ line (``surt ts {json}``) —
+    fixed field order, no whitespace variance, byte-deterministic."""
+    import json
+
+    payload = {
+        k: row[k]
+        for k in (
+            "url", "mime", "status", "digest", "length", "offset", "filename",
+        )
+    }
+    return (
+        f"{row['surt']} {row['ts']} "
+        + json.dumps(payload, separators=(",", ":"), sort_keys=True)
+    )

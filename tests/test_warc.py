@@ -122,3 +122,109 @@ def test_crawl_payload_archives_through_warc(spark):
         assert status == 200
         assert headers["content-type"] == "application/octet-stream"
         assert body == want[r["uri"]]
+
+
+# --------------------------------------------------------------------------
+# CDX index
+# --------------------------------------------------------------------------
+
+def test_surt_key_canonicalization():
+    assert warc.surt_key("https://WWW.Example.COM/Path") == \
+        "com,example,www)/path"
+    assert warc.surt_key("http://a.b.org:80/x") == "org,b,a)/x"
+    assert warc.surt_key("http://a.b.org:8080/x") == "org,b,a:8080)/x"
+    assert warc.surt_key("https://h.net:443/") == "net,h)/"
+    # query params sorted, path defaulted
+    assert warc.surt_key("http://h.net?b=2&a=1") == "net,h)/?a=1&b=2"
+
+
+def test_gzip_member_bounds_cover_stream():
+    parts = [b"alpha" * 10, b"beta" * 33, b"g" * 7]
+    stream = b"".join(warc.gzip_member(p) for p in parts)
+    bounds = warc.gzip_member_bounds(stream)
+    assert len(bounds) == 3
+    assert bounds[0][0] == 0
+    assert sum(b[1] for b in bounds) == len(stream)
+    for (off, ln), want in zip(bounds, parts):
+        assert warc.gunzip_members(stream[off:off + ln]) == want
+    with pytest.raises(ValueError):
+        warc.gzip_member_bounds(stream[:-4])
+
+
+def _cdx_fixture(spark, n=20, compress=True):
+    rows = [
+        (
+            f"HTTPS://H{i % 3}.Example.COM/P/{i}?b=2&a={i % 5}",
+            f"payload-{i}-" + "y" * (i % 13),
+            "2026-08-18T12:34:56Z",
+        )
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "uri string, body string, date string")
+    return rows, warc.to_warc_segments(
+        df.repartition(3), compress=compress
+    )
+
+
+def test_cdx_index_seekable_gzip_members(spark):
+    import hashlib
+
+    rows, segs = _cdx_fixture(spark, compress=True)
+    seg_bytes = [bytes(r["segment"]) for r in segs.collect()]
+    fdf = spark.createDataFrame(
+        [(s, str(i)) for i, s in enumerate(seg_bytes)],
+        "segment binary, filename string",
+    )
+    idx = warc.cdx_index(fdf, filename_col="filename").collect()
+    assert len(idx) == len(rows)
+    by_url = {r["url"]: r for r in idx}
+    for uri, body, _date in rows:
+        row = by_url[uri]
+        assert row["ts"] == "20260818123456"
+        assert row["status"] == 200 and row["mime"] == "text/plain"
+        assert row["payload_length"] == len(body)
+        assert row["digest"] == (
+            "sha256:" + hashlib.sha256(body.encode()).hexdigest()
+        )
+        # THE seek contract: slice the named segment at (offset, length),
+        # gunzip that one member, get exactly this record back
+        seg = seg_bytes[int(row["filename"])]
+        rec = warc.gunzip_members(
+            seg[row["offset"]:row["offset"] + row["length"]]
+        )
+        [(hdrs, block)] = list(warc.warc_split(rec))
+        assert hdrs["WARC-Target-URI"] == uri
+        _, _, payload = warc.parse_http_response(block)
+        assert payload == body.encode()
+
+
+def test_cdx_index_plain_segment_offsets(spark):
+    rows, segs = _cdx_fixture(spark, compress=False)
+    seg_bytes = [bytes(r["segment"]) for r in segs.collect()]
+    fdf = spark.createDataFrame(
+        [(s, str(i)) for i, s in enumerate(seg_bytes)],
+        "segment binary, filename string",
+    )
+    idx = warc.cdx_index(fdf, filename_col="filename",
+                         compressed=False).collect()
+    assert len(idx) == len(rows)
+    for row in idx:
+        seg = seg_bytes[int(row["filename"])]
+        rec = seg[row["offset"]:row["offset"] + row["length"]]
+        [(hdrs, _block)] = list(warc.warc_split(rec))
+        assert hdrs["WARC-Target-URI"] == row["url"]
+
+
+def test_cdx_line_deterministic():
+    row = {
+        "surt": "com,example)/p?a=1", "ts": "20260818123456",
+        "url": "https://example.com/p?a=1", "mime": "text/plain",
+        "status": 200, "digest": "sha256:ab", "length": 10, "offset": 0,
+        "filename": "seg-0",
+    }
+    line = warc.cdx_line(row)
+    assert line.startswith("com,example)/p?a=1 20260818123456 {")
+    assert warc.cdx_line(dict(row)) == line
+    import json
+    payload = json.loads(line.split(" ", 2)[2])
+    assert payload["offset"] == 0 and payload["status"] == 200
