@@ -44,7 +44,7 @@ from pyspark.sql import types as T
 
 __all__ = [
     "mp4_write", "mp4_probe", "mp3_write", "mp3_probe",
-    "probe_media", "PROBE_T",
+    "ogg_write", "ogg_probe", "probe_media", "PROBE_T",
 ]
 
 
@@ -426,6 +426,161 @@ def mp3_probe(data: bytes) -> dict | None:
 
 
 # --------------------------------------------------------------------------
+# Ogg (RFC 3533) page walk + Vorbis I / Opus (RFC 7845) id headers
+# --------------------------------------------------------------------------
+
+def _ogg_crc_table() -> list[int]:
+    tab = []
+    for i in range(256):
+        r = i << 24
+        for _ in range(8):
+            r = ((r << 1) ^ 0x04C11DB7) if (r & 0x80000000) else (r << 1)
+        tab.append(r & 0xFFFFFFFF)
+    return tab
+
+
+_OGG_CRC = _ogg_crc_table()
+
+
+def _ogg_crc(data: bytes) -> int:
+    """Ogg's page CRC: poly 0x04C11DB7, init 0, no reflection, no
+    final xor (RFC 3533 §6)."""
+    r = 0
+    for b in data:
+        r = ((r << 8) & 0xFFFFFFFF) ^ _OGG_CRC[((r >> 24) & 0xFF) ^ b]
+    return r
+
+
+def _ogg_page(
+    serial: int, seq: int, granule: int, packet: bytes, flags: int = 0
+) -> bytes:
+    lacing = bytes([255] * (len(packet) // 255) + [len(packet) % 255])
+    head = (
+        b"OggS" + bytes((0, flags))
+        + struct.pack("<q", granule)
+        + struct.pack("<II", serial, seq)
+        + b"\x00\x00\x00\x00"          # crc placeholder
+        + bytes((len(lacing),)) + lacing
+    )
+    page = head + packet
+    crc = _ogg_crc(page)
+    return page[:22] + struct.pack("<I", crc) + page[26:]
+
+
+def ogg_write(
+    codec: str,
+    rate: int,
+    channels: int,
+    granule_end: int,
+    n_data_pages: int = 3,
+    serial: int = 0x1234,
+    preskip: int = 312,
+) -> bytes:
+    """Deterministic single-stream Ogg fixture: a BOS page carrying
+    the codec id header (Vorbis I §4.2.2 or OpusHead RFC 7845 §5.1),
+    ``n_data_pages`` filler pages with rising granules, and an EOS
+    page at ``granule_end``.  Every page carries a real RFC 3533 CRC."""
+    if codec == "vorbis":
+        ident = (
+            b"\x01vorbis"
+            + struct.pack("<I", 0)
+            + bytes((channels,))
+            + struct.pack("<I", rate)
+            + struct.pack("<iii", 0, 128000, 0)
+            + bytes((0b0110_1000,))     # blocksizes 2^8 / 2^6
+            + b"\x01"                   # framing bit
+        )
+    elif codec == "opus":
+        ident = (
+            b"OpusHead" + bytes((1, channels))
+            + struct.pack("<H", preskip)
+            + struct.pack("<I", rate)   # input sample rate (informational)
+            + struct.pack("<h", 0) + bytes((0,))
+        )
+    else:
+        raise ValueError(codec)
+    out = _ogg_page(serial, 0, 0, ident, flags=0x02)        # BOS
+    for i in range(n_data_pages):
+        g = granule_end * (i + 1) // (n_data_pages + 1)
+        out += _ogg_page(serial, i + 1, g, bytes(16 + i))
+    out += _ogg_page(serial, n_data_pages + 1, granule_end, b"\x00",
+                     flags=0x04)                             # EOS
+    return out
+
+
+def ogg_probe(data: bytes) -> dict | None:
+    """CRC-validated Ogg page walk: id header from the BOS page
+    (Vorbis channels/rate, OpusHead preskip), duration from the last
+    page's granule position — PCM samples at ``rate`` for Vorbis,
+    48 kHz minus preskip for Opus (RFC 7845 §4).  Multiple logical
+    streams count as tracks; duration follows the first."""
+    off, n = 0, len(data)
+    streams: dict[int, dict] = {}
+    order: list[int] = []
+    while off + 27 <= n:
+        if data[off:off + 4] != b"OggS" or data[off + 4] != 0:
+            break
+        nseg = data[off + 26]
+        if off + 27 + nseg > n:
+            break
+        lacing = data[off + 27:off + 27 + nseg]
+        body_len = sum(lacing)
+        end = off + 27 + nseg + body_len
+        if end > n:
+            break
+        page = bytearray(data[off:end])
+        crc_stored = struct.unpack_from("<I", page, 22)[0]
+        page[22:26] = b"\x00\x00\x00\x00"
+        if _ogg_crc(bytes(page)) != crc_stored:
+            break
+        granule = struct.unpack_from("<q", data, off + 6)[0]
+        serial = struct.unpack_from("<I", data, off + 14)[0]
+        body = data[off + 27 + nseg:end]
+        st = streams.get(serial)
+        if st is None:
+            st = streams[serial] = {
+                "codec": None, "rate": None, "preskip": 0, "granule": 0,
+            }
+            order.append(serial)
+            if body.startswith(b"\x01vorbis") and len(body) >= 16:
+                st["codec"] = "vorbis"
+                st["rate"] = struct.unpack_from("<I", body, 12)[0]
+            elif body.startswith(b"OpusHead") and len(body) >= 16:
+                st["codec"] = "opus"
+                st["preskip"] = struct.unpack_from("<H", body, 10)[0]
+                st["rate"] = 48000
+        if granule >= 0:
+            st["granule"] = max(st["granule"], granule)
+        off = end
+    known = [streams[s] for s in order if streams[s]["codec"]]
+    if not known:
+        return None
+    first = known[0]
+    if first["codec"] == "opus":
+        samples = max(first["granule"] - first["preskip"], 0)
+        dur_ms = samples * 1000 // 48000
+    else:
+        dur_ms = (
+            first["granule"] * 1000 // first["rate"]
+            if first["rate"] else None
+        )
+    return {
+        "container": "ogg",
+        "brand": None,
+        "duration_ms": dur_ms,
+        "n_tracks": len(known),
+        "video_codec": None,
+        "width": None,
+        "height": None,
+        "audio_codec": first["codec"],
+        "audio_rate": first["rate"],
+        "bitrate_kbps": None,
+        "n_frames": None,
+        "cbr": None,
+    }
+
+
+# --------------------------------------------------------------------------
 # Spark stage
 # --------------------------------------------------------------------------
 
@@ -450,6 +605,7 @@ _BAD = {f.name: None for f in PROBE_T.fields} | {"ok": False}
 _PROBERS = {
     "mp4": mp4_probe, "mov": mp4_probe, "m4a": mp4_probe, "m4v": mp4_probe,
     "mp3": mp3_probe,
+    "ogg": ogg_probe, "oga": ogg_probe, "opus": ogg_probe,
 }
 
 
@@ -458,9 +614,9 @@ def _probe_row(data: bytes | None, fmt: str | None) -> dict:
         return dict(_BAD)
     if fmt not in _PROBERS:
         raise NotImplementedError(
-            f"no {fmt!r} container probe in-sandbox (ISO-BMFF mp4/mov/m4a "
-            "and MPEG Layer-III are real); extend mediaprobe and keep this "
-            "stage's schema"
+            f"no {fmt!r} container probe in-sandbox (ISO-BMFF mp4/mov/m4a, "
+            "MPEG Layer-III, and Ogg Vorbis/Opus are real); extend "
+            "mediaprobe and keep this stage's schema"
         )
     if data is None:
         return dict(_BAD)

@@ -2713,7 +2713,12 @@ def q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     sr [44.1k/48k/32k][d%3], bitrate table index 1+d%14, 50+d%50
     frames with alternating padding bits, an ID3v2 tag every 5th doc
     and an ID3v1 trailer every 7th — all skipped by the frame walk,
-    so duration is sample-exact: frames*1152*1000//sr."""
+    so duration is sample-exact: frames*1152*1000//sr.  d%4==3 docs:
+    Ogg (CRC-validated page walk) — Vorbis id header at
+    [44.1k/48k/32k][d%3] with granule = rate*(2+d%9) (exact whole
+    seconds), or OpusHead every other one (d%8==7) where the granule
+    includes the 312-sample preskip (RFC 7845 §4), so duration is
+    20*(10+d%20) ms exactly."""
     import pandas as _pd
 
     from mechaml_spark import mediaprobe
@@ -2740,7 +2745,7 @@ def q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                         largesize_mdat=did % 8 == 0,
                     )
                     fmt = "mp4"
-                else:
+                elif did % 4 == 1:
                     data = mediaprobe.mp3_write(
                         50 + did % 50,
                         bitrate_idx=1 + did % 14,
@@ -2749,6 +2754,20 @@ def q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                         id3v1=did % 7 == 0,
                     )
                     fmt = "mp3"
+                elif did % 8 == 7:
+                    data = mediaprobe.ogg_write(
+                        "opus", 48000, 2,
+                        granule_end=312 + 960 * (10 + did % 20),
+                        preskip=312,
+                    )
+                    fmt = "ogg"
+                else:
+                    rate = (44100, 48000, 32000)[did % 3]
+                    data = mediaprobe.ogg_write(
+                        "vorbis", rate, 1 + did % 2,
+                        granule_end=rate * (2 + did % 9),
+                    )
+                    fmt = "ogg"
                 rows.append({"doc_id": did, "bytes": data, "fmt": fmt})
             yield _pd.DataFrame(rows, columns=["doc_id", "bytes", "fmt"])
 
@@ -3538,39 +3557,48 @@ ORACLES = {
     """,
     "media_probe": """
         WITH p AS (
-            SELECT doc_id, doc_id % 2 = 0 AS is_mp4,
-                   ([44100, 48000, 32000])[(doc_id % 3) + 1] AS mp3_sr,
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0 THEN 'mp4'
+                        WHEN doc_id % 4 = 1 THEN 'mp3'
+                        WHEN doc_id % 8 = 7 THEN 'opus'
+                        ELSE 'vorbis' END AS kind,
+                   ([44100, 48000, 32000])[(doc_id % 3) + 1] AS sr3,
                    50 + doc_id % 50 AS nf,
                    ([32,40,48,56,64,80,96,112,128,160,192,224,256,320]
                    )[(doc_id % 14) + 1] AS kbps
             FROM documents WHERE doc_id < 400
         )
         SELECT doc_id,
-               CASE WHEN is_mp4 THEN 'mp4' ELSE 'mp3' END AS container,
-               CAST(CASE WHEN is_mp4 THEN 3000 + doc_id * 7
-                         ELSE nf * 1152 * 1000 // mp3_sr
+               CASE WHEN kind = 'mp4' THEN 'mp4'
+                    WHEN kind = 'mp3' THEN 'mp3'
+                    ELSE 'ogg' END AS container,
+               CAST(CASE WHEN kind = 'mp4' THEN 3000 + doc_id * 7
+                         WHEN kind = 'mp3' THEN nf * 1152 * 1000 // sr3
+                         WHEN kind = 'opus' THEN 20 * (10 + doc_id % 20)
+                         ELSE (2 + doc_id % 9) * 1000
                     END AS BIGINT) AS duration_ms,
-               CAST(CASE WHEN is_mp4
+               CAST(CASE WHEN kind = 'mp4'
                          THEN 1 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
                          ELSE 1 END AS INT) AS n_tracks,
-               CASE WHEN is_mp4
+               CASE WHEN kind = 'mp4'
                     THEN CASE WHEN doc_id % 4 = 0 THEN 'avc1' ELSE 'hev1' END
                END AS video_codec,
-               CAST(CASE WHEN is_mp4 THEN 16 * (2 + doc_id % 20) END
+               CAST(CASE WHEN kind = 'mp4' THEN 16 * (2 + doc_id % 20) END
                     AS INT) AS width,
-               CAST(CASE WHEN is_mp4 THEN 16 * (1 + doc_id % 12) END
+               CAST(CASE WHEN kind = 'mp4' THEN 16 * (1 + doc_id % 12) END
                     AS INT) AS height,
-               CASE WHEN is_mp4
+               CASE WHEN kind = 'mp4'
                     THEN CASE WHEN doc_id % 3 = 0 THEN 'mp4a' END
-                    ELSE 'mp3' END AS audio_codec,
-               CAST(CASE WHEN is_mp4
+                    ELSE kind END AS audio_codec,
+               CAST(CASE WHEN kind = 'mp4'
                          THEN CASE WHEN doc_id % 3 = 0 THEN
                               CASE WHEN doc_id % 12 = 0
                                    THEN 44100 ELSE 48000 END END
-                         ELSE mp3_sr END AS INT) AS audio_rate,
-               CAST(CASE WHEN NOT is_mp4 THEN kbps END
+                         WHEN kind = 'opus' THEN 48000
+                         ELSE sr3 END AS INT) AS audio_rate,
+               CAST(CASE WHEN kind = 'mp3' THEN kbps END
                     AS INT) AS bitrate_kbps,
-               CAST(CASE WHEN NOT is_mp4 THEN nf END
+               CAST(CASE WHEN kind = 'mp3' THEN nf END
                     AS BIGINT) AS n_frames
         FROM p
     """,

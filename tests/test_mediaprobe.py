@@ -137,3 +137,56 @@ def test_probe_media_unknown_container_raises(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|mkv"):
         mp.probe_media(df).collect()
+
+
+# --------------------------------------------------------------------------
+# Ogg
+# --------------------------------------------------------------------------
+
+def test_ogg_vorbis_roundtrip():
+    data = mp.ogg_write("vorbis", 44100, 2, granule_end=44100 * 7)
+    r = mp.ogg_probe(data)
+    assert r["audio_codec"] == "vorbis"
+    assert r["audio_rate"] == 44100
+    assert r["duration_ms"] == 7000
+    assert r["n_tracks"] == 1
+
+
+def test_ogg_opus_preskip_duration():
+    # RFC 7845: granule is 48 kHz samples INCLUDING preskip
+    data = mp.ogg_write("opus", 48000, 2,
+                        granule_end=312 + 960 * 50, preskip=312)
+    r = mp.ogg_probe(data)
+    assert r["audio_codec"] == "opus"
+    assert r["audio_rate"] == 48000
+    assert r["duration_ms"] == 960 * 50 * 1000 // 48000  # 1000 ms
+
+
+def test_ogg_crc_validated():
+    data = bytearray(mp.ogg_write("vorbis", 8000, 1, granule_end=8000))
+    # corrupt one payload byte of the SECOND page: walk stops there,
+    # duration falls back to the granules seen so far (BOS = 0)
+    first_end = 27 + data[26] + sum(data[27:27 + data[26]])
+    data[first_end + 40] ^= 0xFF
+    r = mp.ogg_probe(bytes(data))
+    assert r is not None and r["duration_ms"] == 0
+    assert mp.ogg_probe(b"OggR" + bytes(60)) is None
+
+
+def test_ogg_multi_stream_track_count():
+    a = mp.ogg_write("vorbis", 32000, 1, granule_end=32000, serial=1)
+    b = mp.ogg_write("opus", 48000, 2, granule_end=9600, serial=2)
+    r = mp.ogg_probe(a + b)
+    assert r["n_tracks"] == 2
+    assert r["audio_codec"] == "vorbis"      # first logical stream wins
+    assert r["duration_ms"] == 1000
+
+
+def test_probe_media_routes_ogg(spark):
+    df = spark.createDataFrame(
+        [(0, mp.ogg_write("opus", 48000, 2, granule_end=312 + 4800), "opus")],
+        "doc_id long, bytes binary, fmt string",
+    )
+    [row] = mp.probe_media(df).select("probe").collect()
+    assert row["probe"]["ok"] and row["probe"]["audio_codec"] == "opus"
+    assert row["probe"]["duration_ms"] == 100
