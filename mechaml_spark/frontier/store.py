@@ -167,14 +167,103 @@ class SnapshotStore:
         return snap, dfs
 
     def lineage(self) -> list[dict]:
-        """Full manifest chain, oldest first."""
+        """Manifest chain, oldest first — ends cleanly where history
+        has been expired (a parent whose manifest no longer exists)."""
         out = []
         e = self.latest_epoch()
         seen_epochs = set()
         while e is not None and e not in seen_epochs:
             seen_epochs.add(e)
-            with open(self._manifest_path(e)) as f:
-                m = json.load(f)
+            try:
+                with open(self._manifest_path(e)) as f:
+                    m = json.load(f)
+            except FileNotFoundError:
+                break  # expired ancestor: chain ends here
             out.append(m)
             e = m["parent"]
         return list(reversed(out))
+
+    # -- table maintenance (the Iceberg expire_snapshots /
+    # -- rewrite_data_files pair, without which a 10^10-row frontier
+    # -- accumulates unbounded metadata and small files) ---------------
+
+    def expire_snapshots(self, keep_last: int) -> dict:
+        """Drop all but the newest ``keep_last`` snapshots and
+        garbage-collect data directories no surviving snapshot
+        references — Iceberg's ``expire_snapshots`` contract.  Because
+        :meth:`merge_commit` carries unchanged tables forward BY
+        REFERENCE, an old epoch's parquet may still back the newest
+        snapshot: GC is reference-counted over the survivors' table
+        paths, never age-based.  Returns what was removed."""
+        import shutil
+
+        epochs = sorted(
+            int(f[len("manifest-"):-len(".json")])
+            for f in os.listdir(self.root)
+            if f.startswith("manifest-") and f.endswith(".json")
+        )
+        if keep_last < 1:
+            raise ValueError("must keep at least the latest snapshot")
+        drop, keep = epochs[:-keep_last], epochs[-keep_last:]
+        live_paths: set[str] = set()
+        for e in keep:
+            with open(self._manifest_path(e)) as f:
+                live_paths.update(json.load(f)["tables"].values())
+        removed_dirs = []
+        for e in drop:
+            with open(self._manifest_path(e)) as f:
+                m = json.load(f)
+            for path in m["tables"].values():
+                if path not in live_paths and os.path.isdir(path):
+                    shutil.rmtree(path)
+                    removed_dirs.append(path)
+            os.remove(self._manifest_path(e))
+        # sweep now-empty epoch dirs
+        for d in os.listdir(self.root):
+            full = os.path.join(self.root, d)
+            if d.startswith("epoch=") and os.path.isdir(full) \
+                    and not os.listdir(full):
+                os.rmdir(full)
+        return {"expired_epochs": drop, "removed_dirs": removed_dirs,
+                "kept_epochs": keep}
+
+    def compact(
+        self,
+        spark: SparkSession,
+        epoch: int,
+        name: str,
+        target_files: int,
+        metrics: dict | None = None,
+    ) -> Snapshot:
+        """Rewrite one table's data files into ``target_files`` files
+        and publish the result as a NEW snapshot (Iceberg's
+        ``rewrite_data_files`` commits a replace snapshot; the parent
+        stays readable).  Row content is untouched — this is the
+        small-files maintenance pass a long crawl runs so per-epoch
+        incremental commits don't degrade scan parallelism into
+        thousands of tiny tasks."""
+        parent_snap, dfs = self.load(spark)
+        if name not in dfs:
+            raise KeyError(name)
+        path = os.path.join(self.root, f"epoch={epoch:06d}", name)
+        dfs[name].coalesce(target_files).write.mode("overwrite").parquet(
+            path
+        )
+        paths = dict(parent_snap.tables)
+        paths[name] = path
+        snap = Snapshot(
+            epoch=epoch, parent=parent_snap.epoch, tables=paths,
+            metrics=(metrics or {}) | {"compacted": name,
+                                       "target_files": target_files},
+            wall_time=0.0,
+        )
+        manifest = {
+            "epoch": snap.epoch, "parent": snap.parent,
+            "tables": snap.tables, "metrics": snap.metrics,
+            "wall_time_sec": snap.wall_time,
+        }
+        fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, self._manifest_path(epoch))  # atomic publish
+        return snap

@@ -121,3 +121,61 @@ def test_merge_commit_is_merge_into(spark, store):
     # parent snapshot still readable (immutability across merge)
     _, dfs0 = store.load(spark, 0)
     assert {r["name"] for r in dfs0["jar"].collect()} == {"a", "b", "c"}
+
+
+def test_expire_snapshots_refcounted_gc(spark, store):
+    """Iceberg expire_snapshots semantics: old manifests go away, but
+    data directories still referenced by a surviving snapshot (via
+    merge_commit's carry-forward-by-reference) MUST survive GC."""
+    store.commit(0, {"jar": spark.createDataFrame(
+        [("a", "h", "/", "v1")],
+        "name string, domain string, path string, value string",
+    ), "frontier": _frontier(spark, 0)})
+    for e in (1, 2, 3):
+        updates = spark.createDataFrame(
+            [(f"k{e}", "h", "/", f"v{e}")],
+            "name string, domain string, path string, value string",
+        )
+        store.merge_commit(spark, e, "jar", updates,
+                           key=["name", "domain", "path"])
+    # epoch-0 "frontier" parquet is still referenced by epoch 3
+    res = store.expire_snapshots(keep_last=2)
+    assert res["expired_epochs"] == [0, 1]
+    assert store.latest_epoch() == 3
+    # expired manifests gone, survivors intact
+    assert [m["epoch"] for m in store.lineage()] == [2, 3]
+    # the carried-forward frontier data survived GC and still loads
+    _, dfs = store.load(spark, 3)
+    assert dfs["frontier"].count() == 20
+    assert dfs["jar"].count() == 4
+    # the epoch-1 jar rewrite (referenced by nothing surviving) is gone
+    assert any("epoch=000001" in d for d in res["removed_dirs"])
+    with pytest.raises(FileNotFoundError):
+        store.load(spark, 0)
+
+
+def test_compact_rewrites_files_preserves_rows(spark, store):
+    wide = _frontier(spark, 0, n=512).repartition(16)
+    store.commit(0, {"frontier": wide, "jar": spark.createDataFrame(
+        [("a", "h", "/", "v")],
+        "name string, domain string, path string, value string",
+    )})
+    before = {r["url_norm"] for r in store.load(spark, 0)[1]["frontier"]
+              .collect()}
+
+    def n_files(path):
+        return sum(
+            1 for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith(".")
+        )
+
+    lin0 = store.lineage()[0]
+    assert n_files(lin0["tables"]["frontier"]) >= 16
+    snap = store.compact(spark, 1, "frontier", target_files=2)
+    assert snap.parent == 0 and snap.metrics["compacted"] == "frontier"
+    _, dfs = store.load(spark, 1)
+    assert {r["url_norm"] for r in dfs["frontier"].collect()} == before
+    assert n_files(snap.tables["frontier"]) <= 2
+    # untouched jar carried by reference; parent still readable
+    assert snap.tables["jar"] == lin0["tables"]["jar"]
+    assert store.load(spark, 0)[1]["frontier"].count() == 512
