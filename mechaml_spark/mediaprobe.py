@@ -44,7 +44,8 @@ from pyspark.sql import types as T
 
 __all__ = [
     "mp4_write", "mp4_probe", "mp3_write", "mp3_probe",
-    "ogg_write", "ogg_probe", "probe_media", "PROBE_T",
+    "ogg_write", "ogg_probe", "flac_write", "flac_probe",
+    "mkv_write", "mkv_probe", "probe_media", "PROBE_T",
 ]
 
 
@@ -581,6 +582,285 @@ def ogg_probe(data: bytes) -> dict | None:
 
 
 # --------------------------------------------------------------------------
+# EBML / Matroska / WebM (RFC 8794 EBML + matroska.org element IDs)
+# --------------------------------------------------------------------------
+
+def _ebml_size(n: int) -> bytes:
+    """EBML data-size varint, minimal width (RFC 8794 §4): leading
+    1-bit marker in the first byte, 7 value bits per extra byte."""
+    for width in range(1, 9):
+        if n < (1 << (7 * width)) - 1:  # all-ones is "unknown size"
+            return ((1 << (7 * width)) | n).to_bytes(width, "big")
+    raise ValueError("size too large")
+
+
+def _el(eid: bytes, payload: bytes) -> bytes:
+    return eid + _ebml_size(len(payload)) + payload
+
+
+def _el_uint(eid: bytes, v: int) -> bytes:
+    w = max(1, (v.bit_length() + 7) // 8)
+    return _el(eid, v.to_bytes(w, "big"))
+
+
+def _el_float(eid: bytes, v: float) -> bytes:
+    return _el(eid, struct.pack(">d", v))
+
+
+def mkv_write(
+    duration_ms: int,
+    doctype: str = "webm",
+    video: tuple[str, int, int] | None = ("V_VP9", 640, 360),
+    audio: tuple[str, int, int] | None = None,
+    timescale: int = 1_000_000,
+) -> bytes:
+    """Deterministic Matroska/WebM fixture: EBML header with
+    ``DocType``, Segment > Info (TimecodeScale + float Duration) and
+    Tracks (video dims / audio rate+channels per matroska.org IDs).
+    ``timescale`` defaults to 1 ms ticks so integer durations store
+    exactly in the float field."""
+    header = _el(
+        b"\x1a\x45\xdf\xa3",
+        _el_uint(b"\x42\x86", 1)                       # EBMLVersion
+        + _el_uint(b"\x42\xf7", 1)                     # EBMLReadVersion
+        + _el(b"\x42\x82", doctype.encode("ascii"))    # DocType
+        + _el_uint(b"\x42\x87", 4) + _el_uint(b"\x42\x85", 2),
+    )
+    info = _el(
+        b"\x15\x49\xa9\x66",
+        _el_uint(b"\x2a\xd7\xb1", timescale)
+        + _el_float(b"\x44\x89", float(duration_ms)),
+    )
+    entries = b""
+    tno = 1
+    if video is not None:
+        codec, w, h = video
+        entries += _el(
+            b"\xae",
+            _el_uint(b"\xd7", tno) + _el_uint(b"\x83", 1)  # type video
+            + _el(b"\x86", codec.encode("ascii"))
+            + _el(b"\xe0", _el_uint(b"\xb0", w) + _el_uint(b"\xba", h)),
+        )
+        tno += 1
+    if audio is not None:
+        codec, rate, ch = audio
+        entries += _el(
+            b"\xae",
+            _el_uint(b"\xd7", tno) + _el_uint(b"\x83", 2)  # type audio
+            + _el(b"\x86", codec.encode("ascii"))
+            + _el(b"\xe1", _el_float(b"\xb5", float(rate))
+                  + _el_uint(b"\x9f", ch)),
+        )
+    tracks = _el(b"\x16\x54\xae\x6b", entries)
+    segment = _el(b"\x18\x53\x80\x67", info + tracks)
+    return header + segment
+
+
+def _ebml_read_vint(data: bytes, off: int, keep_marker: bool
+                    ) -> tuple[int, int] | None:
+    if off >= len(data) or data[off] == 0:
+        return None
+    first = data[off]
+    width = 1
+    mask = 0x80
+    while not (first & mask):
+        width += 1
+        mask >>= 1
+    if off + width > len(data):
+        return None
+    v = int.from_bytes(data[off:off + width], "big")
+    if not keep_marker:
+        v &= (1 << (7 * width)) - 1
+    return v, off + width
+
+
+def _ebml_walk(data: bytes, start: int, end: int):
+    """Yield ``(element_id, payload_start, payload_end)``; stops
+    cleanly at truncation.  Unknown-size elements extend to ``end``."""
+    off = start
+    while off < end:
+        r = _ebml_read_vint(data, off, keep_marker=True)
+        if r is None:
+            return
+        eid, off = r
+        r = _ebml_read_vint(data, off, keep_marker=False)
+        if r is None:
+            return
+        size, off = r
+        # detect the all-ones "unknown size" form: value == 2^(7w)-1
+        w = 1
+        while (1 << (7 * w)) - 1 < size:
+            w += 1
+        if size == (1 << (7 * w)) - 1:
+            size = end - off
+        if off + size > end:
+            return
+        yield eid, off, off + size
+        off += size
+
+
+_MKV_UINT = {0x2AD7B1, 0xB0, 0xBA, 0x83, 0x9F, 0xD7}
+
+
+def mkv_probe(data: bytes) -> dict | None:
+    """Matroska/WebM probe: DocType from the EBML header, duration
+    from Segment>Info (TimecodeScale × float Duration), per-track
+    codec/dims/rate from Segment>Tracks."""
+    doctype = None
+    timescale = 1_000_000
+    duration_raw = None
+    tracks: list[dict] = []
+
+    def read_uint(s: int, e: int) -> int:
+        return int.from_bytes(data[s:e], "big")
+
+    def read_float(s: int, e: int) -> float:
+        if e - s == 4:
+            return struct.unpack(">f", data[s:e])[0]
+        if e - s == 8:
+            return struct.unpack(">d", data[s:e])[0]
+        return 0.0
+
+    saw_magic = False
+    for eid, s, e in _ebml_walk(data, 0, len(data)):
+        if eid == 0x1A45DFA3:
+            saw_magic = True
+            for i2, s2, e2 in _ebml_walk(data, s, e):
+                if i2 == 0x4282:
+                    doctype = data[s2:e2].decode("ascii", "replace")
+        elif eid == 0x18538067:
+            for i2, s2, e2 in _ebml_walk(data, s, e):
+                if i2 == 0x1549A966:
+                    for i3, s3, e3 in _ebml_walk(data, s2, e2):
+                        if i3 == 0x2AD7B1:
+                            timescale = read_uint(s3, e3)
+                        elif i3 == 0x4489:
+                            duration_raw = read_float(s3, e3)
+                elif i2 == 0x1654AE6B:
+                    for i3, s3, e3 in _ebml_walk(data, s2, e2):
+                        if i3 != 0xAE:
+                            continue
+                        t = {"type": None, "codec": None, "w": None,
+                             "h": None, "rate": None}
+                        for i4, s4, e4 in _ebml_walk(data, s3, e3):
+                            if i4 == 0x83:
+                                t["type"] = read_uint(s4, e4)
+                            elif i4 == 0x86:
+                                t["codec"] = data[s4:e4].decode(
+                                    "ascii", "replace"
+                                )
+                            elif i4 == 0xE0:
+                                for i5, s5, e5 in _ebml_walk(data, s4, e4):
+                                    if i5 == 0xB0:
+                                        t["w"] = read_uint(s5, e5)
+                                    elif i5 == 0xBA:
+                                        t["h"] = read_uint(s5, e5)
+                            elif i4 == 0xE1:
+                                for i5, s5, e5 in _ebml_walk(data, s4, e4):
+                                    if i5 == 0xB5:
+                                        t["rate"] = int(read_float(s5, e5))
+                        tracks.append(t)
+    if not saw_magic:
+        return None
+    dur_ms = (
+        int(duration_raw * timescale / 1e6) if duration_raw is not None
+        else None
+    )
+    video = next((t for t in tracks if t["type"] == 1), None)
+    sound = next((t for t in tracks if t["type"] == 2), None)
+    return {
+        "container": "mkv",
+        "brand": doctype,
+        "duration_ms": dur_ms,
+        "n_tracks": len(tracks),
+        "video_codec": video["codec"] if video else None,
+        "width": video["w"] if video else None,
+        "height": video["h"] if video else None,
+        "audio_codec": sound["codec"] if sound else None,
+        "audio_rate": sound["rate"] if sound else None,
+        "bitrate_kbps": None,
+        "n_frames": None,
+        "cbr": None,
+    }
+
+
+# --------------------------------------------------------------------------
+# FLAC STREAMINFO (xiph.org spec: the mandatory first metadata block)
+# --------------------------------------------------------------------------
+
+def flac_write(
+    sample_rate: int,
+    channels: int,
+    total_samples: int,
+    bits_per_sample: int = 16,
+    n_padding: int = 0,
+) -> bytes:
+    """Deterministic FLAC header fixture: ``fLaC`` magic + STREAMINFO
+    (+ optional PADDING block) and no audio frames — all a metadata
+    probe reads.  The 20-bit rate / 3-bit channels / 5-bit bps /
+    36-bit total-samples packing follows the format spec exactly."""
+    packed = (
+        (sample_rate << 44)
+        | ((channels - 1) << 41)
+        | ((bits_per_sample - 1) << 36)
+        | (total_samples & ((1 << 36) - 1))
+    )
+    si = (
+        struct.pack(">HH", 4096, 4096)       # min/max blocksize
+        + b"\x00\x00\x00" * 2                 # min/max framesize unknown
+        + packed.to_bytes(8, "big")
+        + b"\x00" * 16                        # md5 of unencoded audio
+    )
+    last = 0x80 if n_padding == 0 else 0x00
+    out = b"fLaC" + bytes((last,)) + len(si).to_bytes(3, "big") + si
+    if n_padding:
+        out += bytes((0x81,)) + n_padding.to_bytes(3, "big") \
+            + b"\x00" * n_padding
+    return out
+
+
+def flac_probe(data: bytes) -> dict | None:
+    """STREAMINFO probe: magic check, metadata-block walk until the
+    last-block flag, rate/channels/duration from the packed fields."""
+    if data[:4] != b"fLaC":
+        return None
+    off, n = 4, len(data)
+    info = None
+    while off + 4 <= n:
+        hdr = data[off]
+        blen = int.from_bytes(data[off + 1:off + 4], "big")
+        body = data[off + 4:off + 4 + blen]
+        if len(body) != blen:
+            return None
+        if (hdr & 0x7F) == 0 and blen >= 34:
+            packed = int.from_bytes(body[10:18], "big")
+            info = {
+                "rate": packed >> 44,
+                "channels": ((packed >> 41) & 0x7) + 1,
+                "total": packed & ((1 << 36) - 1),
+            }
+        off += 4 + blen
+        if hdr & 0x80:
+            break
+    if info is None or not info["rate"]:
+        return None
+    return {
+        "container": "flac",
+        "brand": None,
+        "duration_ms": info["total"] * 1000 // info["rate"],
+        "n_tracks": 1,
+        "video_codec": None,
+        "width": None,
+        "height": None,
+        "audio_codec": "flac",
+        "audio_rate": info["rate"],
+        "bitrate_kbps": None,
+        "n_frames": None,
+        "cbr": None,
+    }
+
+
+# --------------------------------------------------------------------------
 # Spark stage
 # --------------------------------------------------------------------------
 
@@ -606,6 +886,8 @@ _PROBERS = {
     "mp4": mp4_probe, "mov": mp4_probe, "m4a": mp4_probe, "m4v": mp4_probe,
     "mp3": mp3_probe,
     "ogg": ogg_probe, "oga": ogg_probe, "opus": ogg_probe,
+    "flac": flac_probe,
+    "mkv": mkv_probe, "webm": mkv_probe,
 }
 
 
@@ -615,8 +897,8 @@ def _probe_row(data: bytes | None, fmt: str | None) -> dict:
     if fmt not in _PROBERS:
         raise NotImplementedError(
             f"no {fmt!r} container probe in-sandbox (ISO-BMFF mp4/mov/m4a, "
-            "MPEG Layer-III, and Ogg Vorbis/Opus are real); extend "
-            "mediaprobe and keep this stage's schema"
+            "MPEG Layer-III, Ogg Vorbis/Opus, FLAC, and Matroska/WebM are "
+            "real); extend mediaprobe and keep this stage's schema"
         )
     if data is None:
         return dict(_BAD)

@@ -2718,7 +2718,12 @@ def q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     [44.1k/48k/32k][d%3] with granule = rate*(2+d%9) (exact whole
     seconds), or OpusHead every other one (d%8==7) where the granule
     includes the 312-sample preskip (RFC 7845 §4), so duration is
-    20*(10+d%20) ms exactly."""
+    20*(10+d%20) ms exactly.  d%8==2 docs: FLAC STREAMINFO
+    (20-bit-rate/36-bit-total packing + a PADDING block the walk must
+    cross), total = rate*(3+d%6).  d%8==6 docs: WebM/Matroska —
+    EBML varint walk, TimecodeScale 10^6 with a float Duration of
+    4000+d*9 ms stored exactly, VP9/AV1 track dims, an A_OPUS track
+    every 3rd doc."""
     import pandas as _pd
 
     from mechaml_spark import mediaprobe
@@ -2732,17 +2737,38 @@ def q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for did in pdf["doc_id"]:
                 did = int(did)
-                if did % 2 == 0:
+                if did % 8 == 2:
+                    rate = (32000, 44100, 48000)[did % 3]
+                    data = mediaprobe.flac_write(
+                        rate, 1 + did % 2,
+                        total_samples=rate * (3 + did % 6),
+                        n_padding=did % 32,
+                    )
+                    fmt = "flac"
+                elif did % 8 == 6:
+                    data = mediaprobe.mkv_write(
+                        4000 + did * 9,
+                        doctype="webm",
+                        video=(
+                            "V_VP9" if did % 16 == 6 else "V_AV1",
+                            32 * (1 + did % 10), 32 * (1 + did % 6),
+                        ),
+                        audio=(
+                            ("A_OPUS", 48000, 2) if did % 3 == 0 else None
+                        ),
+                    )
+                    fmt = "webm"
+                elif did % 2 == 0:
                     data = mediaprobe.mp4_write(
                         16 * (2 + did % 20),
                         16 * (1 + did % 12),
                         3000 + did * 7,
-                        video_codec=b"avc1" if did % 4 == 0 else b"hev1",
+                        video_codec=b"avc1" if did % 8 == 0 else b"hev1",
                         audio=(
-                            (b"mp4a", 44100 if did % 12 == 0 else 48000)
+                            (b"mp4a", 44100 if did % 24 == 0 else 48000)
                             if did % 3 == 0 else None
                         ),
-                        largesize_mdat=did % 8 == 0,
+                        largesize_mdat=did % 16 == 0,
                     )
                     fmt = "mp4"
                 elif did % 4 == 1:
@@ -3558,43 +3584,58 @@ ORACLES = {
     "media_probe": """
         WITH p AS (
             SELECT doc_id,
-                   CASE WHEN doc_id % 2 = 0 THEN 'mp4'
+                   CASE WHEN doc_id % 8 = 2 THEN 'flac'
+                        WHEN doc_id % 8 = 6 THEN 'webm'
+                        WHEN doc_id % 2 = 0 THEN 'mp4'
                         WHEN doc_id % 4 = 1 THEN 'mp3'
                         WHEN doc_id % 8 = 7 THEN 'opus'
                         ELSE 'vorbis' END AS kind,
                    ([44100, 48000, 32000])[(doc_id % 3) + 1] AS sr3,
+                   ([32000, 44100, 48000])[(doc_id % 3) + 1] AS fsr,
                    50 + doc_id % 50 AS nf,
                    ([32,40,48,56,64,80,96,112,128,160,192,224,256,320]
                    )[(doc_id % 14) + 1] AS kbps
             FROM documents WHERE doc_id < 400
         )
         SELECT doc_id,
-               CASE WHEN kind = 'mp4' THEN 'mp4'
-                    WHEN kind = 'mp3' THEN 'mp3'
+               CASE WHEN kind IN ('mp4', 'mp3', 'flac') THEN kind
+                    WHEN kind = 'webm' THEN 'mkv'
                     ELSE 'ogg' END AS container,
                CAST(CASE WHEN kind = 'mp4' THEN 3000 + doc_id * 7
                          WHEN kind = 'mp3' THEN nf * 1152 * 1000 // sr3
                          WHEN kind = 'opus' THEN 20 * (10 + doc_id % 20)
-                         ELSE (2 + doc_id % 9) * 1000
+                         WHEN kind = 'vorbis' THEN (2 + doc_id % 9) * 1000
+                         WHEN kind = 'flac' THEN (3 + doc_id % 6) * 1000
+                         ELSE 4000 + doc_id * 9
                     END AS BIGINT) AS duration_ms,
-               CAST(CASE WHEN kind = 'mp4'
+               CAST(CASE WHEN kind IN ('mp4', 'webm')
                          THEN 1 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
                          ELSE 1 END AS INT) AS n_tracks,
                CASE WHEN kind = 'mp4'
-                    THEN CASE WHEN doc_id % 4 = 0 THEN 'avc1' ELSE 'hev1' END
+                    THEN CASE WHEN doc_id % 8 = 0 THEN 'avc1' ELSE 'hev1' END
+                    WHEN kind = 'webm'
+                    THEN CASE WHEN doc_id % 16 = 6
+                              THEN 'V_VP9' ELSE 'V_AV1' END
                END AS video_codec,
-               CAST(CASE WHEN kind = 'mp4' THEN 16 * (2 + doc_id % 20) END
+               CAST(CASE WHEN kind = 'mp4' THEN 16 * (2 + doc_id % 20)
+                         WHEN kind = 'webm' THEN 32 * (1 + doc_id % 10) END
                     AS INT) AS width,
-               CAST(CASE WHEN kind = 'mp4' THEN 16 * (1 + doc_id % 12) END
+               CAST(CASE WHEN kind = 'mp4' THEN 16 * (1 + doc_id % 12)
+                         WHEN kind = 'webm' THEN 32 * (1 + doc_id % 6) END
                     AS INT) AS height,
                CASE WHEN kind = 'mp4'
                     THEN CASE WHEN doc_id % 3 = 0 THEN 'mp4a' END
+                    WHEN kind = 'webm'
+                    THEN CASE WHEN doc_id % 3 = 0 THEN 'A_OPUS' END
                     ELSE kind END AS audio_codec,
                CAST(CASE WHEN kind = 'mp4'
                          THEN CASE WHEN doc_id % 3 = 0 THEN
-                              CASE WHEN doc_id % 12 = 0
+                              CASE WHEN doc_id % 24 = 0
                                    THEN 44100 ELSE 48000 END END
+                         WHEN kind = 'webm'
+                         THEN CASE WHEN doc_id % 3 = 0 THEN 48000 END
                          WHEN kind = 'opus' THEN 48000
+                         WHEN kind = 'flac' THEN fsr
                          ELSE sr3 END AS INT) AS audio_rate,
                CAST(CASE WHEN kind = 'mp3' THEN kbps END
                     AS INT) AS bitrate_kbps,

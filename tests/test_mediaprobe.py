@@ -133,9 +133,9 @@ def test_probe_media_stage(spark):
 
 def test_probe_media_unknown_container_raises(spark):
     df = spark.createDataFrame(
-        [(0, b"x", "mkv")], "doc_id long, bytes binary, fmt string"
+        [(0, b"x", "rm")], "doc_id long, bytes binary, fmt string"
     )
-    with pytest.raises(Exception, match="NotImplementedError|mkv"):
+    with pytest.raises(Exception, match="NotImplementedError|rm"):
         mp.probe_media(df).collect()
 
 
@@ -190,3 +190,64 @@ def test_probe_media_routes_ogg(spark):
     [row] = mp.probe_media(df).select("probe").collect()
     assert row["probe"]["ok"] and row["probe"]["audio_codec"] == "opus"
     assert row["probe"]["duration_ms"] == 100
+
+
+# --------------------------------------------------------------------------
+# FLAC
+# --------------------------------------------------------------------------
+
+def test_flac_streaminfo_roundtrip():
+    data = mp.flac_write(96000, 2, total_samples=96000 * 11 + 4800)
+    r = mp.flac_probe(data)
+    assert r["audio_codec"] == "flac" and r["audio_rate"] == 96000
+    assert r["duration_ms"] == 11050
+    data2 = mp.flac_write(44100, 1, total_samples=44100, n_padding=100)
+    assert mp.flac_probe(data2)["duration_ms"] == 1000  # padding walked
+    assert mp.flac_probe(b"fLaX" + bytes(40)) is None
+    assert mp.flac_probe(data[:20]) is None             # truncated block
+
+
+# --------------------------------------------------------------------------
+# Matroska / WebM
+# --------------------------------------------------------------------------
+
+def test_mkv_roundtrip_video_and_audio():
+    data = mp.mkv_write(
+        90210, doctype="webm", video=("V_VP9", 1280, 720),
+        audio=("A_OPUS", 48000, 2),
+    )
+    r = mp.mkv_probe(data)
+    assert r["brand"] == "webm" and r["container"] == "mkv"
+    assert r["duration_ms"] == 90210
+    assert r["n_tracks"] == 2
+    assert r["video_codec"] == "V_VP9"
+    assert (r["width"], r["height"]) == (1280, 720)
+    assert r["audio_codec"] == "A_OPUS" and r["audio_rate"] == 48000
+
+
+def test_mkv_timecode_scale():
+    # 1-us ticks: Duration value is in us; probe must rescale to ms
+    data = mp.mkv_write(5000_000, doctype="matroska",
+                        video=None, audio=("A_FLAC", 44100, 1),
+                        timescale=1_000)
+    r = mp.mkv_probe(data)
+    assert r["duration_ms"] == 5000
+    assert r["video_codec"] is None and r["audio_codec"] == "A_FLAC"
+
+
+def test_mkv_garbage_and_truncation():
+    assert mp.mkv_probe(b"\x00" * 30) is None
+    good = mp.mkv_write(1000)
+    assert mp.mkv_probe(good[:10]) is None  # header cut off -> no magic
+
+
+def test_probe_media_routes_flac_and_webm(spark):
+    rows = [
+        (0, mp.flac_write(48000, 2, 48000 * 3), "flac"),
+        (1, mp.mkv_write(7500, video=("V_AV1", 320, 180)), "webm"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, bytes binary, fmt string")
+    out = {r["doc_id"]: r["probe"]
+           for r in mp.probe_media(df).select("doc_id", "probe").collect()}
+    assert out[0]["duration_ms"] == 3000 and out[0]["container"] == "flac"
+    assert out[1]["video_codec"] == "V_AV1" and out[1]["brand"] == "webm"
