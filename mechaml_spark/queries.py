@@ -2854,6 +2854,82 @@ def q_warc_cdx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pagerank_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-authority frontier prioritization with an EXACT oracle:
+    3 iterations of integer fixed-point PageRank (linkgraph.pagerank)
+    over a deterministic 500-node graph derived from doc_ids — two
+    affine out-edges per doc plus a hub edge to node 0 from every
+    10th doc (skew: the hub's in-degree is ~10x any other node's,
+    exercising the partial-agg/AQE-skew path).  Because every
+    division is an integer floor in a pinned order, the DuckDB oracle
+    unrolls the identical formula and matches bit-for-bit — float
+    PageRank could never survive the hash compare."""
+    from mechaml_spark.linkgraph import pagerank
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 1500
+    )
+    m = 500
+    e1 = d.select(
+        (F.col("doc_id") % m).alias("src"),
+        ((F.col("doc_id") * 7 + 1) % m).alias("dst"),
+    )
+    e2 = d.select(
+        (F.col("doc_id") % m).alias("src"),
+        ((F.col("doc_id") * 13 + 5) % m).alias("dst"),
+    )
+    e3 = d.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") % m).alias("src"),
+        F.lit(0).cast("long").alias("dst"),
+    )
+    return pagerank(e1.union(e2).union(e3), n_iter=3)
+
+
+def _pagerank_oracle_sql(n_iter: int = 3) -> str:
+    """DuckDB mirror of q_pagerank_frontier: the same integer
+    fixed-point update unrolled ``n_iter`` times."""
+    parts = ["""
+        WITH e AS (
+            SELECT DISTINCT src, dst FROM (
+                SELECT doc_id % 500 AS src, (doc_id * 7 + 1) % 500 AS dst
+                FROM documents WHERE doc_id < 1500
+                UNION
+                SELECT doc_id % 500, (doc_id * 13 + 5) % 500
+                FROM documents WHERE doc_id < 1500
+                UNION
+                SELECT doc_id % 500, 0
+                FROM documents WHERE doc_id < 1500 AND doc_id % 10 = 0
+            )
+        ), nodes AS (
+            SELECT src AS node FROM e UNION SELECT dst FROM e
+        ), meta AS (SELECT COUNT(*) AS n FROM nodes),
+        outdeg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+        r0 AS (
+            SELECT node, CAST(1000000000 // n AS BIGINT) AS rank
+            FROM nodes, meta
+        )"""]
+    for i in range(1, n_iter + 1):
+        parts.append(f""",
+        c{i} AS (
+            SELECT e.dst AS node, SUM(r.rank // o.outdeg) AS insum
+            FROM e JOIN r{i - 1} r ON e.src = r.node
+                   JOIN outdeg o ON e.src = o.src
+            GROUP BY e.dst
+        ), d{i} AS (
+            SELECT COALESCE(SUM(rank), 0) AS dm FROM r{i - 1}
+            WHERE node NOT IN (SELECT src FROM e)
+        ), r{i} AS (
+            SELECT node,
+                   CAST((150000000 // n)
+                        + (85 * (COALESCE(insum, 0) + dm // n)) // 100
+                        AS BIGINT) AS rank
+            FROM nodes CROSS JOIN meta CROSS JOIN d{i}
+            LEFT JOIN c{i} USING (node)
+        )""")
+    parts.append(f"\n        SELECT node, rank FROM r{n_iter}")
+    return "".join(parts)
+
+
 QUERIES = {
     "extract_links": q_extract_links,
     "selector_suffix": q_selector_suffix,
@@ -2907,6 +2983,7 @@ QUERIES = {
     "audio_adpcm_features": q_audio_adpcm_features,
     "audio_container_features": q_audio_container_features,
     "media_probe": q_media_probe,
+    "pagerank_frontier": q_pagerank_frontier,
     "token_stats": q_token_stats,
     "quality_filter": q_quality_filter,
     "lang_id": q_lang_id,
@@ -3581,6 +3658,7 @@ ORACLES = {
                CAST((n - 1) // h AS BIGINT) AS zero_crossings
         FROM amp
     """,
+    "pagerank_frontier": _pagerank_oracle_sql(3),
     "media_probe": """
         WITH p AS (
             SELECT doc_id,

@@ -1,0 +1,77 @@
+"""PageRank in exact integer fixed-point: hand-computed values,
+dangling-mass redistribution, and bit-reproducibility across
+partitionings (the property float PageRank cannot give)."""
+
+from pyspark.sql import functions as F
+
+from mechaml_spark.linkgraph import pagerank
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_cycle_is_stationary(spark):
+    """A 2-cycle starts uniform and must STAY uniform at every
+    iteration count (the uniform vector is the stationary point)."""
+    e = _edges(spark, [(1, 2), (2, 1)])
+    for k in (1, 3):
+        got = {r["node"]: r["rank"] for r in pagerank(e, n_iter=k).collect()}
+        assert got == {1: 500_000_000, 2: 500_000_000}
+
+
+def test_dangling_mass_hand_computed(spark):
+    """a -> {b, c}; b and c dangle.  One iteration, every floor
+    division done by hand:
+
+      N=3, r0 = 333_333_333 each, base = 150_000_000 // 3 = 50_000_000
+      share(a->b) = share(a->c) = 333_333_333 // 2 = 166_666_666
+      dm = r(b)+r(c) = 666_666_666, dm // 3 = 222_222_222
+      r1(a) = 50e6 + 85*(0 + 222_222_222) // 100          = 238_888_888
+      r1(b) = 50e6 + 85*(166_666_666 + 222_222_222) // 100 = 380_555_554
+    """
+    e = _edges(spark, [(0, 1), (0, 2)])
+    got = {r["node"]: r["rank"] for r in pagerank(e, n_iter=1).collect()}
+    assert got == {0: 238_888_888, 1: 380_555_554, 2: 380_555_554}
+
+
+def test_hub_outranks_leaves(spark):
+    # star: many leaves all pointing at one hub
+    e = _edges(spark, [(i, 0) for i in range(1, 21)])
+    got = {r["node"]: r["rank"] for r in pagerank(e, n_iter=3).collect()}
+    assert got[0] == max(got.values())
+    assert got[0] > 5 * got[1]
+    # leaves are symmetric: identical ranks
+    assert len({got[i] for i in range(1, 21)}) == 1
+
+
+def test_bit_reproducible_across_partitionings(spark):
+    import random
+
+    rng = random.Random(7)
+    pairs = [(rng.randrange(50), rng.randrange(50)) for _ in range(300)]
+    e = _edges(spark, pairs)
+    a = {r["node"]: r["rank"]
+         for r in pagerank(e.repartition(2), n_iter=3).collect()}
+    b = {r["node"]: r["rank"]
+         for r in pagerank(e.repartition(13), n_iter=3).collect()}
+    assert a == b  # exact equality, not approx — integer fixed-point
+
+
+def test_duplicate_edges_collapse(spark):
+    e1 = _edges(spark, [(1, 2), (2, 1)])
+    e2 = _edges(spark, [(1, 2), (1, 2), (1, 2), (2, 1)])
+    a = {r["node"]: r["rank"] for r in pagerank(e1, n_iter=2).collect()}
+    b = {r["node"]: r["rank"] for r in pagerank(e2, n_iter=2).collect()}
+    assert a == b
+
+
+def test_rank_mass_approximately_conserved(spark):
+    e = _edges(spark, [(0, 1), (1, 2), (2, 0), (3, 0), (0, 3)])
+    total = (
+        pagerank(e, n_iter=3)
+        .agg(F.sum("rank").alias("t")).collect()[0]["t"]
+    )
+    # floor divisions only ever LOSE mass, and at most a few units per
+    # node per iteration
+    assert 0.999 * 10**9 < total <= 10**9
