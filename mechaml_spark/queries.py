@@ -2930,6 +2930,61 @@ def _pagerank_oracle_sql(n_iter: int = 3) -> str:
     return "".join(parts)
 
 
+def q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate removal with a CLOSED-FORM oracle: synthesized
+    pages carry four chrome/junk blocks every real page has — a nav
+    link bar (semantic-chrome drop), a sub-25-char stub (length
+    drop), a link-farm paragraph (density drop), a footer (chrome
+    drop) — around 2+d%3 content paragraphs whose text is a pure
+    function of (doc_id, i).  The kept text, kept count, and dropped
+    count are exact closed forms; any classifier drift (threshold,
+    segmentation, whitespace) is a hash miss."""
+    import pandas as _pd
+
+    from mechaml_spark.boilerplate import extract_main_content
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 600
+    )
+
+    def para(did: int, i: int) -> str:
+        return (
+            f"Doc {did} paragraph {i} holds enough visible "
+            "characters to stay."
+        )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did in (int(x) for x in pdf["doc_id"]):
+                paras = "".join(
+                    f"<p>{para(did, i)}</p>" for i in range(2 + did % 3)
+                )
+                html = (
+                    "<html><body>"
+                    '<nav><a href="/">Home</a> <a href="/p">Products'
+                    '</a> <a href="/a">About this site</a></nav>'
+                    f"<div id=main>{paras}<p>ok</p>"
+                    '<p><a href="/x">Read more</a> <a href="/y">related '
+                    'articles</a> <a href="/z">more clickbait links</a> '
+                    "trailing here</p></div>"
+                    "<footer><p>Copyright boilerplate long enough to "
+                    "pass the length bar but inside footer chrome."
+                    "</p></footer></body></html>"
+                )
+                rows.append({"doc_id": did, "body": html})
+            yield _pd.DataFrame(rows, columns=["doc_id", "body"])
+
+    pages = d.mapInPandas(gen, schema="doc_id long, body string")
+    out = extract_main_content(pages)
+    return out.select(
+        "doc_id",
+        F.col("main")["main_text"].alias("main_text"),
+        F.col("main")["n_kept"].alias("n_kept"),
+        F.col("main")["n_dropped"].alias("n_dropped"),
+    )
+
+
 QUERIES = {
     "extract_links": q_extract_links,
     "selector_suffix": q_selector_suffix,
@@ -2984,6 +3039,7 @@ QUERIES = {
     "audio_container_features": q_audio_container_features,
     "media_probe": q_media_probe,
     "pagerank_frontier": q_pagerank_frontier,
+    "main_content": q_main_content,
     "token_stats": q_token_stats,
     "quality_filter": q_quality_filter,
     "lang_id": q_lang_id,
@@ -3659,6 +3715,33 @@ ORACLES = {
         FROM amp
     """,
     "pagerank_frontier": _pagerank_oracle_sql(3),
+    "main_content": """
+        WITH p AS (
+            SELECT doc_id, 2 + doc_id % 3 AS np
+            FROM documents WHERE doc_id < 600
+        ), q AS (
+            SELECT doc_id, np,
+                   'Doc ' || doc_id || ' paragraph 0 holds enough '
+                       || 'visible characters to stay.' AS p0,
+                   'Doc ' || doc_id || ' paragraph 1 holds enough '
+                       || 'visible characters to stay.' AS p1,
+                   'Doc ' || doc_id || ' paragraph 2 holds enough '
+                       || 'visible characters to stay.' AS p2,
+                   'Doc ' || doc_id || ' paragraph 3 holds enough '
+                       || 'visible characters to stay.' AS p3
+            FROM p
+        )
+        SELECT doc_id,
+               CASE np
+                    WHEN 2 THEN p0 || chr(10) || p1
+                    WHEN 3 THEN p0 || chr(10) || p1 || chr(10) || p2
+                    ELSE p0 || chr(10) || p1 || chr(10) || p2
+                            || chr(10) || p3
+               END AS main_text,
+               CAST(np AS INT) AS n_kept,
+               CAST(4 AS INT) AS n_dropped
+        FROM q
+    """,
     "media_probe": """
         WITH p AS (
             SELECT doc_id,
