@@ -2985,6 +2985,22 @@ def q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 retrieval scoring over the REAL documents text (no
+    synthesized fixture) in the oracle-exact rational mode
+    (retrieval.bm25, k1=6/5, b=3/4, log-free idf surrogate with one
+    pinned floor division per term) — DuckDB runs the identical
+    integer formula over the same parquet and matches bit-for-bit.
+    The float ln-idf mode shares this exact plan (test_retrieval pins
+    it against an independent per-row computation)."""
+    from mechaml_spark.retrieval import bm25
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text").where(
+        F.col("doc_id") < 400
+    )
+    return bm25(d, ["join", "vector", "slow"], idf="rational")
+
+
 QUERIES = {
     "extract_links": q_extract_links,
     "selector_suffix": q_selector_suffix,
@@ -3040,6 +3056,7 @@ QUERIES = {
     "media_probe": q_media_probe,
     "pagerank_frontier": q_pagerank_frontier,
     "main_content": q_main_content,
+    "bm25_score": q_bm25_score,
     "token_stats": q_token_stats,
     "quality_filter": q_quality_filter,
     "lang_id": q_lang_id,
@@ -3715,6 +3732,34 @@ ORACLES = {
         FROM amp
     """,
     "pagerank_frontier": _pagerank_oracle_sql(3),
+    "bm25_score": """
+        WITH base AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                               x -> x <> '') AS toks
+            FROM documents WHERE doc_id < 400
+        ), d AS (
+            SELECT doc_id, toks, len(toks) AS dl FROM base
+            WHERE len(toks) > 0
+        ), meta AS (
+            SELECT COUNT(*) AS n, SUM(dl) AS tl FROM d
+        ), tf AS (
+            SELECT doc_id, dl, tok AS term, COUNT(*) AS tf
+            FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM d)
+            WHERE tok IN ('join', 'vector', 'slow')
+            GROUP BY doc_id, dl, tok
+        ), dfreq AS (
+            SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+        )
+        SELECT doc_id,
+               CAST(SUM(
+                   ((1000000 * (2 * (n - df) + 1)) // (2 * df + 1))
+                   * (tf * 44 * tl)
+                   // (tf * 20 * tl + 6 * tl + 18 * dl * n)
+               ) AS BIGINT) AS score_scaled
+        FROM tf JOIN dfreq USING (term) CROSS JOIN meta
+        GROUP BY doc_id
+    """,
     "main_content": """
         WITH p AS (
             SELECT doc_id, 2 + doc_id % 3 AS np
