@@ -3001,6 +3001,55 @@ def q_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25(d, ["join", "vector", "slow"], idf="rational")
 
 
+def q_url_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier URL-hygiene flags with a CLOSED-FORM oracle: URLs
+    synthesized so each heuristic fires on its own modulus class —
+    d%11 a 220-char pad (long), d%5 seven query params (faceted
+    trap), d%6 a phpsessid key (session alias), d%7 a /cal/cal/
+    repeat (calendar loop), d%9 ten path segments (deep), d%13 a
+    20-digit segment (auto-ids; masked when the d%11 pad dilutes the
+    digit ratio — the oracle encodes exactly that interaction).  The
+    flags themselves are computed by the REAL expression-only
+    heuristics (urlkit.hygiene_flags, zero Python in the plan)."""
+    import pandas as _pd
+
+    from mechaml_spark.urlkit import hygiene_flags
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 1000
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did in (int(x) for x in pdf["doc_id"]):
+                parts = ["pa", "pb"]
+                if did % 7 == 0:
+                    parts += ["cal", "cal"]
+                if did % 9 == 0:
+                    parts += ["s" + c for c in "abcdefgh"]
+                if did % 13 == 0:
+                    parts += ["12345678901234567890"]
+                if did % 11 == 0:
+                    parts += ["x" * 220]
+                qp = []
+                if did % 5 == 0:
+                    qp.append("&".join(f"a{i}=1" for i in range(7)))
+                if did % 6 == 0:
+                    qp.append(f"phpsessid=s{did}")
+                url = (
+                    f"http://h{did % 50}.test/" + "/".join(parts)
+                    + ("?" + "&".join(qp) if qp else "")
+                )
+                rows.append({"doc_id": did, "url": url})
+            yield _pd.DataFrame(rows, columns=["doc_id", "url"])
+
+    u = d.mapInPandas(gen, schema="doc_id long, url string")
+    return u.select(
+        "doc_id", *[c for _n, c in hygiene_flags(F.col("url"))]
+    )
+
+
 QUERIES = {
     "extract_links": q_extract_links,
     "selector_suffix": q_selector_suffix,
@@ -3057,6 +3106,7 @@ QUERIES = {
     "pagerank_frontier": q_pagerank_frontier,
     "main_content": q_main_content,
     "bm25_score": q_bm25_score,
+    "url_hygiene": q_url_hygiene,
     "token_stats": q_token_stats,
     "quality_filter": q_quality_filter,
     "lang_id": q_lang_id,
@@ -3732,6 +3782,19 @@ ORACLES = {
         FROM amp
     """,
     "pagerank_frontier": _pagerank_oracle_sql(3),
+    "url_hygiene": """
+        SELECT doc_id,
+               doc_id % 11 = 0 AS long_url,
+               doc_id % 5 = 0 AS many_params,
+               doc_id % 6 = 0 AS has_session,
+               doc_id % 7 = 0 AS trap,
+               doc_id % 9 = 0 AS deep,
+               doc_id % 13 = 0 AND doc_id % 11 <> 0 AS digit_heavy,
+               (doc_id % 11 = 0 OR doc_id % 5 = 0 OR doc_id % 6 = 0
+                OR doc_id % 7 = 0 OR doc_id % 9 = 0
+                OR doc_id % 13 = 0) AS spam
+        FROM documents WHERE doc_id < 1000
+    """,
     "bm25_score": """
         WITH base AS (
             SELECT doc_id,

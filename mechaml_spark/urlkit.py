@@ -196,3 +196,63 @@ def resolve_canon_host_pairs(
         urls.append(v[0])
         hosts.append(v[1])
     return urls, hosts
+
+
+# --------------------------------------------------------------------------
+# Frontier hygiene: spider-trap / spam-URL heuristics, expression-only
+# --------------------------------------------------------------------------
+
+def hygiene_flags(url):
+    """Crawl-frontier hygiene heuristics as PURE Catalyst expressions
+    (one WholeStageCodegen project — this runs on every discovered
+    link at 10^10 scale, so no Python is allowed anywhere near it):
+
+    * ``long_url``     — total length > 200 (auto-generated splines)
+    * ``many_params``  — > 5 query parameters (faceted-search traps)
+    * ``has_session``  — session-id query keys (same page, infinite
+                         URL aliases: jsessionid/phpsessid/sessionid/
+                         sid/cfid)
+    * ``trap``         — an immediately repeated path segment
+                         (``/cal/cal/``: calendar/breadcrumb loops);
+                         Java regex backreference, codegen-compatible
+    * ``deep``         — > 8 path segments
+    * ``digit_heavy``  — > 20% of path characters are digits
+                         (auto-generated ids), integer-compare form
+    * ``spam``         — OR of the above; the scheduler drops or
+                         deprioritizes flagged URLs before they enter
+                         the seen-set/politeness pipeline.
+
+    Returns ``[(name, Column)] `` so callers can select all flags or
+    fold just ``spam``.  Cho & Garcia-Molina's crawler literature and
+    every production frontier (Heritrix's TooManyPathSegments /
+    PathologicalPath rules) use exactly this family.
+    """
+    from pyspark.sql import functions as F
+
+    path = F.regexp_extract(url, r"^[a-z]+://[^/?#]+([^?#]*)", 1)
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    n_params = F.when(
+        F.length(query) > 0, F.size(F.split(query, "&"))
+    ).otherwise(F.lit(0))
+    digits = F.length(F.regexp_replace(path, r"[^0-9]", ""))
+    long_url = (F.length(url) > 200).alias("long_url")
+    many_params = (n_params > 5).alias("many_params")
+    has_session = url.rlike(
+        r"(?i)[?&](jsessionid|phpsessid|sessionid|sid|cfid)="
+    ).alias("has_session")
+    trap = path.rlike(r"/([^/]+)/\1(/|$)").alias("trap")
+    deep = (F.size(F.split(path, "/")) - 1 > 8).alias("deep")
+    digit_heavy = (digits * 5 > F.length(path)).alias("digit_heavy")
+    spam = (
+        (F.length(url) > 200)
+        | (n_params > 5)
+        | url.rlike(r"(?i)[?&](jsessionid|phpsessid|sessionid|sid|cfid)=")
+        | path.rlike(r"/([^/]+)/\1(/|$)")
+        | (F.size(F.split(path, "/")) - 1 > 8)
+        | (digits * 5 > F.length(path))
+    ).alias("spam")
+    return [
+        ("long_url", long_url), ("many_params", many_params),
+        ("has_session", has_session), ("trap", trap), ("deep", deep),
+        ("digit_heavy", digit_heavy), ("spam", spam),
+    ]

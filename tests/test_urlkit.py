@@ -93,3 +93,39 @@ def test_resolve_canon_host_pairs_matches_rowwise():
     )
     assert slow_u == fast_u
     assert slow_h == fast_h
+
+
+def test_hygiene_flags_each_heuristic(spark):
+    from pyspark.sql import functions as F
+
+    from mechaml_spark.urlkit import hygiene_flags
+
+    rows = [
+        (0, "http://h.test/pa/pb"),                               # clean
+        (1, "http://h.test/" + "x" * 250),                        # long
+        (2, "http://h.test/p?" + "&".join(f"a{i}=1" for i in range(7))),
+        (3, "http://h.test/p?PHPSESSID=deadbeef"),                # session
+        (4, "http://h.test/cal/cal/2026"),                        # trap
+        (5, "http://h.test/a/b/c/d/e/f/g/h/i/j"),                 # deep
+        (6, "http://h.test/9876543210/123456789"),                # digits
+        (7, "http://h.test/p?sid=1"),                             # session
+        (8, "http://h.test/calendar/call"),      # NOT a repeat
+        (9, "http://h.test/p?aside=1"),          # 'sid' needs [?&] prefix
+    ]
+    df = spark.createDataFrame(rows, "i long, url string")
+    out = df.select(
+        "i", *[c for _n, c in hygiene_flags(F.col("url"))]
+    ).collect()
+    got = {r["i"]: r for r in out}
+    assert not got[0]["spam"] and not got[8]["spam"] and not got[9]["spam"]
+    assert got[1]["long_url"] and got[1]["spam"]
+    assert got[2]["many_params"]
+    assert got[3]["has_session"] and got[7]["has_session"]
+    assert got[4]["trap"] and not got[5]["trap"]
+    assert got[5]["deep"] and not got[4]["deep"]
+    assert got[6]["digit_heavy"] and not got[0]["digit_heavy"]
+    # expression-only: no Python workers in this plan
+    plan = df.select(
+        [c for _n, c in hygiene_flags(F.col("url"))]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
