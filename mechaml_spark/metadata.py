@@ -1,0 +1,302 @@
+"""Page-level metadata & image-caption pair extraction.
+
+The crawl's payload is (image, caption) rows; this module owns the
+WHERE-captions-come-from surface a production image-text pipeline
+(LAION / DataComp style) needs:
+
+  * OpenGraph / Twitter-card / ``<meta name=description>`` /
+    ``<title>`` page metadata with a documented precedence chain;
+  * JSON-LD (``application/ld+json``) captions via Spark's JVM-side
+    ``get_json_object`` — no Python JSON parsing in the hot path;
+  * per-``<img>`` candidates: ``srcset`` parsing (w/x descriptors,
+    largest-candidate pick), ``alt`` text, and ``<figure>`` /
+    ``<figcaption>`` pairing.
+
+Everything here is expression-only (``regexp_extract[_all]`` +
+``posexplode`` + higher-order array functions), so a 100-TB sweep over
+fetched bodies stays inside whole-stage codegen; the only Python is
+the shared memoized URL canonicalizer every other frontier stage uses
+(:func:`mechaml_spark.page.canonicalize_col`), applied per extracted
+URL.
+
+Semantics notes (documented behavior, asserted in tests):
+  * attribute order and quote style both vary in the wild — each meta
+    key is matched in ``property/name``-first AND ``content``-first
+    order, double- or single-quoted content;
+  * extracted text values are whitespace-trimmed; an empty ``content``
+    counts as absent (falls through the precedence chain);
+  * ``srcset`` candidates are split on commas (a srcset URL cannot
+    contain whitespace, and candidate separators are commas per the
+    HTML spec); a missing descriptor means density ``1x``; the pick
+    is the largest effective width (``Nw``, else ``Nx`` scaled by
+    1000, first candidate wins ties) — the "biggest available asset"
+    rule a training-data fetcher wants;
+  * figcaption pairing joins figure-scoped imgs back to the exploded
+    img rows on (row key, canonical URL) — an equi-join, never a
+    positional re-scan of the body.
+
+Reference parity: mechaml's ``Page.images`` exposes only ``src``
+(page.ml:images); srcset/og/figcaption are engine-brief breadth on
+top of that surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mechaml_spark import page
+
+# ------------------------------------------------------------------ meta tags
+
+# <meta ... property|name = "KEY" ... content = "VAL" ...> in either
+# attribute order; four compiled variants (order x quote style).  The
+# (?is) flags make '.' span newlines and match case-insensitively.
+_META_FWD = (
+    r'(?is)<meta\b[^>]*?(?:property|name)\s*=\s*["\']{key}["\']'
+    r"[^>]*?\bcontent\s*=\s*{val}"
+)
+_META_REV = (
+    r"(?is)<meta\b[^>]*?\bcontent\s*=\s*{val}"
+    r'[^>]*?(?:property|name)\s*=\s*["\']{key}["\']'
+)
+_DQ = r'"([^"]*)"'
+_SQ = r"'([^']*)'"
+
+
+def _nonempty(c: Column) -> Column:
+    t = F.trim(c)
+    return F.when(t != "", t)
+
+
+def meta_content_col(body: Column, key: str) -> Column:
+    """``content`` of the first ``<meta>`` carrying ``key`` (as
+    ``property`` or ``name``), trimmed; NULL when absent or empty.
+    ``key`` is a literal (e.g. ``og:description``), regex-escaped."""
+    import re as _re
+
+    k = _re.escape(key)
+    out = None
+    for pat in (_META_FWD, _META_REV):
+        for val in (_DQ, _SQ):
+            got = _nonempty(F.regexp_extract(body, pat.format(key=k, val=val), 1))
+            out = got if out is None else F.coalesce(out, got)
+    return out
+
+
+_TITLE_RE = r"(?is)<title[^>]*>(.*?)</title>"
+
+
+def title_col(body: Column) -> Column:
+    """Trimmed ``<title>`` text; NULL when absent or empty."""
+    return _nonempty(F.regexp_extract(body, _TITLE_RE, 1))
+
+
+# ------------------------------------------------------------------ JSON-LD
+
+_JSONLD_RE = (
+    r'(?is)<script\b[^>]*type\s*=\s*["\']application/ld\+json["\']'
+    r"[^>]*>(.*?)</script>"
+)
+
+
+def jsonld_caption_col(body: Column) -> Column:
+    """Caption from the FIRST JSON-LD block: ``$.caption`` (schema.org
+    ImageObject), else ``$.description``.  ``get_json_object`` is a
+    JVM expression; malformed JSON yields NULL, never an error."""
+    block = _nonempty(F.regexp_extract(body, _JSONLD_RE, 1))
+    return F.coalesce(
+        _nonempty(F.get_json_object(block, "$.caption")),
+        _nonempty(F.get_json_object(block, "$.description")),
+    )
+
+
+# ------------------------------------------------------------ page-level meta
+
+_CAPTION_CHAIN = (
+    ("og", "og:description"),
+    ("twitter", "twitter:description"),
+    ("meta", "description"),
+)
+
+
+def extract_page_meta(
+    df: DataFrame, body_col: str = "body", keep_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """One row per page: ``caption`` via the documented precedence
+    chain (og:description > twitter:description > meta description >
+    JSON-LD caption/description > <title>), ``caption_source`` naming
+    the winning rung, and the canonicalized ``og_image`` URL (the
+    image half of the payload pair) — NULL-rowed, never dropped, so
+    callers can count caption coverage."""
+    body = F.col(body_col)
+    rungs: list[tuple[str, Column]] = [
+        (src, meta_content_col(body, key)) for src, key in _CAPTION_CHAIN
+    ]
+    rungs.append(("jsonld", jsonld_caption_col(body)))
+    rungs.append(("title", title_col(body)))
+
+    caption = F.coalesce(*[c for _, c in rungs])
+    source = F.lit(None).cast("string")
+    for name, col in reversed(rungs):
+        source = F.when(col.isNotNull(), F.lit(name)).otherwise(source)
+
+    og_image = meta_content_col(body, "og:image")
+    return df.select(
+        *keep_cols,
+        caption.alias("caption"),
+        source.alias("caption_source"),
+        F.when(
+            og_image.isNotNull(), page.canonicalize_col(og_image)
+        ).alias("og_image"),
+    )
+
+
+# ------------------------------------------------------------ <img> / srcset
+
+_IMG_TAG_RE = r"(?is)<img\b([^>]*)>"
+_FIGURE_RE = r"(?is)<figure\b.*?</figure>"
+_FIGCAPTION_RE = r"(?is)<figcaption[^>]*>(.*?)</figcaption>"
+
+# srcset candidate: URL token, then optional descriptor.
+_CAND_URL = r"^(\S+)"
+_CAND_W = r"\s(\d+)w$"
+_CAND_X = r"\s(\d+(?:\.\d+)?)x$"
+
+
+def _attr(tag_attrs: Column, name: str) -> Column:
+    out = None
+    for val in (_DQ, _SQ):
+        # (?<![-\w]) not \b: '-' is a non-word char, so \bsrc would
+        # false-match the src inside a data-src attribute.
+        got = _nonempty(
+            F.regexp_extract(
+                tag_attrs, r"(?is)(?<![-\w]){}\s*=\s*{}".format(name, val), 1
+            )
+        )
+        out = got if out is None else F.coalesce(out, got)
+    return out
+
+
+def best_srcset_url(srcset: Column, src: Column) -> Column:
+    """Largest-effective-width candidate from ``srcset``, else ``src``.
+
+    Effective width: the ``Nw`` descriptor, else ``Nx`` density x1000
+    (missing descriptor = ``1x`` = 1000 per the HTML spec default).
+    First candidate wins ties (``>`` in the fold keeps the earlier
+    one).  Pure array expressions — codegen, no UDF."""
+    cands = F.transform(
+        F.split(F.trim(srcset), r"\s*,\s*"),
+        lambda c: F.struct(
+            F.regexp_extract(F.trim(c), _CAND_URL, 1).alias("url"),
+            F.coalesce(
+                _nonempty(
+                    F.regexp_extract(F.trim(c), _CAND_W, 1)
+                ).cast("long"),
+                (
+                    _nonempty(
+                        F.regexp_extract(F.trim(c), _CAND_X, 1)
+                    ).cast("double")
+                    * 1000
+                ).cast("long"),
+                F.lit(1000).cast("long"),
+            ).alias("eff"),
+        ),
+    )
+    best = F.aggregate(
+        cands,
+        F.struct(
+            F.lit(None).cast("string").alias("url"),
+            F.lit(-1).cast("long").alias("eff"),
+        ),
+        lambda acc, c: F.when(c["eff"] > acc["eff"], c).otherwise(acc),
+    )
+    return F.coalesce(_nonempty(best["url"]), src)
+
+
+def img_candidates(
+    df: DataFrame, body_col: str = "body", keep_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Explode every ``<img>`` tag (document order) into
+    ``keep_cols + (pos, url, alt)`` with ``url`` = canonicalized
+    best-srcset pick (fallback ``src``); tags with neither attribute
+    are dropped."""
+    exploded = df.select(
+        *[F.col(c) for c in keep_cols],
+        F.posexplode(
+            F.regexp_extract_all(F.col(body_col), F.lit(_IMG_TAG_RE), 1)
+        ).alias("pos", "attrs"),
+    )
+    a = F.col("attrs")
+    url = best_srcset_url(_attr(a, "srcset"), _attr(a, "src"))
+    return exploded.select(
+        *keep_cols,
+        "pos",
+        page.canonicalize_col(url).alias("url"),
+        _attr(a, "alt").alias("alt"),
+    ).where(url.isNotNull())
+
+
+def figure_captions(
+    df: DataFrame, body_col: str = "body", keep_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """(canonical img url, figcaption text) per ``<figure>`` block
+    that contains both an ``<img>`` and a ``<figcaption>``."""
+    blocks = df.select(
+        *[F.col(c) for c in keep_cols],
+        F.explode(
+            F.regexp_extract_all(F.col(body_col), F.lit(_FIGURE_RE), 0)
+        ).alias("figure"),
+    )
+    g = F.col("figure")
+    tag = _nonempty(F.regexp_extract(g, _IMG_TAG_RE, 1))
+    url = best_srcset_url(_attr(tag, "srcset"), _attr(tag, "src"))
+    cap = _nonempty(F.regexp_extract(g, _FIGCAPTION_RE, 1))
+    return (
+        blocks.select(
+            *keep_cols,
+            page.canonicalize_col(url).alias("url"),
+            cap.alias("figcaption"),
+        )
+        .where(F.col("url").isNotNull() & F.col("figcaption").isNotNull())
+        .dropDuplicates([*keep_cols, "url"])
+    )
+
+
+def image_caption_pairs(
+    df: DataFrame, body_col: str = "body", key_cols: tuple[str, ...] = ("doc_id",)
+) -> DataFrame:
+    """The payload-pair extractor: one row per ``<img>`` with the best
+    asset URL and a caption chosen figcaption > alt > page caption
+    (og/twitter/meta/JSON-LD/title chain).  ``caption_source`` names
+    the rung.
+
+    Plan shape: two expression-only scans of the body column (img
+    explode + figure explode) joined on (key, url) — both sides hash-
+    partitioned equi-joins; the page-level caption rides the img rows
+    from the first scan, so no third scan.  At 100 TB every stage is
+    codegen + one shuffle per join, no window over all imgs."""
+    keep = list(key_cols)
+    pm = extract_page_meta(
+        df, body_col=body_col, keep_cols=(*keep, body_col)
+    )
+    imgs = img_candidates(pm, body_col=body_col, keep_cols=(
+        *keep, "caption", "caption_source"
+    ))
+    figs = figure_captions(df, body_col=body_col, keep_cols=keep)
+    joined = imgs.join(figs, on=[*keep, "url"], how="left")
+    caption = F.coalesce(
+        F.col("figcaption"), _nonempty(F.col("alt")), F.col("caption")
+    )
+    source = (
+        F.when(F.col("figcaption").isNotNull(), F.lit("figcaption"))
+        .when(_nonempty(F.col("alt")).isNotNull(), F.lit("alt"))
+        .otherwise(F.col("caption_source"))
+    )
+    return joined.select(
+        *keep,
+        "pos",
+        "url",
+        caption.alias("caption"),
+        F.when(caption.isNotNull(), source).alias("caption_source"),
+    )

@@ -3050,6 +3050,104 @@ def q_url_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_caption_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-metadata caption extraction (mechaml_spark.metadata):
+    six deterministic page shapes exercise the whole precedence chain
+    (og:description in both attribute orders / quote styles >
+    twitter:description > meta description > JSON-LD caption >
+    <title>), each with a DECOY on a lower rung whose text differs,
+    so a precedence or attribute-order bug flips the hash.  og:image
+    goes through the frontier canonicalizer (case/port/dot-segment
+    quirks on v0).  Expression-only parse — codegen at 100 TB."""
+    from mechaml_spark import metadata as _md
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    v = F.col("doc_id") % 6
+    h = F.col("doc_id") % 20
+    win = F.expr("substring(text, 1, CAST(doc_id % 23 + 8 AS INT))")
+    decoy = F.expr("substring(text, 5, CAST(doc_id % 23 + 8 AS INT))")
+    img_canon = F.concat(
+        F.lit("http://host"), h, F.lit(".test/img"), F.col("doc_id"),
+        F.lit(".png"),
+    )
+    img_quirky = F.concat(
+        F.lit(" HTTP://Host"), h, F.lit(".TEST:80/im/../img"),
+        F.col("doc_id"), F.lit(".png "),
+    )
+    q = F.lit('"')
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit("<html><head><title>"), decoy,
+            F.lit('</title><meta property="og:description" content='), q,
+            win, q,
+            F.lit('><meta property="og:image" content='), q, img_quirky, q,
+            F.lit("></head><body>x</body></html>"),
+        ))
+        .when(v == 1, F.concat(
+            F.lit("<head><meta content='"), win,
+            F.lit("' property='og:description'>"
+                  '<meta name="description" content='), q, decoy, q,
+            F.lit("></head>"),
+        ))
+        .when(v == 2, F.concat(
+            F.lit('<head><meta name="description" content='), q, win, q,
+            F.lit("><meta content="), q, img_canon, q,
+            F.lit(' property="og:image"><title>'), decoy,
+            F.lit("</title></head>"),
+        ))
+        .when(v == 3, F.concat(
+            F.lit('<head><meta name="twitter:description" content='), q,
+            win, q,
+            F.lit('><meta name="description" content='), q, decoy, q,
+            F.lit("></head>"),
+        ))
+        .when(v == 4, F.concat(
+            F.lit('<head><script type="application/ld+json">'
+                  '{"@type":"ImageObject","caption":"'), win,
+            F.lit('"}</script><title>'), decoy, F.lit("</title></head>"),
+        ))
+        .otherwise(F.concat(F.lit("<head><title>"), win,
+                            F.lit("</title></head>")))
+    )
+    pages = d.select("doc_id", body.alias("body"))
+    return _md.extract_page_meta(pages, keep_cols=("doc_id",))
+
+
+def q_image_caption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The payload-pair extractor end-to-end (metadata.image_caption_
+    pairs): per page three <img> shapes — plain src (canonicalization
+    quirks) + alt; srcset mixing w and x descriptors where the 2x
+    candidate must beat 640w (largest-effective-width rule) with
+    empty alt falling back to the page og:description; and a <figure>
+    whose figcaption overrides a decoy alt via the (doc_id, url)
+    equi-join.  Oracle is closed-form over doc_id + text."""
+    from mechaml_spark import metadata as _md
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    h = F.col("doc_id") % 20
+    base = F.concat(F.lit("http://host"), h, F.lit(".test/i"),
+                    F.col("doc_id"))
+    pagecap = F.expr("substring(text, 2, CAST(doc_id % 23 + 8 AS INT))")
+    alt0 = F.expr("substring(text, 1, CAST(doc_id % 19 + 6 AS INT))")
+    fc = F.expr("substring(text, 3, CAST(doc_id % 17 + 6 AS INT))")
+    alt_decoy = F.expr("substring(text, 6, 5)")
+    q = F.lit('"')
+    body = F.concat(
+        F.lit('<html><head><meta property="og:description" content='), q,
+        pagecap, q, F.lit("></head><body><img src="), q,
+        F.lit(" HTTP://Host"), h, F.lit(".TEST:80/a/../i"),
+        F.col("doc_id"), F.lit("-0.png "), q, F.lit(" alt="), q, alt0, q,
+        F.lit("><p>filler</p><img srcset="), q,
+        base, F.lit("-1a.png 320w, "), base, F.lit("-1b.png 640w, "),
+        base, F.lit("-1c.png 2x"), q, F.lit(' alt=""><figure><img srcset='),
+        q, base, F.lit("-2a.png 1.5x, "), base, F.lit("-2b.png"), q,
+        F.lit(" alt="), q, alt_decoy, q, F.lit("><figcaption> "), fc,
+        F.lit(" </figcaption></figure></body></html>"),
+    )
+    pages = d.select("doc_id", body.alias("body"))
+    return _md.image_caption_pairs(pages, key_cols=("doc_id",))
+
+
 QUERIES = {
     "extract_links": q_extract_links,
     "selector_suffix": q_selector_suffix,
@@ -3107,6 +3205,8 @@ QUERIES = {
     "main_content": q_main_content,
     "bm25_score": q_bm25_score,
     "url_hygiene": q_url_hygiene,
+    "caption_extract": q_caption_extract,
+    "image_caption_pairs": q_image_caption_pairs,
     "token_stats": q_token_stats,
     "quality_filter": q_quality_filter,
     "lang_id": q_lang_id,
@@ -3794,6 +3894,37 @@ ORACLES = {
                 OR doc_id % 7 = 0 OR doc_id % 9 = 0
                 OR doc_id % 13 = 0) AS spam
         FROM documents WHERE doc_id < 1000
+    """,
+    "caption_extract": """
+        SELECT doc_id,
+               trim(substr(text, 1, doc_id % 23 + 8)) AS caption,
+               CASE doc_id % 6
+                    WHEN 0 THEN 'og' WHEN 1 THEN 'og'
+                    WHEN 2 THEN 'meta' WHEN 3 THEN 'twitter'
+                    WHEN 4 THEN 'jsonld' ELSE 'title'
+               END AS caption_source,
+               CASE WHEN doc_id % 6 IN (0, 2) THEN
+                    'http://host' || (doc_id % 20) || '.test/img'
+                        || doc_id || '.png'
+               END AS og_image
+        FROM documents WHERE doc_id < 400
+    """,
+    "image_caption_pairs": """
+        WITH ks AS (SELECT unnest(range(3)) AS k)
+        SELECT d.doc_id,
+               CAST(k AS INT) AS pos,
+               'http://host' || (d.doc_id % 20) || '.test/i' || d.doc_id
+                   || '-' || CASE k WHEN 0 THEN '0' WHEN 1 THEN '1c'
+                                  ELSE '2a' END || '.png' AS url,
+               CASE k
+                    WHEN 0 THEN trim(substr(d.text, 1, d.doc_id % 19 + 6))
+                    WHEN 1 THEN trim(substr(d.text, 2, d.doc_id % 23 + 8))
+                    ELSE trim(substr(d.text, 3, d.doc_id % 17 + 6))
+               END AS caption,
+               CASE k WHEN 0 THEN 'alt' WHEN 1 THEN 'og'
+                    ELSE 'figcaption' END AS caption_source
+        FROM documents d CROSS JOIN ks
+        WHERE d.doc_id < 300
     """,
     "bm25_score": """
         WITH base AS (

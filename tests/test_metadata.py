@@ -1,0 +1,135 @@
+"""metadata.py — page metadata, srcset, figcaption edge cases."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mechaml_spark import metadata as md
+
+
+def _pages(spark, bodies):
+    return spark.createDataFrame(
+        [(i, b) for i, b in enumerate(bodies)], "doc_id long, body string"
+    )
+
+
+def _meta_rows(spark, bodies):
+    df = md.extract_page_meta(_pages(spark, bodies), keep_cols=("doc_id",))
+    return {r["doc_id"]: r for r in df.collect()}
+
+
+def test_meta_attribute_orders_and_quotes(spark):
+    rows = _meta_rows(spark, [
+        '<meta property="og:description" content="fwd dq">',
+        "<meta property='og:description' content='fwd sq'>",
+        '<meta content="rev dq" property="og:description">',
+        "<meta content='rev sq' name='og:description'>",
+        '<META PROPERTY="OG:DESCRIPTION" CONTENT="upper">',
+    ])
+    assert [rows[i]["caption"] for i in range(5)] == [
+        "fwd dq", "fwd sq", "rev dq", "rev sq", "upper",
+    ]
+    assert all(rows[i]["caption_source"] == "og" for i in range(5))
+
+
+def test_precedence_chain_and_empty_content_falls_through(spark):
+    rows = _meta_rows(spark, [
+        # empty og:description -> twitter rung wins
+        '<meta property="og:description" content="">'
+        '<meta name="twitter:description" content="tw">',
+        # whitespace-only meta description -> jsonld rung
+        '<meta name="description" content="   ">'
+        '<script type="application/ld+json">{"caption":"jc"}</script>',
+        # jsonld $.description when no $.caption
+        '<script type="application/ld+json">{"description":"jd"}</script>',
+        # malformed JSON-LD -> title
+        '<script type="application/ld+json">{nope</script>'
+        "<title> t </title>",
+        "<p>nothing</p>",
+    ])
+    assert (rows[0]["caption"], rows[0]["caption_source"]) == ("tw", "twitter")
+    assert (rows[1]["caption"], rows[1]["caption_source"]) == ("jc", "jsonld")
+    assert (rows[2]["caption"], rows[2]["caption_source"]) == ("jd", "jsonld")
+    assert (rows[3]["caption"], rows[3]["caption_source"]) == ("t", "title")
+    assert rows[4]["caption"] is None and rows[4]["caption_source"] is None
+
+
+def test_og_description_key_does_not_match_plain_description(spark):
+    # name="description" must NOT satisfy the og:description rung,
+    # and property="og:description" must NOT satisfy the meta rung's
+    # key "description" (quoted-key match, no substring bleed).
+    rows = _meta_rows(spark, [
+        '<meta name="description" content="plain">',
+    ])
+    assert rows[0]["caption_source"] == "meta"
+
+
+def test_og_image_canonicalized(spark):
+    rows = _meta_rows(spark, [
+        '<meta property="og:image" content=" HTTP://Ex.COM:80/a/../b.png ">',
+    ])
+    assert rows[0]["og_image"] == "http://ex.com/b.png"
+
+
+def _imgs(spark, bodies):
+    df = md.img_candidates(_pages(spark, bodies), keep_cols=("doc_id",))
+    return df.orderBy("doc_id", "pos").collect()
+
+
+def test_srcset_largest_width_wins_and_x_default(spark):
+    got = _imgs(spark, [
+        '<img srcset="http://h/a.png 320w, http://h/b.png 640w" alt="x">',
+        # 2x (=2000) beats 640w
+        '<img srcset="http://h/a.png 640w, http://h/b.png 2x">',
+        # bare candidate defaults to 1x=1000, loses to 1.5x
+        '<img srcset="http://h/a.png, http://h/b.png 1.5x">',
+        # tie on eff: first candidate kept
+        '<img srcset="http://h/a.png 2x, http://h/b.png 2x">',
+        # no srcset -> src; data-src must not leak in
+        '<img data-src="http://h/no.png" src="http://h/a.png" alt="y">',
+    ])
+    assert [r["url"] for r in got] == [
+        "http://h/b.png", "http://h/b.png", "http://h/b.png",
+        "http://h/a.png", "http://h/a.png",
+    ]
+    assert got[0]["alt"] == "x"
+
+
+def test_img_without_src_or_srcset_dropped(spark):
+    got = _imgs(spark, ['<img alt="lonely"><img src="http://h/a.png">'])
+    assert len(got) == 1 and got[0]["pos"] == 1
+
+
+def test_figcaption_overrides_alt_and_empty_alt_falls_to_page(spark):
+    body = (
+        '<meta property="og:description" content="page cap">'
+        '<img src="http://h/plain.png" alt="">'
+        '<figure><img src="http://h/fig.png" alt="decoy">'
+        "<figcaption> the real caption </figcaption></figure>"
+    )
+    df = md.image_caption_pairs(_pages(spark, [body]))
+    got = {r["url"]: r for r in df.collect()}
+    plain = got["http://h/plain.png"]
+    fig = got["http://h/fig.png"]
+    assert (plain["caption"], plain["caption_source"]) == ("page cap", "og")
+    assert (fig["caption"], fig["caption_source"]) == (
+        "the real caption", "figcaption",
+    )
+    assert [plain["pos"], fig["pos"]] == [0, 1]
+
+
+def test_figure_without_figcaption_uses_alt(spark):
+    body = '<figure><img src="http://h/f.png" alt="from alt"></figure>'
+    df = md.image_caption_pairs(_pages(spark, [body]))
+    r = df.collect()[0]
+    assert (r["caption"], r["caption_source"]) == ("from alt", "alt")
+
+
+def test_image_caption_pairs_plan_is_codegen_joins(spark):
+    # expression-only: the physical plan must contain no Python
+    # row-UDF evaluation (BatchEvalPython); the URL canonicalizer is
+    # the only Arrow stage.
+    body = '<img src="http://h/a.png" alt="a">'
+    df = md.image_caption_pairs(_pages(spark, [body]))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
