@@ -3148,6 +3148,94 @@ def q_image_caption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _md.image_caption_pairs(pages, key_cols=("doc_id",))
 
 
+def q_feed_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSS/Atom feed parsing (mechaml_spark.feeds): even docs carry an
+    RSS 2.0 channel (CDATA titles, canonicalization quirks in <link>,
+    an <enclosure> on entry 1), odd docs an Atom feed whose entries
+    test the rel rule — a rel="self" link that must be skipped, an
+    enclosure link listed FIRST that must not become the entry link,
+    and published-vs-updated fallback.  Expression-only parse; links
+    go through the frontier canonicalizer."""
+    from mechaml_spark import feeds as _fd
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    h = F.col("doc_id") % 20
+    host = F.concat(F.lit("http://host"), h, F.lit(".test"))
+    dd = F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0")
+
+    def title(k: int):
+        return F.expr(
+            f"substring(text, {k + 1}, CAST(doc_id % 13 + 5 AS INT))"
+        )
+
+    def rss_item(k: int):
+        parts = [
+            F.lit("<item><title><![CDATA["), title(k),
+            F.lit("]]></title><link>"),
+        ]
+        if k == 0:
+            parts += [
+                F.lit(" HTTP://Host"), h, F.lit(".TEST:80/r"),
+                F.col("doc_id"), F.lit("/x/../e0 "),
+            ]
+        else:
+            parts += [host, F.lit("/r"), F.col("doc_id"), F.lit(f"/e{k}")]
+        parts += [
+            F.lit("</link><pubDate>Mon, "), dd,
+            F.lit(" Jan 2026 00:00:00 GMT</pubDate>"),
+        ]
+        if k == 1:
+            parts += [
+                F.lit('<enclosure url="'), host, F.lit("/img"),
+                F.col("doc_id"),
+                F.lit('.jpg" type="image/jpeg" length="1"/>'),
+            ]
+        parts.append(F.lit("</item>\n"))
+        return F.concat(*parts)
+
+    def atom_entry(k: int):
+        parts = [F.lit("<entry><title>"), title(k), F.lit("</title>")]
+        if k == 2:
+            parts += [
+                F.lit('<link rel="enclosure" href="'), host, F.lit("/art"),
+                F.col("doc_id"), F.lit('.png"/>'),
+            ]
+        parts += [
+            F.lit('<link rel="self" href="'), host, F.lit('/feed.xml"/>'),
+            F.lit('<link href="'), host, F.lit("/a"), F.col("doc_id"),
+            F.lit(f'/e{k}"/>'),
+        ]
+        if k == 0:
+            parts += [
+                F.lit("<published>2026-01-"), dd,
+                F.lit("T00:00:00Z</published>"),
+            ]
+        parts += [
+            F.lit("<updated>2026-02-"), dd, F.lit("T00:00:00Z</updated>"),
+            F.lit("</entry>\n"),
+        ]
+        return F.concat(*parts)
+
+    rss = F.concat(
+        F.lit('<?xml version="1.0"?><rss version="2.0"><channel>'
+              "<title>chan</title><link>http://chan.test/</link>\n"),
+        rss_item(0), rss_item(1), rss_item(2),
+        F.lit("</channel></rss>"),
+    )
+    atom = F.concat(
+        F.lit('<?xml version="1.0"?>'
+              '<feed xmlns="http://www.w3.org/2005/Atom">'
+              '<title>feed</title><link href="http://chan.test/"/>\n'),
+        atom_entry(0), atom_entry(1), atom_entry(2),
+        F.lit("</feed>"),
+    )
+    pages = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, rss).otherwise(atom).alias("body"),
+    )
+    return _fd.parse_feeds(pages, keep_cols=("doc_id",))
+
+
 QUERIES = {
     "extract_links": q_extract_links,
     "selector_suffix": q_selector_suffix,
@@ -3207,6 +3295,7 @@ QUERIES = {
     "url_hygiene": q_url_hygiene,
     "caption_extract": q_caption_extract,
     "image_caption_pairs": q_image_caption_pairs,
+    "feed_extract": q_feed_extract,
     "token_stats": q_token_stats,
     "quality_filter": q_quality_filter,
     "lang_id": q_lang_id,
@@ -3925,6 +4014,37 @@ ORACLES = {
                     ELSE 'figcaption' END AS caption_source
         FROM documents d CROSS JOIN ks
         WHERE d.doc_id < 300
+    """,
+    "feed_extract": """
+        WITH ks AS (SELECT unnest(range(3)) AS k)
+        SELECT d.doc_id,
+               CASE WHEN d.doc_id % 2 = 0 THEN 'rss' ELSE 'atom'
+               END AS kind,
+               CAST(k AS INT) AS pos,
+               'http://host' || (d.doc_id % 20) || '.test/'
+                   || CASE WHEN d.doc_id % 2 = 0 THEN 'r' ELSE 'a' END
+                   || d.doc_id || '/e' || k AS link,
+               trim(substr(d.text, CAST(k + 1 AS INT),
+                           d.doc_id % 13 + 5)) AS title,
+               CASE WHEN d.doc_id % 2 = 0 THEN
+                    'Mon, ' || lpad(CAST(d.doc_id % 28 + 1 AS VARCHAR),
+                                    2, '0') || ' Jan 2026 00:00:00 GMT'
+                    WHEN k = 0 THEN
+                    '2026-01-' || lpad(CAST(d.doc_id % 28 + 1 AS VARCHAR),
+                                       2, '0') || 'T00:00:00Z'
+                    ELSE
+                    '2026-02-' || lpad(CAST(d.doc_id % 28 + 1 AS VARCHAR),
+                                       2, '0') || 'T00:00:00Z'
+               END AS published,
+               CASE WHEN d.doc_id % 2 = 0 AND k = 1 THEN
+                    'http://host' || (d.doc_id % 20) || '.test/img'
+                        || d.doc_id || '.jpg'
+                    WHEN d.doc_id % 2 = 1 AND k = 2 THEN
+                    'http://host' || (d.doc_id % 20) || '.test/art'
+                        || d.doc_id || '.png'
+               END AS enclosure_url
+        FROM documents d CROSS JOIN ks
+        WHERE d.doc_id < 200
     """,
     "bm25_score": """
         WITH base AS (
