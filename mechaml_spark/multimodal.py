@@ -437,6 +437,88 @@ def dhash64_udf():
     return _dhash
 
 
+QUALITY_T = T.StructType(
+    [
+        T.StructField("ok", T.BooleanType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("aspect_milli", T.LongType()),
+        T.StructField("brightness_milli", T.LongType()),
+        T.StructField("var_milli", T.LongType()),
+        T.StructField("lap_var_milli", T.LongType()),
+    ]
+)
+
+
+def _quality_row(data: bytes | None, fmt: str) -> dict:
+    bad = {f.name: None for f in QUALITY_T.fields}
+    bad["ok"] = False
+    if data is None:
+        return bad
+    try:
+        px = imaging.decode(bytes(data), fmt)
+    except NotImplementedError:
+        raise
+    except Exception:
+        return bad
+    h, w = px.shape[:2]
+    # Integer BT.601-style luma: weights 77/150/29 sum to 256, so a
+    # gray pixel (r=g=b=v) has luma exactly v — what keeps the
+    # closed-form oracles exact.
+    p = px.astype(np.int64)
+    luma = (77 * p[..., 0] + 150 * p[..., 1] + 29 * p[..., 2]) >> 8
+    mean = luma.mean()
+    var = luma.var()
+    if h >= 3 and w >= 3:
+        # 4-neighbour Laplacian on the interior ("valid" region) —
+        # no border-padding policy to disagree about.
+        lap = (
+            luma[:-2, 1:-1] + luma[2:, 1:-1]
+            + luma[1:-1, :-2] + luma[1:-1, 2:]
+            - 4 * luma[1:-1, 1:-1]
+        )
+        lap_var = lap.var()
+    else:
+        lap_var = 0.0
+    return {
+        "ok": True,
+        "w": int(w),
+        "h": int(h),
+        "aspect_milli": int(w * 1000 // h),
+        "brightness_milli": int(round(mean * 1000)),
+        "var_milli": int(round(var * 1000)),
+        "lap_var_milli": int(round(lap_var * 1000)),
+    }
+
+
+def image_quality(
+    df: DataFrame, bytes_col: str = "bytes", fmt_col: str = "fmt"
+) -> DataFrame:
+    """Append a ``quality`` struct — the LAION/DataComp-style image
+    filter signals a 100-TB image-text pipeline gates on before
+    spending embedding compute: size/aspect, brightness (mean integer
+    luma), global contrast (luma variance), and sharpness (variance
+    of the 4-neighbour Laplacian — the standard blur detector).  All
+    x1000 fixed-point ints so downstream thresholds and the DuckDB
+    oracles are exact; decode happens once per Arrow batch inside
+    mapInPandas and pixels never cross a shuffle."""
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("quality", QUALITY_T)]
+    )
+    cols = df.columns
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[cols].copy()
+            out["quality"] = [
+                _quality_row(b, f)
+                for b, f in zip(pdf[bytes_col], pdf[fmt_col])
+            ]
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 FRAME_T = T.StructType(
     [
         T.StructField("frame_idx", T.IntegerType()),

@@ -3236,6 +3236,59 @@ def q_feed_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fd.parse_feeds(pages, keep_cols=("doc_id",))
 
 
+def q_image_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAION-style image quality gates (multimodal.image_quality)
+    with a CLOSED-FORM oracle: each doc is a vertical-stripe PNG
+    (gray columns alternating va / va+d, so integer luma == the gray
+    value exactly).  For period-2 stripes the stats are algebraic:
+    brightness = (va+vb)/2, luma variance = d^2/4, and the interior
+    4-neighbour Laplacian is +-2d with mean 0, so its variance is
+    exactly 4*d^2 — all x1000 fixed-point ints in SQL.  The blur /
+    dark / low-contrast flags use thresholds both engines share."""
+    import numpy as _np
+    import pandas as _pd
+
+    from mechaml_spark import imaging as _imaging
+    from mechaml_spark import multimodal
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 300
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w = 10 if did % 2 == 0 else 16
+                va = (did * 3) % 120
+                vb = va + did % 40
+                px = _np.empty((8, w, 3), dtype=_np.uint8)
+                px[:, 0::2, :] = va
+                px[:, 1::2, :] = vb
+                rows.append(
+                    {"doc_id": did, "bytes": _imaging.png_encode(px),
+                     "fmt": "png"}
+                )
+            yield _pd.DataFrame(rows, columns=["doc_id", "bytes", "fmt"])
+
+    media = d.mapInPandas(gen, schema="doc_id long, bytes binary, fmt string")
+    qd = multimodal.image_quality(media)
+    qs = F.col("quality")
+    return qd.select(
+        "doc_id",
+        qs["w"].alias("w"),
+        qs["h"].alias("h"),
+        qs["aspect_milli"].alias("aspect_milli"),
+        qs["brightness_milli"].alias("brightness_milli"),
+        qs["var_milli"].alias("var_milli"),
+        qs["lap_var_milli"].alias("lap_var_milli"),
+        (qs["lap_var_milli"] < 640000).alias("blurry"),
+        (qs["brightness_milli"] < 60000).alias("dark"),
+        (qs["var_milli"] < 10000).alias("low_contrast"),
+    )
+
+
 QUERIES = {
     "extract_links": q_extract_links,
     "selector_suffix": q_selector_suffix,
@@ -3296,6 +3349,7 @@ QUERIES = {
     "caption_extract": q_caption_extract,
     "image_caption_pairs": q_image_caption_pairs,
     "feed_extract": q_feed_extract,
+    "image_quality": q_image_quality,
     "token_stats": q_token_stats,
     "quality_filter": q_quality_filter,
     "lang_id": q_lang_id,
@@ -4014,6 +4068,25 @@ ORACLES = {
                     ELSE 'figcaption' END AS caption_source
         FROM documents d CROSS JOIN ks
         WHERE d.doc_id < 300
+    """,
+    "image_quality": """
+        SELECT doc_id,
+               CAST(CASE WHEN doc_id % 2 = 0 THEN 10 ELSE 16 END
+                    AS INT) AS w,
+               CAST(8 AS INT) AS h,
+               CAST(CASE WHEN doc_id % 2 = 0 THEN 1250 ELSE 2000 END
+                    AS BIGINT) AS aspect_milli,
+               CAST((2 * ((doc_id * 3) % 120) + doc_id % 40) * 500
+                    AS BIGINT) AS brightness_milli,
+               CAST((doc_id % 40) * (doc_id % 40) * 250
+                    AS BIGINT) AS var_milli,
+               CAST((doc_id % 40) * (doc_id % 40) * 4000
+                    AS BIGINT) AS lap_var_milli,
+               (doc_id % 40) * (doc_id % 40) * 4000 < 640000 AS blurry,
+               (2 * ((doc_id * 3) % 120) + doc_id % 40) * 500 < 60000
+                   AS dark,
+               (doc_id % 40) * (doc_id % 40) * 250 < 10000 AS low_contrast
+        FROM documents WHERE doc_id < 300
     """,
     "feed_extract": """
         WITH ks AS (SELECT unnest(range(3)) AS k)

@@ -1,0 +1,56 @@
+"""multimodal.image_quality — blur/brightness/contrast signals."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from mechaml_spark import imaging, multimodal
+
+
+def _quality(spark, rows):
+    df = spark.createDataFrame(rows, "doc_id long, bytes binary, fmt string")
+    out = multimodal.image_quality(df).select("doc_id", "quality").collect()
+    return {r["doc_id"]: r["quality"] for r in out}
+
+
+def test_constant_image_has_zero_variance_and_blur(spark):
+    px = np.full((8, 10, 3), 50, dtype=np.uint8)
+    q = _quality(spark, [(1, bytearray(imaging.png_encode(px)), "png")])[1]
+    assert q["ok"] and (q["w"], q["h"]) == (10, 8)
+    assert q["brightness_milli"] == 50_000
+    assert q["var_milli"] == 0 and q["lap_var_milli"] == 0
+    assert q["aspect_milli"] == 1250
+
+
+def test_stripe_image_closed_form(spark):
+    va, vb = 40, 60  # d = 20
+    px = np.empty((8, 10, 3), dtype=np.uint8)
+    px[:, 0::2, :] = va
+    px[:, 1::2, :] = vb
+    q = _quality(spark, [(1, bytearray(imaging.png_encode(px)), "png")])[1]
+    assert q["brightness_milli"] == (va + vb) * 500
+    assert q["var_milli"] == (vb - va) ** 2 * 250
+    assert q["lap_var_milli"] == 4 * (vb - va) ** 2 * 1000
+
+
+def test_nongray_luma_weights(spark):
+    # pure red 200: luma = (77*200) >> 8 = 60
+    px = np.zeros((8, 8, 3), dtype=np.uint8)
+    px[..., 0] = 200
+    q = _quality(spark, [(1, bytearray(imaging.png_encode(px)), "png")])[1]
+    assert q["brightness_milli"] == ((77 * 200) >> 8) * 1000
+
+
+def test_tiny_image_skips_laplacian(spark):
+    px = np.full((2, 2, 3), 10, dtype=np.uint8)
+    q = _quality(spark, [(1, bytearray(imaging.png_encode(px)), "png")])[1]
+    assert q["ok"] and q["lap_var_milli"] == 0
+
+
+def test_undecodable_and_null_rows_flagged_not_failed(spark):
+    got = _quality(
+        spark,
+        [(1, bytearray(b"not a png"), "png"), (2, None, "png")],
+    )
+    assert got[1]["ok"] is False and got[2]["ok"] is False
+    assert got[1]["lap_var_milli"] is None
