@@ -3289,6 +3289,47 @@ def q_image_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_caption_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLIP-score-style image<->caption similarity gate (the LAION
+    filter: keep pairs with cosine >= 0.28) in EXACT integer
+    arithmetic: on x1000-quantized embeddings,
+    ``cos >= t  <=>  dot > 0 AND dot^2 * 10000 >= 784 * |a|^2 *|b|^2``
+    (t^2 = 0.0784), so no sqrt / float ever crosses the engine
+    boundary.  int64-safe at dim 64: dot <= ~1.8e7, dot^2 * 1e4 <=
+    ~3.2e18 < 2^63.
+
+    Pairs are synthesized by the (vec_id, vec_id+7) self-equi-join;
+    in a real pipeline both embeddings arrive in the SAME row (the
+    encoder writes them side by side), so the production plan is a
+    pure per-row map — embarrassingly parallel, zero shuffle at
+    100 TB."""
+    e = _t(spark, sf_dir, "embeddings")
+    qv = F.transform("embedding", lambda x: F.round(x * 1000).cast("long"))
+    img = e.select(F.col("vec_id").alias("pair_id"), qv.alias("iv"))
+    txt = e.select((F.col("vec_id") - 7).alias("pair_id"), qv.alias("tv"))
+    j = img.join(txt, "pair_id")
+
+    def _ssum(col):
+        return F.aggregate(
+            col, F.lit(0).cast("long"), lambda acc, x: acc + x
+        )
+
+    dot = _ssum(F.zip_with("iv", "tv", lambda a, b: a * b))
+    na2 = _ssum(F.transform("iv", lambda a: a * a))
+    nb2 = _ssum(F.transform("tv", lambda b: b * b))
+    out = j.select(
+        "pair_id",
+        dot.alias("dot"),
+        na2.alias("na2"),
+        nb2.alias("nb2"),
+    )
+    keep = (F.col("dot") > 0) & (
+        F.col("dot") * F.col("dot") * 10000
+        >= 784 * F.col("na2") * F.col("nb2")
+    )
+    return out.withColumn("keep", keep)
+
+
 QUERIES = {
     "extract_links": q_extract_links,
     "selector_suffix": q_selector_suffix,
@@ -3350,6 +3391,7 @@ QUERIES = {
     "image_caption_pairs": q_image_caption_pairs,
     "feed_extract": q_feed_extract,
     "image_quality": q_image_quality,
+    "caption_similarity": q_caption_similarity,
     "token_stats": q_token_stats,
     "quality_filter": q_quality_filter,
     "lang_id": q_lang_id,
@@ -4068,6 +4110,29 @@ ORACLES = {
                     ELSE 'figcaption' END AS caption_source
         FROM documents d CROSS JOIN ks
         WHERE d.doc_id < 300
+    """,
+    "caption_similarity": """
+        WITH q AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                                  x -> CAST(round(x*1000) AS BIGINT)) AS v
+            FROM embeddings),
+        p AS (
+            SELECT a.vec_id AS pair_id, a.v AS iv, b.v AS tv
+            FROM q a JOIN q b ON b.vec_id = a.vec_id + 7),
+        s AS (
+            SELECT pair_id,
+                   CAST(list_sum(list_transform(list_zip(iv, tv),
+                                                e -> e[1]*e[2]))
+                        AS BIGINT) AS dot,
+                   CAST(list_sum(list_transform(iv, x -> x*x))
+                        AS BIGINT) AS na2,
+                   CAST(list_sum(list_transform(tv, x -> x*x))
+                        AS BIGINT) AS nb2
+            FROM p)
+        SELECT pair_id, dot, na2, nb2,
+               dot > 0 AND dot*dot*10000 >= 784*na2*nb2 AS keep
+        FROM s
     """,
     "image_quality": """
         SELECT doc_id,
