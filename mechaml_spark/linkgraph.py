@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "connected_components"]
 
 
 def pagerank(
@@ -111,3 +111,79 @@ def pagerank(
         # truncate lineage so n_iter doesn't stack into one mega-plan
         ranks = ranks.localCheckpoint(eager=False)
     return ranks
+
+
+def connected_components(
+    edges: DataFrame,
+    n_iter: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Connected components over an undirected edge list — the
+    cluster step a dedup pipeline runs on near-dup PAIRS (minhash
+    bands, phash Hamming bands) to pick one canonical row per group:
+    ``component`` is the MIN node id of the component, so "keep the
+    keeper" is a groupBy(component).
+
+    Algorithm: hash-min label propagation with pointer jumping
+    (label(v) <- min over neighbors, then label(v) <- label(label(v))),
+    the relational form of HashMin + pointer doubling — convergence in
+    O(log diameter) rounds instead of O(diameter).  Labels only ever
+    decrease toward the component min (integer min — bit-reproducible
+    across partitionings and parallelism, like :func:`pagerank`).
+
+    Per round: one equi-join (labels -> symmetric edges) + one
+    partial-aggregated groupBy(min) + one self-equi-join on the label.
+    Scale posture at 10^10 edges: both shuffles key on node/label ids;
+    the groupBy collapses hub fan-in map-side before the exchange.
+    The known hot spot is the jump join once a giant component forms
+    (its label is a hot key) — AQE skew-join splits it; the
+    small-star/large-star reformulation (Kiveris et al. 2014,
+    "Connected Components in MapReduce and Beyond") is the documented
+    upgrade path if that ever dominates.
+
+    ``n_iter`` must be >= ceil(log2(diameter)) + 1; results are a
+    fixpoint thereafter (asserted in tests via an extra round).
+    Returns ``(node, component)`` for every node with at least one
+    edge (isolated vertices never enter an edge list — union them in
+    upstream if they must appear)."""
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+    )
+    sym = e.union(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+    )
+    for _ in range(n_iter):
+        nbr = (
+            sym.join(labels, sym["a"] == labels["node"])
+            .groupBy(F.col("b").alias("nnode"))
+            .agg(F.min("comp").alias("nbr_min"))
+        )
+        labels = labels.join(
+            nbr, labels["node"] == nbr["nnode"], "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("comp"), F.coalesce(F.col("nbr_min"), F.col("comp"))
+            ).alias("comp"),
+        )
+        # pointer jump: comp is itself a node id, and labels are
+        # monotone non-increasing, so label(label(v)) <= label(v).
+        jump = labels.select(
+            F.col("node").alias("jnode"), F.col("comp").alias("jcomp")
+        )
+        labels = labels.join(
+            jump, labels["comp"] == jump["jnode"], "left"
+        ).select(
+            "node",
+            F.coalesce(F.col("jcomp"), F.col("comp")).alias("comp"),
+        )
+        # truncate lineage per round (same reasoning as pagerank)
+        labels = labels.localCheckpoint(eager=False)
+    return labels.select("node", F.col("comp").alias("component"))

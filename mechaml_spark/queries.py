@@ -3330,6 +3330,34 @@ def q_caption_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("keep", keep)
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over near-dup pairs (linkgraph.connected_
+    components — hash-min + pointer jumping): vertex v belongs to
+    group v div 6; even groups are PATHS (diameter 5, stresses the
+    O(log d) jump), odd groups are STARS around the group min
+    (diameter 2, the common near-dup shape).  Either way the
+    component label is the group min, so the oracle is pure
+    arithmetic.  3 rounds suffice for diameter 5 with jumping
+    (ceil(log2 5) + 1); the fixpoint is asserted in tests."""
+    from mechaml_spark import linkgraph as _lg
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 600
+    )
+    g = F.expr("doc_id div 6")
+    star = g % 2 == 1
+    edges = d.select(
+        F.when(star, g * 6).otherwise(F.col("doc_id")).alias("src"),
+        F.when(star, F.col("doc_id")).otherwise(F.col("doc_id") + 1).alias(
+            "dst"
+        ),
+        F.when(star, F.col("doc_id") % 6 > 0).otherwise(
+            F.col("doc_id") % 6 < 5
+        ).alias("keep"),
+    ).where("keep").drop("keep")
+    return _lg.connected_components(edges, n_iter=3)
+
+
 QUERIES = {
     "extract_links": q_extract_links,
     "selector_suffix": q_selector_suffix,
@@ -3392,6 +3420,7 @@ QUERIES = {
     "feed_extract": q_feed_extract,
     "image_quality": q_image_quality,
     "caption_similarity": q_caption_similarity,
+    "dedup_clusters": q_dedup_clusters,
     "token_stats": q_token_stats,
     "quality_filter": q_quality_filter,
     "lang_id": q_lang_id,
@@ -4110,6 +4139,11 @@ ORACLES = {
                     ELSE 'figcaption' END AS caption_source
         FROM documents d CROSS JOIN ks
         WHERE d.doc_id < 300
+    """,
+    "dedup_clusters": """
+        SELECT doc_id AS node,
+               6 * (doc_id // 6) AS component
+        FROM documents WHERE doc_id < 600
     """,
     "caption_similarity": """
         WITH q AS (
