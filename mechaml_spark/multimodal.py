@@ -528,6 +528,80 @@ FRAME_T = T.StructType(
 )
 
 
+KEYFRAME_T = T.StructType(
+    [
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("diff_milli", T.LongType()),
+        T.StructField("is_keyframe", T.BooleanType()),
+    ]
+)
+
+
+def select_keyframes(
+    frames: DataFrame,
+    threshold_milli: int = 30_000,
+    id_col: str = "media_id",
+    frame_col: str = "frame",
+    compare_to: str = "prev",
+) -> DataFrame:
+    """Keyframe selection over sampled frames (the video-dedup gate a
+    training pipeline runs before captioning/embedding ticks): per
+    media, frames ordered by ``frame_idx``; ``diff_milli`` is the
+    mean absolute integer-luma difference vs the reference frame
+    x1000 (same 77/150/29 >> 8 luma as :func:`image_quality`, so the
+    oracles stay exact); a frame is a keyframe when it is the first
+    or its diff >= ``threshold_milli``.
+
+    ``compare_to='prev'`` (default) diffs against the previous
+    SAMPLED frame — the standard shot-boundary form, and closed-form
+    for constant frames; ``'kept'`` diffs against the last KEPT
+    keyframe — the stronger dedup (a slow fade never sneaks through
+    N small steps), inherently sequential per media, same plan.
+
+    Plan shape: groupBy(media) + applyInPandas — one shuffle keyed on
+    media_id; a video's frames are bounded (sampling already
+    decimated), so a group always fits a worker; pixels never cross a
+    second shuffle (diff happens where the group lands)."""
+    if compare_to not in ("prev", "kept"):
+        raise ValueError(f"unknown compare_to {compare_to!r}")
+    id_field = [f for f in frames.schema.fields if f.name == id_col][0]
+    out_schema = T.StructType([id_field] + list(KEYFRAME_T.fields))
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("frame_idx")
+        rows = []
+        ref_luma = None
+        for _, r in pdf.iterrows():
+            px = imaging.decode(bytes(r[frame_col]), "png")
+            p = px.astype(np.int64)
+            luma = (77 * p[..., 0] + 150 * p[..., 1] + 29 * p[..., 2]) >> 8
+            if ref_luma is None or luma.shape != ref_luma.shape:
+                # first frame, or a mid-stream canvas-size change
+                # (container edit): always a cut
+                diff = None
+                keep = True
+            else:
+                diff = int(round(np.abs(luma - ref_luma).mean() * 1000))
+                keep = diff >= threshold_milli
+            if ref_luma is None or keep or compare_to == "prev":
+                ref_luma = luma
+            rows.append(
+                {
+                    id_col: r[id_col],
+                    "frame_idx": int(r["frame_idx"]),
+                    "ts_ms": int(r["ts_ms"]),
+                    "diff_milli": diff,
+                    "is_keyframe": bool(keep),
+                }
+            )
+        return pd.DataFrame(
+            rows, columns=[id_col] + [f.name for f in KEYFRAME_T.fields]
+        )
+
+    return frames.groupBy(id_col).applyInPandas(run, schema=out_schema)
+
+
 # ------------------------------------------------------- MJPEG-in-AVI (RIFF)
 # The AVI container is a plain RIFF parse (stdlib struct); with the
 # repo's own baseline JPEG codec (mechaml_spark.jpeg) that makes

@@ -3358,6 +3358,61 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lg.connected_components(edges, n_iter=3)
 
 
+def q_video_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyframe selection through the REAL video path (multimodal.
+    select_keyframes after GIF decode + tick sampling): the same
+    closed-form animated GIFs as `video_frames` (solid frame k of doc
+    d has channels (d*P + k*Q) % 251), so consecutive-frame luma
+    diffs are exact integer arithmetic in SQL via the shared
+    77/150/29 >> 8 luma."""
+    import numpy as _np
+    import pandas as _pd
+
+    from mechaml_spark import imaging as _imaging
+    from mechaml_spark import multimodal
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 200
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                nf = 2 + did % 3
+                frames = []
+                for k in range(nf):
+                    px = _np.empty((4, 4, 3), dtype=_np.uint8)
+                    px[..., 0] = (did * 7 + k * 31) % 251
+                    px[..., 1] = (did * 11 + k * 37) % 251
+                    px[..., 2] = (did * 13 + k * 41) % 251
+                    frames.append(px)
+                rows.append(
+                    {
+                        "media_id": str(did),
+                        "bytes": _imaging.gif_encode_animated(
+                            frames, [100] * nf
+                        ),
+                        "fmt": "gif",
+                    }
+                )
+            yield _pd.DataFrame(rows, columns=["media_id", "bytes", "fmt"])
+
+    media = d.mapInPandas(
+        gen, schema="media_id string, bytes binary, fmt string"
+    )
+    sampled = multimodal.sample_video_frames(media, every_ms=100)
+    kf = multimodal.select_keyframes(sampled, threshold_milli=30_000)
+    return kf.select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        "frame_idx",
+        "ts_ms",
+        "diff_milli",
+        "is_keyframe",
+    )
+
+
 QUERIES = {
     "extract_links": q_extract_links,
     "selector_suffix": q_selector_suffix,
@@ -3421,6 +3476,7 @@ QUERIES = {
     "image_quality": q_image_quality,
     "caption_similarity": q_caption_similarity,
     "dedup_clusters": q_dedup_clusters,
+    "video_keyframes": q_video_keyframes,
     "token_stats": q_token_stats,
     "quality_filter": q_quality_filter,
     "lang_id": q_lang_id,
@@ -4139,6 +4195,27 @@ ORACLES = {
                     ELSE 'figcaption' END AS caption_source
         FROM documents d CROSS JOIN ks
         WHERE d.doc_id < 300
+    """,
+    "video_keyframes": """
+        WITH ks AS (SELECT unnest(range(4)) AS k),
+        f AS (
+            SELECT d.doc_id, CAST(k AS INT) AS frame_idx,
+                   (77 * ((d.doc_id * 7 + k * 31) % 251)
+                    + 150 * ((d.doc_id * 11 + k * 37) % 251)
+                    + 29 * ((d.doc_id * 13 + k * 41) % 251)) // 256 AS luma
+            FROM documents d CROSS JOIN ks
+            WHERE d.doc_id < 200 AND k < 2 + d.doc_id % 3
+        )
+        SELECT doc_id, frame_idx,
+               CAST(frame_idx * 100 AS BIGINT) AS ts_ms,
+               CASE WHEN frame_idx = 0 THEN NULL
+                    ELSE abs(luma - lag(luma) OVER w) * 1000
+               END AS diff_milli,
+               frame_idx = 0
+                   OR abs(luma - lag(luma) OVER w) * 1000 >= 30000
+                   AS is_keyframe
+        FROM f
+        WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)
     """,
     "dedup_clusters": """
         SELECT doc_id AS node,
