@@ -3413,6 +3413,60 @@ def q_video_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_warc_wet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Common Crawl WET product end-to-end: hazard HTML (the
+    `html_text` corpus — comments, style, hostile script, entities)
+    -> WARC response segments -> parse -> expression-only WET
+    conversion (warc.wet_conversion) -> REAL conversion-record
+    segments with WARC-Refers-To -> parse back.  The oracle rebuilds
+    the text closed-form and the refers_to id from md5 (record ids
+    are md5-derived urn:uuids both engines can compute)."""
+    import pandas as _pd
+
+    from mechaml_spark import warc as _warc
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text").where(
+        F.col("doc_id") < 300
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                html = (
+                    "<!DOCTYPE html><html><head>"
+                    f"<title>T{did}</title>"
+                    "<style>p { color: red; }</style>"
+                    "<script>if (a<b && c>d) { x['<p>']=1; }</script>"
+                    "</head><body><!-- hidden --><nav>\n menu </nav>"
+                    f"<div><p>{text}</p>\n"
+                    "<p>A &amp; B &lt;tag&gt; &quot;q&quot; "
+                    "&#39;s&#39; x&nbsp;y</p></div></body></html>"
+                )
+                rows.append(
+                    {
+                        "uri": f"http://docs.test/{did}",
+                        "body": html,
+                        "date": "2026-01-01T00:00:00Z",
+                    }
+                )
+            yield _pd.DataFrame(rows, columns=["uri", "body", "date"])
+
+    pages = d.mapInPandas(gen, schema="uri string, body string, date string")
+    segs = _warc.to_warc_segments(pages, content_type="text/html")
+    recs = _warc.parse_warc_segments(segs)
+    wet = _warc.wet_conversion(recs)
+    back = _warc.parse_warc_segments(_warc.to_wet_segments(wet))
+    return back.select(
+        F.element_at(F.split("uri", "/"), -1).cast("long").alias("doc_id"),
+        "warc_type",
+        F.col("block").cast("string").alias("text"),
+        "refers_to",
+        "content_length",
+    )
+
+
 QUERIES = {
     "extract_links": q_extract_links,
     "selector_suffix": q_selector_suffix,
@@ -3477,6 +3531,7 @@ QUERIES = {
     "caption_similarity": q_caption_similarity,
     "dedup_clusters": q_dedup_clusters,
     "video_keyframes": q_video_keyframes,
+    "warc_wet": q_warc_wet,
     "token_stats": q_token_stats,
     "quality_filter": q_quality_filter,
     "lang_id": q_lang_id,
@@ -4195,6 +4250,22 @@ ORACLES = {
                     ELSE 'figcaption' END AS caption_source
         FROM documents d CROSS JOIN ks
         WHERE d.doc_id < 300
+    """,
+    "warc_wet": """
+        WITH t AS (
+            SELECT doc_id,
+                   'menu ' || text
+                       || ' A & B <tag> "q" ''s'' x y' AS text,
+                   md5('http://docs.test/' || doc_id) AS h
+            FROM documents WHERE doc_id < 300)
+        SELECT doc_id,
+               'conversion' AS warc_type,
+               text,
+               'urn:uuid:' || substr(h, 1, 8) || '-' || substr(h, 9, 4)
+                   || '-5' || substr(h, 14, 3) || '-a' || substr(h, 18, 3)
+                   || '-' || substr(h, 21, 12) AS refers_to,
+               CAST(strlen(text) AS BIGINT) AS content_length
+        FROM t
     """,
     "video_keyframes": """
         WITH ks AS (SELECT unnest(range(4)) AS k),

@@ -85,16 +85,22 @@ def warc_record(
     date: str,
     block: bytes,
     content_type: str = "application/http;msgtype=response",
+    extra_headers: dict[str, str] | None = None,
 ) -> bytes:
     """One WARC/1.1 record: named headers, CRLF framing, the block,
     and the spec's two trailing CRLFs.  Header order is fixed for
-    byte-determinism."""
+    byte-determinism (``extra_headers`` — e.g. ``WARC-Refers-To`` on
+    conversion records — in insertion order before Content-Type)."""
+    extras = "".join(
+        f"{k}: {v}\r\n" for k, v in (extra_headers or {}).items()
+    )
     head = (
         "WARC/1.1\r\n"
         f"WARC-Type: {warc_type}\r\n"
         f"WARC-Record-ID: <{record_id_for(uri)}>\r\n"
         f"WARC-Date: {date}\r\n"
         f"WARC-Target-URI: {uri}\r\n"
+        f"{extras}"
         f"Content-Type: {content_type}\r\n"
         f"Content-Length: {len(block)}\r\n\r\n"
     )
@@ -183,6 +189,7 @@ RECORD_T = T.StructType(
         T.StructField("warc_type", T.StringType()),
         T.StructField("warc_date", T.StringType()),
         T.StructField("record_id", T.StringType()),
+        T.StructField("refers_to", T.StringType()),
         T.StructField("content_length", T.LongType()),
         T.StructField("block", T.BinaryType()),
     ]
@@ -252,6 +259,9 @@ def parse_warc_segments(
                             "record_id": headers.get(
                                 "WARC-Record-ID", ""
                             ).strip("<>"),
+                            "refers_to": headers.get(
+                                "WARC-Refers-To", ""
+                            ).strip("<>") or None,
                             "content_length": int(headers["Content-Length"]),
                             "block": block,
                         }
@@ -261,7 +271,7 @@ def parse_warc_segments(
                     rows,
                     columns=[
                         "uri", "warc_type", "warc_date", "record_id",
-                        "content_length", "block",
+                        "refers_to", "content_length", "block",
                     ],
                 )
 
@@ -416,3 +426,63 @@ def cdx_line(row: dict) -> str:
         f"{row['surt']} {row['ts']} "
         + json.dumps(payload, separators=(",", ":"), sort_keys=True)
     )
+
+
+# --------------------------------------------------------------------------
+# WET — the Common Crawl "conversion" sidecar product: one text-only
+# record per response record, linked via WARC-Refers-To.
+# --------------------------------------------------------------------------
+
+def wet_conversion(recs: DataFrame) -> DataFrame:
+    """WET-style conversion rows from parsed ``response`` records,
+    expression-only: strip the HTTP header block (first CRLFCRLF) and
+    run the shared visible-text extractor
+    (:func:`mechaml_spark.extract.html_visible_text`) — comments,
+    script/style bodies, entities, and whitespace collapse all handled
+    JVM-side, so deriving WET from a 100-TB WARC corpus is codegen +
+    the segment-parse mapInPandas it already paid for.
+
+    Output: (uri, warc_date, refers_to = source record id, text)."""
+    from pyspark.sql import functions as F
+
+    from mechaml_spark.extract import html_visible_text
+
+    block_s = F.col("block").cast("string")
+    body = F.split(block_s, "\r\n\r\n", 2)[1]
+    return recs.where(F.col("warc_type") == "response").select(
+        "uri",
+        "warc_date",
+        F.col("record_id").alias("refers_to"),
+        html_visible_text(body).alias("text"),
+    )
+
+
+def to_wet_segments(wet: DataFrame) -> DataFrame:
+    """Sink WET rows as real WARC segments: one ``conversion`` record
+    per row (``Content-Type: text/plain``, ``WARC-Refers-To`` linking
+    back to the response record), one segment per partition — the
+    same no-shuffle sharding as :func:`to_warc_segments`."""
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        buf = io.BytesIO()
+        count = 0
+        for pdf in batches:
+            for uri, date, ref, text in zip(
+                pdf["uri"], pdf["warc_date"], pdf["refers_to"], pdf["text"]
+            ):
+                rec = warc_record(
+                    "conversion",
+                    str(uri),
+                    str(date),
+                    ("" if text is None else str(text)).encode("utf-8"),
+                    content_type="text/plain",
+                    extra_headers={"WARC-Refers-To": f"<{ref}>"},
+                )
+                buf.write(rec)
+                count += 1
+        if count:
+            yield pd.DataFrame(
+                [{"segment": buf.getvalue(), "n_records": count}]
+            )
+
+    return wet.mapInPandas(run, schema=SEGMENT_T)

@@ -228,3 +228,32 @@ def test_cdx_line_deterministic():
     import json
     payload = json.loads(line.split(" ", 2)[2])
     assert payload["offset"] == 0 and payload["status"] == 200
+
+
+def test_wet_conversion_links_and_text(spark):
+    from mechaml_spark import warc
+
+    pages = spark.createDataFrame(
+        [
+            (
+                "http://w.test/1",
+                "<html><head><script>x<y</script></head>"
+                "<body><p>hello &amp; bye</p></body></html>",
+                "2026-01-01T00:00:00Z",
+            )
+        ],
+        "uri string, body string, date string",
+    )
+    recs = warc.parse_warc_segments(
+        warc.to_warc_segments(pages, content_type="text/html")
+    )
+    wet = warc.wet_conversion(recs)
+    back = warc.parse_warc_segments(warc.to_wet_segments(wet)).collect()
+    assert len(back) == 1
+    r = back[0]
+    assert r["warc_type"] == "conversion"
+    assert bytes(r["block"]).decode() == "hello & bye"
+    # refers_to links back to the response record's id
+    orig = recs.collect()[0]
+    assert r["refers_to"] == orig["record_id"]
+    assert orig["refers_to"] is None  # response records carry none
