@@ -3467,6 +3467,31 @@ def q_warc_wet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling + train/val/test assignment
+    (mechaml_spark.sampling): keep 50% of en, 25% of de, 12.5% of
+    everything else via salted-md5 uniforms (retry-stable, engine-
+    portable — the oracle recomputes the identical md5), then assign
+    disjoint splits at 80/10/10 under a different salt.  Pure codegen
+    filter — no rand(), no shuffle."""
+    from mechaml_spark import sampling as _sm
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    kept = _sm.stratified_sample(
+        d, "lang", {"en": 0.5, "de": 0.25}, "doc_id", "docs-v1",
+        default_rate=0.125,
+    )
+    return kept.select(
+        "doc_id",
+        "lang",
+        _sm.hash_uniform_col(F.col("doc_id"), "docs-v1").alias("u"),
+        _sm.split_column(
+            F.col("doc_id"), "split-v1",
+            {"train": 0.8, "val": 0.9, "test": 1.0},
+        ).alias("split"),
+    )
+
+
 QUERIES = {
     "extract_links": q_extract_links,
     "selector_suffix": q_selector_suffix,
@@ -3532,6 +3557,7 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "video_keyframes": q_video_keyframes,
     "warc_wet": q_warc_wet,
+    "doc_sample": q_doc_sample,
     "token_stats": q_token_stats,
     "quality_filter": q_quality_filter,
     "lang_id": q_lang_id,
@@ -4250,6 +4276,23 @@ ORACLES = {
                     ELSE 'figcaption' END AS caption_source
         FROM documents d CROSS JOIN ks
         WHERE d.doc_id < 300
+    """,
+    "doc_sample": """
+        WITH u AS (
+            SELECT doc_id, lang,
+                   CAST(concat('0x', substr(md5('docs-v1:' || doc_id),
+                                            1, 8)) AS BIGINT) AS u,
+                   CAST(concat('0x', substr(md5('split-v1:' || doc_id),
+                                            1, 8)) AS BIGINT) AS su
+            FROM documents)
+        SELECT doc_id, lang, u,
+               CASE WHEN su < 3435973836 THEN 'train'
+                    WHEN su < 3865470566 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM u
+        WHERE u < CASE lang WHEN 'en' THEN 2147483648
+                            WHEN 'de' THEN 1073741824
+                            ELSE 536870912 END
     """,
     "warc_wet": """
         WITH t AS (

@@ -1,0 +1,90 @@
+"""Deterministic hash-based sampling — how a training-data pipeline
+takes "50% of English, 25% of German, 10% of everything else" out of
+a 100-TB corpus.
+
+Why hash sampling and not ``rand()``: a Spark task that fails and
+retries re-evaluates its partition, and ``rand()`` gives the retry a
+DIFFERENT sample — silent corruption under fault recovery.  A salted
+md5 over a stable row key is pure and per-row, so the sample is
+reproducible across retries, partitionings, parallelism levels, AND
+engines (md5 is md5 everywhere — the DuckDB oracles recompute it
+exactly).  Changing the salt draws an independent sample; keeping it
+pins the sample forever (the "holdout that never moves" property
+eval sets need).
+
+Everything is expression-only (md5 + conv are JVM expressions) —
+codegen, no shuffle: sampling is a pure filter, so it pushes down
+past joins and prunes before expensive downstream stages.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 2^32 — the uniform's modulus: 8 hex digits of the md5.
+M32 = 1 << 32
+
+
+def hash_uniform_col(key: Column, salt: str) -> Column:
+    """Deterministic uniform in [0, 2^32) from a salted md5 of the
+    row key: ``int(md5(salt ':' key)[0:8], 16)``.  The salt namespaces
+    draws — the same key sampled for two purposes must not correlate."""
+    h = F.md5(F.concat(F.lit(f"{salt}:"), key.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+
+
+def threshold_for(rate: float) -> int:
+    """Exact integer threshold for a keep-rate: u < rate * 2^32.
+    Exact for dyadic rates (0.5, 0.25, ...); floor otherwise."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate {rate!r} outside [0, 1]")
+    return int(rate * M32)
+
+
+def sample(df: DataFrame, rate: float, key_col: str, salt: str) -> DataFrame:
+    """Uniform deterministic sample: keep rows with
+    ``hash_uniform(key) < rate * 2^32``."""
+    u = hash_uniform_col(F.col(key_col), salt)
+    return df.where(u < F.lit(threshold_for(rate)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    key_col: str,
+    salt: str,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: stratum s keeps rows with
+    ``u < rates.get(s, default_rate) * 2^32``.  The rates map is tiny
+    (languages, sources) and folds into ONE case expression — no join,
+    no broadcast, pure codegen filter."""
+    u = hash_uniform_col(F.col(key_col), salt)
+    thr = F.lit(threshold_for(default_rate))
+    for s, r in sorted(rates.items()):
+        thr = F.when(F.col(strata_col) == s, F.lit(threshold_for(r))).otherwise(
+            thr
+        )
+    return df.where(u < thr)
+
+
+def split_column(
+    key: Column, salt: str, bounds: dict[str, float]
+) -> Column:
+    """Disjoint deterministic train/val/test assignment: ``bounds``
+    maps split name -> cumulative upper bound (e.g. ``{"train": .8,
+    "val": .9, "test": 1.0}``); a row lands in the first split whose
+    bound exceeds its uniform.  Same u as :func:`hash_uniform_col`,
+    so splits are stable forever and mutually exclusive by
+    construction."""
+    items = sorted(bounds.items(), key=lambda kv: kv[1])
+    if items[-1][1] < 1.0:
+        raise ValueError("last bound must be 1.0 (cover the whole line)")
+    u = hash_uniform_col(key, salt)
+    # build outermost-last so the SMALLEST bound is checked first
+    out = F.lit(items[-1][0])
+    for name, b in reversed(items[:-1]):
+        out = F.when(u < F.lit(threshold_for(b)), F.lit(name)).otherwise(out)
+    return out

@@ -1,0 +1,88 @@
+"""sampling.py — deterministic hash sampling + split assignment."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from mechaml_spark import sampling
+
+
+def _ids(spark, n=2000):
+    return spark.range(n).withColumnRenamed("id", "key")
+
+
+def test_uniform_matches_reference_md5(spark):
+    got = (
+        _ids(spark, 5)
+        .select("key", sampling.hash_uniform_col(F.col("key"), "s").alias("u"))
+        .collect()
+    )
+    for r in got:
+        exp = int(hashlib.md5(f"s:{r['key']}".encode()).hexdigest()[:8], 16)
+        assert r["u"] == exp
+
+
+def test_rate_is_approximate_and_partitioning_invariant(spark):
+    df = _ids(spark)
+    a = sampling.sample(df, 0.25, "key", "v1")
+    n = a.count()
+    assert 400 < n < 600  # 500 expected, binomial sd ~19
+    b = sampling.sample(df.repartition(17), 0.25, "key", "v1")
+    assert sorted(r["key"] for r in a.collect()) == sorted(
+        r["key"] for r in b.collect()
+    )
+
+
+def test_salts_draw_independent_samples(spark):
+    df = _ids(spark)
+    a = {r["key"] for r in sampling.sample(df, 0.5, "key", "s1").collect()}
+    b = {r["key"] for r in sampling.sample(df, 0.5, "key", "s2").collect()}
+    assert a != b
+    overlap = len(a & b) / 2000
+    assert 0.15 < overlap < 0.35  # ~0.25 if independent
+
+
+def test_stratified_rates(spark):
+    df = _ids(spark).withColumn(
+        "lang", F.when(F.col("key") % 2 == 0, "en").otherwise("zz")
+    )
+    kept = sampling.stratified_sample(
+        df, "lang", {"en": 0.5}, "key", "v1", default_rate=0.0
+    ).collect()
+    assert all(r["lang"] == "en" for r in kept)
+    assert 400 < len(kept) < 600
+
+
+def test_split_disjoint_total_and_nested(spark):
+    df = _ids(spark)
+    col = sampling.split_column(
+        F.col("key"), "sp", {"train": 0.8, "val": 0.9, "test": 1.0}
+    )
+    got = df.select("key", col.alias("split")).collect()
+    counts = {}
+    for r in got:
+        counts[r["split"]] = counts.get(r["split"], 0) + 1
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > 1400 and counts["val"] < 300
+    # growing the train bound must only MOVE rows out of val/test,
+    # never reshuffle existing train rows (nested-sample property)
+    col2 = sampling.split_column(
+        F.col("key"), "sp", {"train": 0.9, "test": 1.0}
+    )
+    got2 = {
+        r["key"]: r["split"]
+        for r in df.select("key", col2.alias("split")).collect()
+    }
+    for r in got:
+        if r["split"] == "train":
+            assert got2[r["key"]] == "train"
+
+
+def test_bad_rates_raise():
+    with pytest.raises(ValueError):
+        sampling.threshold_for(1.5)
+    with pytest.raises(ValueError):
+        sampling.split_column(F.lit(1), "s", {"a": 0.5, "b": 0.9})
