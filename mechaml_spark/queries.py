@@ -3492,6 +3492,49 @@ def q_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text aggregation — the classic off-page relevance signal
+    (anchor words describe the TARGET; search/caption pipelines index
+    them against it).  Goes through the REAL parse path
+    (extract.parse_pages -> page.links_with), then groupBy(target):
+    ref count, distinct-anchor count, and the sorted-distinct anchor
+    join.  Scale posture: one hash-partitioned groupBy on the target
+    URL; partial aggregation flattens hub fan-in map-side, and at web
+    scale the collect_set gets a per-target cap + salt (the
+    "everybody links to the homepage" key is the textbook skew case —
+    same two-phase top-B treatment the politeness window uses)."""
+    d = _t(spark, sf_dir, "documents")
+    a1 = F.expr("trim(substring(text, 1, CAST(doc_id % 7 + 4 AS INT)))")
+    body = F.concat(
+        F.lit("<html><body><a href='http://t.test/p"),
+        d.doc_id % 50,
+        F.lit("'>"),
+        a1,
+        F.lit("</a><a href='http://t.test/p"),
+        (d.doc_id * 3) % 50,
+        F.lit("'>see "),
+        d.doc_id,
+        F.lit("</a></body></html>"),
+    )
+    pages = d.select(
+        d.doc_id,
+        F.concat(F.lit("http://s.test/d"), d.doc_id).alias("url"),
+        body.alias("body"),
+    )
+    links = page.links_with(extract.parse_pages(pages), "", page_cols=())
+    anchors = links.select(
+        F.col("uri").alias("url"),
+        F.trim(F.col("node")["text"]).alias("anchor"),
+    )
+    return anchors.groupBy("url").agg(
+        F.count(F.lit(1)).alias("n_refs"),
+        F.size(F.collect_set("anchor")).cast("long").alias("n_unique"),
+        F.concat_ws("|", F.sort_array(F.collect_set("anchor"))).alias(
+            "anchors"
+        ),
+    )
+
+
 QUERIES = {
     "extract_links": q_extract_links,
     "selector_suffix": q_selector_suffix,
@@ -3558,6 +3601,7 @@ QUERIES = {
     "video_keyframes": q_video_keyframes,
     "warc_wet": q_warc_wet,
     "doc_sample": q_doc_sample,
+    "anchor_text": q_anchor_text,
     "token_stats": q_token_stats,
     "quality_filter": q_quality_filter,
     "lang_id": q_lang_id,
@@ -4276,6 +4320,20 @@ ORACLES = {
                     ELSE 'figcaption' END AS caption_source
         FROM documents d CROSS JOIN ks
         WHERE d.doc_id < 300
+    """,
+    "anchor_text": """
+        WITH l AS (
+            SELECT 'http://t.test/p' || (doc_id % 50) AS url,
+                   trim(substr(text, 1, doc_id % 7 + 4)) AS anchor
+            FROM documents
+            UNION ALL
+            SELECT 'http://t.test/p' || ((doc_id * 3) % 50),
+                   'see ' || doc_id
+            FROM documents)
+        SELECT url, COUNT(*) AS n_refs,
+               CAST(COUNT(DISTINCT anchor) AS BIGINT) AS n_unique,
+               string_agg(DISTINCT anchor, '|' ORDER BY anchor) AS anchors
+        FROM l GROUP BY url
     """,
     "doc_sample": """
         WITH u AS (
