@@ -87,6 +87,7 @@ def crawl_oracle(
     budget_per_host: int = 2,
     max_epochs: int = 10,
     max_redirect: int = MAX_REDIRECT,
+    host_budgets: dict[str, int] | None = None,
 ) -> OracleResult:
     rules = robots_rules(spec)
     res = OracleResult()
@@ -123,7 +124,12 @@ def crawl_oracle(
         selected: list[tuple] = []
         for host, items in by_host.items():
             items.sort()
-            selected.extend(items[:budget_per_host])
+            b = (
+                host_budgets.get(host, budget_per_host)
+                if host_budgets
+                else budget_per_host
+            )
+            selected.extend(items[:b])
         selected.sort()  # global visit order: (depth, disc_epoch, url)
         # 3. fetch
         epoch_set_cookies: list[tuple[str, str]] = []  # (url, header) ordered

@@ -256,3 +256,72 @@ def fetch_robots_rules(
         r["host"]: [(x["allow"], x["pattern"]) for x in r["rules"]]
         for r in rows
     }
+
+
+# --------------------------------------------------------------- Crawl-delay
+# Crawl-delay is not in RFC 9309, but every production crawler honors
+# it; here it feeds the scheduler's per-host politeness BUDGET (the
+# engine's delay mechanism): budget = clamp(epoch_seconds / delay).
+
+def parse_crawl_delay(body: str | None) -> float | None:
+    """``Crawl-delay`` seconds from the ``User-agent: *`` group(s),
+    group-scoped exactly like :func:`parse_robots` scopes rules; the
+    FIRST valid value in file order wins; non-numeric / non-positive
+    values are ignored (treat like absent, the lenient convention)."""
+    if not body:
+        return None
+    group_agents: list[str] = []
+    in_agent_block = False
+    for raw in body.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if not in_agent_block:
+                group_agents = []
+                in_agent_block = True
+            group_agents.append(val)
+        else:
+            in_agent_block = False
+            if key == "crawl-delay" and "*" in group_agents:
+                try:
+                    d = float(val)
+                except ValueError:
+                    continue
+                if d > 0:
+                    return d
+    return None
+
+
+def crawl_delay_budgets(
+    bodies: DataFrame,
+    epoch_seconds: float = 1.0,
+    default_budget: int = 2,
+    cap: int = 64,
+    host_col: str = "host",
+    body_col: str = "body",
+) -> DataFrame:
+    """Distributed robots-body -> per-host budget derivation for
+    :func:`mechaml_spark.frontier.scheduler.politeness_split`:
+    ``budget = clamp(floor(epoch_seconds / crawl_delay), 1, cap)``,
+    ``default_budget`` when the body declares no usable delay.  One
+    row per host rides the pipeline (same cardinality argument as the
+    rules table); downstream it is a broadcast-join side."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            budgets = []
+            for b in pdf[body_col]:
+                d = parse_crawl_delay(b)
+                if d is None:
+                    budgets.append(default_budget)
+                else:
+                    budgets.append(max(1, min(cap, int(epoch_seconds / d))))
+            yield pd.DataFrame(
+                {"host": pdf[host_col], "budget": budgets}
+            )
+
+    return bodies.mapInPandas(run, schema="host string, budget int")

@@ -128,6 +128,7 @@ def politeness_split(
     budget_per_host: int,
     salt_shards: int = 16,
     key_cols: tuple[str, ...] = ("depth", "discovered_epoch", "url_norm"),
+    host_budgets: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Two-phase per-host top-B over the total priority key
     ``(depth, discovered_epoch, url_norm)`` -> (selected, rest).
@@ -141,17 +142,41 @@ def politeness_split(
     ``budget * salt_shards`` rows per host regardless of frontier
     skew.  The union of per-salt top-B provably contains the global
     per-host top-B, so the result is byte-identical to the unsalted
-    single window (the oracle's semantics, oracle.py:119-127)."""
+    single window (the oracle's semantics, oracle.py:119-127).
+
+    ``host_budgets`` (host, budget) overrides the flat budget per
+    host — a crawl derives it from robots ``Crawl-delay``
+    (robots.crawl_delay_budgets) or operator policy.  It joins in as
+    a broadcast hash equi-join on host (one row per host, ~10^7 at
+    the design point; degrade to a shuffled hash join if it ever
+    outgrows broadcast), and hosts absent from the table keep
+    ``budget_per_host``.  The per-salt-top-B superset argument is
+    unchanged with per-host B.  With ``host_budgets=None`` the plan
+    is byte-identical to the flat-budget plan (no join added)."""
     key = [F.col(c) for c in key_cols]
+    if host_budgets is None:
+        fr = frontier
+        bud = F.lit(budget_per_host)
+        extra: tuple[str, ...] = ()
+    else:
+        hb = host_budgets.select(
+            "host", F.col("budget").cast("int").alias("_bud")
+        )
+        fr = frontier.join(F.broadcast(hb), "host", "left")
+        bud = F.coalesce(F.col("_bud"), F.lit(budget_per_host))
+        extra = ("_bud",)
+    cols = frontier.columns  # the join moves `host` first; restore
     salt = F.pmod(F.xxhash64("url_norm"), F.lit(salt_shards))
     w1 = Window.partitionBy(F.col("host"), salt).orderBy(*key)
-    r1 = frontier.withColumn("_rk1", F.row_number().over(w1))
-    pre = r1.where(F.col("_rk1") <= budget_per_host).drop("_rk1")
-    rest1 = r1.where(F.col("_rk1") > budget_per_host).drop("_rk1")
+    r1 = fr.withColumn("_rk1", F.row_number().over(w1))
+    pre = r1.where(F.col("_rk1") <= bud).drop("_rk1")
+    rest1 = r1.where(F.col("_rk1") > bud).drop("_rk1", *extra).select(*cols)
     w2 = Window.partitionBy("host").orderBy(*key)
     r2 = pre.withColumn("_rk2", F.row_number().over(w2))
-    selected = r2.where(F.col("_rk2") <= budget_per_host).drop("_rk2")
-    rest2 = r2.where(F.col("_rk2") > budget_per_host).drop("_rk2")
+    selected = (
+        r2.where(F.col("_rk2") <= bud).drop("_rk2", *extra).select(*cols)
+    )
+    rest2 = r2.where(F.col("_rk2") > bud).drop("_rk2", *extra).select(*cols)
     return selected, rest1.unionByName(rest2)
 
 
@@ -173,6 +198,7 @@ def crawl(
     fetcher=None,
     robots_fetcher=None,
     seen_cls: type = SeenSet,
+    host_budgets: DataFrame | None = None,
 ) -> CrawlResult:
     """``corpus``/``images`` may be passed pre-materialized (cached)
     so their generation cost — the simulated *network*, not crawl
@@ -347,8 +373,12 @@ def crawl(
         pages_log = pages_log.unionByName(blocked)
         frontier = frontier.where(~F.col("_blocked")).drop("_blocked")
 
-        # 2. politeness: salted two-phase top-B per host (skew-safe)
-        selected, frontier = politeness_split(frontier, budget_per_host)
+        # 2. politeness: salted two-phase top-B per host (skew-safe);
+        # per-host budgets (robots Crawl-delay / operator policy) join
+        # in broadcast when provided
+        selected, frontier = politeness_split(
+            frontier, budget_per_host, host_budgets=host_budgets
+        )
 
         # 3. fetch stage: one equi-join against the redirect closure
         # (the corpus fetcher is idempotent so jar injection is skipped

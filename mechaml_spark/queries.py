@@ -3535,6 +3535,45 @@ def q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_crawl_delay_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots Crawl-delay -> per-host politeness budget derivation
+    (frontier.robots.crawl_delay_budgets, the table politeness_split
+    consumes): six body shapes — integer and fractional delays,
+    foreign-group-only (ignored), invalid value (ignored), trailing
+    comment, and a tiny delay that must hit the cap.  budget =
+    clamp(floor(epoch_s / delay), 1, cap), defaults where unusable."""
+    from mechaml_spark.frontier import robots as _rb
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 240
+    )
+    v = F.col("doc_id") % 6
+    body = (
+        F.when(v == 0, F.concat(
+            F.lit("User-agent: *\nCrawl-delay: "),
+            F.col("doc_id") % 5 + 1, F.lit("\nDisallow: /x\n"),
+        ))
+        .when(v == 1, F.concat(
+            F.lit("User-agent: *\nCrawl-delay: "),
+            ((F.col("doc_id") % 4 + 1) / 2).cast("decimal(3,1)").cast(
+                "string"
+            ),
+            F.lit("\n"),
+        ))
+        .when(v == 2, F.lit("User-agent: googlebot\nCrawl-delay: 9\n"))
+        .when(v == 3, F.lit("User-agent: *\nCrawl-delay: soon\n"))
+        .when(v == 4, F.lit("User-agent: *\nCrawl-delay: 4 # fast\n"))
+        .otherwise(F.lit("User-agent: *\nCrawl-delay: 0.05\n"))
+    )
+    bodies = d.select(
+        F.concat(F.lit("h"), F.col("doc_id"), F.lit(".test")).alias("host"),
+        body.alias("body"),
+    )
+    return _rb.crawl_delay_budgets(
+        bodies, epoch_seconds=4.0, default_budget=2, cap=64
+    )
+
+
 QUERIES = {
     "extract_links": q_extract_links,
     "selector_suffix": q_selector_suffix,
@@ -3602,6 +3641,7 @@ QUERIES = {
     "warc_wet": q_warc_wet,
     "doc_sample": q_doc_sample,
     "anchor_text": q_anchor_text,
+    "crawl_delay_budgets": q_crawl_delay_budgets,
     "token_stats": q_token_stats,
     "quality_filter": q_quality_filter,
     "lang_id": q_lang_id,
@@ -4320,6 +4360,20 @@ ORACLES = {
                     ELSE 'figcaption' END AS caption_source
         FROM documents d CROSS JOIN ks
         WHERE d.doc_id < 300
+    """,
+    "crawl_delay_budgets": """
+        SELECT 'h' || doc_id || '.test' AS host,
+               CAST(CASE doc_id % 6
+                    WHEN 0 THEN greatest(1, CAST(floor(
+                        4.0 / (doc_id % 5 + 1)) AS INT))
+                    WHEN 1 THEN CAST(floor(
+                        4.0 / ((doc_id % 4 + 1) / 2.0)) AS INT)
+                    WHEN 2 THEN 2
+                    WHEN 3 THEN 2
+                    WHEN 4 THEN 1
+                    ELSE 64
+               END AS INT) AS budget
+        FROM documents WHERE doc_id < 240
     """,
     "anchor_text": """
         WITH l AS (

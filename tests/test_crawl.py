@@ -271,3 +271,77 @@ def test_log_plan_depth_bounded_many_epochs(spark, oracle_result):
     # checkpoint leaf; EPOCHS(6) epochs un-truncated would exceed this
     assert unions(res.visit_log) <= 4, unions(res.visit_log)
     assert unions(res.pages_log) <= 6, unions(res.pages_log)
+
+
+def test_politeness_per_host_budgets_equal_naive(spark):
+    """politeness_split(host_budgets=...) must equal the naive
+    per-host window with per-host B; hosts absent from the table
+    keep the flat default."""
+    from pyspark.sql import Window
+
+    from mechaml_spark.frontier.scheduler import politeness_split
+
+    rows = [(f"http://hot.test/p{i:05d}", "hot.test", i % 5, i % 3)
+            for i in range(500)]
+    rows += [(f"http://cold{j}.test/p{i}", f"cold{j}.test", i, 0)
+             for j in range(6) for i in range(20)]
+    frontier = spark.createDataFrame(
+        rows, "url_norm string, host string, depth int, discovered_epoch int"
+    )
+    budgets = {"hot.test": 1, "cold0.test": 9, "cold1.test": 3}
+    hb = spark.createDataFrame(
+        list(budgets.items()), "host string, budget int"
+    )
+    default = 5
+    sel, rest = politeness_split(
+        frontier, default, salt_shards=8, host_budgets=hb
+    )
+
+    key = ["depth", "discovered_epoch", "url_norm"]
+    w = Window.partitionBy("host").orderBy(*key)
+    bud = F.coalesce(
+        F.when(F.col("host") == "hot.test", 1)
+        .when(F.col("host") == "cold0.test", 9)
+        .when(F.col("host") == "cold1.test", 3),
+        F.lit(default),
+    )
+    ranked = frontier.withColumn("_rk", F.row_number().over(w))
+    naive_sel = ranked.where(F.col("_rk") <= bud).drop("_rk")
+    naive_rest = ranked.where(F.col("_rk") > bud).drop("_rk")
+
+    def rows_of(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows_of(sel) == rows_of(naive_sel)
+    assert rows_of(rest) == rows_of(naive_rest)
+    assert sel.columns == frontier.columns  # no budget column leaks
+    per_host = {r["host"]: r["count"]
+                for r in sel.groupBy("host").count().collect()}
+    assert per_host["hot.test"] == 1 and per_host["cold0.test"] == 9
+    assert per_host["cold2.test"] == default
+
+
+def test_crawl_with_host_budgets_matches_oracle(spark):
+    """Per-host budgets flow through the full crawl byte-equal to the
+    sequential oracle given the same budget map."""
+    spec = cp.CorpusSpec(n_hosts=3, pages_per_host=8)
+    seeds = [cp.page_url(spec, 0, 0), cp.page_url(spec, 1, 3)]
+    budgets = {"host0.test": 1, "host2.test": 4}
+    oracle = crawl_oracle(
+        spec, seeds, budget_per_host=2, max_epochs=6, host_budgets=budgets
+    )
+    hb = spark.createDataFrame(
+        list(budgets.items()), "host string, budget int"
+    )
+    res = crawl(
+        spark, spec, seeds, budget_per_host=2, max_epochs=6,
+        n_shards=4, n_bits=1 << 16, host_budgets=hb,
+    )
+    assert _spark_visit_list(res) == oracle.visit_log
+    got = {
+        r["url_norm"] for r in res.seen.seen_df.select("url_norm").collect()
+    }
+    assert got == oracle.seen
+    # the budget map actually changed the schedule vs the flat run
+    flat = crawl_oracle(spec, seeds, budget_per_host=2, max_epochs=6)
+    assert flat.visit_log != oracle.visit_log

@@ -162,3 +162,48 @@ def test_mark_blocked_matches_pure_matcher_rfc_rules(spark):
     }
     for p in paths:
         assert got[f"http://h.test{p}"] == (not robots_allowed(p, rules)), p
+
+
+def test_parse_crawl_delay_group_scoped():
+    from mechaml_spark.frontier.robots import parse_crawl_delay
+
+    assert parse_crawl_delay("User-agent: *\nCrawl-delay: 2.5\n") == 2.5
+    # foreign group's delay does not apply to us
+    assert parse_crawl_delay(
+        "User-agent: googlebot\nCrawl-delay: 9\n"
+        "User-agent: *\nDisallow: /x\n"
+    ) is None
+    # multiple agent lines, * among them; first valid value wins
+    body = (
+        "User-agent: a\nUser-agent: *\nCrawl-delay: 3\n"
+        "User-agent: *\nCrawl-delay: 7\n"
+    )
+    assert parse_crawl_delay(body) == 3.0
+    # invalid / non-positive ignored; comments stripped
+    assert parse_crawl_delay("User-agent: *\nCrawl-delay: soon\n") is None
+    assert parse_crawl_delay("User-agent: *\nCrawl-delay: 0\n") is None
+    assert parse_crawl_delay(
+        "User-agent: *\nCrawl-delay: 4 # s\n"
+    ) == 4.0
+    assert parse_crawl_delay(None) is None
+
+
+def test_crawl_delay_budgets_df(spark):
+    from mechaml_spark.frontier.robots import crawl_delay_budgets
+
+    bodies = spark.createDataFrame(
+        [
+            ("a.test", "User-agent: *\nCrawl-delay: 0.5\n"),   # 4/0.5=8
+            ("b.test", "User-agent: *\nCrawl-delay: 100\n"),   # floor->0 -> clamp 1
+            ("c.test", "User-agent: *\nDisallow: /x\n"),       # default
+            ("d.test", "User-agent: *\nCrawl-delay: 0.01\n"),  # 400 -> cap
+        ],
+        "host string, body string",
+    )
+    got = {
+        r["host"]: r["budget"]
+        for r in crawl_delay_budgets(
+            bodies, epoch_seconds=4.0, default_budget=2, cap=64
+        ).collect()
+    }
+    assert got == {"a.test": 8, "b.test": 1, "c.test": 2, "d.test": 64}
