@@ -300,3 +300,50 @@ def image_caption_pairs(
         caption.alias("caption"),
         F.when(caption.isNotNull(), source).alias("caption_source"),
     )
+
+
+# ------------------------------------------------------------- rel=canonical
+
+# <link rel="canonical" href="..."> in either attribute order; the
+# same four-variant (order x quote) treatment as the meta extractors.
+_LINK_FWD = (
+    r'(?is)<link\b[^>]*?\brel\s*=\s*["\']canonical["\']'
+    r"[^>]*?\bhref\s*=\s*{val}"
+)
+_LINK_REV = (
+    r"(?is)<link\b[^>]*?\bhref\s*=\s*{val}"
+    r'[^>]*?\brel\s*=\s*["\']canonical["\']'
+)
+
+
+def canonical_href_col(body: Column) -> Column:
+    """``href`` of the first ``<link rel="canonical">``; NULL when the
+    page declares none (or declares it empty).  Expression-only."""
+    out = None
+    for pat in (_LINK_FWD, _LINK_REV):
+        for val in (_DQ, _SQ):
+            got = _nonempty(F.regexp_extract(body, pat.format(val=val), 1))
+            out = got if out is None else F.coalesce(out, got)
+    return out
+
+
+def canonical_urls(
+    df: DataFrame, url_col: str = "url", body_col: str = "body"
+) -> DataFrame:
+    """Resolve each page's canonical URL: the declared
+    ``rel=canonical`` href (absolute or relative, resolved against
+    the page URL through the shared vectorized canonicalizer —
+    :func:`mechaml_spark.page.resolve_canon_host`), else the
+    canonicalized page URL itself.
+
+    Adds ``canonical`` (string), ``has_tag`` (bool).  Dup-group
+    membership is then a plain hash partition on ``canonical`` —
+    the crawl uses it to collapse tracking-parameter / mirror
+    variants of one logical page before indexing."""
+    href = canonical_href_col(F.col(body_col))
+    rc = page.resolve_canon_host(
+        F.col(url_col), F.coalesce(href, F.col(url_col))
+    )
+    return df.withColumn("has_tag", href.isNotNull()).withColumn(
+        "canonical", rc["url_norm"]
+    )

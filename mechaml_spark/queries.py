@@ -3574,6 +3574,165 @@ def q_crawl_delay_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- safety / compliance gates
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (mechaml_spark.safety): email /
+    phone / IPv4 counted and replaced as pure JVM regex expressions
+    (whole-stage codegen, zero Python, zero shuffle — the gate runs
+    inside the scan stage at 100 TB).  The corpus deterministically
+    injects one email per doc, a phone for doc_id%3==0, an IP for
+    doc_id%4==0; the oracle runs the byte-identical pattern strings
+    (Java-regex ∩ RE2 subset) and the identical redaction order, so
+    the redacted TEXT itself hash-matches, not just the counts."""
+    from mechaml_spark import safety
+
+    d = _t(spark, sf_dir, "documents")
+    t2 = F.concat(
+        d.text,
+        F.lit(" Contact user"), d.doc_id,
+        F.lit("@ex"), d.doc_id % 7, F.lit(".org now."),
+        F.when(
+            d.doc_id % 3 == 0,
+            F.concat(
+                F.lit(" Call +1 415-555-"),
+                F.lpad(d.doc_id.cast("string"), 4, "0"),
+                F.lit(" today."),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d.doc_id % 4 == 0,
+            F.concat(
+                F.lit(" Origin 10."), d.doc_id % 256,
+                F.lit(".0."), (d.doc_id % 250) + 1, F.lit(" logged."),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    p = d.select("doc_id", t2.alias("t2"))
+    ne, np, ni = safety.pii_counts(F.col("t2"))
+    return p.select(
+        "doc_id",
+        ne.alias("n_emails"),
+        np.alias("n_phones"),
+        ni.alias("n_ips"),
+        safety.redact(F.col("t2")).alias("red"),
+    )
+
+
+def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UT1-style corpus gating (mechaml_spark.safety): a (host,
+    banned) blocklist broadcast-joined against the corpus plus an
+    integer badword-per-mille expression gate.  Blocklists are
+    <=10^6 rows — always the broadcast side; the corpus never
+    shuffles, and the term gate is codegen (`div` semantics shared
+    with the oracle's ``//``)."""
+    from mechaml_spark import safety
+
+    d = _t(spark, sf_dir, "documents")
+    t2 = F.concat(
+        d.text,
+        F.when(d.doc_id % 11 == 0, F.lit(" casino bonus casino night"))
+        .otherwise(F.lit("")),
+        F.when(d.doc_id % 17 == 0, F.lit(" cheap viagra deal"))
+        .otherwise(F.lit("")),
+    )
+    docs = d.select(
+        "doc_id",
+        F.concat(F.lit("h"), d.doc_id % 41, F.lit(".example")).alias("host"),
+        t2.alias("text"),
+    )
+    bl = (
+        spark.range(0, 41)
+        .where(F.col("id") % 13 == 0)
+        .select(
+            F.concat(F.lit("h"), "id", F.lit(".example")).alias("host"),
+            F.lit(True).alias("banned"),
+        )
+    )
+    out = safety.apply_blocklist(docs, bl, max_permille=30)
+    return out.select(
+        "doc_id", "host", "host_banned", "n_bad", "bad_permille", "kept"
+    )
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 App. C / The Pile style,
+    mechaml_spark.safety): flag training docs sharing any 8-token
+    gram with a 4-item benchmark suite.  Benchmark grams broadcast;
+    the corpus explodes grams map-side and equi-joins, so the
+    shuffle carries only hits.  doc_id%20==0 rows embed a full
+    benchmark item (7 shared grams), %20==10 rows a 10-token prefix
+    (3 shared grams); everything else is clean."""
+    from mechaml_spark import safety
+
+    d = _t(spark, sf_dir, "documents")
+    inj_full = F.concat(
+        F.lit(" bench secret sequence alpha b"), d.doc_id % 4,
+        F.lit(" beta gamma delta epsilon zeta eta theta iota kappa"),
+    )
+    inj_part = F.concat(
+        F.lit(" bench secret sequence alpha b"), d.doc_id % 4,
+        F.lit(" beta gamma delta epsilon zeta"),
+    )
+    t2 = F.concat(
+        d.text,
+        F.when(d.doc_id % 20 == 0, inj_full)
+        .when(d.doc_id % 20 == 10, inj_part)
+        .otherwise(F.lit("")),
+    )
+    docs = d.select("doc_id", t2.alias("text"))
+    bench = spark.range(0, 4).select(
+        F.concat(
+            F.lit("bench secret sequence alpha b"), F.col("id"),
+            F.lit(" beta gamma delta epsilon zeta eta theta iota kappa"),
+        ).alias("text")
+    )
+    return safety.contamination_hits(docs, bench, n=8)
+
+
+def q_canonical_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rel=canonical resolution (mechaml_spark.metadata): declared
+    canonical href (absolute, or relative resolved through the SAME
+    vectorized canonicalizer the crawl uses), else the canonicalized
+    page URL; dup-group size via a hash partition on the canonical.
+    Exercises both attribute orders and both quote styles of the
+    <link> tag; %5==0 pages carry a tracking query param the
+    canonical collapses."""
+    from mechaml_spark import metadata as md
+
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("http://s"), d.doc_id % 7, F.lit(".test/p"), d.doc_id,
+        F.when(d.doc_id % 5 == 0, F.lit("?utm=x")).otherwise(F.lit("")),
+    )
+    href_abs = F.concat(
+        F.lit('<link rel="canonical" href="http://s'), d.doc_id % 7,
+        F.lit(".test/canon/"), d.doc_id % 25, F.lit('">'),
+    )
+    href_rel = F.concat(
+        F.lit("<link href='/canon/"), d.doc_id % 25,
+        F.lit("' rel='canonical'>"),
+    )
+    head = (
+        F.when(d.doc_id % 3 == 0, href_abs)
+        .when(d.doc_id % 3 == 1, href_rel)
+        .otherwise(F.lit(""))
+    )
+    body = F.concat(
+        F.lit("<html><head>"), head, F.lit("</head><body>x</body></html>")
+    )
+    pages = d.select("doc_id", url.alias("url"), body.alias("body"))
+    out = md.canonical_urls(pages)
+    w = Window.partitionBy("canonical")
+    return out.select(
+        "doc_id",
+        "url",
+        "canonical",
+        "has_tag",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_group"),
+    )
+
+
 QUERIES = {
     "extract_links": q_extract_links,
     "selector_suffix": q_selector_suffix,
@@ -3642,6 +3801,10 @@ QUERIES = {
     "doc_sample": q_doc_sample,
     "anchor_text": q_anchor_text,
     "crawl_delay_budgets": q_crawl_delay_budgets,
+    "pii_scrub": q_pii_scrub,
+    "blocklist_filter": q_blocklist_filter,
+    "decontaminate": q_decontaminate,
+    "canonical_urls": q_canonical_urls,
     "token_stats": q_token_stats,
     "quality_filter": q_quality_filter,
     "lang_id": q_lang_id,
@@ -3733,6 +3896,111 @@ def _cnt_sql(m: str) -> str:
     return (
         f"(length(text) - length(replace(text, '{pad}', ''))) // {len(pad)}"
     )
+
+
+def _pii_oracle_sql() -> str:
+    """DuckDB mirror of q_pii_scrub: the byte-identical pattern
+    strings (Java-regex ∩ RE2 subset) in the identical redaction
+    order, so the redacted text itself must hash-match."""
+    from mechaml_spark import safety as _sf
+
+    red = "t2"
+    for pat, repl in _sf.REDACTIONS:
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    return f"""
+        WITH t AS (
+            SELECT doc_id,
+                   text || ' Contact user' || doc_id || '@ex'
+                        || (doc_id % 7) || '.org now.'
+                   || CASE WHEN doc_id % 3 = 0
+                           THEN ' Call +1 415-555-'
+                                || lpad(CAST(doc_id AS VARCHAR), 4, '0')
+                                || ' today.'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 4 = 0
+                           THEN ' Origin 10.' || (doc_id % 256) || '.0.'
+                                || (doc_id % 250 + 1) || ' logged.'
+                           ELSE '' END AS t2
+            FROM documents)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(t2, '{_sf.EMAIL_RE}'))
+                    AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(t2, '{_sf.PHONE_RE}'))
+                    AS BIGINT) AS n_phones,
+               CAST(len(regexp_extract_all(t2, '{_sf.IPV4_RE}'))
+                    AS BIGINT) AS n_ips,
+               {red} AS red
+        FROM t
+    """
+
+
+def _blocklist_oracle_sql() -> str:
+    from mechaml_spark import safety as _sf
+
+    toks = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+    return f"""
+        WITH t AS (
+            SELECT doc_id,
+                   text
+                   || CASE WHEN doc_id % 11 = 0
+                           THEN ' casino bonus casino night' ELSE '' END
+                   || CASE WHEN doc_id % 17 = 0
+                           THEN ' cheap viagra deal' ELSE '' END AS text,
+                   'h' || (doc_id % 41) || '.example' AS host
+            FROM documents),
+        c AS (
+            SELECT doc_id, host,
+                   (doc_id % 41) % 13 = 0 AS host_banned,
+                   CAST(len(regexp_extract_all(lower(text),
+                        '{_sf.BADWORD_RE}')) AS BIGINT) AS n_bad,
+                   CAST(greatest(len({toks}), 1) AS BIGINT) AS n_tok
+            FROM t)
+        SELECT doc_id, host, host_banned, n_bad,
+               (n_bad * 1000) // n_tok AS bad_permille,
+               (NOT host_banned) AND ((n_bad * 1000) // n_tok < 30) AS kept
+        FROM c
+    """
+
+
+def _decontaminate_oracle_sql(n: int = 8) -> str:
+    toks = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+    grams = (
+        f"list_transform(range(1, greatest(len(l) - {n - 2}, 1)), "
+        f"i -> array_to_string(list_slice(l, i, i + {n - 1}), ' '))"
+    )
+    return f"""
+        WITH bt AS (
+            SELECT 'bench secret sequence alpha b' || i
+                   || ' beta gamma delta epsilon zeta eta theta iota kappa'
+                   AS text
+            FROM (SELECT unnest(range(4)) AS i)),
+        bg AS (
+            SELECT DISTINCT gram FROM (
+                SELECT unnest({grams}) AS gram
+                FROM (SELECT {toks} AS l FROM bt))),
+        dt AS (
+            SELECT doc_id,
+                   text
+                   || CASE WHEN doc_id % 20 = 0
+                           THEN ' bench secret sequence alpha b'
+                                || (doc_id % 4)
+                                || ' beta gamma delta epsilon zeta'
+                                || ' eta theta iota kappa'
+                        WHEN doc_id % 20 = 10
+                           THEN ' bench secret sequence alpha b'
+                                || (doc_id % 4)
+                                || ' beta gamma delta epsilon zeta'
+                        ELSE '' END AS text
+            FROM documents),
+        dg AS (
+            SELECT DISTINCT doc_id, gram FROM (
+                SELECT doc_id, unnest({grams}) AS gram
+                FROM (SELECT doc_id, {toks} AS l FROM dt)))
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+               TRUE AS contaminated
+        FROM dg JOIN bg USING (gram)
+        GROUP BY doc_id
+    """
 
 
 ORACLES = {
@@ -4388,6 +4656,30 @@ ORACLES = {
                CAST(COUNT(DISTINCT anchor) AS BIGINT) AS n_unique,
                string_agg(DISTINCT anchor, '|' ORDER BY anchor) AS anchors
         FROM l GROUP BY url
+    """,
+    "pii_scrub": _pii_oracle_sql(),
+    "blocklist_filter": _blocklist_oracle_sql(),
+    "decontaminate": _decontaminate_oracle_sql(),
+    "canonical_urls": """
+        WITH t AS (
+            SELECT doc_id,
+                   'http://s' || (doc_id % 7) || '.test/p' || doc_id
+                   || CASE WHEN doc_id % 5 = 0 THEN '?utm=x' ELSE '' END
+                   AS url,
+                   CASE WHEN doc_id % 3 = 2
+                        THEN 'http://s' || (doc_id % 7) || '.test/p'
+                             || doc_id
+                             || CASE WHEN doc_id % 5 = 0
+                                     THEN '?utm=x' ELSE '' END
+                        ELSE 'http://s' || (doc_id % 7) || '.test/canon/'
+                             || (doc_id % 25)
+                   END AS canonical,
+                   doc_id % 3 <> 2 AS has_tag
+            FROM documents)
+        SELECT doc_id, url, canonical, has_tag,
+               CAST(count(*) OVER (PARTITION BY canonical)
+                    AS BIGINT) AS n_group
+        FROM t
     """,
     "doc_sample": """
         WITH u AS (

@@ -42,6 +42,7 @@ def multiset(rows, cols):
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
 
     import duckdb
 
@@ -60,6 +61,8 @@ def main() -> None:
     qs, oracles = entry.queries(), entry.oracle_sql()
     bad = []
     for name, fn in qs.items():
+        if only and name not in only:
+            continue
         sql = oracles.get(name)
         sdf = fn(spark, sf_dir)
         srows = sdf.collect()
