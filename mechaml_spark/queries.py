@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mechaml_spark import cookies as ck
-from mechaml_spark import extract, formatting, page
+from mechaml_spark import extract, formatting, page, textclean
 from mechaml_spark.forms import is_checked, state_get
 from mechaml_spark.frontier.seen import SeenSet
 
@@ -2449,6 +2449,50 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus cleaning (Raffel et al. 2020 §2.2) through the
+    real ``textclean.c4_clean`` path: line rules (terminal
+    punctuation, >=5 words, no "javascript") + document rules (>=3
+    surviving lines, no "lorem ipsum", no "{").  Pages are
+    synthesized so every rule fires on its own modulus class and the
+    lorem-ipsum line is itself line-rule-clean (doc rule must catch
+    it).  Expression-only: one codegen project, zero shuffle — the
+    shape a filter that sees every fetched page needs at 100 TB."""
+    d = _t(spark, sf_dir, "documents")
+    toks = _toks(d.text)
+    nl = F.lit("\n")
+
+    def opt(cond, *parts):
+        return F.when(cond, F.concat(nl, *parts)).otherwise(F.lit(""))
+
+    text = F.concat(
+        F.lit("alpha "),
+        F.element_at(toks, 1),
+        F.lit(" beta gamma delta."),
+        nl,
+        F.lit("tiny line."),
+        nl,
+        F.lit("five good words without terminal punct"),
+        opt(
+            d.doc_id % 2 == 0,
+            F.lit("second good line with "),
+            F.element_at(toks, 2),
+            F.lit(" tail."),
+        ),
+        opt(d.doc_id % 3 == 0, F.lit("third good line stays here today.")),
+        opt(
+            d.doc_id % 7 == 0,
+            F.lit("Please enable JavaScript to continue viewing."),
+        ),
+        opt(d.doc_id % 11 == 0, F.lit("Lorem Ipsum dolor sit amet.")),
+        opt(d.doc_id % 13 == 3, F.lit("var x = { a: 1 };")),
+    )
+    pages = d.select("doc_id", text.alias("text"))
+    return textclean.c4_clean(pages).select(
+        "doc_id", "n_lines", "n_kept", "keep_doc", "cleaned_text"
+    )
+
+
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force max-inner-product top-5 on integer-quantized
     embeddings (quantization keeps the cross-engine compare exact;
@@ -3774,6 +3818,7 @@ QUERIES = {
     "span_dedupe": q_span_dedupe,
     "pdf_text_extract": q_pdf_text_extract,
     "repetition_filter": q_repetition_filter,
+    "c4_filters": q_c4_filters,
     "html_text": q_html_text,
     "robots_rfc": q_robots_rfc,
     "mime_sniff": q_mime_sniff,
@@ -4489,6 +4534,56 @@ ORACLES = {
         FROM base
         JOIN t1 USING (doc_id)
         LEFT JOIN b1 USING (doc_id)
+    """,
+    "c4_filters": """
+        WITH pages AS (
+            SELECT doc_id,
+                   'alpha ' || t[1] || ' beta gamma delta.' || chr(10)
+                   || 'tiny line.' || chr(10)
+                   || 'five good words without terminal punct'
+                   || CASE WHEN doc_id % 2 = 0 THEN chr(10)
+                        || 'second good line with ' || t[2] || ' tail.'
+                        ELSE '' END
+                   || CASE WHEN doc_id % 3 = 0 THEN chr(10)
+                        || 'third good line stays here today.'
+                        ELSE '' END
+                   || CASE WHEN doc_id % 7 = 0 THEN chr(10)
+                        || 'Please enable JavaScript to continue viewing.'
+                        ELSE '' END
+                   || CASE WHEN doc_id % 11 = 0 THEN chr(10)
+                        || 'Lorem Ipsum dolor sit amet.'
+                        ELSE '' END
+                   || CASE WHEN doc_id % 13 = 3 THEN chr(10)
+                        || 'var x = ' || chr(123) || ' a: 1 ' || chr(125)
+                        || ';'
+                        ELSE '' END AS text
+            FROM (SELECT doc_id,
+                         list_filter(string_split_regex(text, '\\s+'),
+                                     x -> x <> '') AS t
+                  FROM documents)),
+        split AS (
+            SELECT doc_id, text,
+                   list_filter(string_split(text, chr(10)),
+                               x -> trim(x) <> '') AS ls
+            FROM pages),
+        kept AS (
+            SELECT doc_id, text, ls,
+                   list_filter(ls, x ->
+                       regexp_matches(x, '[.!?"”]$')
+                       AND len(list_filter(
+                               string_split_regex(x, '\\s+'),
+                               w -> w <> '')) >= 5
+                       AND NOT contains(lower(x), 'javascript')) AS ks,
+                   (contains(lower(text), 'lorem ipsum')
+                    OR contains(text, chr(123))) AS doc_bad
+            FROM split)
+        SELECT doc_id,
+               CAST(len(ls) AS BIGINT) AS n_lines,
+               CAST(len(ks) AS BIGINT) AS n_kept,
+               (len(ks) >= 3 AND NOT doc_bad) AS keep_doc,
+               CASE WHEN len(ks) >= 3 AND NOT doc_bad
+                    THEN array_to_string(ks, chr(10)) END AS cleaned_text
+        FROM kept
     """,
     "html_text": """
         SELECT doc_id,

@@ -1,0 +1,91 @@
+"""C4-style corpus cleaning (Raffel et al. 2020, "Exploring the
+Limits of Transfer Learning", §2.2) — the standard first-pass text
+filter a web-scale training corpus runs after boilerplate removal:
+
+  line rules (a line survives iff ALL hold):
+    * ends in a terminal punctuation mark (. ! ? or closing quote);
+    * has at least ``min_words`` (5) whitespace words;
+    * does not contain the word "javascript" (case-insensitive) —
+      "please enable javascript" chrome;
+  document rules (a document survives iff ALL hold):
+    * at least ``min_lines`` (3) surviving lines ("fewer than 3
+      sentences" in the paper, with C4's line≈sentence reading);
+    * does not contain the phrase "lorem ipsum" (case-insensitive);
+    * does not contain a curly brace "{" (code leakage).
+
+Everything here is expression-only ``pyspark.sql.functions`` over
+higher-order array lambdas: the whole cleaner is ONE WholeStageCodegen
+project per document — no Python worker, no shuffle, and as a pure
+per-row filter it pushes below downstream joins.  That is the property
+that matters at 100 TB: C4 cleaning is the highest-row-count stage in
+the pipeline (it sees every fetched page) and must cost one codegen'd
+pass, never a Python round-trip.
+
+The reference engine has no corpus layer; this extends the graft's
+training-data surface (SURVEY.md §2.12) like quality_filter /
+line_dedupe do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# C4's terminal punctuation set: period, exclamation, question,
+# closing double quote (straight or curly).
+TERMINAL_RE = '[.!?"”]$'
+MIN_WORDS = 5
+MIN_LINES = 3
+
+
+def line_keep(line: Column, min_words: int = MIN_WORDS) -> Column:
+    """Boolean Column: does one line survive C4's line rules."""
+    words = F.filter(F.split(line, r"\s+"), lambda w: w != "")
+    return (
+        line.rlike(TERMINAL_RE)
+        & (F.size(words) >= min_words)
+        & ~F.lower(line).contains("javascript")
+    )
+
+
+def doc_keep(text: Column, n_kept: Column, min_lines: int = MIN_LINES) -> Column:
+    """Boolean Column: does the document survive C4's doc rules,
+    given its raw text and the count of surviving lines."""
+    low = F.lower(text)
+    return (
+        (n_kept >= min_lines)
+        & ~low.contains("lorem ipsum")
+        & ~text.contains("{")
+    )
+
+
+def c4_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = MIN_WORDS,
+    min_lines: int = MIN_LINES,
+) -> DataFrame:
+    """Apply the C4 cleaning rules to ``df[text_col]``.
+
+    Adds columns:
+      * ``n_lines``    — non-empty input lines;
+      * ``n_kept``     — lines surviving the line rules;
+      * ``keep_doc``   — document survives the doc rules;
+      * ``cleaned_text`` — surviving lines re-joined with ``\\n``
+        (NULL when the document is dropped).
+
+    Pure expression chain: split -> filter(lambda) -> size /
+    array_join — one codegen project, zero shuffle.
+    """
+    text = F.col(text_col)
+    lines = F.filter(F.split(text, r"\n"), lambda x: F.trim(x) != "")
+    kept = F.filter(lines, lambda x: line_keep(x, min_words))
+    n_kept = F.size(kept)
+    keep = doc_keep(text, n_kept, min_lines)
+    return df.select(
+        "*",
+        F.size(lines).cast("long").alias("n_lines"),
+        n_kept.cast("long").alias("n_kept"),
+        keep.alias("keep_doc"),
+        F.when(keep, F.array_join(kept, "\n")).alias("cleaned_text"),
+    )
