@@ -347,3 +347,46 @@ def canonical_urls(
     return df.withColumn("has_tag", href.isNotNull()).withColumn(
         "canonical", rc["url_norm"]
     )
+
+
+# ------------------------------------------------------- robots directives
+
+def robots_directives(body: Column, header: Column | None = None) -> Column:
+    """Page-level robots directives merged from the ``<meta
+    name="robots">`` tag and the ``X-Robots-Tag`` response header
+    (both use the same comma-separated token grammar; Google's
+    documented semantics): struct ``(noindex, nofollow)``.
+
+    * tokens are case-insensitive and whitespace-trimmed;
+    * ``none`` = ``noindex, nofollow``; ``all`` = no restriction;
+    * unknown / parameterized tokens (``unavailable_after: ...``,
+      ``max-snippet:-1``) are ignored;
+    * merge is the RESTRICTIVE union — either source can turn a
+      restriction on, neither can turn one off.
+
+    Expression-only (regexp + split + array_contains): the directive
+    check rides the parse projection as codegen, no extra pass."""
+    sources = [meta_content_col(body, "robots")]
+    if header is not None:
+        sources.append(header)
+    toks = F.transform(
+        F.split(F.lower(F.concat_ws(",", *sources)), ","),
+        lambda t: F.trim(t),
+    )
+
+    def has(name: str) -> Column:
+        return F.array_contains(toks, name) | F.array_contains(toks, "none")
+
+    return F.struct(
+        has("noindex").alias("noindex"), has("nofollow").alias("nofollow")
+    )
+
+
+def rel_nofollow(rel: Column) -> Column:
+    """True when a link's ``rel`` attribute carries the ``nofollow``
+    token (space-separated list, case-insensitive).  ``ugc`` /
+    ``sponsored`` are deliberately treated as followable — they are
+    attribution hints, not crawl directives (documented choice)."""
+    return F.array_contains(
+        F.split(F.lower(F.coalesce(rel, F.lit(""))), r"\s+"), "nofollow"
+    )

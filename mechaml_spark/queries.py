@@ -3579,6 +3579,81 @@ def q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_robots_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-level robots directives + link-level nofollow — the
+    crawl-side counterpart of robots.txt: ``<meta name=robots>`` and
+    the ``X-Robots-Tag`` response header merge restrictively
+    (``none`` = noindex+nofollow; parameterized tokens ignored), and
+    ``rel=nofollow`` links are excluded from the followable frontier
+    when the page itself allows following.  Links go through the REAL
+    parse path (extract.parse_pages -> page.links_with, rel read from
+    the node attrs map); directives are expression-only and ride the
+    same projection.  Scale: one groupBy(doc_id) with partial agg —
+    the directive check adds zero shuffles to the crawl loop."""
+    from mechaml_spark import metadata as md
+
+    d = _t(spark, sf_dir, "documents")
+    m5 = d.doc_id % 5
+    meta = (
+        F.when(m5 == 0, F.lit("<meta name='robots' content='noindex, NOFOLLOW'>"))
+        .when(m5 == 1, F.lit('<meta name="robots" content="NONE">'))
+        .when(m5 == 3, F.lit("<meta name='robots' content='all, max-snippet:-1'>"))
+        .otherwise(F.lit(""))
+    )
+    xrobots = F.when(
+        m5 == 2, F.lit("nofollow, unavailable_after: 25 Jun 2026")
+    ).cast("string")
+    body = F.concat(
+        F.lit("<html><head>"),
+        meta,
+        F.lit("</head><body><a href='http://x.test/a"),
+        d.doc_id,
+        F.lit("'>a</a><a rel='NoFollow noopener' href='http://x.test/b"),
+        d.doc_id,
+        F.lit("'>b</a>"),
+        F.when(
+            d.doc_id % 3 == 0,
+            F.concat(
+                F.lit("<a rel='ugc' href='http://x.test/c"),
+                d.doc_id,
+                F.lit("'>c</a>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    pages = d.select(
+        d.doc_id,
+        F.concat(F.lit("http://s.test/d"), d.doc_id).alias("url"),
+        body.alias("body"),
+        xrobots.alias("xrobots"),
+    )
+    dirs = md.robots_directives(F.col("body"), F.col("xrobots"))
+    page_dirs = pages.select(
+        "doc_id",
+        dirs["noindex"].alias("noindex"),
+        dirs["nofollow"].alias("nofollow"),
+    )
+    links = page.links_with(
+        extract.parse_pages(pages), "", page_cols=("doc_id",)
+    )
+    rel = F.element_at(F.col("node")["attrs"], "rel")
+    per_doc = links.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_links"),
+        F.sum(
+            F.when(~md.rel_nofollow(rel), 1).otherwise(0)
+        ).alias("n_rel_follow"),
+    )
+    return page_dirs.join(per_doc, "doc_id").select(
+        "doc_id",
+        "noindex",
+        "nofollow",
+        "n_links",
+        F.when(F.col("nofollow"), F.lit(0).cast("long"))
+        .otherwise(F.col("n_rel_follow"))
+        .alias("n_follow"),
+    )
+
+
 def q_crawl_delay_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots Crawl-delay -> per-host politeness budget derivation
     (frontier.robots.crawl_delay_budgets, the table politeness_split
@@ -3845,6 +3920,7 @@ QUERIES = {
     "warc_wet": q_warc_wet,
     "doc_sample": q_doc_sample,
     "anchor_text": q_anchor_text,
+    "robots_meta": q_robots_meta,
     "crawl_delay_budgets": q_crawl_delay_budgets,
     "pii_scrub": q_pii_scrub,
     "blocklist_filter": q_blocklist_filter,
@@ -4751,6 +4827,18 @@ ORACLES = {
                CAST(COUNT(DISTINCT anchor) AS BIGINT) AS n_unique,
                string_agg(DISTINCT anchor, '|' ORDER BY anchor) AS anchors
         FROM l GROUP BY url
+    """,
+    "robots_meta": """
+        SELECT doc_id,
+               doc_id % 5 IN (0, 1) AS noindex,
+               doc_id % 5 IN (0, 1, 2) AS nofollow,
+               CAST(2 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+                    AS BIGINT) AS n_links,
+               CAST(CASE WHEN doc_id % 5 IN (0, 1, 2) THEN 0
+                         ELSE 1 + CASE WHEN doc_id % 3 = 0
+                                       THEN 1 ELSE 0 END
+                    END AS BIGINT) AS n_follow
+        FROM documents
     """,
     "pii_scrub": _pii_oracle_sql(),
     "blocklist_filter": _blocklist_oracle_sql(),

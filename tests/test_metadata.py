@@ -133,3 +133,49 @@ def test_image_caption_pairs_plan_is_codegen_joins(spark):
     df = md.image_caption_pairs(_pages(spark, [body]))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
+
+
+# ------------------------------------------------------- robots directives
+
+def _dirs(spark, body, header=None):
+    df = spark.createDataFrame(
+        [(body, header)], "body string, xrobots string"
+    )
+    d = md.robots_directives(F.col("body"), F.col("xrobots"))
+    return df.select(d.alias("d")).collect()[0]["d"]
+
+
+def test_robots_meta_tokens(spark):
+    d = _dirs(spark, "<meta name='robots' content=' NOINDEX , nofollow '>")
+    assert (d["noindex"], d["nofollow"]) == (True, True)
+    d = _dirs(spark, '<meta name="robots" content="none">')
+    assert (d["noindex"], d["nofollow"]) == (True, True)
+    d = _dirs(spark, "<meta name='robots' content='all, max-snippet:-1'>")
+    assert (d["noindex"], d["nofollow"]) == (False, False)
+    d = _dirs(spark, "<p>no meta at all</p>")
+    assert (d["noindex"], d["nofollow"]) == (False, False)
+
+
+def test_robots_header_merges_restrictively(spark):
+    # header alone restricts
+    d = _dirs(spark, "<p></p>", "noindex, unavailable_after: 25 Jun 2026")
+    assert (d["noindex"], d["nofollow"]) == (True, False)
+    # meta 'all' cannot undo a header restriction
+    d = _dirs(
+        spark, "<meta name='robots' content='all'>", "nofollow"
+    )
+    assert (d["noindex"], d["nofollow"]) == (False, True)
+
+
+def test_rel_nofollow_tokens(spark):
+    df = spark.createDataFrame(
+        [("NoFollow noopener",), ("ugc sponsored",), (None,)],
+        "rel string",
+    )
+    got = [
+        r["nf"]
+        for r in df.select(
+            md.rel_nofollow(F.col("rel")).alias("nf")
+        ).collect()
+    ]
+    assert got == [True, False, False]
