@@ -3579,6 +3579,33 @@ def q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_public_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered-domain (eTLD+1) extraction with full publicsuffix.org
+    semantics (domains.registered_domain): multi-label rules (co.uk),
+    private-domain rules (github.io), the wildcard/exception pair
+    (*.ck / !www.ck), the implicit default rule, and bare-suffix hosts
+    (registered_domain NULL).  Scale: broadcast rule table, bounded
+    suffix explode, ONE partial-agg groupBy per row — the ownership
+    key every politeness/blocklist/dedup stage downstream joins on."""
+    from mechaml_spark import domains
+
+    d = _t(spark, sf_dir, "documents")
+    k = d.doc_id % 10
+    host = (
+        F.when(d.doc_id % 7 == 0, F.concat(F.lit("www.site"), k, F.lit(".co.uk")))
+        .when(d.doc_id % 7 == 1, F.concat(F.lit("deep.a.site"), k, F.lit(".com")))
+        .when(d.doc_id % 7 == 2, F.concat(F.lit("b.foo"), k, F.lit(".ck")))
+        .when(d.doc_id % 7 == 3, F.lit("www.ck"))
+        .when(d.doc_id % 7 == 4, F.concat(F.lit("host"), k, F.lit(".unknowntld")))
+        .when(d.doc_id % 7 == 5, F.lit("co.uk"))
+        .otherwise(F.concat(F.lit("sub.x"), k, F.lit(".github.io")))
+    )
+    hosts = d.select("doc_id", host.alias("host"))
+    return domains.registered_domain(
+        hosts, "host", "doc_id", domains.rule_table(spark)
+    ).select("doc_id", "host", "public_suffix", "registered_domain")
+
+
 def q_robots_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Page-level robots directives + link-level nofollow — the
     crawl-side counterpart of robots.txt: ``<meta name=robots>`` and
@@ -3921,6 +3948,7 @@ QUERIES = {
     "doc_sample": q_doc_sample,
     "anchor_text": q_anchor_text,
     "robots_meta": q_robots_meta,
+    "public_suffix": q_public_suffix,
     "crawl_delay_budgets": q_crawl_delay_budgets,
     "pii_scrub": q_pii_scrub,
     "blocklist_filter": q_blocklist_filter,
@@ -4827,6 +4855,37 @@ ORACLES = {
                CAST(COUNT(DISTINCT anchor) AS BIGINT) AS n_unique,
                string_agg(DISTINCT anchor, '|' ORDER BY anchor) AS anchors
         FROM l GROUP BY url
+    """,
+    "public_suffix": """
+        SELECT doc_id,
+               CASE doc_id % 7
+                 WHEN 0 THEN 'www.site' || (doc_id % 10) || '.co.uk'
+                 WHEN 1 THEN 'deep.a.site' || (doc_id % 10) || '.com'
+                 WHEN 2 THEN 'b.foo' || (doc_id % 10) || '.ck'
+                 WHEN 3 THEN 'www.ck'
+                 WHEN 4 THEN 'host' || (doc_id % 10) || '.unknowntld'
+                 WHEN 5 THEN 'co.uk'
+                 ELSE 'sub.x' || (doc_id % 10) || '.github.io'
+               END AS host,
+               CASE doc_id % 7
+                 WHEN 0 THEN 'co.uk'
+                 WHEN 1 THEN 'com'
+                 WHEN 2 THEN 'foo' || (doc_id % 10) || '.ck'
+                 WHEN 3 THEN 'ck'
+                 WHEN 4 THEN 'unknowntld'
+                 WHEN 5 THEN 'co.uk'
+                 ELSE 'github.io'
+               END AS public_suffix,
+               CASE doc_id % 7
+                 WHEN 0 THEN 'site' || (doc_id % 10) || '.co.uk'
+                 WHEN 1 THEN 'site' || (doc_id % 10) || '.com'
+                 WHEN 2 THEN 'b.foo' || (doc_id % 10) || '.ck'
+                 WHEN 3 THEN 'www.ck'
+                 WHEN 4 THEN 'host' || (doc_id % 10) || '.unknowntld'
+                 WHEN 5 THEN NULL
+                 ELSE 'x' || (doc_id % 10) || '.github.io'
+               END AS registered_domain
+        FROM documents
     """,
     "robots_meta": """
         SELECT doc_id,
