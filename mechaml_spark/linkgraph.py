@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "connected_components"]
+__all__ = ["pagerank", "hits", "connected_components"]
 
 
 def pagerank(
@@ -111,6 +111,75 @@ def pagerank(
         # truncate lineage so n_iter doesn't stack into one mega-plan
         ranks = ranks.localCheckpoint(eager=False)
     return ranks
+
+
+def hits(
+    edges: DataFrame,
+    n_iter: int = 3,
+    scale: int = 10**6,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999, "Authoritative
+    Sources in a Hyperlinked Environment") in exact integer
+    fixed-point — the complement to :func:`pagerank` for frontier
+    prioritization: authorities are the pages worth fetching,
+    hubs the directory/listing pages worth re-parsing for links.
+
+    Per iteration:
+
+        auth_raw(v) = sum over in-edges (u, v) of hub(u)
+        auth(v)     = auth_raw(v) div max(1, total_auth_raw div scale)
+        hub_raw(u)  = sum over out-edges (u, v) of auth(v)
+        hub(u)      = hub_raw(u) div max(1, total_hub_raw div scale)
+
+    The normalization divides by a PRE-DIVIDED total (never
+    ``x * scale // tot``), so no intermediate exceeds
+    ``|E| * scale`` — with ``scale = 10^6`` that stays inside int64
+    to 10^12 edges.  The price is a coarse L1: each iteration's total
+    lands in ``(scale/2, 2*scale]`` rather than at scale exactly —
+    fine for ranking, which only compares scores within one
+    iteration.  Every division is a pinned integer floor:
+    bit-reproducible across partitionings/parallelism and unrollable
+    by the DuckDB oracle (same discipline as :func:`pagerank`).
+
+    Scale posture: per iteration two equi-joins on node ids + two
+    partial-aggregated groupBys; the L1 totals are one-row aggregates
+    broadcast-crossJoined back (never a driver collect).  Returns
+    ``(node, hub, auth)`` in ``1/scale`` units.
+    """
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    norm = f"coalesce(raw, 0) div greatest(1, tot div {scale})"
+    hubs = nodes.withColumn("hub", F.lit(scale).cast("long"))
+    auths = nodes.withColumn("auth", F.lit(0).cast("long"))
+
+    def half(scores: DataFrame, score: str, join_on: str, out: str,
+             out_name: str) -> DataFrame:
+        raw = (
+            e.join(scores, e[join_on] == scores["node"])
+            .groupBy(F.col(out).alias("node"))
+            .agg(F.sum(score).alias("raw"))
+        )
+        tot = raw.agg(F.coalesce(F.sum("raw"), F.lit(0)).alias("tot"))
+        return (
+            nodes.join(raw, "node", "left")
+            .crossJoin(F.broadcast(tot))
+            .select("node", F.expr(norm).cast("long").alias(out_name))
+        )
+
+    for _ in range(n_iter):
+        auths = half(hubs, "hub", "src", "dst", "auth")
+        auths = auths.localCheckpoint(eager=False)
+        hubs = half(auths, "auth", "dst", "src", "hub")
+        hubs = hubs.localCheckpoint(eager=False)
+    return hubs.join(auths, "node").select("node", "hub", "auth")
 
 
 def connected_components(

@@ -2974,6 +2974,81 @@ def _pagerank_oracle_sql(n_iter: int = 3) -> str:
     return "".join(parts)
 
 
+def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities (linkgraph.hits) over the SAME
+    deterministic 500-node skewed graph as pagerank_frontier — node 0
+    is a 10x-in-degree authority, every 10th doc the hub pointing at
+    it.  Integer fixed-point with pinned pre-divided L1
+    normalization, so the DuckDB oracle unrolls the identical
+    formula bit-for-bit (float HITS could never hash-match)."""
+    from mechaml_spark.linkgraph import hits
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 1500
+    )
+    m = 500
+    e1 = d.select(
+        (F.col("doc_id") % m).alias("src"),
+        ((F.col("doc_id") * 7 + 1) % m).alias("dst"),
+    )
+    e2 = d.select(
+        (F.col("doc_id") % m).alias("src"),
+        ((F.col("doc_id") * 13 + 5) % m).alias("dst"),
+    )
+    e3 = d.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") % m).alias("src"),
+        F.lit(0).cast("long").alias("dst"),
+    )
+    return hits(e1.union(e2).union(e3), n_iter=3)
+
+
+def _hits_oracle_sql(n_iter: int = 3, scale: int = 10**6) -> str:
+    """DuckDB mirror of q_hits_scores: the same integer fixed-point
+    half-updates unrolled ``n_iter`` times."""
+    parts = [f"""
+        WITH e AS (
+            SELECT DISTINCT src, dst FROM (
+                SELECT doc_id % 500 AS src, (doc_id * 7 + 1) % 500 AS dst
+                FROM documents WHERE doc_id < 1500
+                UNION
+                SELECT doc_id % 500, (doc_id * 13 + 5) % 500
+                FROM documents WHERE doc_id < 1500
+                UNION
+                SELECT doc_id % 500, 0
+                FROM documents WHERE doc_id < 1500 AND doc_id % 10 = 0
+            )
+        ), nodes AS (
+            SELECT src AS node FROM e UNION SELECT dst FROM e
+        ),
+        h0 AS (SELECT node, CAST({scale} AS BIGINT) AS hub FROM nodes)"""]
+    for i in range(1, n_iter + 1):
+        parts.append(f""",
+        ar{i} AS (
+            SELECT e.dst AS node, SUM(h.hub) AS raw
+            FROM e JOIN h{i - 1} h ON e.src = h.node GROUP BY e.dst
+        ), at{i} AS (SELECT COALESCE(SUM(raw), 0) AS tot FROM ar{i}),
+        a{i} AS (
+            SELECT n.node,
+                   CAST(COALESCE(raw, 0)
+                        // GREATEST(1, tot // {scale}) AS BIGINT) AS auth
+            FROM nodes n CROSS JOIN at{i} LEFT JOIN ar{i} USING (node)
+        ), hr{i} AS (
+            SELECT e.src AS node, SUM(a.auth) AS raw
+            FROM e JOIN a{i} a ON e.dst = a.node GROUP BY e.src
+        ), ht{i} AS (SELECT COALESCE(SUM(raw), 0) AS tot FROM hr{i}),
+        h{i} AS (
+            SELECT n.node,
+                   CAST(COALESCE(raw, 0)
+                        // GREATEST(1, tot // {scale}) AS BIGINT) AS hub
+            FROM nodes n CROSS JOIN ht{i} LEFT JOIN hr{i} USING (node)
+        )""")
+    parts.append(
+        f"\n        SELECT node, hub, auth FROM h{n_iter} "
+        f"JOIN a{n_iter} USING (node)"
+    )
+    return "".join(parts)
+
+
 def q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate removal with a CLOSED-FORM oracle: synthesized
     pages carry four chrome/junk blocks every real page has — a nav
@@ -3934,6 +4009,7 @@ QUERIES = {
     "audio_container_features": q_audio_container_features,
     "media_probe": q_media_probe,
     "pagerank_frontier": q_pagerank_frontier,
+    "hits_scores": q_hits_scores,
     "main_content": q_main_content,
     "bm25_score": q_bm25_score,
     "url_hygiene": q_url_hygiene,
@@ -4784,6 +4860,7 @@ ORACLES = {
         FROM amp
     """,
     "pagerank_frontier": _pagerank_oracle_sql(3),
+    "hits_scores": _hits_oracle_sql(3),
     "url_hygiene": """
         SELECT doc_id,
                doc_id % 11 = 0 AS long_url,

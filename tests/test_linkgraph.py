@@ -75,3 +75,48 @@ def test_rank_mass_approximately_conserved(spark):
     # floor divisions only ever LOSE mass, and at most a few units per
     # node per iteration
     assert 0.999 * 10**9 < total <= 10**9
+
+
+# ----------------------------------------------------------------- HITS
+
+def test_hits_hub_authority_separation(spark):
+    # classic bipartite shape: 0,1,2 all point at 8 and 9; 8,9 have
+    # no out-edges.  0-2 must be pure hubs, 8-9 pure authorities.
+    from mechaml_spark.linkgraph import hits
+
+    e = _edges(spark, [(s, d) for s in (0, 1, 2) for d in (8, 9)])
+    got = {r["node"]: (r["hub"], r["auth"]) for r in hits(e).collect()}
+    for n in (0, 1, 2):
+        assert got[n][0] > 0 and got[n][1] == 0
+    for n in (8, 9):
+        assert got[n][0] == 0 and got[n][1] > 0
+    # symmetric roles get identical scores
+    assert got[0] == got[1] == got[2] and got[8] == got[9]
+
+
+def test_hits_partitioning_invariance(spark):
+    from mechaml_spark.linkgraph import hits
+
+    pairs = [(i % 17, (i * 5 + 3) % 17) for i in range(60)]
+    e = _edges(spark, pairs)
+    a = {r["node"]: (r["hub"], r["auth"])
+         for r in hits(e.repartition(2), n_iter=3).collect()}
+    b = {r["node"]: (r["hub"], r["auth"])
+         for r in hits(e.repartition(13), n_iter=3).collect()}
+    assert a == b  # exact equality — integer fixed-point
+
+
+def test_hits_l1_normalization_bound(spark):
+    from mechaml_spark.linkgraph import hits
+
+    e = _edges(spark, [(0, 1), (1, 2), (2, 0), (3, 0), (0, 3)])
+    r = hits(e, n_iter=3).agg(
+        F.sum("hub").alias("h"), F.sum("auth").alias("a")
+    ).collect()[0]
+    # pre-divided L1 normalization bounds each total within a factor
+    # of 2 of scale: denom = floor(tot/scale) >= 1, so the normalized
+    # total is tot/denom in (scale/2, 2*scale].  Relative scores are
+    # what the frontier sorts on; the absolute magnitude only needs
+    # to stay bounded (no drift across iterations).
+    assert 0.5 * 10**6 < r["h"] <= 2 * 10**6
+    assert 0.5 * 10**6 < r["a"] <= 2 * 10**6
