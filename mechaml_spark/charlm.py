@@ -1,0 +1,101 @@
+"""Char-trigram language-model quality scoring — the CCNet move
+(Wenzek et al. 2020: score crawled text by an LM trained on a clean
+reference corpus; low-familiarity docs are gibberish/boilerplate/
+wrong-language) re-expressed as two relational passes with EXACT
+integer arithmetic.
+
+Instead of KenLM perplexity (floats, external binary), the score is
+mean trigram familiarity in ppm-of-corpus units:
+
+    familiarity(tri) = count_ref(tri) div max(1, total_ref div 10^6)
+    score(doc)       = sum(familiarity over doc trigrams) div n_tri
+
+The denominator is PRE-DIVIDED (never ``cnt * 10^6 // total``), so
+nothing exceeds int64 even at a 10^14-trigram reference corpus, and
+every division is a pinned integer floor — the DuckDB oracle
+recomputes the identical formula exactly.  Ranking behavior matches
+the perplexity filter: common-shaped text scores high, gibberish and
+out-of-model text scores near zero.
+
+Scale posture:
+  * TRAIN: normalize -> explode trigrams -> groupBy(tri).count().
+    Partial aggregation collapses each task's trigrams map-side, so
+    the shuffle carries at most |alphabet|^3 (~20k for [a-z ])
+    rows per task, NOT one row per corpus character.
+  * SCORE: the model is a <=20k-row table — broadcast hash join
+    against the per-doc trigram explode, then one partial-agg
+    groupBy(doc).  No shuffle ever carries text.
+
+Normalization is the pinned [a-z ]-projection (lower, non-letters to
+single spaces, trim) shared with the oracle; swap in a richer
+alphabet the same way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+PPM = 10**6
+
+
+def normalize_col(text: Column) -> Column:
+    """Pinned LM alphabet projection: lowercase, every non-[a-z] run
+    becomes one space, trimmed."""
+    return F.trim(F.regexp_replace(F.lower(text), "[^a-z]+", " "))
+
+
+def trigrams_col(norm: Column) -> Column:
+    """Array of all char trigrams of a normalized string (empty when
+    shorter than 3 chars).  Expression-only."""
+    return F.when(
+        F.length(norm) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.length(norm) - 2),
+            lambda i: norm.substr(i, F.lit(3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def train_char_lm(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Trigram counts over the reference corpus: ``(tri, cnt)``.
+    One partial-aggregated groupBy; bounded by |alphabet|^3 rows."""
+    tris = df.select(
+        F.explode(trigrams_col(normalize_col(F.col(text_col)))).alias("tri")
+    )
+    return tris.groupBy("tri").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def score_docs(
+    df: DataFrame,
+    model: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Mean trigram familiarity per document: ``(key, n_tri, score)``.
+    Docs with no trigrams after normalization are dropped (nothing to
+    score).  ``model`` comes from :func:`train_char_lm` and is
+    broadcast; its total is a one-row aggregate crossJoined in."""
+    total = model.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).alias("tot")
+    )
+    doc_tris = df.select(
+        key_col,
+        F.explode(
+            trigrams_col(normalize_col(F.col(text_col)))
+        ).alias("tri"),
+    )
+    joined = (
+        doc_tris.join(F.broadcast(model), "tri", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            key_col,
+            F.expr(
+                f"coalesce(cnt, 0) div greatest(1, tot div {PPM})"
+            ).alias("fam"),
+        )
+    )
+    return joined.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_tri"),
+        F.expr("sum(fam) div count(1)").cast("long").alias("score"),
+    )

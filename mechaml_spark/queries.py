@@ -2493,6 +2493,28 @@ def q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_charlm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring (charlm.py): a char-trigram
+    model trained distributed on the even-doc_id half of the corpus,
+    every doc scored by mean trigram familiarity in exact integer
+    ppm units.  Every 5th doc is char-reversed before scoring — its
+    trigrams fall out of the model, so it scores near zero (the
+    gibberish/wrong-language discrimination CCNet's perplexity
+    filter performs).  Model broadcast, pre-divided denominator
+    (int64-safe at any corpus size); DuckDB recomputes identically."""
+    from mechaml_spark import charlm
+
+    d = _t(spark, sf_dir, "documents")
+    model = charlm.train_char_lm(d.where(d.doc_id % 2 == 0))
+    scored_in = d.select(
+        "doc_id",
+        F.when(d.doc_id % 5 == 4, F.reverse(d.text))
+        .otherwise(d.text)
+        .alias("text"),
+    )
+    return charlm.score_docs(scored_in, model)
+
+
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force max-inner-product top-5 on integer-quantized
     embeddings (quantization keeps the cross-engine compare exact;
@@ -3996,6 +4018,7 @@ QUERIES = {
     "pdf_text_extract": q_pdf_text_extract,
     "repetition_filter": q_repetition_filter,
     "c4_filters": q_c4_filters,
+    "charlm_score": q_charlm_score,
     "html_text": q_html_text,
     "robots_rfc": q_robots_rfc,
     "mime_sniff": q_mime_sniff,
@@ -4714,6 +4737,36 @@ ORACLES = {
         FROM base
         JOIN t1 USING (doc_id)
         LEFT JOIN b1 USING (doc_id)
+    """,
+    "charlm_score": """
+        WITH nrm AS (
+            SELECT doc_id,
+                   trim(regexp_replace(lower(
+                       CASE WHEN doc_id % 5 = 4 THEN reverse(text)
+                            ELSE text END), '[^a-z]+', ' ', 'g')) AS s
+            FROM documents),
+        ref AS (
+            SELECT trim(regexp_replace(lower(text),
+                                       '[^a-z]+', ' ', 'g')) AS s
+            FROM documents WHERE doc_id % 2 = 0),
+        model AS (
+            SELECT substr(s, CAST(i AS INT), 3) AS tri, COUNT(*) AS cnt
+            FROM (SELECT s, unnest(range(1, len(s) - 1)) AS i
+                  FROM ref WHERE len(s) >= 3)
+            GROUP BY tri),
+        tot AS (SELECT COALESCE(SUM(cnt), 0) AS tot FROM model),
+        dt AS (
+            SELECT doc_id, substr(s, CAST(i AS INT), 3) AS tri
+            FROM (SELECT doc_id, s, unnest(range(1, len(s) - 1)) AS i
+                  FROM nrm WHERE len(s) >= 3)),
+        fam AS (
+            SELECT doc_id,
+                   COALESCE(cnt, 0)
+                       // GREATEST(1, tot // 1000000) AS fam
+            FROM dt LEFT JOIN model USING (tri) CROSS JOIN tot)
+        SELECT doc_id, COUNT(*) AS n_tri,
+               CAST(SUM(fam) // COUNT(*) AS BIGINT) AS score
+        FROM fam GROUP BY doc_id
     """,
     "c4_filters": """
         WITH pages AS (
