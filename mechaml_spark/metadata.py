@@ -390,3 +390,51 @@ def rel_nofollow(rel: Column) -> Column:
     return F.array_contains(
         F.split(F.lower(F.coalesce(rel, F.lit(""))), r"\s+"), "nofollow"
     )
+
+
+# ------------------------------------------------------- publish date
+
+_TIME_DT_RE = r"(?is)<time\b[^>]*\bdatetime\s*=\s*[\"']([^\"']+)[\"']"
+_URL_DATE_RE = r"/((?:19|20)\d{2})/(\d{2})(?:/(\d{2}))?/"
+_ISO_DAY_RE = r"^\d{4}-(0[1-9]|1[0-2])-(0[1-9]|[12]\d|3[01])$"
+
+
+def published_date(body: Column, url: Column) -> Column:
+    """Publish-date extraction with the documented precedence chain
+    (trafilatura/htmldate shape): JSON-LD ``datePublished`` > ``<meta
+    article:published_time>`` > first ``<time datetime=...>`` > a
+    ``/YYYY/MM[/DD]/`` URL path segment (day defaults to 01).
+
+    Every candidate is cut to its first 10 chars and must pass the
+    pinned ISO-day grammar (month 01-12, day 01-31) or it falls
+    through to the next rung — a malformed high-precedence tag never
+    shadows a valid lower one.  Returns struct ``(pub_date, source)``,
+    both NULL when no rung validates.  Expression-only: regexp +
+    get_json_object, rides the parse projection as codegen."""
+
+    def norm(c: Column) -> Column:
+        d = F.substring(c, 1, 10)
+        return F.when(d.rlike(_ISO_DAY_RE), d)
+
+    block = _nonempty(F.regexp_extract(body, _JSONLD_RE, 1))
+    rungs: list[tuple[str, Column]] = [
+        ("jsonld", norm(F.get_json_object(block, "$.datePublished"))),
+        ("meta", norm(meta_content_col(body, "article:published_time"))),
+        ("time", norm(F.regexp_extract(body, _TIME_DT_RE, 1))),
+    ]
+    y = F.regexp_extract(url, _URL_DATE_RE, 1)
+    m = F.regexp_extract(url, _URL_DATE_RE, 2)
+    dd = F.regexp_extract(url, _URL_DATE_RE, 3)
+    url_date = F.when(
+        y != "",
+        F.concat_ws(
+            "-", y, m, F.when(dd == "", F.lit("01")).otherwise(dd)
+        ),
+    )
+    rungs.append(("url", norm(url_date)))
+
+    pub = F.coalesce(*[c for _, c in rungs])
+    source = F.lit(None).cast("string")
+    for name, col in reversed(rungs):
+        source = F.when(col.isNotNull(), F.lit(name)).otherwise(source)
+    return F.struct(pub.alias("pub_date"), source.alias("source"))

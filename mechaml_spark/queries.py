@@ -3703,6 +3703,71 @@ def q_public_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "host", "public_suffix", "registered_domain")
 
 
+def q_pub_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Publish-date extraction (metadata.published_date): six page
+    shapes — JSON-LD datePublished, article:published_time meta,
+    <time datetime>, URL /YYYY/MM/ path (day defaults), an INVALID
+    meta date (2022-13-40) that must fall through to a valid <time>
+    rung, and a dateless page (NULL row kept).  Day-of-month varies
+    with doc_id so the grammar check sees the full 01-28 range.
+    Expression-only — one codegen project over (url, body)."""
+    from mechaml_spark import metadata as md
+
+    d = _t(spark, sf_dir, "documents")
+    m6 = d.doc_id % 6
+    day = F.lpad((d.doc_id % 28 + 1).cast("string"), 2, "0")
+    body = (
+        F.when(
+            m6 == 0,
+            F.concat(
+                F.lit(
+                    '<script type="application/ld+json">'
+                    '{"datePublished": "2023-05-'
+                ),
+                day,
+                F.lit('T10:00:00Z"}</script>'),
+            ),
+        )
+        .when(
+            m6 == 1,
+            F.concat(
+                F.lit("<meta property='article:published_time' "
+                      "content='2022-11-"),
+                day,
+                F.lit("'>"),
+            ),
+        )
+        .when(
+            m6 == 2,
+            F.concat(
+                F.lit("<time datetime='2021-07-"), day, F.lit("'>x</time>")
+            ),
+        )
+        .when(
+            m6 == 4,
+            F.concat(
+                F.lit("<meta property='article:published_time' "
+                      "content='2022-13-40'>"
+                      "<time datetime='2019-01-"),
+                day,
+                F.lit("'>y</time>"),
+            ),
+        )
+        .otherwise(F.lit("<p>plain</p>"))
+    )
+    url = F.when(
+        m6 == 3,
+        F.concat(F.lit("http://s.test/blog/2020/09/d"), d.doc_id, F.lit("/")),
+    ).otherwise(F.concat(F.lit("http://s.test/d"), d.doc_id))
+    pages = d.select("doc_id", url.alias("url"), body.alias("body"))
+    pd_ = md.published_date(F.col("body"), F.col("url"))
+    return pages.select(
+        "doc_id",
+        pd_["pub_date"].alias("pub_date"),
+        pd_["source"].alias("source"),
+    )
+
+
 def q_robots_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Page-level robots directives + link-level nofollow — the
     crawl-side counterpart of robots.txt: ``<meta name=robots>`` and
@@ -4048,6 +4113,7 @@ QUERIES = {
     "anchor_text": q_anchor_text,
     "robots_meta": q_robots_meta,
     "public_suffix": q_public_suffix,
+    "pub_date": q_pub_date,
     "crawl_delay_budgets": q_crawl_delay_budgets,
     "pii_scrub": q_pii_scrub,
     "blocklist_filter": q_blocklist_filter,
@@ -4985,6 +5051,30 @@ ORACLES = {
                CAST(COUNT(DISTINCT anchor) AS BIGINT) AS n_unique,
                string_agg(DISTINCT anchor, '|' ORDER BY anchor) AS anchors
         FROM l GROUP BY url
+    """,
+    "pub_date": """
+        SELECT doc_id,
+               CASE doc_id % 6
+                 WHEN 0 THEN '2023-05-'
+                     || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+                 WHEN 1 THEN '2022-11-'
+                     || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+                 WHEN 2 THEN '2021-07-'
+                     || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+                 WHEN 3 THEN '2020-09-01'
+                 WHEN 4 THEN '2019-01-'
+                     || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+                 ELSE NULL
+               END AS pub_date,
+               CASE doc_id % 6
+                 WHEN 0 THEN 'jsonld'
+                 WHEN 1 THEN 'meta'
+                 WHEN 2 THEN 'time'
+                 WHEN 3 THEN 'url'
+                 WHEN 4 THEN 'time'
+                 ELSE NULL
+               END AS source
+        FROM documents
     """,
     "public_suffix": """
         SELECT doc_id,

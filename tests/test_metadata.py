@@ -179,3 +179,40 @@ def test_rel_nofollow_tokens(spark):
         ).collect()
     ]
     assert got == [True, False, False]
+
+
+# ------------------------------------------------------- publish date
+
+def _pub(spark, body, url="http://h.test/p"):
+    df = spark.createDataFrame([(url, body)], "url string, body string")
+    d = md.published_date(F.col("body"), F.col("url"))
+    r = df.select(d.alias("d")).collect()[0]["d"]
+    return (r["pub_date"], r["source"])
+
+
+def test_pub_date_precedence(spark):
+    jsonld = ('<script type="application/ld+json">'
+              '{"datePublished": "2023-05-17T10:00:00Z"}</script>')
+    meta = ("<meta property='article:published_time' "
+            "content='2022-11-03'>")
+    time_tag = "<time datetime='2021-07-04T08:00'>x</time>"
+    assert _pub(spark, jsonld + meta + time_tag) == ("2023-05-17", "jsonld")
+    assert _pub(spark, meta + time_tag) == ("2022-11-03", "meta")
+    assert _pub(spark, time_tag) == ("2021-07-04", "time")
+    assert _pub(spark, "<p>x</p>",
+                "http://h.test/blog/2020/09/p1/") == ("2020-09-01", "url")
+    assert _pub(spark, "<p>x</p>",
+                "http://h.test/blog/2020/09/14/p1/") == ("2020-09-14", "url")
+    assert _pub(spark, "<p>x</p>") == (None, None)
+
+
+def test_pub_date_invalid_falls_through(spark):
+    bad_meta = ("<meta property='article:published_time' "
+                "content='2022-13-40'>")
+    time_tag = "<time datetime='2019-01-31'>y</time>"
+    assert _pub(spark, bad_meta + time_tag) == ("2019-01-31", "time")
+    # invalid everywhere -> NULL, not a garbage date
+    assert _pub(spark, bad_meta) == (None, None)
+    # day 00 / 32 rejected by the grammar
+    assert _pub(spark, "<time datetime='2019-01-00'>y</time>") == (None, None)
+    assert _pub(spark, "<time datetime='2019-01-32'>y</time>") == (None, None)
