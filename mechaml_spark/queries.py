@@ -3608,6 +3608,69 @@ def q_warc_wet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_warc_wat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Common Crawl WAT product end-to-end: synthesized pages
+    (title + links in both quote styles) -> WARC response segments ->
+    parse -> expression-only WAT metadata (warc.wat_metadata, JSON
+    envelope with HTTP status/content-type + title/links) -> REAL
+    metadata-record segments with WARC-Refers-To -> parse back ->
+    from_json field extraction.  The oracle rebuilds every field
+    closed-form, incl. the md5-derived refers_to id."""
+    import pandas as _pd
+
+    from mechaml_spark import warc as _warc
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 300
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                extra = (
+                    f"<a class='x' href='http://l.test/c{did}'>c</a>"
+                    if did % 3 == 0
+                    else ""
+                )
+                html = (
+                    f"<html><head><title>T{did}</title></head><body>"
+                    f'<a href="http://l.test/a{did}">a</a>'
+                    f"<a href='http://l.test/b{did}'>b</a>{extra}"
+                    "</body></html>"
+                )
+                rows.append(
+                    {
+                        "uri": f"http://docs.test/{did}",
+                        "body": html,
+                        "date": "2026-01-01T00:00:00Z",
+                    }
+                )
+            yield _pd.DataFrame(rows, columns=["uri", "body", "date"])
+
+    pages = d.mapInPandas(gen, schema="uri string, body string, date string")
+    segs = _warc.to_warc_segments(pages, content_type="text/html")
+    recs = _warc.parse_warc_segments(segs)
+    wat = _warc.wat_metadata(recs)
+    back = _warc.parse_warc_segments(_warc.to_wat_segments(wat))
+    env = F.from_json(
+        F.col("block").cast("string"),
+        "http struct<status:int, content_type:string>, "
+        "html struct<title:string, links:array<string>>",
+    )
+    return back.select(
+        F.element_at(F.split("uri", "/"), -1).cast("long").alias("doc_id"),
+        "warc_type",
+        env["http"]["status"].alias("status"),
+        env["http"]["content_type"].alias("content_type"),
+        env["html"]["title"].alias("title"),
+        F.size(env["html"]["links"]).cast("long").alias("n_links"),
+        F.element_at(env["html"]["links"], 1).alias("first_link"),
+        "refers_to",
+    )
+
+
 def q_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling + train/val/test assignment
     (mechaml_spark.sampling): keep 50% of en, 25% of de, 12.5% of
@@ -4109,6 +4172,7 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "video_keyframes": q_video_keyframes,
     "warc_wet": q_warc_wet,
+    "warc_wat": q_warc_wat,
     "doc_sample": q_doc_sample,
     "anchor_text": q_anchor_text,
     "robots_meta": q_robots_meta,
@@ -5159,6 +5223,23 @@ ORACLES = {
         WHERE u < CASE lang WHEN 'en' THEN 2147483648
                             WHEN 'de' THEN 1073741824
                             ELSE 536870912 END
+    """,
+    "warc_wat": """
+        WITH t AS (
+            SELECT doc_id, md5('http://docs.test/' || doc_id) AS h
+            FROM documents WHERE doc_id < 300)
+        SELECT doc_id,
+               'metadata' AS warc_type,
+               CAST(200 AS INT) AS status,
+               'text/html' AS content_type,
+               'T' || doc_id AS title,
+               CAST(2 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+                    AS BIGINT) AS n_links,
+               'http://l.test/a' || doc_id AS first_link,
+               'urn:uuid:' || substr(h, 1, 8) || '-' || substr(h, 9, 4)
+                   || '-5' || substr(h, 14, 3) || '-a' || substr(h, 18, 3)
+                   || '-' || substr(h, 21, 12) AS refers_to
+        FROM t
     """,
     "warc_wet": """
         WITH t AS (

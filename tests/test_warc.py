@@ -257,3 +257,59 @@ def test_wet_conversion_links_and_text(spark):
     orig = recs.collect()[0]
     assert r["refers_to"] == orig["record_id"]
     assert orig["refers_to"] is None  # response records carry none
+
+
+def test_wat_metadata_envelope_pinned(spark):
+    import json
+
+    from mechaml_spark import warc
+
+    pages = spark.createDataFrame(
+        [
+            (
+                "http://w.test/1",
+                "<html><head><title> My Page </title></head><body>"
+                '<a href="http://w.test/a">a</a>'
+                "<a rel='x' href='http://w.test/b'>b</a></body></html>",
+                "2026-01-01T00:00:00Z",
+            )
+        ],
+        "uri string, body string, date string",
+    )
+    recs = warc.parse_warc_segments(
+        warc.to_warc_segments(pages, content_type="text/html")
+    )
+    wat = warc.wat_metadata(recs)
+    back = warc.parse_warc_segments(warc.to_wat_segments(wat)).collect()
+    assert len(back) == 1
+    r = back[0]
+    assert r["warc_type"] == "metadata"
+    env = json.loads(bytes(r["block"]).decode())
+    assert env == {
+        "http": {"status": 200, "content_type": "text/html"},
+        "html": {
+            "title": "My Page",
+            "links": ["http://w.test/a", "http://w.test/b"],
+        },
+    }
+    orig = recs.collect()[0]
+    assert r["refers_to"] == orig["record_id"]
+
+
+def test_wat_metadata_no_title_no_links(spark):
+    import json
+
+    from mechaml_spark import warc
+
+    pages = spark.createDataFrame(
+        [("http://w.test/2", "<p>bare</p>", "2026-01-01T00:00:00Z")],
+        "uri string, body string, date string",
+    )
+    recs = warc.parse_warc_segments(
+        warc.to_warc_segments(pages, content_type="text/html")
+    )
+    row = warc.wat_metadata(recs).collect()[0]
+    env = json.loads(row["payload"])
+    # to_json drops NULL title; empty link array survives
+    assert env["html"] == {"links": []}
+    assert env["http"]["status"] == 200
