@@ -1419,3 +1419,76 @@ def decode_audio(
             yield out
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+# ------------------------------------------------------- color histogram
+
+COLORHIST_T = T.StructType(
+    [
+        T.StructField("ok", T.BooleanType()),
+        T.StructField("n_px", T.LongType()),
+        T.StructField("hist", T.ArrayType(T.LongType())),  # 64 bins
+        T.StructField("dom_bin", T.IntegerType()),
+        T.StructField("dom_milli", T.LongType()),  # dominant fraction x1000
+    ]
+)
+
+
+def _colorhist_row(data: bytes | None, fmt: str) -> dict:
+    bad = {"ok": False, "n_px": None, "hist": None,
+           "dom_bin": None, "dom_milli": None}
+    if data is None:
+        return bad
+    try:
+        px = imaging.decode(bytes(data), fmt)
+    except NotImplementedError:
+        raise
+    except Exception:
+        return bad
+    bins = (
+        (px[..., 0].astype(np.int64) >> 6) * 16
+        + (px[..., 1].astype(np.int64) >> 6) * 4
+        + (px[..., 2].astype(np.int64) >> 6)
+    ).ravel()
+    hist = np.bincount(bins, minlength=64)
+    dom = int(np.argmax(hist))  # ties -> lowest bin id (pinned)
+    n = int(bins.size)
+    return {
+        "ok": True,
+        "n_px": n,
+        "hist": [int(x) for x in hist],
+        "dom_bin": dom,
+        "dom_milli": int(hist[dom]) * 1000 // n,
+    }
+
+
+def color_histogram(
+    df: DataFrame, bytes_col: str = "bytes", fmt_col: str = "fmt"
+) -> DataFrame:
+    """Append a ``colorhist`` struct: 64-bin quantized RGB histogram
+    (2 bits per channel — bin = (r>>6)*16 + (g>>6)*4 + (b>>6)),
+    dominant bin (ties break to the LOWEST bin id, pinned so the
+    result is engine-portable), and the dominant fraction in exact
+    x1000 fixed-point.  The LAION/DataComp-style color gate: a
+    dom_milli near 1000 is a flat/monochrome image not worth caption
+    or embedding spend; the histogram is the cheap palette signature
+    for near-dup blocking.
+
+    Same scale posture as ``image_features``: decode happens inside
+    mapInPandas per Arrow batch, pixels never shuffle — only the
+    64-long histogram leaves the task."""
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("colorhist", COLORHIST_T)]
+    )
+    cols = df.columns
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[cols].copy()
+            out["colorhist"] = [
+                _colorhist_row(b, f)
+                for b, f in zip(pdf[bytes_col], pdf[fmt_col])
+            ]
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)

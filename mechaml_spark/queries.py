@@ -491,6 +491,54 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_colorhist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized color histogram + dominant-color gate
+    (multimodal.color_histogram) with a closed-form oracle: each 8x8
+    PNG is two vertical half-planes — color A = ((d*7)%251, (d*11)%251,
+    (d*13)%251) on the left, its 255-complement on the right — so the
+    two occupied 2-bit bins, their 32/32 counts (or one 64 bin when A
+    and its complement quantize together), the pinned lowest-id
+    dominant bin, and the x1000 dominant fraction are all pure
+    integer arithmetic in SQL while Spark runs the real decode."""
+    import numpy as _np
+    import pandas as _pd
+
+    from mechaml_spark import imaging as _imaging
+    from mechaml_spark import multimodal
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 200
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                a = _np.array(
+                    [(did * 7) % 251, (did * 11) % 251, (did * 13) % 251],
+                    dtype=_np.uint8,
+                )
+                px = _np.empty((8, 8, 3), dtype=_np.uint8)
+                px[:, :4, :] = a
+                px[:, 4:, :] = 255 - a
+                rows.append(
+                    {"doc_id": did, "bytes": _imaging.png_encode(px),
+                     "fmt": "png"}
+                )
+            yield _pd.DataFrame(rows, columns=["doc_id", "bytes", "fmt"])
+
+    media = d.mapInPandas(gen, schema="doc_id long, bytes binary, fmt string")
+    ch = multimodal.color_histogram(media)
+    return ch.select(
+        "doc_id",
+        F.col("colorhist")["n_px"].alias("n_px"),
+        F.col("colorhist")["hist"].alias("hist"),
+        F.col("colorhist")["dom_bin"].alias("dom_bin"),
+        F.col("colorhist")["dom_milli"].alias("dom_milli"),
+    )
+
+
 def _phash_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 9x8 PNGs whose dHash is closed-form in SQL.
 
@@ -4121,6 +4169,7 @@ QUERIES = {
     "simhash_buckets": q_simhash_buckets,
     "ngram_jaccard": q_ngram_jaccard,
     "image_features": q_image_features,
+    "image_colorhist": q_image_colorhist,
     "image_phash": q_image_phash,
     "image_neardup": q_image_neardup,
     "image_jpeg_features": q_image_jpeg_features,
@@ -5223,6 +5272,27 @@ ORACLES = {
         WHERE u < CASE lang WHEN 'en' THEN 2147483648
                             WHEN 'de' THEN 1073741824
                             ELSE 536870912 END
+    """,
+    "image_colorhist": """
+        WITH c AS (
+            SELECT doc_id,
+                   ((doc_id * 7) % 251) // 64 * 16
+                   + ((doc_id * 11) % 251) // 64 * 4
+                   + ((doc_id * 13) % 251) // 64 AS bin_a,
+                   (255 - (doc_id * 7) % 251) // 64 * 16
+                   + (255 - (doc_id * 11) % 251) // 64 * 4
+                   + (255 - (doc_id * 13) % 251) // 64 AS bin_b
+            FROM documents WHERE doc_id < 200)
+        SELECT doc_id,
+               CAST(64 AS BIGINT) AS n_px,
+               list_transform(range(0, 64), i -> CAST(
+                   CASE WHEN i = bin_a AND bin_a = bin_b THEN 64
+                        WHEN i = bin_a OR i = bin_b THEN 32
+                        ELSE 0 END AS BIGINT)) AS hist,
+               CAST(least(bin_a, bin_b) AS INT) AS dom_bin,
+               CAST(CASE WHEN bin_a = bin_b THEN 1000 ELSE 500 END
+                    AS BIGINT) AS dom_milli
+        FROM c
     """,
     "warc_wat": """
         WITH t AS (

@@ -653,3 +653,31 @@ def test_decode_audio_stage_au_aiff(spark):
         assert r["n_samples"] == 800 and r["peak"] == 700
         assert r["rms_x1000"] == 700000
         assert r["zero_crossings"] == 799 // 4
+
+
+def test_color_histogram_stage(spark):
+    import numpy as np
+
+    from mechaml_spark import imaging, multimodal
+
+    flat = np.full((4, 4, 3), 200, dtype=np.uint8)     # one bin: 3*21=63
+    half = np.zeros((4, 4, 3), dtype=np.uint8)         # bins 0 and 63
+    half[:, 2:, :] = 255
+    df = spark.createDataFrame(
+        [
+            (0, bytearray(imaging.png_encode(flat)), "png"),
+            (1, bytearray(imaging.png_encode(half)), "png"),
+            (2, None, "png"),
+        ],
+        "doc_id long, bytes binary, fmt string",
+    )
+    got = {
+        r["doc_id"]: r["colorhist"]
+        for r in multimodal.color_histogram(df).collect()
+    }
+    assert got[0]["dom_bin"] == 63 and got[0]["dom_milli"] == 1000
+    assert got[0]["hist"][63] == 16 and sum(got[0]["hist"]) == 16
+    # two equal halves: dominant ties break to the LOWEST bin id
+    assert got[1]["dom_bin"] == 0 and got[1]["dom_milli"] == 500
+    assert got[1]["hist"][0] == 8 and got[1]["hist"][63] == 8
+    assert got[2]["ok"] is False and got[2]["hist"] is None
