@@ -2563,6 +2563,22 @@ def q_charlm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return charlm.score_docs(scored_in, model)
 
 
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, the corpus-statistics half (bpe.py):
+    word frequencies -> frequency-weighted adjacent symbol-pair
+    counts with the </w> marker -> top-20 merge candidates under the
+    pinned (cnt desc, pair asc) tie-break.  The two groupBys are the
+    only corpus-scale work in BPE training; merges then iterate on
+    the compact word table.  Expression-only pair generation (substr
+    arithmetic, no per-char explode)."""
+    from mechaml_spark import bpe
+
+    d = _t(spark, sf_dir, "documents")
+    return bpe.top_merge_candidates(
+        bpe.pair_counts(bpe.word_freqs(d)), k=20
+    )
+
+
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force max-inner-product top-5 on integer-quantized
     embeddings (quantization keeps the cross-engine compare exact;
@@ -4196,6 +4212,7 @@ QUERIES = {
     "repetition_filter": q_repetition_filter,
     "c4_filters": q_c4_filters,
     "charlm_score": q_charlm_score,
+    "bpe_pairs": q_bpe_pairs,
     "html_text": q_html_text,
     "robots_rfc": q_robots_rfc,
     "mime_sniff": q_mime_sniff,
@@ -4916,6 +4933,33 @@ ORACLES = {
         FROM base
         JOIN t1 USING (doc_id)
         LEFT JOIN b1 USING (doc_id)
+    """,
+    "bpe_pairs": """
+        WITH nrm AS (
+            SELECT trim(regexp_replace(lower(text),
+                                       '[^a-z]+', ' ', 'g')) AS s
+            FROM documents),
+        w AS (
+            SELECT word, COUNT(*) AS freq
+            FROM (SELECT unnest(list_filter(string_split(s, ' '),
+                                            x -> x <> '')) AS word
+                  FROM nrm)
+            GROUP BY word),
+        pairs AS (
+            SELECT freq,
+                   substr(word, CAST(i AS INT), 1) || '+'
+                       || substr(word, CAST(i AS INT) + 1, 1) AS pair
+            FROM (SELECT word, freq, unnest(range(1, len(word))) AS i
+                  FROM w)
+            UNION ALL
+            SELECT freq, substr(word, len(word), 1) || '+</w>' FROM w),
+        pc AS (SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt
+               FROM pairs GROUP BY pair)
+        SELECT * FROM (
+            SELECT CAST(row_number() OVER (ORDER BY cnt DESC, pair)
+                        AS BIGINT) AS rnk, pair, cnt
+            FROM pc)
+        WHERE rnk <= 20
     """,
     "charlm_score": """
         WITH nrm AS (
