@@ -438,3 +438,49 @@ def published_date(body: Column, url: Column) -> Column:
     for name, col in reversed(rungs):
         source = F.when(col.isNotNull(), F.lit(name)).otherwise(source)
     return F.struct(pub.alias("pub_date"), source.alias("source"))
+
+
+# ------------------------------------------------------- hreflang
+
+_LINK_TAG_RE = r"(?is)<link\b[^>]*>"
+_REL_ALT_RE = r"""(?is)\brel\s*=\s*["']alternate["']"""
+
+
+def hreflang_alternates(
+    df: DataFrame, url_col: str = "url", body_col: str = "body"
+) -> DataFrame:
+    """Explode every ``<link rel="alternate" hreflang=... href=...>``
+    into one row per language alternate — the multilingual seed
+    channel: a crawl targeting low-resource languages discovers the
+    ``de``/``sw``/``x-default`` variants of known pages here, not by
+    luck.  hreflang values are lowercased (BCP 47 is case-insensitive);
+    hrefs resolve against the page URL through the shared vectorized
+    canonicalizer, so alternates land in the frontier's URL space.
+
+    Pages without alternates contribute no rows.  Expression-only
+    tag scan (regexp_extract_all + higher-order filter/transform) —
+    the per-tag attribute pulls reuse the srcset machinery."""
+    body = F.col(body_col)
+    tags = F.regexp_extract_all(body, F.lit(_LINK_TAG_RE), F.lit(0))
+    alts = F.filter(
+        tags,
+        lambda t: t.rlike(_REL_ALT_RE)
+        & _attr(t, "hreflang").isNotNull()
+        & _attr(t, "href").isNotNull(),
+    )
+    pairs = F.transform(
+        alts,
+        lambda t: F.struct(
+            F.lower(_attr(t, "hreflang")).alias("hreflang"),
+            _attr(t, "href").alias("href"),
+        ),
+    )
+    exploded = df.select("*", F.explode(pairs).alias("_alt"))
+    rc = page.resolve_canon_host(
+        F.col(url_col), F.col("_alt")["href"]
+    )
+    return exploded.select(
+        "*",
+        F.col("_alt")["hreflang"].alias("hreflang"),
+        rc["url_norm"].alias("alt_url"),
+    ).drop("_alt")

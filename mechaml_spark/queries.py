@@ -3895,6 +3895,81 @@ def q_pub_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based sentence splitting (textclean.split_sentences):
+    terminal-punct + whitespace + capital/open-quote boundary, with
+    abbreviation (Dr./Mr.) and decimal (3.14) guards.  Synthesized
+    5-or-6-sentence docs where every guard fires; the oracle lists
+    the expected (sid, sentence) rows closed-form — RE2 has no
+    lookbehind, so DuckDB could not run the regex itself."""
+    d = _t(spark, sf_dir, "documents")
+    text = F.concat(
+        F.lit("Alpha doc "),
+        d.doc_id,
+        F.lit(" starts here. Dr. Who met Mr. Smith. Pi is 3.14 "
+              'exactly! Is it done? "Yes" it said.'),
+        F.when(
+            d.doc_id % 3 == 0,
+            F.concat(F.lit(" Extra tail "), d.doc_id, F.lit(" ends.")),
+        ).otherwise(F.lit("")),
+    )
+    docs = d.select("doc_id", text.alias("text"))
+    return textclean.sentences(docs, "doc_id").select(
+        "doc_id", F.col("sid").cast("long").alias("sid"), "sentence"
+    )
+
+
+def q_hreflang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hreflang alternate extraction (metadata.hreflang_alternates):
+    absolute + relative hrefs (resolved through the shared
+    canonicalizer), BCP-47 case folding (DE-de -> de-de), x-default,
+    and two decoy shapes that must NOT match — rel=alternate without
+    hreflang (RSS autodiscovery) and rel=stylesheet.  Pages without
+    alternates contribute no rows."""
+    from mechaml_spark import metadata as md
+
+    d = _t(spark, sf_dir, "documents")
+    m4 = d.doc_id % 4
+    body = F.concat(
+        F.lit("<head><link rel='stylesheet' href='/s.css'>"),
+        F.when(
+            m4 == 0,
+            F.concat(
+                F.lit('<link rel="alternate" hreflang="en" '
+                      'href="http://x.test/en/d'),
+                d.doc_id,
+                F.lit('"><link rel=\'alternate\' hreflang=\'DE-de\' '
+                      "href='/de/d"),
+                d.doc_id,
+                F.lit("'>"),
+            ),
+        )
+        .when(
+            m4 == 1,
+            F.concat(
+                F.lit('<link hreflang="x-default" rel="alternate" '
+                      'href="http://alt.test/d'),
+                d.doc_id,
+                F.lit('">'),
+            ),
+        )
+        .when(
+            m4 == 2,
+            F.lit('<link rel="alternate" type="application/rss+xml" '
+                  'href="/feed">'),
+        )
+        .otherwise(F.lit("")),
+        F.lit("</head>"),
+    )
+    url = F.concat(
+        F.lit("http://h"), d.doc_id % 5, F.lit(".test/pages/d"), d.doc_id
+    )
+    pages = d.select("doc_id", url.alias("url"), body.alias("body"))
+    return md.hreflang_alternates(pages).select(
+        "doc_id", "hreflang", "alt_url"
+    )
+
+
 def q_robots_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Page-level robots directives + link-level nofollow — the
     crawl-side counterpart of robots.txt: ``<meta name=robots>`` and
@@ -4244,6 +4319,8 @@ QUERIES = {
     "robots_meta": q_robots_meta,
     "public_suffix": q_public_suffix,
     "pub_date": q_pub_date,
+    "hreflang": q_hreflang,
+    "sentence_split": q_sentence_split,
     "crawl_delay_budgets": q_crawl_delay_budgets,
     "pii_scrub": q_pii_scrub,
     "blocklist_filter": q_blocklist_filter,
@@ -5208,6 +5285,33 @@ ORACLES = {
                CAST(COUNT(DISTINCT anchor) AS BIGINT) AS n_unique,
                string_agg(DISTINCT anchor, '|' ORDER BY anchor) AS anchors
         FROM l GROUP BY url
+    """,
+    "sentence_split": """
+        WITH s AS (
+            SELECT doc_id, sid, sentence FROM documents, (VALUES
+                (0, NULL), (1, 'Dr. Who met Mr. Smith.'),
+                (2, 'Pi is 3.14 exactly!'), (3, 'Is it done?'),
+                (4, '"Yes" it said.')) v(sid, sentence))
+        SELECT doc_id, CAST(sid AS BIGINT) AS sid,
+               COALESCE(sentence,
+                        'Alpha doc ' || doc_id || ' starts here.')
+                   AS sentence
+        FROM s
+        UNION ALL
+        SELECT doc_id, 5, 'Extra tail ' || doc_id || ' ends.'
+        FROM documents WHERE doc_id % 3 = 0
+    """,
+    "hreflang": """
+        SELECT doc_id, 'en' AS hreflang,
+               'http://x.test/en/d' || doc_id AS alt_url
+        FROM documents WHERE doc_id % 4 = 0
+        UNION ALL
+        SELECT doc_id, 'de-de',
+               'http://h' || (doc_id % 5) || '.test/de/d' || doc_id
+        FROM documents WHERE doc_id % 4 = 0
+        UNION ALL
+        SELECT doc_id, 'x-default', 'http://alt.test/d' || doc_id
+        FROM documents WHERE doc_id % 4 = 1
     """,
     "pub_date": """
         SELECT doc_id,

@@ -89,3 +89,37 @@ def c4_clean(
         keep.alias("keep_doc"),
         F.when(keep, F.array_join(kept, "\n")).alias("cleaned_text"),
     )
+
+
+# ------------------------------------------------------- sentence split
+
+# Boundary: terminal punctuation, whitespace, then an uppercase letter
+# or an opening double quote.  Guards: a pinned abbreviation list
+# (title abbreviations never end a sentence) — decimals like 3.14
+# never split because the boundary requires whitespace.  Java regex
+# (bounded lookbehind); the DuckDB oracles use closed-form expected
+# text, since RE2 has no lookaround.
+SENT_SPLIT_RE = (
+    r"(?<!\b(?:Mr|Dr|St|vs)\.)(?<!\betc\.)"
+    r'(?:(?<=[.!?])|(?<=[.!?]["”]))\s+(?=["A-Z])'
+)
+
+
+def split_sentences(text: Column) -> Column:
+    """Array of sentences under the pinned rule set; whitespace-only
+    pieces dropped.  Expression-only — the pre-tokenization pass
+    quality filters (>=N sentences) and span tools key on."""
+    return F.filter(
+        F.split(text, SENT_SPLIT_RE), lambda s: F.trim(s) != ""
+    )
+
+
+def sentences(df: DataFrame, key_col: str, text_col: str = "text") -> DataFrame:
+    """Explode to one row per (key, sid, sentence), sid 0-based in
+    document order."""
+    return df.select(
+        key_col,
+        F.posexplode(split_sentences(F.col(text_col))).alias(
+            "sid", "sentence"
+        ),
+    )

@@ -59,3 +59,49 @@ def test_empty_lines_ignored(spark):
         "a third good line ends here too.",
     )
     assert r.n_lines == 3 and r.n_kept == 3 and r.keep_doc
+
+
+# ------------------------------------------------------- sentence split
+
+def _sents(spark, text):
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    return [
+        r["sentence"]
+        for r in textclean.sentences(df, "doc_id")
+        .orderBy("sid")
+        .collect()
+    ]
+
+
+def test_sentence_boundaries(spark):
+    got = _sents(
+        spark,
+        'One ends here. Two follows! Three asks? "Four quoted." Five.',
+    )
+    assert got == [
+        "One ends here.",
+        "Two follows!",
+        "Three asks?",
+        '"Four quoted."',
+        "Five.",
+    ]
+
+
+def test_abbreviation_and_decimal_guards(spark):
+    got = _sents(
+        spark,
+        "Dr. Who met Mr. Smith at St. Ives. Pi is 3.14 exactly. "
+        "Costs rose vs. Last year.",
+    )
+    assert got == [
+        "Dr. Who met Mr. Smith at St. Ives.",
+        "Pi is 3.14 exactly.",
+        # vs. guard holds even before a capital
+        "Costs rose vs. Last year.",
+    ]
+
+
+def test_lowercase_continuation_not_split(spark):
+    # ellipsis-style or lowercase continuation stays in one sentence
+    got = _sents(spark, "It went on. and on. Then stopped.")
+    assert got == ["It went on. and on.", "Then stopped."]
