@@ -3735,6 +3735,42 @@ def q_warc_wat(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_warc_revisit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Archive payload dedup via WARC revisit records
+    (warc.mark_revisits + to_warc_segments_dedup): 300 fetches over
+    100 distinct payloads; the pinned-minimum (date, uri) occurrence
+    of each payload writes a full response record (with
+    WARC-Payload-Digest), the other two write identical-payload-digest
+    revisit records — empty block, WARC-Refers-To the kept record,
+    WARC-Refers-To-Target-URI its URI.  Round-trips through the real
+    segment sink/parse; the oracle recomputes sha-256 digests, the
+    md5-derived refers_to ids, and the exact response block lengths."""
+    from mechaml_spark import warc as _warc
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 300
+    )
+    pages = d.select(
+        F.concat(
+            F.lit("http://docs.test/"),
+            F.lpad(F.col("doc_id").cast("string"), 3, "0"),
+        ).alias("uri"),
+        F.concat(F.lit("payload "), F.col("doc_id") % 100).alias("body"),
+        F.lit("2026-01-01T00:00:00Z").alias("date"),
+    )
+    marked = _warc.mark_revisits(pages)
+    back = _warc.parse_warc_segments(_warc.to_warc_segments_dedup(marked))
+    return back.select(
+        F.element_at(F.split("uri", "/"), -1).cast("long").alias("doc_id"),
+        "warc_type",
+        "payload_digest",
+        "refers_to",
+        "refers_to_target_uri",
+        "profile",
+        "content_length",
+    )
+
+
 def q_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling + train/val/test assignment
     (mechaml_spark.sampling): keep 50% of en, 25% of de, 12.5% of
@@ -4314,6 +4350,7 @@ QUERIES = {
     "video_keyframes": q_video_keyframes,
     "warc_wet": q_warc_wet,
     "warc_wat": q_warc_wat,
+    "warc_revisit": q_warc_revisit,
     "doc_sample": q_doc_sample,
     "anchor_text": q_anchor_text,
     "robots_meta": q_robots_meta,
@@ -5457,6 +5494,38 @@ ORACLES = {
                'urn:uuid:' || substr(h, 1, 8) || '-' || substr(h, 9, 4)
                    || '-5' || substr(h, 14, 3) || '-a' || substr(h, 18, 3)
                    || '-' || substr(h, 21, 12) AS refers_to
+        FROM t
+    """,
+    "warc_revisit": """
+        WITH t AS (
+            SELECT doc_id,
+                   doc_id % 100 AS g,
+                   doc_id < 100 AS keeper,
+                   sha256('payload ' || (doc_id % 100)) AS dig,
+                   md5('http://docs.test/'
+                       || lpad(CAST(doc_id % 100 AS VARCHAR), 3, '0'))
+                       AS h,
+                   8 + strlen(CAST(doc_id % 100 AS VARCHAR)) AS n
+            FROM documents WHERE doc_id < 300)
+        SELECT doc_id,
+               CASE WHEN keeper THEN 'response' ELSE 'revisit' END
+                   AS warc_type,
+               'sha256:' || dig AS payload_digest,
+               CASE WHEN keeper THEN NULL
+                    ELSE 'urn:uuid:' || substr(h, 1, 8) || '-'
+                         || substr(h, 9, 4) || '-5' || substr(h, 14, 3)
+                         || '-a' || substr(h, 18, 3) || '-'
+                         || substr(h, 21, 12) END AS refers_to,
+               CASE WHEN keeper THEN NULL
+                    ELSE 'http://docs.test/'
+                         || lpad(CAST(g AS VARCHAR), 3, '0')
+               END AS refers_to_target_uri,
+               CASE WHEN keeper THEN NULL
+                    ELSE 'http://netpreserve.org/warc/1.1/revisit/identical-payload-digest'
+               END AS profile,
+               CAST(CASE WHEN keeper
+                         THEN 63 + strlen(CAST(n AS VARCHAR)) + n
+                         ELSE 0 END AS BIGINT) AS content_length
         FROM t
     """,
     "warc_wet": """

@@ -192,6 +192,10 @@ RECORD_T = T.StructType(
         T.StructField("refers_to", T.StringType()),
         T.StructField("content_length", T.LongType()),
         T.StructField("block", T.BinaryType()),
+        # revisit-record surface (WARC 1.1 §6.7.2); NULL elsewhere
+        T.StructField("profile", T.StringType()),
+        T.StructField("payload_digest", T.StringType()),
+        T.StructField("refers_to_target_uri", T.StringType()),
     ]
 )
 
@@ -264,6 +268,13 @@ def parse_warc_segments(
                             ).strip("<>") or None,
                             "content_length": int(headers["Content-Length"]),
                             "block": block,
+                            "profile": headers.get("WARC-Profile"),
+                            "payload_digest": headers.get(
+                                "WARC-Payload-Digest"
+                            ),
+                            "refers_to_target_uri": headers.get(
+                                "WARC-Refers-To-Target-URI"
+                            ),
                         }
                     )
             if rows:
@@ -272,6 +283,8 @@ def parse_warc_segments(
                     columns=[
                         "uri", "warc_type", "warc_date", "record_id",
                         "refers_to", "content_length", "block",
+                        "profile", "payload_digest",
+                        "refers_to_target_uri",
                     ],
                 )
 
@@ -578,3 +591,107 @@ def to_wat_segments(wat: DataFrame) -> DataFrame:
             )
 
     return wat.mapInPandas(run, schema=SEGMENT_T)
+
+
+# ------------------------------------------------------- revisit records
+
+REVISIT_PROFILE = "http://netpreserve.org/warc/1.1/revisit/identical-payload-digest"
+
+
+def mark_revisits(
+    df: DataFrame,
+    uri_col: str = "uri",
+    body_col: str = "body",
+    date_col: str = "date",
+) -> DataFrame:
+    """Payload-level archive dedup (the Heritrix/Common Crawl revisit
+    convention): rows sharing a payload sha-256 keep ONE full copy —
+    the pinned-minimum ``(date, uri)`` occurrence — and every other
+    occurrence is marked as a revisit pointing at it.  At a 10^10-page
+    recrawl most fetches are unchanged pages; writing revisit records
+    instead of bodies is what keeps the archive linear in UNIQUE
+    bytes, not fetched bytes.
+
+    Adds ``payload_digest`` (``sha256:<hex>``), ``is_revisit``, and
+    ``refers_to_uri`` (the kept copy's URI; NULL on originals).
+    Scale: one partial-agg groupBy(digest) + one equi-join back on
+    digest — the shuffle carries (digest, date, uri), never bodies.
+    """
+    from pyspark.sql import functions as F
+
+    digest = F.sha2(F.col(body_col).cast("binary"), 256)
+    d = df.withColumn("_digest", digest)
+    first = d.groupBy("_digest").agg(
+        F.min(F.struct(F.col(date_col), F.col(uri_col))).alias("_f")
+    )
+    me = F.struct(F.col(date_col), F.col(uri_col))
+    return (
+        d.join(first, "_digest")
+        .select(
+            *df.columns,
+            F.concat(F.lit("sha256:"), F.col("_digest")).alias(
+                "payload_digest"
+            ),
+            (me != F.col("_f")).alias("is_revisit"),
+            F.when(me != F.col("_f"), F.col("_f")[uri_col]).alias(
+                "refers_to_uri"
+            ),
+        )
+    )
+
+
+def to_warc_segments_dedup(
+    marked: DataFrame,
+    uri_col: str = "uri",
+    body_col: str = "body",
+    date_col: str = "date",
+    content_type: str = "text/plain",
+) -> DataFrame:
+    """Sink :func:`mark_revisits` output as real WARC segments:
+    originals become ``response`` records (with WARC-Payload-Digest),
+    duplicates become ``revisit`` records under the
+    identical-payload-digest profile — empty block, WARC-Refers-To
+    the kept record's id, WARC-Refers-To-Target-URI its URI.  One
+    segment per partition, no shuffle (the dedup join already ran)."""
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        buf = io.BytesIO()
+        count = 0
+        for pdf in batches:
+            for uri, body, date, dig, rev, ref in zip(
+                pdf[uri_col], pdf[body_col], pdf[date_col],
+                pdf["payload_digest"], pdf["is_revisit"],
+                pdf["refers_to_uri"],
+            ):
+                if rev:
+                    rec = warc_record(
+                        "revisit", str(uri), str(date), b"",
+                        content_type="application/http;msgtype=response",
+                        extra_headers={
+                            "WARC-Profile": REVISIT_PROFILE,
+                            "WARC-Refers-To":
+                                f"<{record_id_for(str(ref))}>",
+                            "WARC-Refers-To-Target-URI": str(ref),
+                            "WARC-Payload-Digest": str(dig),
+                        },
+                    )
+                else:
+                    body_b = (
+                        body if isinstance(body, (bytes, bytearray))
+                        else str(body).encode("utf-8")
+                    )
+                    rec = warc_record(
+                        "response", str(uri), str(date),
+                        build_http_response(
+                            bytes(body_b), content_type=content_type
+                        ),
+                        extra_headers={"WARC-Payload-Digest": str(dig)},
+                    )
+                buf.write(rec)
+                count += 1
+        if count:
+            yield pd.DataFrame(
+                [{"segment": buf.getvalue(), "n_records": count}]
+            )
+
+    return marked.mapInPandas(run, schema=SEGMENT_T)

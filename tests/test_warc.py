@@ -313,3 +313,48 @@ def test_wat_metadata_no_title_no_links(spark):
     # to_json drops NULL title; empty link array survives
     assert env["html"] == {"links": []}
     assert env["http"]["status"] == 200
+
+
+def test_revisit_records_dedup_archive(spark):
+    from mechaml_spark import warc
+
+    pages = spark.createDataFrame(
+        [
+            ("http://w.test/a", "same body", "2026-01-01T00:00:00Z"),
+            ("http://w.test/b", "same body", "2026-01-02T00:00:00Z"),
+            ("http://w.test/c", "other", "2026-01-01T00:00:00Z"),
+            # same URI refetched later with identical payload
+            ("http://w.test/a", "same body", "2026-01-03T00:00:00Z"),
+        ],
+        "uri string, body string, date string",
+    )
+    marked = warc.mark_revisits(pages)
+    rows = {
+        (r["uri"], r["date"]): r for r in marked.collect()
+    }
+    assert not rows[("http://w.test/a", "2026-01-01T00:00:00Z")]["is_revisit"]
+    assert not rows[("http://w.test/c", "2026-01-01T00:00:00Z")]["is_revisit"]
+    for k in (("http://w.test/b", "2026-01-02T00:00:00Z"),
+              ("http://w.test/a", "2026-01-03T00:00:00Z")):
+        assert rows[k]["is_revisit"]
+        assert rows[k]["refers_to_uri"] == "http://w.test/a"
+
+    back = warc.parse_warc_segments(
+        warc.to_warc_segments_dedup(marked.coalesce(1))
+    ).collect()
+    by_type = {}
+    for r in back:
+        by_type.setdefault(r["warc_type"], []).append(r)
+    assert len(by_type["response"]) == 2
+    assert len(by_type["revisit"]) == 3 - 1  # two dup fetches
+    rev = by_type["revisit"][0]
+    assert rev["content_length"] == 0 and bytes(rev["block"]) == b""
+    assert rev["profile"] == warc.REVISIT_PROFILE
+    assert rev["refers_to_target_uri"] == "http://w.test/a"
+    # a reader can restore the body by following refers_to
+    originals = {r["record_id"]: r for r in by_type["response"]}
+    src = originals[rev["refers_to"]]
+    assert b"same body" in bytes(src["block"])
+    # digests agree between the revisit and its original
+    assert rev["payload_digest"] == src["payload_digest"]
+    assert rev["payload_digest"].startswith("sha256:")
