@@ -2746,6 +2746,180 @@ def q_embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (Jegou et al. 2011) — the compression half
+    of IVF-PQ, what makes billion-vector ANN fit in memory: vectors
+    split into m=2 subspaces, a k=4 codebook per subspace TRAINED by
+    one deterministic Lloyd iteration (same integer floor-mean /
+    cid-tie-break discipline as the IVF coarse quantizer), data
+    encoded as m byte-sized codes, queries scored by ADC (asymmetric
+    distance computation): per-query lookup tables of
+    query-sub x centroid dots, approximate dot = sum over subspaces.
+
+    Scale posture: codebooks are m*k rows (broadcast); encoding is a
+    broadcast join; the per-query LUT is m*k entries per query
+    (broadcast); the ADC reduce is ONE partial-agg
+    groupBy(query, neighbor) over code rows — vectors themselves
+    never shuffle after the sub-split projection.  64x compression
+    here (64 longs -> 2 codes); the exact-dot rerank of the ADC
+    top-k is the documented precision path (embedding_topk's plan)."""
+    e = _t(spark, sf_dir, "embeddings")
+    d2 = 32
+    qv = F.transform("embedding", lambda x: F.round(x * 1000).cast("long"))
+
+    def subs(df, key_out: str):
+        both = F.array(
+            F.struct(
+                F.lit(0).alias("sub"), F.slice("v", 1, d2).alias("sv")
+            ),
+            F.struct(
+                F.lit(1).alias("sub"),
+                F.slice("v", d2 + 1, d2).alias("sv"),
+            ),
+        )
+        return (
+            df.select(F.col("vec_id").alias(key_out), qv.alias("v"))
+            .select(key_out, F.explode(both).alias("s"))
+            .select(key_out, F.col("s")["sub"].alias("sub"),
+                    F.col("s")["sv"].alias("sv"))
+        )
+
+    cent = subs(e.where(e.vec_id < 4), "cid").withColumnRenamed("sv", "cv")
+    data = subs(e.where(e.vec_id >= 16), "neighbor_id")
+    qry = subs(e.where((e.vec_id >= 8) & (e.vec_id < 16)), "query_id")
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    wa = Window.partitionBy("neighbor_id", "sub").orderBy(
+        F.desc("cdot"), "cid"
+    )
+
+    def encode(cent_df: DataFrame) -> DataFrame:
+        return (
+            data.join(F.broadcast(cent_df), "sub")
+            .withColumn("cdot", dot("sv", "cv"))
+            .withColumn("_rk", F.row_number().over(wa))
+            .where(F.col("_rk") == 1)
+            .select("neighbor_id", "sub", "cid", "sv")
+        )
+
+    # one Lloyd iteration per subspace (unrolled in the oracle too)
+    ex = encode(cent).select(
+        "sub", "cid", F.posexplode("sv").alias("pos", "x")
+    )
+    agg = ex.groupBy("sub", "cid", "pos").agg(
+        F.sum("x").alias("s"), F.count("*").alias("n")
+    )
+    cent = (
+        agg.select(
+            "sub",
+            "cid",
+            "pos",
+            ((F.col("s") - F.pmod(F.col("s"), F.col("n"))) / F.col("n"))
+            .cast("long")
+            .alias("cv_i"),
+        )
+        .groupBy("sub", "cid")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "cv_i"))).alias("ps")
+        )
+        .select(
+            "sub", "cid", F.transform("ps", lambda x: x["cv_i"]).alias("cv")
+        )
+        .localCheckpoint(eager=False)
+    )
+    codes = encode(cent).select("neighbor_id", "sub", "cid")
+    lut = (
+        qry.join(F.broadcast(cent), "sub")
+        .withColumn("ldot", dot("sv", "cv"))
+        .select("query_id", "sub", "cid", "ldot")
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["sub", "cid"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("ldot").alias("adc"))
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("adc"), "neighbor_id"
+    )
+    return (
+        adc.withColumn("rnk", F.row_number().over(wr))
+        .where(F.col("rnk") <= 5)
+        .select(
+            "query_id", F.col("rnk").cast("long").alias("rnk"),
+            "neighbor_id", "adc",
+        )
+    )
+
+
+def _pq_oracle_sql(d2: int = 32) -> str:
+    """DuckDB mirror of q_embedding_pq: the same sub-split, one
+    Lloyd iteration with integer floor-means, encode, and ADC."""
+    dot = (
+        "list_sum(list_transform(range(1, len({a}) + 1), "
+        "i -> {a}[i] * {b}[i]))"
+    )
+
+    def assign(name: str, cent: str) -> str:
+        d = dot.format(a="d.sv", b="c.cv")
+        return f"""{name} AS (
+            SELECT neighbor_id, sub, cid, sv FROM (
+                SELECT d.neighbor_id, d.sub, c.cid, d.sv,
+                       row_number() OVER (
+                           PARTITION BY d.neighbor_id, d.sub
+                           ORDER BY {d} DESC, c.cid) AS rk
+                FROM data d JOIN {cent} c ON d.sub = c.sub)
+            WHERE rk = 1)"""
+
+    ldot = dot.format(a="qy.sv", b="c.cv")
+    return f"""
+        WITH q AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(round(x * 1000) AS BIGINT)) AS v
+            FROM embeddings),
+        subs AS (
+            SELECT vec_id, 0 AS sub, v[1:{d2}] AS sv FROM q
+            UNION ALL
+            SELECT vec_id, 1, v[{d2 + 1}:{2 * d2}] FROM q),
+        cent0 AS (SELECT sub, vec_id AS cid, sv AS cv
+                  FROM subs WHERE vec_id < 4),
+        data AS (SELECT vec_id AS neighbor_id, sub, sv
+                 FROM subs WHERE vec_id >= 16),
+        qry AS (SELECT vec_id AS query_id, sub, sv
+                FROM subs WHERE vec_id >= 8 AND vec_id < 16),
+        {assign('a0', 'cent0')},
+        cent1 AS (
+            SELECT sub, cid, list(cv_i ORDER BY pos) AS cv FROM (
+                SELECT sub, cid, pos,
+                       (s - ((s % n) + n) % n) // n AS cv_i FROM (
+                    SELECT sub, cid, pos, sum(x) AS s, count(*) AS n
+                    FROM (SELECT sub, cid,
+                                 unnest(range(1, len(sv) + 1)) AS pos,
+                                 unnest(sv) AS x
+                          FROM a0)
+                    GROUP BY sub, cid, pos))
+            GROUP BY sub, cid),
+        {assign('codes', 'cent1')},
+        lut AS (
+            SELECT qy.query_id, qy.sub, c.cid, {ldot} AS ldot
+            FROM qry qy JOIN cent1 c ON qy.sub = c.sub),
+        adc AS (
+            SELECT l.query_id, k.neighbor_id, SUM(l.ldot) AS adc
+            FROM codes k
+            JOIN lut l ON k.sub = l.sub AND k.cid = l.cid
+            GROUP BY 1, 2)
+        SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id,
+               CAST(adc AS BIGINT) AS adc
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY adc DESC, neighbor_id) AS rnk
+              FROM adc)
+        WHERE rnk <= 5
+    """
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Coarse-quantization bucket near-dup candidates (LSH-bucket
     pattern: same plan shape as a banded signature join)."""
@@ -4369,6 +4543,7 @@ QUERIES = {
     "embedding_topk": q_embedding_topk,
     "embedding_ann_lsh": q_embedding_ann_lsh,
     "embedding_ann_ivf": q_embedding_ann_ivf,
+    "embedding_pq": q_embedding_pq,
     "embedding_neardup": q_embedding_neardup,
     "doc_fingerprint": q_doc_fingerprint,
     "sessionize": q_sessionize,
@@ -5910,6 +6085,7 @@ ORACLES = {
         WHERE rn <= 5
     """,
     "embedding_ann_ivf": _ivf_oracle_sql(),
+    "embedding_pq": _pq_oracle_sql(32),
     "embedding_neardup": """
         SELECT CAST(round(embedding[1]*10) AS BIGINT) AS b1,
                CAST(round(embedding[2]*10) AS BIGINT) AS b2,
