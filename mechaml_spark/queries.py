@@ -2563,6 +2563,23 @@ def q_charlm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return charlm.score_docs(scored_in, model)
 
 
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode normalization (textclean.normalize_unicode): NFC
+    composition (e + combining acute -> precomposed), zero-width /
+    control / soft-hyphen strip, CRLF -> LF, over per-doc hazard
+    strings.  The one pandas_udf text op (JVM has no NFC); DuckDB
+    runs the identical pipeline via nfc_normalize + RE2 class."""
+    d = _t(spark, sf_dir, "documents")
+    raw = F.concat(
+        # decomposed e + COMBINING ACUTE, ZWSP, BEL, SOFT HYPHEN, CRLF
+        F.lit("Ae\u0301\u200bb\x07\u00ad x\r\ny "),
+        F.element_at(_toks(d.text), 1),
+        F.lit("\u200d\ufeff."),  # ZWJ + BOM before the final dot
+    )
+    docs = d.select("doc_id", raw.alias("text"))
+    return textclean.normalize_unicode(docs).select("doc_id", "norm_text")
+
+
 def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training, the corpus-statistics half (bpe.py):
     word frequencies -> frequency-weighted adjacent symbol-pair
@@ -4498,6 +4515,7 @@ QUERIES = {
     "c4_filters": q_c4_filters,
     "charlm_score": q_charlm_score,
     "bpe_pairs": q_bpe_pairs,
+    "text_normalize": q_text_normalize,
     "html_text": q_html_text,
     "robots_rfc": q_robots_rfc,
     "mime_sniff": q_mime_sniff,
@@ -5222,6 +5240,24 @@ ORACLES = {
         FROM base
         JOIN t1 USING (doc_id)
         LEFT JOIN b1 USING (doc_id)
+    """,
+    "text_normalize": """
+        WITH raw AS (
+            SELECT doc_id,
+                   'Ae' || chr(769) || chr(8203) || 'b' || chr(7)
+                   || chr(173) || ' x' || chr(13) || chr(10) || 'y '
+                   || list_filter(string_split_regex(text, '\\s+'),
+                                  x -> x <> '')[1]
+                   || chr(8205) || chr(65279) || '.' AS t
+            FROM documents)
+        SELECT doc_id,
+               replace(
+                   regexp_replace(nfc_normalize(t),
+                       '[\\x{00}-\\x{08}\\x{0B}\\x{0C}\\x{0E}-\\x{1F}'
+                       || '\\x{7F}\\x{200B}-\\x{200D}\\x{FEFF}\\x{AD}]',
+                       '', 'g'),
+                   chr(13) || chr(10), chr(10)) AS norm_text
+        FROM raw
     """,
     "bpe_pairs": """
         WITH nrm AS (

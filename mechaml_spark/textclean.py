@@ -28,6 +28,7 @@ line_dedupe do.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -123,3 +124,50 @@ def sentences(df: DataFrame, key_col: str, text_col: str = "text") -> DataFrame:
             "sid", "sentence"
         ),
     )
+
+
+# ------------------------------------------------------- unicode normalize
+
+# Stripped after NFC (pinned): C0 controls except \t \n \r, DEL,
+# zero-widths ZWSP/ZWNJ/ZWJ, BOM/ZWNBSP, soft hyphen.
+_STRIP_RE = (
+    "[\u0000-\u0008\u000B\u000C\u000E-\u001F"
+    "\u007F\u200B-\u200D\uFEFF\u00AD]"
+)
+
+
+def normalize_unicode(
+    df: DataFrame, text_col: str = "text", out_col: str = "norm_text"
+) -> DataFrame:
+    """NFC-normalize text and strip invisible characters — the
+    canonical first text pass (combining sequences collapse to their
+    precomposed forms; zero-widths and soft hyphens that break
+    tokenizers and dedup hashing disappear).  Pinned order: NFC
+    first, then strip, then CRLF -> LF.
+
+    This is the engine's one deliberate Python-worker text op: the
+    JVM has no NFC expression, so an Arrow-batched ``pandas_udf``
+    (never a row-at-a-time F.udf) runs ``unicodedata.normalize`` —
+    per-row pure work that scales linearly and shuffles nothing.
+    DuckDB mirrors it exactly with ``nfc_normalize`` + RE2 strips.
+    """
+    import re as _re
+
+    from pyspark.sql.functions import pandas_udf
+
+    strip = _re.compile(_STRIP_RE)
+
+    @pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        def one(x):
+            if x is None:
+                return None
+            return strip.sub(
+                "", unicodedata.normalize("NFC", x)
+            ).replace("\r\n", "\n")
+
+        return s.map(one)
+
+    return df.withColumn(out_col, _norm(F.col(text_col)))

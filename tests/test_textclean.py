@@ -105,3 +105,34 @@ def test_lowercase_continuation_not_split(spark):
     # ellipsis-style or lowercase continuation stays in one sentence
     got = _sents(spark, "It went on. and on. Then stopped.")
     assert got == ["It went on. and on.", "Then stopped."]
+
+
+# ------------------------------------------------------- unicode normalize
+
+def test_normalize_unicode(spark):
+    rows = [
+        (0, "Aéb"),            # decomposed -> precomposed
+        (1, "z​w­x\x07"),  # ZWSP, soft hyphen, BEL stripped
+        (2, "a\r\nb\rc"),            # CRLF -> LF, bare CR kept
+        (3, None),
+        (4, "keep \t tab \n newline"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["norm_text"]
+        for r in textclean.normalize_unicode(df).collect()
+    }
+    assert got[0] == "Aéb" and len(got[0]) == 3
+    assert got[1] == "zwx"
+    assert got[2] == "a\nb\rc"
+    assert got[3] is None
+    assert got[4] == "keep \t tab \n newline"
+
+
+def test_normalize_unicode_is_pandas_udf_not_row_udf(spark):
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    plan = (
+        textclean.normalize_unicode(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan  # Arrow path, not row-at-a-time
