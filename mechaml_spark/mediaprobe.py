@@ -888,6 +888,8 @@ _PROBERS = {
     "ogg": ogg_probe, "oga": ogg_probe, "opus": ogg_probe,
     "flac": flac_probe,
     "mkv": mkv_probe, "webm": mkv_probe,
+    # image probes (defined in their own section at the end of the
+    # module, added to this dict just below their definitions)
 }
 
 
@@ -938,3 +940,174 @@ def probe_media(
             yield out
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+# --------------------------------------------------------------------------
+# Modern web IMAGE containers: AVIF (HEIF/ISO-BMFF), WebP (RIFF), JPEG XL
+# --------------------------------------------------------------------------
+# Same header-only contract as the A/V probes: a 100-TB image table
+# routes/filters on (container, codec, dims) BEFORE spending decode
+# CPU — and AVIF/lossy-WebP/JXL payloads have no in-sandbox decoder,
+# so the probe IS the coverage for them (the repo's own codecs cover
+# PNG/JPEG/GIF/VP8L/TIFF/QOI pixels).
+
+def avif_write(w: int, h: int, brand: bytes = b"avif") -> bytes:
+    """Minimal conformant AVIF still (ISO-BMFF: ftyp + meta/hdlr/pitm/
+    iprp/ipco/ispe + stub mdat) — fixture writer for tests/queries."""
+    ftyp = _box(b"ftyp", brand + struct.pack(">I", 0) + brand + b"mif1")
+    ispe = _full(b"ispe", 0, 0, struct.pack(">II", w, h))
+    ipco = _box(b"ipco", ispe)
+    iprp = _box(b"iprp", ipco)
+    hdlr = _full(
+        b"hdlr", 0, 0, struct.pack(">I", 0) + b"pict" + b"\x00" * 13
+    )
+    pitm = _full(b"pitm", 0, 0, struct.pack(">H", 1))
+    meta = _full(b"meta", 0, 0, hdlr + pitm + iprp)
+    return ftyp + meta + _box(b"mdat", b"\x00")
+
+
+def avif_probe(data: bytes) -> dict | None:
+    """AVIF/HEIF still-image probe: ftyp brand + ispe spatial extents
+    (meta -> iprp -> ipco -> ispe walk).  Codec av01 by brand."""
+    brand = None
+    w = h = None
+    for tag, ps, pe in _walk_boxes(data, 0, len(data)):
+        if tag == b"ftyp" and pe - ps >= 4:
+            brand = data[ps:ps + 4].decode("latin-1").strip()
+        elif tag == b"meta":
+            # FullBox: 4 bytes version/flags, then child boxes
+            for t2, s2, e2 in _walk_boxes(data, ps + 4, pe):
+                if t2 != b"iprp":
+                    continue
+                for t3, s3, e3 in _walk_boxes(data, s2, e2):
+                    if t3 != b"ipco":
+                        continue
+                    for t4, s4, e4 in _walk_boxes(data, s3, e3):
+                        if t4 == b"ispe" and e4 - s4 >= 12:
+                            w, h = struct.unpack_from(">II", data, s4 + 4)
+    if brand is None:
+        return None
+    base = dict(_BAD)
+    del base["ok"]
+    base.update({
+        "container": "avif", "brand": brand, "n_tracks": 1,
+        "video_codec": "av01" if brand in ("avif", "avis") else None,
+        "width": w, "height": h,
+    })
+    return base
+
+
+def webp_write_lossy(w: int, h: int) -> bytes:
+    """Minimal RIFF/WEBP with a 'VP8 ' chunk: valid frame tag + sync
+    code + 14-bit dims, stub payload (header-probe fixture)."""
+    if not (0 < w < 1 << 14 and 0 < h < 1 << 14):
+        raise ValueError("VP8 dims are 14-bit")
+    # frame tag: key frame, version 0, show_frame, part size 0
+    hdr = bytes([0x10, 0x00, 0x00]) + b"\x9d\x01\x2a"
+    hdr += struct.pack("<HH", w, h)
+    payload = hdr + b"\x00" * 6
+    chunk = b"VP8 " + struct.pack("<I", len(payload)) + payload
+    if len(payload) % 2:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def webp_probe(data: bytes) -> dict | None:
+    """WebP probe covering all three chunk layouts: 'VP8 ' (lossy
+    frame header: sync 9D 01 2A + 14-bit dims), 'VP8L' (lossless:
+    0x2F + 14-bit minus-one dims), 'VP8X' (extended: 24-bit minus-one
+    canvas dims)."""
+    if len(data) < 20 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        return None
+    tag = data[12:16]
+    ps = 20
+    base = dict(_BAD)
+    del base["ok"]
+    base.update({"container": "webp", "n_tracks": 1})
+    if tag == b"VP8 " and len(data) >= ps + 10:
+        if data[ps + 3:ps + 6] != b"\x9d\x01\x2a":
+            return None
+        w = struct.unpack_from("<H", data, ps + 6)[0] & 0x3FFF
+        h = struct.unpack_from("<H", data, ps + 8)[0] & 0x3FFF
+        base.update({"video_codec": "vp8", "width": w, "height": h})
+        return base
+    if tag == b"VP8L" and len(data) >= ps + 5 and data[ps] == 0x2F:
+        bits = struct.unpack_from("<I", data, ps + 1)[0]
+        base.update({
+            "video_codec": "vp8l",
+            "width": (bits & 0x3FFF) + 1,
+            "height": ((bits >> 14) & 0x3FFF) + 1,
+        })
+        return base
+    if tag == b"VP8X" and len(data) >= ps + 10:
+        wm1 = int.from_bytes(data[ps + 4:ps + 7], "little")
+        hm1 = int.from_bytes(data[ps + 7:ps + 10], "little")
+        base.update({
+            "video_codec": "vp8x",
+            "width": wm1 + 1, "height": hm1 + 1,
+        })
+        return base
+    return None
+
+
+def jxl_write(w: int, h: int) -> bytes:
+    """Bare JPEG XL codestream header (FF 0A + SizeHeader) for SMALL
+    images: both dims multiples of 8, <= 256 — the 'small' SizeHeader
+    encoding (1 bit small=1, 5 bits ysize/8-1, 3 bits ratio=0,
+    5 bits xsize/8-1), little-endian bit packing per the spec."""
+    if not (0 < w <= 256 and 0 < h <= 256 and w % 8 == 0 and h % 8 == 0):
+        raise ValueError("small SizeHeader needs dims %8==0 and <=256")
+    acc = 0
+    nbits = 0
+
+    def put(v: int, n: int):
+        nonlocal acc, nbits
+        acc |= (v & ((1 << n) - 1)) << nbits
+        nbits += n
+
+    put(1, 1)             # small
+    put(h // 8 - 1, 5)    # ysize
+    put(0, 3)             # ratio: explicit xsize
+    put(w // 8 - 1, 5)    # xsize (small form)
+    body = acc.to_bytes((nbits + 7) // 8, "little")
+    return b"\xff\x0a" + body + b"\x00" * 4
+
+
+def jxl_probe(data: bytes) -> dict | None:
+    """JPEG XL probe: bare codestream (FF 0A; small-form SizeHeader
+    parsed for dims) or the ISO-BMFF container (JXL signature box ->
+    brand, dims left NULL — parsing the embedded codestream is the
+    documented extension)."""
+    base = dict(_BAD)
+    del base["ok"]
+    if data[:2] == b"\xff\x0a" and len(data) >= 4:
+        bits = int.from_bytes(data[2:6].ljust(4, b"\x00"), "little")
+        small = bits & 1
+        w = h = None
+        if small:
+            h = (((bits >> 1) & 0x1F) + 1) * 8
+            ratio = (bits >> 6) & 0x7
+            if ratio == 0:
+                w = (((bits >> 9) & 0x1F) + 1) * 8
+        base.update({
+            "container": "jxl", "brand": "bare", "n_tracks": 1,
+            "video_codec": "jxl", "width": w, "height": h,
+        })
+        return base
+    if data[:12] == (b"\x00\x00\x00\x0c" + b"JXL " + b"\x0d\x0a\x87\x0a"):
+        brand = None
+        for tag, ps, pe in _walk_boxes(data, 12, len(data)):
+            if tag == b"ftyp" and pe - ps >= 4:
+                brand = data[ps:ps + 4].decode("latin-1").strip()
+        base.update({
+            "container": "jxl", "brand": brand, "n_tracks": 1,
+            "video_codec": "jxl",
+        })
+        return base
+    return None
+
+
+_PROBERS.update({
+    "avif": avif_probe, "heic": avif_probe,
+    "webp": webp_probe, "jxl": jxl_probe,
+})

@@ -3175,6 +3175,55 @@ def q_warc_cdx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-only probes for the modern web image containers the
+    engine cannot (and at 100 TB should not, pre-routing) decode:
+    AVIF (ISO-BMFF ftyp + ispe walk), lossy WebP (VP8 frame header),
+    lossless WebP (VP8L dims read from REAL bytes produced by the
+    repo's own encoder), and bare JPEG XL (small-form SizeHeader bit
+    parse).  Same bounded-per-row mapInPandas stage as media_probe;
+    every dimension is a closed form over doc_id."""
+    import numpy as _np
+    import pandas as _pd
+
+    from mechaml_spark import mediaprobe as _mp
+    from mechaml_spark import webp as _webp
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 300
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                k = did % 4
+                if k == 0:
+                    b, fmt = _mp.avif_write(320 + did % 16, 200 + did % 8), "avif"
+                elif k == 1:
+                    b, fmt = _mp.webp_write_lossy(640 + did % 16, 480), "webp"
+                elif k == 2:
+                    px = _np.zeros((2 + did % 7, 3 + did % 5, 3), _np.uint8)
+                    b, fmt = _webp.webp_encode(px), "webp"
+                else:
+                    b, fmt = _mp.jxl_write(8 * (1 + did % 32),
+                                           8 * (1 + did % 16)), "jxl"
+                rows.append({"doc_id": did, "bytes": b, "fmt": fmt})
+            yield _pd.DataFrame(rows, columns=["doc_id", "bytes", "fmt"])
+
+    media = d.mapInPandas(gen, schema="doc_id long, bytes binary, fmt string")
+    p = _mp.probe_media(media)
+    return p.select(
+        "doc_id",
+        F.col("probe")["container"].alias("container"),
+        F.col("probe")["brand"].alias("brand"),
+        F.col("probe")["video_codec"].alias("video_codec"),
+        F.col("probe")["width"].alias("width"),
+        F.col("probe")["height"].alias("height"),
+    )
+
+
 def q_pagerank_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link-authority frontier prioritization with an EXACT oracle:
     3 iterations of integer fixed-point PageRank (linkgraph.pagerank)
@@ -4528,6 +4577,7 @@ QUERIES = {
     "audio_adpcm_features": q_audio_adpcm_features,
     "audio_container_features": q_audio_container_features,
     "media_probe": q_media_probe,
+    "image_probe": q_image_probe,
     "pagerank_frontier": q_pagerank_frontier,
     "hits_scores": q_hits_scores,
     "main_content": q_main_content,
@@ -5908,6 +5958,32 @@ ORACLES = {
                CAST(np AS INT) AS n_kept,
                CAST(4 AS INT) AS n_dropped
         FROM q
+    """,
+    "image_probe": """
+        SELECT doc_id,
+               CASE doc_id % 4 WHEN 0 THEN 'avif'
+                               WHEN 3 THEN 'jxl'
+                               ELSE 'webp' END AS container,
+               CASE doc_id % 4 WHEN 0 THEN 'avif'
+                               WHEN 3 THEN 'bare'
+                               ELSE NULL END AS brand,
+               CASE doc_id % 4 WHEN 0 THEN 'av01'
+                               WHEN 1 THEN 'vp8'
+                               WHEN 2 THEN 'vp8l'
+                               ELSE 'jxl' END AS video_codec,
+               CAST(CASE doc_id % 4
+                 WHEN 0 THEN 320 + doc_id % 16
+                 WHEN 1 THEN 640 + doc_id % 16
+                 WHEN 2 THEN 3 + doc_id % 5
+                 ELSE 8 * (1 + doc_id % 32)
+               END AS INT) AS width,
+               CAST(CASE doc_id % 4
+                 WHEN 0 THEN 200 + doc_id % 8
+                 WHEN 1 THEN 480
+                 WHEN 2 THEN 2 + doc_id % 7
+                 ELSE 8 * (1 + doc_id % 16)
+               END AS INT) AS height
+        FROM documents WHERE doc_id < 300
     """,
     "media_probe": """
         WITH p AS (

@@ -251,3 +251,58 @@ def test_probe_media_routes_flac_and_webm(spark):
            for r in mp.probe_media(df).select("doc_id", "probe").collect()}
     assert out[0]["duration_ms"] == 3000 and out[0]["container"] == "flac"
     assert out[1]["video_codec"] == "V_AV1" and out[1]["brand"] == "webm"
+
+
+# ------------------------------------------------- modern image containers
+
+def test_avif_probe_roundtrip():
+    from mechaml_spark import mediaprobe as mp
+
+    r = mp.avif_probe(mp.avif_write(1920, 1080))
+    assert (r["container"], r["brand"], r["video_codec"]) == (
+        "avif", "avif", "av01"
+    )
+    assert (r["width"], r["height"]) == (1920, 1080)
+    assert mp.avif_probe(b"\x00\x00\x00\x08free") is None  # no ftyp
+
+
+def test_webp_probe_all_three_layouts():
+    import numpy as np
+
+    from mechaml_spark import mediaprobe as mp
+    from mechaml_spark import webp
+
+    lossy = mp.webp_probe(mp.webp_write_lossy(640, 480))
+    assert (lossy["video_codec"], lossy["width"], lossy["height"]) == (
+        "vp8", 640, 480
+    )
+    lossless = mp.webp_probe(webp.webp_encode(
+        np.zeros((7, 5, 3), dtype=np.uint8)
+    ))
+    assert (lossless["video_codec"], lossless["width"],
+            lossless["height"]) == ("vp8l", 5, 7)
+    # VP8X extended header: 24-bit minus-one canvas dims
+    vp8x = (b"RIFF" + (4 + 8 + 10).to_bytes(4, "little") + b"WEBP"
+            + b"VP8X" + (10).to_bytes(4, "little")
+            + b"\x00\x00\x00\x00"
+            + (15999).to_bytes(3, "little") + (8999).to_bytes(3, "little"))
+    r = mp.webp_probe(vp8x)
+    assert (r["video_codec"], r["width"], r["height"]) == (
+        "vp8x", 16000, 9000
+    )
+    assert mp.webp_probe(b"RIFF\x00\x00\x00\x00WAVE") is None
+
+
+def test_jxl_probe_bare_and_container():
+    from mechaml_spark import mediaprobe as mp
+
+    r = mp.jxl_probe(mp.jxl_write(256, 64))
+    assert (r["brand"], r["width"], r["height"]) == ("bare", 256, 64)
+    sig = b"\x00\x00\x00\x0cJXL \x0d\x0a\x87\x0a"
+    ftyp = (20).to_bytes(4, "big") + b"ftyp" + b"jxl " + b"\x00" * 4 + b"jxl "
+    r = mp.jxl_probe(sig + ftyp)
+    assert (r["container"], r["brand"], r["width"]) == ("jxl", "jxl", None)
+    import pytest
+
+    with pytest.raises(ValueError):
+        mp.jxl_write(100, 8)  # not a multiple of 8
