@@ -3975,6 +3975,26 @@ def q_warc_wat(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota capping (sampling.cap_per_group): 20 synthetic
+    registered domains of ~25 docs each, capped at 10 per domain by
+    salted-md5 order (retry-stable, engine-portable — DuckDB
+    recomputes the identical md5 ranking, so kept rows AND ranks
+    hash-match bit-for-bit)."""
+    from mechaml_spark import sampling
+
+    d = _t(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id",
+        F.concat(F.lit("site"), d.doc_id % 20, F.lit(".com")).alias(
+            "domain"
+        ),
+    )
+    return sampling.cap_per_group(
+        docs, "domain", 10, "doc_id", "cap-v1"
+    ).select("doc_id", "domain", "grp_rank")
+
+
 def q_warc_revisit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Archive payload dedup via WARC revisit records
     (warc.mark_revisits + to_warc_segments_dedup): 300 fetches over
@@ -4594,6 +4614,7 @@ QUERIES = {
     "warc_wat": q_warc_wat,
     "warc_revisit": q_warc_revisit,
     "doc_sample": q_doc_sample,
+    "domain_cap": q_domain_cap,
     "anchor_text": q_anchor_text,
     "robots_meta": q_robots_meta,
     "public_suffix": q_public_suffix,
@@ -5701,6 +5722,19 @@ ORACLES = {
                CAST(count(*) OVER (PARTITION BY canonical)
                     AS BIGINT) AS n_group
         FROM t
+    """,
+    "domain_cap": """
+        SELECT doc_id, domain, grp_rank FROM (
+            SELECT doc_id,
+                   'site' || (doc_id % 20) || '.com' AS domain,
+                   CAST(row_number() OVER (
+                       PARTITION BY doc_id % 20
+                       ORDER BY CAST(concat('0x',
+                           substr(md5('cap-v1:' || doc_id), 1, 8))
+                           AS BIGINT) ASC, doc_id ASC)
+                       AS BIGINT) AS grp_rank
+            FROM documents)
+        WHERE grp_rank <= 10
     """,
     "doc_sample": """
         WITH u AS (

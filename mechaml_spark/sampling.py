@@ -88,3 +88,34 @@ def split_column(
     for name, b in reversed(items[:-1]):
         out = F.when(u < F.lit(threshold_for(b)), F.lit(name)).otherwise(out)
     return out
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    cap: int,
+    key_col: str,
+    salt: str,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group — the corpus-balancing move
+    ("no more than N pages per registered domain") that stops one SEO
+    farm from being 3% of the training set.
+
+    Selection is by salted-md5 order with the row key as tie-break,
+    NOT rand(): deterministic across retries, partitionings, AND
+    engines, and changing the salt redraws the quota sample without
+    touching any other draw.  Adds ``grp_rank`` (1-based).
+
+    Scale: one window per group key.  A pathologically hot group
+    (every page of one domain) is the politeness-window skew case;
+    the salted two-phase top-B in frontier/scheduler.py is the
+    documented upgrade when a group no longer fits one task — same
+    semantics, provably equal output."""
+    from pyspark.sql import Window as _W
+
+    u = hash_uniform_col(F.col(key_col), salt)
+    w = _W.partitionBy(group_col).orderBy(u.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("grp_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("grp_rank") <= cap)
+    )

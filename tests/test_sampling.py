@@ -86,3 +86,29 @@ def test_bad_rates_raise():
         sampling.threshold_for(1.5)
     with pytest.raises(ValueError):
         sampling.split_column(F.lit(1), "s", {"a": 0.5, "b": 0.9})
+
+
+def test_cap_per_group_deterministic_and_capped(spark):
+    from mechaml_spark import sampling
+
+    df = spark.createDataFrame(
+        [(i, f"d{i % 3}") for i in range(30)], "k long, g string"
+    )
+    out = sampling.cap_per_group(df, "g", 4, "k", "s1")
+    rows = out.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["g"], []).append((r["grp_rank"], r["k"]))
+    assert all(len(v) == 4 for v in per.values())
+    assert all(sorted(x[0] for x in v) == [1, 2, 3, 4]
+               for v in per.values())
+    # retry/partitioning stability: identical selection either way
+    again = sampling.cap_per_group(df.repartition(7), "g", 4, "k", "s1")
+    assert sorted((r["g"], r["k"]) for r in again.collect()) == sorted(
+        (r["g"], r["k"]) for r in rows
+    )
+    # a different salt draws a different quota sample
+    other = sampling.cap_per_group(df, "g", 4, "k", "s2")
+    assert sorted((r["g"], r["k"]) for r in other.collect()) != sorted(
+        (r["g"], r["k"]) for r in rows
+    )
