@@ -122,8 +122,12 @@ def _transport(timeout_s: float, max_body: int):
     Returns ``(request, close)``:
     ``request(url, method, body, headers) ->
     (status, location, set_cookie_list, body_text, validators)``
-    where ``validators`` is the ``(ETag, Last-Modified)`` response
-    pair a revisit pipeline stores for conditional GETs.
+    where ``validators`` is the ``(ETag, Last-Modified, Retry-After)``
+    response triple: the first two feed the revisit pipeline's
+    conditional GETs; ``Retry-After`` (RFC 9110 delta-seconds form,
+    parsed to int; the HTTP-date form is ignored as clock-dependent)
+    feeds rate-limit backoff (429/503 handling in
+    :class:`HttpFetcher`) and per-host politeness budgets.
 
     Content negotiation: ``Accept-Encoding: gzip, deflate`` goes on
     the wire unless the caller set its own (plus ``br`` when the
@@ -201,6 +205,13 @@ def _transport(timeout_s: float, max_body: int):
                     "gzip", "x-gzip", "deflate", "br", "zstd",
                 ):
                     data = _inflate(data, enc)  # decode error -> sentinel
+                ra = resp.getheader("Retry-After")
+                # RFC 9110 delta-seconds form only; the HTTP-date
+                # form is ignored (clock-dependent — documented)
+                retry_after = (
+                    int(ra) if ra is not None and ra.strip().isdigit()
+                    else None
+                )
                 return (
                     resp.status,
                     resp.getheader("Location"),
@@ -209,6 +220,7 @@ def _transport(timeout_s: float, max_body: int):
                     (
                         resp.getheader("ETag"),
                         resp.getheader("Last-Modified"),
+                        retry_after,
                     ),
                 )
             except (
@@ -343,12 +355,22 @@ class HttpFetcher:
         max_body: int = 8 << 20,
         user_agent: str = "mechaml-spark/1.0",
         default_headers: dict[str, str] | None = None,
+        rate_retries: int = 1,
+        retry_after_cap_s: float = 30.0,
     ) -> None:
         self.timeout_s = timeout_s
         self.delay_s = delay_s
         self.max_body = max_body
         self.user_agent = user_agent
         self.default_headers = dict(default_headers or {})
+        # 429/503 + Retry-After handling: an in-task bounded retry —
+        # sleep min(Retry-After, cap) then re-issue, at most
+        # ``rate_retries`` times per request.  The FINAL response's
+        # parsed Retry-After surfaces as the ``retry_after`` column so
+        # the scheduler can fold persistent throttling into per-host
+        # politeness budgets (frontier.robots.crawl_delay_budgets).
+        self.rate_retries = rate_retries
+        self.retry_after_cap_s = retry_after_cap_s
 
     # functional client-header updates (src/agent.ml:154-159).
     # type(self), not HttpFetcher: subclasses (HttpLoopFetcher) must
@@ -357,12 +379,14 @@ class HttpFetcher:
         return type(self)(
             self.timeout_s, self.delay_s, self.max_body, self.user_agent,
             {**self.default_headers, name: value},
+            self.rate_retries, self.retry_after_cap_s,
         )
 
     def remove_client_header(self, name: str) -> "HttpFetcher":
         hdrs = {k: v for k, v in self.default_headers.items() if k != name}
         return type(self)(
-            self.timeout_s, self.delay_s, self.max_body, self.user_agent, hdrs
+            self.timeout_s, self.delay_s, self.max_body, self.user_agent,
+            hdrs, self.rate_retries, self.retry_after_cap_s,
         )
 
     def fetch(self, requests: DataFrame, url_col: str) -> DataFrame:
@@ -379,15 +403,18 @@ class HttpFetcher:
                 T.StructField("error", T.StringType()),
                 T.StructField("etag", T.StringType()),
                 T.StructField("last_modified", T.StringType()),
+                T.StructField("retry_after", T.LongType()),
             ]
         )
         timeout_s, delay_s = self.timeout_s, self.delay_s
         max_body, ua = self.max_body, self.user_agent
         base_headers = dict(self.default_headers)
+        rate_retries = self.rate_retries
+        ra_cap = self.retry_after_cap_s
         cols = [f.name for f in in_fields]
         out_cols = cols + [
             "status", "location", "set_cookie", "body", "error",
-            "etag", "last_modified",
+            "etag", "last_modified", "retry_after",
         ]
 
         def run(pdf):
@@ -432,6 +459,22 @@ class HttpFetcher:
                 status, location, set_cookie, text, validators = request(
                     url, method, body, headers
                 )
+                # 429/503 rate-limit backoff: honor delta-seconds
+                # Retry-After (capped) for a bounded number of
+                # in-task re-issues; anything still throttled after
+                # that returns with its true status + retry_after so
+                # the scheduler can back off the whole host.
+                tries = 0
+                while (
+                    status in (429, 503)
+                    and validators[2] is not None
+                    and tries < rate_retries
+                ):
+                    _time.sleep(min(float(validators[2]), ra_cap))
+                    tries += 1
+                    status, location, set_cookie, text, validators = (
+                        request(url, method, body, headers)
+                    )
                 return {
                     "status": status,
                     "location": location,
@@ -440,6 +483,7 @@ class HttpFetcher:
                     "error": None,
                     "etag": validators[0],
                     "last_modified": validators[1],
+                    "retry_after": validators[2],
                 }
 
             rows = []
@@ -460,6 +504,7 @@ class HttpFetcher:
                         "error": f"{type(e).__name__}: {e}",
                         "etag": None,
                         "last_modified": None,
+                        "retry_after": None,
                     }
                 rows.append({**{c: rec[c] for c in cols}, **out})
             close_all()

@@ -1205,6 +1205,53 @@ def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sitemap_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gzipped sitemaps (the sitemap.xml.gz convention): even docs
+    carry gzip-member bytes, odd docs plain UTF-8 XML — BOTH flow
+    through the one transparent decode stage (sitemap.gunzip_text,
+    magic-byte dispatch) into the same urlset parser; a corrupt-gzip
+    class (doc_id%7==0, even) decodes to NULL and contributes no
+    rows.  The oracle lists the expected entries closed-form."""
+    import pandas as _pd
+
+    from mechaml_spark import sitemap as _sm
+    from mechaml_spark.warc import gzip_member
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 200
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                xml = (
+                    '<?xml version="1.0"?><urlset>'
+                    f"<url><loc>http://gz{did % 10}.test/a{did}</loc>"
+                    "<priority>0.5</priority></url>"
+                    f"<url><loc> HTTP://GZ{did % 10}.TEST:80/b{did} "
+                    "</loc></url></urlset>"
+                ).encode("utf-8")
+                if did % 2 == 0:
+                    b = (
+                        b"\x1f\x8b\x00corrupt"
+                        if did % 7 == 0
+                        else gzip_member(xml)
+                    )
+                else:
+                    b = xml
+                rows.append({"doc_id": did, "bytes": b})
+            yield _pd.DataFrame(rows, columns=["doc_id", "bytes"])
+
+    media = d.mapInPandas(gen, schema="doc_id long, bytes binary")
+    decoded = _sm.gunzip_text(media)
+    return _sm.parse_sitemaps(decoded, keep_cols=("doc_id",)).select(
+        "doc_id", "kind", F.col("pos").cast("long").alias("pos"),
+        "loc", "priority",
+    )
+
+
 def q_sitemap_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemaps-protocol extraction (mechaml_spark.sitemap): even
     docs carry a ``<urlset>`` (3 entries exercising canonicalization
@@ -4572,6 +4619,7 @@ QUERIES = {
     "warc_roundtrip": q_warc_roundtrip,
     "warc_cdx": q_warc_cdx,
     "sitemap_extract": q_sitemap_extract,
+    "sitemap_gz": q_sitemap_gz,
     "line_dedupe": q_line_dedupe,
     "image_orientation": q_image_orientation,
     "image_thumbnail": q_image_thumbnail,
@@ -5155,6 +5203,21 @@ ORACLES = {
                CAST(200 AS INT) AS status,
                substr(text, 1, 12) AS body_prefix
         FROM documents WHERE doc_id < 300
+    """,
+    "sitemap_gz": """
+        WITH live AS (
+            SELECT doc_id FROM documents
+            WHERE doc_id < 200
+              AND NOT (doc_id % 2 = 0 AND doc_id % 7 = 0))
+        SELECT doc_id, 'url' AS kind, CAST(0 AS BIGINT) AS pos,
+               'http://gz' || (doc_id % 10) || '.test/a' || doc_id AS loc,
+               CAST(0.5 AS DOUBLE) AS priority
+        FROM live
+        UNION ALL
+        SELECT doc_id, 'url', 1,
+               'http://gz' || (doc_id % 10) || '.test/b' || doc_id,
+               CAST(NULL AS DOUBLE)
+        FROM live
     """,
     "sitemap_extract": """
         WITH ks AS (SELECT unnest(range(3)) AS k)

@@ -17,6 +17,7 @@ requires escaping), other entities pass through.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -112,3 +113,45 @@ def sitemap_seeds(entries: DataFrame) -> DataFrame:
         F.coalesce(F.col("priority"), F.lit(0.5)).alias("priority"),
     )
     return urls.groupBy("url_norm").agg(F.max("priority").alias("priority"))
+
+
+# ------------------------------------------------------- gzipped sitemaps
+
+def gunzip_text(
+    df: DataFrame,
+    bytes_col: str = "bytes",
+    out_col: str = "body",
+    max_bytes: int = 64 << 20,
+) -> DataFrame:
+    """Transparently decode sitemap payload bytes to text: gzip
+    members (the ``sitemap.xml.gz`` convention — sitemaps.org allows
+    gzip and caps the UNCOMPRESSED size, hence ``max_bytes``) or
+    plain UTF-8.  The JVM has no gunzip Column expression, so this is
+    an Arrow-batched ``pandas_udf`` (stdlib zlib, per-row pure work);
+    undecodable rows yield NULL, never a task failure — the
+    downstream regexp extraction treats NULL as an empty document.
+    """
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _gunzip(s: pd.Series) -> pd.Series:
+        def one(b):
+            if b is None:
+                return None
+            raw = bytes(b)
+            try:
+                if raw[:2] == b"\x1f\x8b":
+                    d = zlib.decompressobj(zlib.MAX_WBITS | 16)
+                    out = d.decompress(raw, max_bytes)
+                    if d.unconsumed_tail:
+                        return None  # over the uncompressed cap
+                    return out.decode("utf-8", errors="replace")
+                return raw.decode("utf-8", errors="replace")
+            except Exception:
+                return None
+
+        return s.map(one)
+
+    return df.withColumn(out_col, _gunzip(F.col(bytes_col)))

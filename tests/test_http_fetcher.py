@@ -117,6 +117,20 @@ def _make_handler(rec: _Recorder):
             elif self.path.startswith("/zst"):
                 self._reply(200, _zstd_compress(b"zstd-body!"),
                             [("Content-Encoding", "zstd")])
+            elif self.path.startswith("/flaky429"):
+                with rec.lock:
+                    n = sum(
+                        1 for r in rec.requests
+                        if r["path"].startswith("/flaky429")
+                    )
+                if n <= 1:  # _record already counted this request
+                    self._reply(429, b"slow down",
+                                [("Retry-After", "0")])
+                else:
+                    self._reply(200, b"recovered")
+            elif self.path.startswith("/always429"):
+                self._reply(429, b"rate limited",
+                            [("Retry-After", "7")])
             elif self.path.startswith("/cond"):
                 etag = '"v7"'
                 lm = "Tue, 18 Aug 2026 00:00:00 GMT"
@@ -566,3 +580,38 @@ def test_client_header_update_preserves_fetcher_class(spark, loopback):
     assert type(f2) is agent.HttpLoopFetcher
     f2.fetch_result(reqs).finals.collect()
     assert rec.requests[-1]["xhdr"] is None
+
+
+def test_retry_after_backoff_and_surface(spark, loopback):
+    base, rec = loopback
+    f = agent.HttpFetcher(rate_retries=2)
+    df = spark.createDataFrame(
+        [(base + "/flaky429",), (base + "/always429",)], "url string"
+    )
+    out = {r["url"]: r for r in f.fetch(df, "url").collect()}
+
+    # throttled once, then recovers: final row is the 200, no
+    # retry_after leaks from the transient 429
+    a = out[base + "/flaky429"]
+    assert (a["status"], a["body"], a["retry_after"]) == (
+        200, "recovered", None
+    )
+    # persistently throttled: true 429 + parsed Retry-After surface
+    # after the bounded in-task retries
+    b = out[base + "/always429"]
+    assert (b["status"], b["retry_after"], b["error"]) == (429, 7, None)
+    n = sum(
+        1 for r in rec.requests if r["path"].startswith("/always429")
+    )
+    assert n == 1 + 2  # original + rate_retries, no more
+
+
+def test_retry_after_disabled(spark, loopback):
+    base, rec = loopback
+    f = agent.HttpFetcher(rate_retries=0)
+    df = spark.createDataFrame([(base + "/always429",)], "url string")
+    r = f.fetch(df, "url").collect()[0]
+    assert (r["status"], r["retry_after"]) == (429, 7)
+    assert sum(
+        1 for q in rec.requests if q["path"].startswith("/always429")
+    ) == 1

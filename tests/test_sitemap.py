@@ -119,3 +119,28 @@ def test_robots_sitemap_discovery(spark):
         (0, "http://ex.com/a.xml"),
         (1, "http://ex.com/b.xml"),
     ]
+
+
+def test_gunzip_text_mixed_and_corrupt(spark):
+    from mechaml_spark import sitemap as sm
+    from mechaml_spark.warc import gzip_member
+
+    xml = "<urlset><url><loc>http://a.test/x</loc></url></urlset>"
+    df = spark.createDataFrame(
+        [
+            (0, bytearray(gzip_member(xml.encode()))),
+            (1, bytearray(xml.encode())),
+            (2, bytearray(b"\x1f\x8b\x00corrupt")),
+            (3, None),
+        ],
+        "doc_id long, bytes binary",
+    )
+    got = {r["doc_id"]: r["body"]
+           for r in sm.gunzip_text(df).collect()}
+    assert got[0] == xml and got[1] == xml
+    assert got[2] is None and got[3] is None
+    # decoded text feeds the normal parser
+    rows = sm.parse_sitemaps(
+        sm.gunzip_text(df), keep_cols=("doc_id",)
+    ).collect()
+    assert sorted(r["doc_id"] for r in rows) == [0, 1]
