@@ -98,3 +98,34 @@ def top_merge_candidates(pc: DataFrame, k: int = 20) -> DataFrame:
         .where(F.col("rnk") <= k)
         .select("rnk", "pair", "cnt")
     )
+
+
+def encode_tokens(
+    word: Column, merges: list[tuple[str, str]]
+) -> Column:
+    """Apply a trained merge list to one word and return its BPE
+    symbol array.
+
+    The word becomes the spaced symbol string ``c1 c2 ... cn </w>``;
+    each merge ``("t h", "th")`` is ONE string replace.
+
+    Symbol-boundary correctness: every symbol carries a LEADING
+    space (`` l o w </w>``), and a merge rewrites `` t h`` ->
+    `` th``.  The leading separator makes cross-symbol false matches
+    impossible (`` th e`` cannot match pair ``h e`` — the ``h`` is
+    not space-preceded) and keeps adjacency chains intact
+    (`` a a a a`` -> `` aa aa``, the simultaneous left-to-right
+    merge of the reference BPE encoder, Sennrich et al. 2016).  The
+    whole encode is a chain of ``replace`` expressions: pure
+    codegen, no Python, and mirrorable verbatim by a SQL oracle.
+    The merge list is tiny (trained via iterated
+    :func:`top_merge_candidates`) and compiles into the plan."""
+    spaced = F.concat(
+        F.regexp_replace(word, "(.)", " $1"), F.lit(" " + EOW)
+    )
+    for pair, joined in merges:
+        a, b = pair.split(" ")
+        spaced = F.replace(
+            spaced, F.lit(f" {a} {b}"), F.lit(f" {joined}")
+        )
+    return F.split(F.ltrim(spaced), " ")

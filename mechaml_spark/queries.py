@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from mechaml_spark import charlm
 from mechaml_spark import cookies as ck
 from mechaml_spark import extract, formatting, page, textclean
 from mechaml_spark.forms import is_checked, state_get
@@ -2610,6 +2611,66 @@ def q_charlm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return charlm.score_docs(scored_in, model)
 
 
+_BPE_MERGES = [
+    ("t h", "th"), ("th e", "the"), ("the </w>", "the</w>"),
+    ("i n", "in"), ("a n", "an"), ("e r", "er"), ("a t", "at"),
+    ("o n", "on"),
+]
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge APPLICATION (bpe.encode_tokens) with a pinned 8-merge
+    list over the real corpus words: per doc, word count, symbol
+    count before merges (chars + </w>), token count after.  The
+    encode is a leading-separator replace chain — pure codegen — and
+    the oracle runs the IDENTICAL replace chain in SQL, so any
+    boundary bug (cross-symbol match, broken adjacency) hash-fails."""
+    from mechaml_spark import bpe
+
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(charlm.normalize_col(d.text), " "),
+                lambda w: w != "",
+            )
+        ).alias("word"),
+    )
+    toks = bpe.encode_tokens(F.col("word"), _BPE_MERGES)
+    per_word = words.select(
+        "doc_id",
+        (F.length("word") + 1).alias("before"),
+        F.size(toks).alias("after"),
+    )
+    return per_word.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("before").cast("long").alias("n_sym_before"),
+        F.sum("after").cast("long").alias("n_tokens"),
+    )
+
+
+def _bpe_encode_oracle_sql(merges: list[tuple[str, str]]) -> str:
+    expr = "regexp_replace(word, '(.)', ' \\1', 'g') || ' </w>'"
+    for pair, joined in merges:
+        a, b = pair.split(" ")
+        expr = f"replace({expr}, ' {a} {b}', ' {joined}')"
+    return f"""
+        WITH w AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split(
+                       trim(regexp_replace(lower(text),
+                                           '[^a-z]+', ' ', 'g')), ' '),
+                       x -> x <> '')) AS word
+            FROM documents)
+        SELECT doc_id, COUNT(*) AS n_words,
+               CAST(SUM(strlen(word) + 1) AS BIGINT) AS n_sym_before,
+               CAST(SUM(len(string_split(ltrim({expr}), ' ')))
+                    AS BIGINT) AS n_tokens
+        FROM w GROUP BY doc_id
+    """
+
+
 def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode normalization (textclean.normalize_unicode): NFC
     composition (e + combining acute -> precomposed), zero-width /
@@ -4633,6 +4694,7 @@ QUERIES = {
     "charlm_score": q_charlm_score,
     "bpe_pairs": q_bpe_pairs,
     "text_normalize": q_text_normalize,
+    "bpe_encode": q_bpe_encode,
     "html_text": q_html_text,
     "robots_rfc": q_robots_rfc,
     "mime_sniff": q_mime_sniff,
@@ -5375,6 +5437,7 @@ ORACLES = {
         JOIN t1 USING (doc_id)
         LEFT JOIN b1 USING (doc_id)
     """,
+    "bpe_encode": _bpe_encode_oracle_sql(_BPE_MERGES),
     "text_normalize": """
         WITH raw AS (
             SELECT doc_id,

@@ -49,3 +49,28 @@ def test_top_candidates_pinned_tiebreak(spark):
         (2, "o+w", 3),   # ties (cnt 3) break lexicographically:
         (3, "w+</w>", 3),  # 'o+w' < 'w+</w>'
     ]
+
+
+def test_encode_tokens_boundary_semantics(spark):
+    from pyspark.sql import functions as F
+
+    merges = [("t h", "th"), ("h e", "he"), ("a a", "aa")]
+    df = spark.createDataFrame(
+        [("the",), ("he",), ("other",), ("aaaa",), ("aaa",)],
+        "word string",
+    )
+    got = {
+        r["word"]: r["toks"]
+        for r in df.select(
+            "word", bpe.encode_tokens(F.col("word"), merges).alias("toks")
+        ).collect()
+    }
+    # 'the': t+h merges first; then 'h e' must NOT fire across the
+    # new 'th' symbol boundary (the h is inside 'th')
+    assert got["the"] == ["th", "e", "</w>"]
+    assert got["other"] == ["o", "th", "e", "r", "</w>"]
+    # ...but a real standalone h+e pair does merge
+    assert got["he"] == ["he", "</w>"]
+    # adjacency chain: simultaneous left-to-right merge
+    assert got["aaaa"] == ["aa", "aa", "</w>"]
+    assert got["aaa"] == ["aa", "a", "</w>"]
