@@ -4449,6 +4449,84 @@ def q_robots_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_link_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink profile per page — the link-farm / SEO-spam signal
+    (high external-link ratio, many distinct external domains):
+    links through the REAL parse path, then source and target hosts
+    reduced to registered domains via the publicsuffix module, then
+    one groupBy(doc).  Internal = same eTLD+1 (www.site5.co.uk ->
+    blog.site5.co.uk is internal; site6.co.uk is not).  Scale: the
+    suffix join is broadcast; the final groupBy is one partial agg
+    keyed on the page."""
+    from mechaml_spark import domains
+
+    d = _t(spark, sf_dir, "documents")
+    body = F.concat(
+        F.lit("<html><body><a href='http://blog.site"),
+        d.doc_id % 10,
+        F.lit(".co.uk/in"),
+        d.doc_id,
+        F.lit("'>i</a><a href='/rel"),
+        d.doc_id,
+        F.lit("'>r</a><a href='http://out"),
+        d.doc_id % 7,
+        F.lit(".com/x"),
+        d.doc_id,
+        F.lit("'>o</a>"),
+        F.when(
+            d.doc_id % 3 == 0,
+            F.concat(
+                F.lit("<a href='http://spam"),
+                d.doc_id % 5,
+                F.lit(".unknowntld/y'>s</a>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    pages = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("http://www.site"), d.doc_id % 10, F.lit(".co.uk/d"),
+            d.doc_id,
+        ).alias("url"),
+        body.alias("body"),
+    )
+    links = page.links_with(
+        extract.parse_pages(pages), "", page_cols=("doc_id", "url")
+    ).select(
+        "doc_id",
+        page.host_col(F.col("url")).alias("src_host"),
+        page.host_col(F.col("uri")).alias("dst_host"),
+    )
+    rules = domains.rule_table(spark)
+    links = links.withColumn(
+        "_k", F.monotonically_increasing_id()
+    )
+    src = domains.registered_domain(
+        links.select("_k", "src_host"), "src_host", "_k", rules
+    ).select("_k", F.col("registered_domain").alias("src_dom"))
+    dst = domains.registered_domain(
+        links.select("_k", "dst_host"), "dst_host", "_k", rules
+    ).select("_k", F.col("registered_domain").alias("dst_dom"))
+    j = links.join(src, "_k").join(dst, "_k")
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_links"),
+        F.sum(
+            F.when(F.col("src_dom") == F.col("dst_dom"), 1).otherwise(0)
+        ).cast("long").alias("n_internal"),
+        F.size(
+            F.array_distinct(
+                F.collect_list(
+                    F.when(
+                        F.col("src_dom") != F.col("dst_dom"),
+                        F.col("dst_dom"),
+                    )
+                )
+            )
+        ).cast("long").alias("n_ext_domains"),
+    )
+
+
 def q_crawl_delay_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots Crawl-delay -> per-host politeness budget derivation
     (frontier.robots.crawl_delay_budgets, the table politeness_split
@@ -4732,6 +4810,7 @@ QUERIES = {
     "hreflang": q_hreflang,
     "sentence_split": q_sentence_split,
     "crawl_delay_budgets": q_crawl_delay_budgets,
+    "link_stats": q_link_stats,
     "pii_scrub": q_pii_scrub,
     "blocklist_filter": q_blocklist_filter,
     "decontaminate": q_decontaminate,
@@ -5811,6 +5890,15 @@ ORACLES = {
                  WHEN 5 THEN NULL
                  ELSE 'x' || (doc_id % 10) || '.github.io'
                END AS registered_domain
+        FROM documents
+    """,
+    "link_stats": """
+        SELECT doc_id,
+               CAST(3 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+                    AS BIGINT) AS n_links,
+               CAST(2 AS BIGINT) AS n_internal,
+               CAST(1 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+                    AS BIGINT) AS n_ext_domains
         FROM documents
     """,
     "robots_meta": """

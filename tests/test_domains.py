@@ -61,3 +61,15 @@ def test_rule_table_shapes(spark):
         (k, (e, x)) for k, e, x in domains.rule_rows(["a.b", "*.c", "!d.c"])
     )
     assert rows == {"a.b": (0, 0), "c": (1, 0), "d.c": (-1, 1)}
+
+
+def test_link_stats_query_shape(spark):
+    # internal/external classification keys on eTLD+1, not host
+    from mechaml_spark.queries import QUERIES
+
+    out = QUERIES["link_stats"](spark, "/root/testdata/sf0.001")
+    r = {x["doc_id"]: x for x in out.collect()}
+    for did, row in r.items():
+        assert row["n_internal"] == 2
+        assert row["n_links"] == 3 + (1 if did % 3 == 0 else 0)
+        assert row["n_ext_domains"] == 1 + (1 if did % 3 == 0 else 0)
