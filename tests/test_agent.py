@@ -77,7 +77,7 @@ def test_http_fetcher_builds_plan(spark):
     )
     assert [f.name for f in out.schema.fields] == [
         "url_norm", "status", "location", "set_cookie", "body", "error",
-        "etag", "last_modified",
+        "etag", "last_modified", "retry_after",
     ]
 
 
