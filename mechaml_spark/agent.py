@@ -800,24 +800,31 @@ def resolve_redirect_closure(
     # if the limit is hit the subset exceeds the driver budget and we
     # fall back; otherwise the collected frame IS the map input.  At
     # the trickle bench shape the separate count job was ~half the
-    # closure's serial setup time.
-    red_pdf = red.limit(max_driver_redirect_rows + 1).toPandas()
-    if len(red_pdf) > max_driver_redirect_rows:
+    # closure's serial setup time.  Arrow-native collect (toArrow +
+    # to_pylist, both C paths) instead of toPandas + a per-row Python
+    # comprehension: the driver round-trip is SERIAL floor for the
+    # whole crawl (identical at 2 and 8 pinned cores in the phase
+    # profile), so every driver-side cycle here divides directly into
+    # the N->4N scaling efficiency.  to_pylist() already yields plain
+    # ints / lists, so map values need no per-row conversion at all.
+    red_tbl = red.limit(max_driver_redirect_rows + 1).toArrow()
+    if red_tbl.num_rows > max_driver_redirect_rows:
         chased = _chase_relational_closure(
             red, max_redirect, hop_t, hu_t
         ).localCheckpoint(eager=True)
         return _attach_closure_finals(
             corpus, nonred_finals, chased, hop_t
         )
-    rmap = {
-        u: (int(s), loc, None if sc is None else list(sc))
-        for u, s, loc, sc in zip(
-            red_pdf["url_norm"],
-            red_pdf["status"],
-            red_pdf["location"],
-            red_pdf["set_cookie"],
+    rmap = dict(
+        zip(
+            red_tbl.column("url_norm").to_pylist(),
+            zip(
+                red_tbl.column("status").to_pylist(),
+                red_tbl.column("location").to_pylist(),
+                red_tbl.column("set_cookie").to_pylist(),
+            ),
         )
-    }
+    )
     bc = corpus.sparkSession.sparkContext.broadcast(rmap)
 
     def _chase(batches):
