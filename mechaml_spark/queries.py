@@ -3911,6 +3911,141 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lg.connected_components(edges, n_iter=3)
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540) as a composition of the repo's distributed
+    stages: k-means coarse clustering (the exact integer Lloyd of
+    `embedding_ann_ivf` — broadcast k-row centroids, posexplode →
+    partial-agg updates, the shuffle carries k×dim cells) bounds the
+    O(n²) similarity search to WITHIN-cluster pairs (equi-join on
+    cluster id — never a cross join), an exact integer cosine
+    threshold (`caption_similarity`'s overflow-safe form, cos ≥ 0.95
+    as dot²·10⁴ ≥ 9025·|a|²·|b|², all int64 within bounds) yields
+    near-dup edges, hash-min connected components with pointer
+    jumping (linkgraph.connected_components) labels the dup groups,
+    and the keeper per group is the component min.
+
+    Input geometry (expression-only, no Python): 128 vectors in
+    dim 8, 32 groups of 4 — group g on primary axis g%8 (weight
+    1000) with a same-axis-group-distinct secondary axis (weight
+    350) and a small per-member tertiary offset (40·m).  Verified
+    offline: min within-group cos 0.9936, max cross-group cos
+    0.8923, so near-dup components == groups exactly, and the
+    integer Lloyd (init = first member of the first 8 groups, one
+    per axis) keeps every group whole in one cluster (group g →
+    cluster init id 4·(g%8)), so the cluster bound loses no edges.
+    The oracle is therefore closed-form over doc_id while the Spark
+    side runs the full trained pipeline.
+
+    Scale posture at 10^10 vectors: every stage is an equi-join or a
+    partial-agg groupBy; the cluster size bounds the quadratic term
+    (SemDeDup's core idea), and CC converges in O(log diameter)
+    rounds."""
+    from mechaml_spark import linkgraph as _lg
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 128
+    )
+    grp = F.expr("doc_id div 4")
+    a = grp % 8
+    s = (a + 1 + F.expr("(doc_id div 4) div 8")) % 8
+    t = (a + 6) % 8
+    m = F.col("doc_id") % 4
+    vecs = d.select(
+        F.col("doc_id").cast("long").alias("neighbor_id"),
+        F.array(
+            *[
+                (
+                    F.when(a == i, 1000).otherwise(0)
+                    + F.when(s == i, 350).otherwise(0)
+                    + F.when(t == i, m * 40).otherwise(0)
+                )
+                .cast("long")
+                for i in range(8)
+            ]
+        ).alias("cv"),
+    )
+    dot = lambda x, y: F.aggregate(  # noqa: E731
+        F.zip_with(x, y, lambda u, v: u * v),
+        F.lit(0).cast("long"),
+        lambda acc, z: acc + z,
+    )
+    cent = vecs.where(
+        (F.pmod("neighbor_id", F.lit(4)) == 0) & (F.col("neighbor_id") < 32)
+    ).select(F.col("neighbor_id").alias("cid"), F.col("cv").alias("cv_cent"))
+    wa = Window.partitionBy("neighbor_id").orderBy(F.desc("cdot"), "cid")
+
+    def assign_to(cent_df: DataFrame) -> DataFrame:
+        return (
+            vecs.crossJoin(F.broadcast(cent_df))
+            .withColumn("cdot", dot("cv", "cv_cent"))
+            .withColumn("_rk", F.row_number().over(wa))
+            .where(F.col("_rk") == 1)
+            .select("neighbor_id", "cid", "cv")
+        )
+
+    def lloyd_update(assigned: DataFrame) -> DataFrame:
+        ex = assigned.select("cid", F.posexplode("cv").alias("pos", "v"))
+        agg = ex.groupBy("cid", "pos").agg(
+            F.sum("v").alias("s"), F.count("*").alias("n")
+        )
+        comp = agg.select(
+            "cid",
+            "pos",
+            ((F.col("s") - F.pmod(F.col("s"), F.col("n"))) / F.col("n"))
+            .cast("long")
+            .alias("cv_i"),
+        )
+        return (
+            comp.groupBy("cid")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "cv_i"))).alias(
+                    "ps"
+                )
+            )
+            .select(
+                "cid", F.transform("ps", lambda x: x["cv_i"]).alias("cv_cent")
+            )
+        )
+
+    for _ in range(2):
+        cent = lloyd_update(assign_to(cent)).localCheckpoint(eager=False)
+    assign = assign_to(cent).localCheckpoint(eager=False)
+    norms = assign.withColumn("n2", dot("cv", "cv"))
+    la = norms.select(
+        F.col("neighbor_id").alias("src"),
+        F.col("cid").alias("cida"),
+        F.col("cv").alias("acv"),
+        F.col("n2").alias("na2"),
+    )
+    lb = norms.select(
+        F.col("neighbor_id").alias("dst"),
+        F.col("cid").alias("cidb"),
+        F.col("cv").alias("bcv"),
+        F.col("n2").alias("nb2"),
+    )
+    pairs = la.join(
+        lb, (F.col("cida") == F.col("cidb")) & (F.col("src") < F.col("dst"))
+    ).withColumn("pdot", dot("acv", "bcv"))
+    edges = pairs.where(
+        (F.col("pdot") > 0)
+        & (
+            F.col("pdot") * F.col("pdot") * 10000
+            >= 9025 * F.col("na2") * F.col("nb2")
+        )
+    ).select("src", "dst")
+    comp = _lg.connected_components(edges, n_iter=3)
+    keep = F.coalesce(F.col("component"), F.col("neighbor_id"))
+    return assign.join(
+        comp, assign["neighbor_id"] == comp["node"], "left"
+    ).select(
+        F.col("neighbor_id").alias("vec_id"),
+        F.col("cid").cast("long").alias("cid"),
+        keep.alias("component"),
+        (keep == F.col("neighbor_id")).alias("kept"),
+    )
+
+
 def q_video_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyframe selection through the REAL video path (multimodal.
     select_keyframes after GIF decode + tick sampling): the same
@@ -4797,6 +4932,7 @@ QUERIES = {
     "image_quality": q_image_quality,
     "caption_similarity": q_caption_similarity,
     "dedup_clusters": q_dedup_clusters,
+    "semantic_dedup": q_semantic_dedup,
     "video_keyframes": q_video_keyframes,
     "warc_wet": q_warc_wet,
     "warc_wat": q_warc_wat,
@@ -6078,6 +6214,18 @@ ORACLES = {
         SELECT doc_id AS node,
                6 * (doc_id // 6) AS component
         FROM documents WHERE doc_id < 600
+    """,
+    "semantic_dedup": """
+        -- closed form: the verified geometry makes near-dup
+        -- components exactly the 4-member groups (min within-group
+        -- cos 0.9936 >= 0.95 > 0.8923 max cross-group), each group
+        -- lands whole in the cluster seeded by its axis's init
+        -- member (id 4*(g%8)), and the keeper is the component min
+        SELECT CAST(doc_id AS BIGINT) AS vec_id,
+               CAST(4 * ((doc_id // 4) % 8) AS BIGINT) AS cid,
+               CAST(4 * (doc_id // 4) AS BIGINT) AS component,
+               doc_id % 4 = 0 AS kept
+        FROM documents WHERE doc_id < 128
     """,
     "caption_similarity": """
         WITH q AS (
