@@ -3911,6 +3911,62 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lg.connected_components(edges, n_iter=3)
 
 
+def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear text-classifier INFERENCE at corpus scale — the
+    fastText-style serving shape every corpus pipeline runs for
+    quality/topic/toxicity gates (Joulin et al. 2016): tokens hash
+    into a fixed feature space (16-bit md5 bucket % 256, the
+    cross-engine idiom `simhash_buckets` proved), each bucket joins a
+    BROADCAST (bucket → per-class weight) table — real deployments
+    swap in trained parameters, here the weights are a deterministic
+    integer stand-in so the oracle mirrors them arithmetically — and
+    one partial-agg groupBy(doc) sums per-class scores; prediction is
+    argmax with lowest-class tie-break.  Integer weights/sums keep
+    both engines bit-exact.
+
+    Scale posture at 10^10 docs: the weight table is O(buckets×
+    classes) — always broadcastable; the explode→join→groupBy chain
+    shuffles one partial-aggregated row per doc, never the token
+    stream (map-side combine collapses tokens before the exchange);
+    no Python anywhere."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = d.select("doc_id", F.explode(_toks(F.col("text"))).alias("w"))
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("w").cast("binary")), 1, 4), 16, 10
+        ).cast("long")
+        % 256
+    ).cast("int")
+    wt = spark.range(256).select(
+        F.col("id").cast("int").alias("b"),
+        *[
+            (((F.col("id") * 131 + 17 * c) % 201) - 100)
+            .cast("long")
+            .alias(f"w{c}")
+            for c in range(3)
+        ],
+    )
+    scored = tok.select("doc_id", bucket.alias("b")).join(
+        F.broadcast(wt), "b"
+    )
+    s = scored.groupBy("doc_id").agg(
+        F.sum("w0").alias("score0"),
+        F.sum("w1").alias("score1"),
+        F.sum("w2").alias("score2"),
+    )
+    pred = (
+        F.when(
+            (F.col("score0") >= F.col("score1"))
+            & (F.col("score0") >= F.col("score2")),
+            0,
+        )
+        .when(F.col("score1") >= F.col("score2"), 1)
+        .otherwise(2)
+        .cast("int")
+    )
+    return s.select("doc_id", "score0", "score1", "score2", pred.alias("pred"))
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540) as a composition of the repo's distributed
@@ -4932,6 +4988,7 @@ QUERIES = {
     "image_quality": q_image_quality,
     "caption_similarity": q_caption_similarity,
     "dedup_clusters": q_dedup_clusters,
+    "classifier_score": q_classifier_score,
     "semantic_dedup": q_semantic_dedup,
     "video_keyframes": q_video_keyframes,
     "warc_wet": q_warc_wet,
@@ -6214,6 +6271,23 @@ ORACLES = {
         SELECT doc_id AS node,
                6 * (doc_id // 6) AS component
         FROM documents WHERE doc_id < 600
+    """,
+    "classifier_score": f"""
+        WITH tok AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(w), 1, 4)) AS BIGINT) % 256 AS b
+            FROM documents, unnest({_TOKS_SQL}) AS u(w)),
+        s AS (
+            SELECT doc_id,
+                   CAST(sum((b * 131 + 0)  % 201 - 100) AS BIGINT) AS score0,
+                   CAST(sum((b * 131 + 17) % 201 - 100) AS BIGINT) AS score1,
+                   CAST(sum((b * 131 + 34) % 201 - 100) AS BIGINT) AS score2
+            FROM tok GROUP BY doc_id)
+        SELECT doc_id, score0, score1, score2,
+               CAST(CASE WHEN score0 >= score1 AND score0 >= score2 THEN 0
+                         WHEN score1 >= score2 THEN 1
+                         ELSE 2 END AS INTEGER) AS pred
+        FROM s
     """,
     "semantic_dedup": """
         -- closed form: the verified geometry makes near-dup
