@@ -69,6 +69,8 @@ def main() -> None:
         "crawl": res["crawl"],
         "total_sec": res["total_sec"],
     }
+    if "crawl_phases" in res:
+        out["crawl_phases"] = res["crawl_phases"]
     line = json.dumps(out)
     print(line, flush=True)
     if args.out:
