@@ -4916,6 +4916,77 @@ def q_canonical_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing: per shard,
+    documents are concatenated in deterministic (doc_id) order into
+    one token stream and cut into fixed 256-token training contexts;
+    each doc reports its stream offset and the context range it lands
+    in (a doc longer than one context spans several — that is the
+    n_ctx column).
+
+    Scale posture: packing is PER SHARD (shard = doc_id % 16; a real
+    pipeline hashes the id), so the only shuffle is one hash
+    partition + an in-partition running sum — no global window, no
+    single-reducer token stream.  At 100 TB, S shards are S
+    independent streams packed in parallel, which is exactly the
+    sharded-packing layout training pipelines use; `div` keeps the
+    context arithmetic integer-exact and engine-portable."""
+    ctx = 256
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(_toks(F.col("text"))).cast("long").alias("n_tok"),
+    )
+    d = d.withColumn("shard", (F.col("doc_id") % 16).cast("int"))
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    d = d.withColumn("tok_end", F.sum("n_tok").over(w)).withColumn(
+        "tok_start", F.col("tok_end") - F.col("n_tok")
+    )
+    # a zero-token doc occupies no stream space: its "last token"
+    # clamps to tok_start so it reports the context it would open
+    last_tok = f"greatest(tok_start, tok_end - 1) div {ctx}"
+    return d.select(
+        "doc_id",
+        "shard",
+        "n_tok",
+        "tok_start",
+        F.expr(f"tok_start div {ctx}").alias("pack_first"),
+        F.expr(last_tok).alias("pack_last"),
+        (F.expr(last_tok) - F.expr(f"tok_start div {ctx}") + F.lit(1))
+        .cast("long")
+        .alias("n_ctx"),
+    )
+
+
+def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-stride character chunking (the RAG/embedding
+    chunker): windows of 180 chars at stride 120, last window
+    ragged; empty docs still yield their one empty chunk so no row
+    silently disappears.  Expression-only (sequence + posexplode +
+    substring): no UDF, no shuffle — a pure map over the corpus, so
+    it inherits the scan's partitioning at any scale."""
+    win, stride = 180, 120
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.length("text").alias("n")
+    )
+    idx = F.sequence(
+        F.lit(0),
+        F.expr(f"cast((greatest(n, 1) - 1) div {stride} as int)"),
+    )
+    e = d.select(
+        "doc_id", "text", F.posexplode(idx).alias("chunk_id", "_i")
+    )
+    chunk = F.substring(
+        F.col("text"), F.col("chunk_id") * stride + 1, win
+    )
+    return e.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        (F.col("chunk_id").cast("long") * stride).alias("c_start"),
+        chunk.alias("chunk"),
+        F.length(chunk).cast("long").alias("c_len"),
+    )
+
+
 QUERIES = {
     "extract_links": q_extract_links,
     "selector_suffix": q_selector_suffix,
@@ -5019,6 +5090,8 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "sessionize": q_sessionize,
     "pricing_summary": q_pricing_summary,
+    "sequence_pack": q_sequence_pack,
+    "chunk_overlap": q_chunk_overlap,
 }
 
 _TOKS_SQL = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
@@ -6713,5 +6786,40 @@ ORACLES = {
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         GROUP BY l_returnflag, l_linestatus
+    """,
+    "sequence_pack": f"""
+        WITH t AS (
+            SELECT doc_id, CAST(doc_id % 16 AS INT) AS shard,
+                   CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tok
+            FROM documents),
+        c AS (
+            SELECT doc_id, shard, n_tok,
+                   CAST(sum(n_tok) OVER (
+                       PARTITION BY shard ORDER BY doc_id) AS BIGINT)
+                       AS tok_end
+            FROM t)
+        SELECT doc_id, shard, n_tok,
+               CAST(tok_end - n_tok AS BIGINT) AS tok_start,
+               CAST((tok_end - n_tok) // 256 AS BIGINT) AS pack_first,
+               CAST(greatest(tok_end - n_tok, tok_end - 1) // 256
+                    AS BIGINT) AS pack_last,
+               CAST(greatest(tok_end - n_tok, tok_end - 1) // 256
+                    - (tok_end - n_tok) // 256 + 1 AS BIGINT) AS n_ctx
+        FROM c
+    """,
+    "chunk_overlap": """
+        WITH t AS (SELECT doc_id, text, length(text) AS n
+                   FROM documents),
+        e AS (SELECT doc_id, text,
+                     unnest(range(0, (greatest(n, 1) - 1) // 120 + 1))
+                         AS chunk_id
+              FROM t)
+        SELECT doc_id,
+               CAST(chunk_id AS INT) AS chunk_id,
+               CAST(chunk_id * 120 AS BIGINT) AS c_start,
+               substr(text, CAST(chunk_id * 120 + 1 AS INT), 180) AS chunk,
+               CAST(length(substr(text, CAST(chunk_id * 120 + 1 AS INT),
+                                  180)) AS BIGINT) AS c_len
+        FROM e
     """,
 }
