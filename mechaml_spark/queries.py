@@ -4987,6 +4987,97 @@ def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch Reading Ease per document (the classic text-quality
+    feature: 206.835 - 1.015*(words/sentences) - 84.6*(syll/words)),
+    with heuristic counts — words = whitespace tokens, sentences =
+    `[.!?]+` group count clamped to >= 1, syllables = `[aeiouy]+`
+    vowel-group count over the lowercased text.  The formula uses
+    only +,-,*,/ on doubles, all IEEE correctly-rounded, so Spark and
+    DuckDB produce bit-identical scores — no transcendental ever
+    enters the plan.  Expression-only: one codegen project over the
+    scan, zero shuffle at any scale."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.size(_toks(F.col("text"))).cast("long")
+    sents = F.greatest(
+        F.lit(1).cast("long"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(r"[.!?]+"), F.lit(0))
+        ).cast("long"),
+    )
+    syll = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), F.lit(0))
+    ).cast("long")
+    q = d.select(
+        "doc_id",
+        words.alias("n_words"),
+        sents.alias("n_sents"),
+        syll.alias("n_syll"),
+    ).where(F.col("n_words") > 0)
+    fre = (
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("n_words").cast("double") / F.col("n_sents"))
+        - F.lit(84.6) * (F.col("n_syll").cast("double") / F.col("n_words"))
+    )
+    return q.select(
+        "doc_id", "n_words", "n_sents", "n_syll", fre.alias("fre")
+    )
+
+
+def q_word_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining over adjacent token bigrams (the phrase-
+    detection stage of word2vec-style preprocessing): lift =
+    P(ab)/(P(a)P(b)) reported as the EXACT integer milli-ratio
+    ``(n_ab * N * 1000) div (n_a * n_b)`` — monotone in PMI with no
+    ln/float to drift across engines.  Only bigrams seen >= 3 times
+    with lift > 1x survive.
+
+    Scale posture: two partial-agg groupBys (unigrams, bigrams) whose
+    shuffles carry (token, count) rows, then the unigram table joins
+    back twice; at web scale the unigram side is Zipf-small after a
+    min-count filter and broadcasts."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", _toks(F.lower(F.col("text"))).alias("ws")
+    )
+    toks = d.select(F.explode("ws").alias("w"))
+    uni = toks.groupBy("w").agg(F.count("*").alias("n_w"))
+    n_total = toks.count()
+    # adjacent bigrams built INSIDE the token array (pure map — the
+    # token stream never self-joins); explode ships only bigram keys
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("ws") - 1),
+        lambda i: F.struct(
+            F.element_at("ws", i).alias("w1"),
+            F.element_at("ws", i + 1).alias("w2"),
+        ),
+    )
+    big = (
+        d.where(F.size("ws") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("n_ab"))
+        .where(F.col("n_ab") >= 3)
+    )
+    j = big.join(
+        F.broadcast(uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_a"))),
+        "w1",
+    ).join(
+        F.broadcast(uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_b"))),
+        "w2",
+    )
+    return j.select(
+        "w1",
+        "w2",
+        "n_ab",
+        "n_a",
+        "n_b",
+        F.expr(f"(n_ab * {n_total} * 1000) div (n_a * n_b)").alias(
+            "lift_milli"
+        ),
+    ).where(F.col("lift_milli") > 1000)
+
+
 QUERIES = {
     "extract_links": q_extract_links,
     "selector_suffix": q_selector_suffix,
@@ -5092,6 +5183,8 @@ QUERIES = {
     "pricing_summary": q_pricing_summary,
     "sequence_pack": q_sequence_pack,
     "chunk_overlap": q_chunk_overlap,
+    "readability": q_readability,
+    "word_collocations": q_word_collocations,
 }
 
 _TOKS_SQL = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
@@ -6821,5 +6914,51 @@ ORACLES = {
                CAST(length(substr(text, CAST(chunk_id * 120 + 1 AS INT),
                                   180)) AS BIGINT) AS c_len
         FROM e
+    """,
+    "readability": f"""
+        WITH t AS (
+            SELECT doc_id,
+                   CAST(len({_TOKS_SQL}) AS BIGINT) AS n_words,
+                   CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+                        AS BIGINT) AS n_sents,
+                   CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                        AS BIGINT) AS n_syll
+            FROM documents)
+        SELECT doc_id, n_words, n_sents, n_syll,
+               CAST(206.835 AS DOUBLE)
+                   - CAST(1.015 AS DOUBLE)
+                     * (CAST(n_words AS DOUBLE) / n_sents)
+                   - CAST(84.6 AS DOUBLE)
+                     * (CAST(n_syll AS DOUBLE) / n_words) AS fre
+        FROM t WHERE n_words > 0
+    """,
+    "word_collocations": """
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                               x -> x <> '') AS ws
+            FROM documents),
+        tok AS (SELECT unnest(ws) AS w FROM t),
+        uni AS (SELECT w, CAST(count(*) AS BIGINT) AS n_w
+                FROM tok GROUP BY w),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM tok),
+        big AS (
+            SELECT (p).w1 AS w1, (p).w2 AS w2,
+                   CAST(count(*) AS BIGINT) AS n_ab
+            FROM (SELECT unnest(list_transform(
+                             range(1, len(ws)),
+                             i -> {'w1': ws[i], 'w2': ws[i+1]})) AS p
+                  FROM t WHERE len(ws) >= 2)
+            GROUP BY 1, 2
+            HAVING count(*) >= 3)
+        SELECT b.w1, b.w2, b.n_ab,
+               u1.n_w AS n_a, u2.n_w AS n_b,
+               CAST(b.n_ab * n.nt * 1000 // (u1.n_w * u2.n_w)
+                    AS BIGINT) AS lift_milli
+        FROM big b
+        JOIN uni u1 ON b.w1 = u1.w
+        JOIN uni u2 ON b.w2 = u2.w
+        CROSS JOIN n
+        WHERE b.n_ab * n.nt * 1000 // (u1.n_w * u2.n_w) > 1000
     """,
 }
