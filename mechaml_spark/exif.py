@@ -44,6 +44,9 @@ TAG_EXIF_IFD = 0x8769
 TAG_GPS_IFD = 0x8825
 TAG_PIXEL_X = 0xA002
 TAG_PIXEL_Y = 0xA003
+TAG_COMPRESSION = 0x0103
+TAG_THUMB_OFFSET = 0x0201  # JPEGInterchangeFormat (IFD1)
+TAG_THUMB_LENGTH = 0x0202  # JPEGInterchangeFormatLength (IFD1)
 TAG_GPS_LAT_REF = 0x0001
 TAG_GPS_LAT = 0x0002
 TAG_GPS_LON_REF = 0x0003
@@ -92,11 +95,15 @@ def _pack_value(e: str, ftype: int, value) -> tuple[bytes, int]:
 
 
 def _build_ifd(
-    e: str, entries: list[tuple[int, int, object]], ifd_off: int
+    e: str,
+    entries: list[tuple[int, int, object]],
+    ifd_off: int,
+    next_off: int = 0,
 ) -> tuple[bytes, bytes]:
     """Build one IFD at absolute offset ``ifd_off``: returns
     (ifd bytes incl. next-pointer, overflow value area that must be
-    appended immediately after)."""
+    appended immediately after).  ``next_off`` is the next-IFD
+    pointer (IFD0 -> IFD1 chaining for thumbnails; 0 = none)."""
     entries = sorted(entries)  # TIFF 6.0: ascending tag order
     n = len(entries)
     head_len = 2 + 12 * n + 4
@@ -111,13 +118,16 @@ def _build_ifd(
             field = struct.pack(f"{e}I", off)
             overflow += payload
         body += struct.pack(f"{e}HHI", tag, ftype, count) + field
-    body += struct.pack(f"{e}I", 0)  # next-IFD pointer: none
+    body += struct.pack(f"{e}I", next_off)  # next-IFD pointer
     return body, overflow
 
 
-def exif_payload(tags: dict, byte_order: str = "II") -> bytes:
+def exif_payload(
+    tags: dict, byte_order: str = "II", thumbnail: bytes | None = None
+) -> bytes:
     """Build an APP1 ``Exif\\x00\\x00`` payload (TIFF header + IFD0
-    + Exif sub-IFD + GPS sub-IFD) from a flat ``tags`` dict.
+    + Exif sub-IFD + GPS sub-IFD [+ IFD1 thumbnail]) from a flat
+    ``tags`` dict.
 
     Recognized keys: Make, Model (str); Orientation (1..8);
     DateTime ("YYYY:MM:DD HH:MM:SS"); PixelXDimension,
@@ -125,7 +135,11 @@ def exif_payload(tags: dict, byte_order: str = "II") -> bytes:
     "E"/"W"); GPSLatitude/GPSLongitude ([(num, den)]*3 — deg, min,
     sec rationals).  ``byte_order`` "II" (little) or "MM" (big) —
     both occur in crawled bytes, so both are exercised in tests.
-    """
+
+    ``thumbnail``: JPEG bytes embedded the standard way — IFD1
+    chained from IFD0's next-pointer with Compression=6 +
+    JPEGInterchangeFormat/-Length (EXIF 2.3 §4.6.3), the layout
+    every camera writes."""
     if byte_order not in ("II", "MM"):
         raise ExifError(f"byte order {byte_order!r}")
     e = "<" if byte_order == "II" else ">"
@@ -161,7 +175,7 @@ def exif_payload(tags: dict, byte_order: str = "II") -> bytes:
     # size — IFD0's entry COUNT is known up front, so sizes resolve in
     # one pass per IFD (build with placholder offsets, then rebuild).
     n0 = len(ifd0) + (1 if exif_ifd else 0) + (1 if gps_ifd else 0)
-    if n0 == 0:
+    if n0 == 0 and thumbnail is None:
         raise ExifError("no tags")
 
     def sized(entries: list[tuple[int, int, object]], off: int) -> int:
@@ -177,6 +191,19 @@ def exif_payload(tags: dict, byte_order: str = "II") -> bytes:
         ifd0_full.append((TAG_GPS_IFD, _LONG, 0))
     exif_off = ifd0_off + sized(ifd0_full, ifd0_off)
     gps_off = exif_off + (sized(exif_ifd, exif_off) if exif_ifd else 0)
+    after_gps = gps_off + (sized(gps_ifd, gps_off) if gps_ifd else 0)
+
+    # IFD1 (thumbnail): 3 small-value entries -> fixed 2+36+4 bytes,
+    # no overflow; the JPEG bytes follow the IFD directly
+    ifd1_off = after_gps if thumbnail is not None else 0
+    ifd1: list[tuple[int, int, object]] = []
+    if thumbnail is not None:
+        thumb_off = ifd1_off + 2 + 12 * 3 + 4
+        ifd1 = [
+            (TAG_COMPRESSION, _SHORT, 6),
+            (TAG_THUMB_OFFSET, _LONG, thumb_off),
+            (TAG_THUMB_LENGTH, _LONG, len(thumbnail)),
+        ]
 
     ifd0_final = list(ifd0)
     if exif_ifd:
@@ -185,7 +212,7 @@ def exif_payload(tags: dict, byte_order: str = "II") -> bytes:
         ifd0_final.append((TAG_GPS_IFD, _LONG, gps_off))
 
     out = byte_order.encode("ascii") + struct.pack(f"{e}HI", 42, ifd0_off)
-    body, ov = _build_ifd(e, ifd0_final, ifd0_off)
+    body, ov = _build_ifd(e, ifd0_final, ifd0_off, next_off=ifd1_off)
     out += body + ov
     if exif_ifd:
         body, ov = _build_ifd(e, exif_ifd, exif_off)
@@ -193,6 +220,10 @@ def exif_payload(tags: dict, byte_order: str = "II") -> bytes:
     if gps_ifd:
         body, ov = _build_ifd(e, gps_ifd, gps_off)
         out += body + ov
+    if thumbnail is not None:
+        body, ov = _build_ifd(e, ifd1, ifd1_off)
+        assert not ov and len(body) == 42
+        out += body + thumbnail
     return b"Exif\x00\x00" + out
 
 
@@ -287,22 +318,13 @@ def exif_parse(data: bytes) -> dict:
     GPSLatitude, ...) — empty dict when a JPEG has no Exif APP1.
     GPS rationals come back as lists of (num, den) tuples.
     """
-    if data[:2] == b"\xff\xd8":
-        tiff = None
-        for marker, s, t in _iter_jpeg_segments(data):
-            if marker == 0xE1 and data[s + 4 : s + 10] == b"Exif\x00\x00":
-                tiff = data[s + 10 : t]
-                break
-        if tiff is None:
-            return {}
-    elif data[:6] == b"Exif\x00\x00":
-        tiff = data[6:]
-    else:
-        tiff = data
+    tiff = _tiff_body(data)
+    if tiff is None:
+        return {}
 
     e = tiff_byte_order(tiff)
     (ifd0_off,) = struct.unpack_from(f"{e}I", tiff, 4)
-    ifd0, _ = ifd_parse(tiff, ifd0_off, e)
+    ifd0, ifd1_off = ifd_parse(tiff, ifd0_off, e)
 
     out: dict = {}
     for tag, name in _IFD0_NAMES.items():
@@ -321,7 +343,56 @@ def exif_parse(data: bytes) -> dict:
                 if tag in (TAG_GPS_LAT, TAG_GPS_LON) and isinstance(v, tuple):
                     v = [v]
                 out[name] = v
+    if ifd1_off:
+        ifd1, _ = ifd_parse(tiff, ifd1_off, e)
+        if TAG_THUMB_OFFSET in ifd1:
+            out["ThumbnailOffset"] = int(ifd1[TAG_THUMB_OFFSET])
+        if TAG_THUMB_LENGTH in ifd1:
+            out["ThumbnailLength"] = int(ifd1[TAG_THUMB_LENGTH])
+        if TAG_COMPRESSION in ifd1:
+            out["ThumbnailCompression"] = int(ifd1[TAG_COMPRESSION])
     return out
+
+
+def _tiff_body(data: bytes) -> bytes | None:
+    """The TIFF body carrying the IFD chain: APP1 payload of a JPEG,
+    a bare ``Exif\\x00\\x00`` payload, or raw TIFF bytes."""
+    if data[:2] == b"\xff\xd8":
+        for marker, s, t in _iter_jpeg_segments(data):
+            if marker == 0xE1 and data[s + 4 : s + 10] == b"Exif\x00\x00":
+                return data[s + 10 : t]
+        return None
+    if data[:6] == b"Exif\x00\x00":
+        return data[6:]
+    return data
+
+
+def exif_thumbnail(data: bytes) -> bytes | None:
+    """The embedded IFD1 JPEG thumbnail (EXIF 2.3 §4.6.3), or None.
+
+    Offsets are relative to the TIFF header per the spec; only
+    Compression=6 (JPEG interchange) thumbnails are returned —
+    uncompressed (Compression=1) strip thumbnails are vanishingly
+    rare in crawled bytes and yield None rather than garbage."""
+    tiff = _tiff_body(data)
+    if tiff is None:
+        return None
+    e = tiff_byte_order(tiff)
+    (ifd0_off,) = struct.unpack_from(f"{e}I", tiff, 4)
+    _, ifd1_off = ifd_parse(tiff, ifd0_off, e)
+    if not ifd1_off:
+        return None
+    ifd1, _ = ifd_parse(tiff, ifd1_off, e)
+    if ifd1.get(TAG_COMPRESSION, 6) != 6:
+        return None
+    off = ifd1.get(TAG_THUMB_OFFSET)
+    ln = ifd1.get(TAG_THUMB_LENGTH)
+    if off is None or ln is None:
+        return None
+    off, ln = int(off), int(ln)
+    if off + ln > len(tiff):
+        raise ExifError("thumbnail bounds out of range")
+    return tiff[off : off + ln]
 
 
 # ------------------------------------------------------------ JPEG editing

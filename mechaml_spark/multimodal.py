@@ -205,6 +205,60 @@ def exif_metadata(
     return df.mapInPandas(run, schema=out_schema)
 
 
+THUMB_T = T.StructType(
+    [
+        T.StructField("present", T.BooleanType()),
+        T.StructField("tw", T.IntegerType()),
+        T.StructField("th", T.IntegerType()),
+        T.StructField("mean_px", T.IntegerType()),
+    ]
+)
+
+
+def exif_thumbnails(
+    df: DataFrame, bytes_col: str = "bytes", out_col: str = "thumb"
+) -> DataFrame:
+    """Append a ``thumb`` struct: the IFD1 JPEG thumbnail (EXIF 2.3
+    §4.6.3) extracted and DECODED (own jpeg codec) — dims + integer
+    pixel mean.  The cheap preview path a 100-TB image table wants:
+    thumbnails are ~KB where originals are ~MB, so preview features
+    (dedup pre-screens, gallery sampling) never touch full pixels.
+    Full-size bytes stay in their scan partition — only the struct
+    crosses any downstream shuffle."""
+    from mechaml_spark import exif as _exif
+    from mechaml_spark.jpeg import jpeg_decode
+
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, THUMB_T)]
+    )
+    cols = df.columns
+    absent = (False, None, None, None)
+
+    def one(data):
+        if data is None:
+            return absent
+        try:
+            t = _exif.exif_thumbnail(bytes(data))
+        except _exif.ExifError:
+            return absent
+        if t is None:
+            return absent
+        px = jpeg_decode(t)
+        h, w = px.shape[:2]
+        # constant planes decode exactly at q95, so the mean is the
+        # plane value; sums stay far below 2^53 so the float mean is
+        # exact for any thumbnail our encoder emits
+        return (True, int(w), int(h), int(px.mean()))
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[cols].copy()
+            out[out_col] = [one(b) for b in pdf[bytes_col]]
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 def strip_exif(
     df: DataFrame, bytes_col: str = "bytes", out_col: str = "scrubbed"
 ) -> DataFrame:

@@ -4987,6 +4987,59 @@ def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_exif_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF IFD1 thumbnail extraction + decode (EXIF 2.3 §4.6.3 —
+    the Compression=6 JPEGInterchangeFormat layout every camera
+    writes): host JPEGs carry a real chained-IFD1 thumbnail (built by
+    exif.exif_payload, alternating II/MM wire orders), the stage
+    slices it out and decodes it with the repo's own JPEG codec.
+    Thumbnails are constant planes at q95 so dims and pixel mean are
+    closed forms of doc_id; every 4th doc has no thumbnail and must
+    report present=false with NULL features."""
+    import numpy as _np
+    import pandas as _pd
+
+    from mechaml_spark import exif as _exif
+    from mechaml_spark import multimodal
+    from mechaml_spark.jpeg import jpeg_encode as _jenc
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 300
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                host = _np.full((16, 16, 3), (did * 7) % 251, _np.uint8)
+                thumb = None
+                if did % 4 != 3:
+                    s = 8 + 4 * (did % 3)
+                    thumb = _jenc(
+                        _np.full((s, s, 3), (did * 11) % 251, _np.uint8),
+                        quality=95,
+                    )
+                payload = _exif.exif_payload(
+                    {"Make": f"cam{did % 5}", "Orientation": 1 + did % 8},
+                    byte_order="II" if did % 2 == 0 else "MM",
+                    thumbnail=thumb,
+                )
+                data = _exif.jpeg_set_exif(_jenc(host, quality=95), payload)
+                rows.append({"doc_id": did, "bytes": data})
+            yield _pd.DataFrame(rows, columns=["doc_id", "bytes"])
+
+    media = d.mapInPandas(gen, schema="doc_id long, bytes binary")
+    th = multimodal.exif_thumbnails(media)
+    return th.select(
+        "doc_id",
+        F.col("thumb")["present"].alias("has_thumb"),
+        F.col("thumb")["tw"].alias("tw"),
+        F.col("thumb")["th"].alias("th"),
+        F.col("thumb")["mean_px"].alias("mean_px"),
+    )
+
+
 def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flesch Reading Ease per document (the classic text-quality
     feature: 206.835 - 1.015*(words/sentences) - 84.6*(syll/words)),
@@ -5185,6 +5238,7 @@ QUERIES = {
     "chunk_overlap": q_chunk_overlap,
     "readability": q_readability,
     "word_collocations": q_word_collocations,
+    "exif_thumbnail": q_exif_thumbnail,
 }
 
 _TOKS_SQL = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
@@ -6960,5 +7014,16 @@ ORACLES = {
         JOIN uni u2 ON b.w2 = u2.w
         CROSS JOIN n
         WHERE b.n_ab * n.nt * 1000 // (u1.n_w * u2.n_w) > 1000
+    """,
+    "exif_thumbnail": """
+        SELECT doc_id,
+               doc_id % 4 <> 3 AS has_thumb,
+               CAST(CASE WHEN doc_id % 4 <> 3
+                         THEN 8 + 4 * (doc_id % 3) END AS INT) AS tw,
+               CAST(CASE WHEN doc_id % 4 <> 3
+                         THEN 8 + 4 * (doc_id % 3) END AS INT) AS th,
+               CAST(CASE WHEN doc_id % 4 <> 3
+                         THEN (doc_id * 11) % 251 END AS INT) AS mean_px
+        FROM documents WHERE doc_id < 300
     """,
 }

@@ -113,3 +113,39 @@ def test_tiff_refusals():
         imaging.tiff_decode(b"not a tiff at all")
     with pytest.raises(ValueError):
         imaging.tiff_encode(np.zeros((4, 4, 2), np.uint8))
+
+
+@pytest.mark.parametrize("bo", ["II", "MM"])
+def test_ifd1_thumbnail_round_trip(bo):
+    # EXIF 2.3 §4.6.3: IFD1 chained from IFD0's next-pointer,
+    # Compression=6 + JPEGInterchangeFormat/-Length
+    thumb = jpeg_encode(np.full((8, 8, 3), 128, np.uint8), quality=95)
+    p = exif.exif_payload(
+        {"Make": "CamX", "Orientation": 3}, byte_order=bo, thumbnail=thumb
+    )
+    tags = exif.exif_parse(p)
+    assert tags["ThumbnailCompression"] == 6
+    assert tags["ThumbnailLength"] == len(thumb)
+    assert exif.exif_thumbnail(p) == thumb
+    assert (jpeg_decode(exif.exif_thumbnail(p)) == 128).all()
+    # embedded in a real JPEG container, extraction still works
+    host = jpeg_encode(np.full((16, 16, 3), 200, np.uint8), quality=95)
+    j = exif.jpeg_set_exif(host, p)
+    assert exif.exif_thumbnail(j) == thumb
+    # IFD0 tags unaffected by the chain
+    assert exif.exif_parse(j)["Make"] == "CamX"
+
+
+def test_thumbnail_absent_and_bounds():
+    p = exif.exif_payload({"Make": "CamX"})
+    assert exif.exif_thumbnail(p) is None
+    assert "ThumbnailOffset" not in exif.exif_parse(p)
+    # thumbnail-only payload (no IFD0 tags) is valid TIFF
+    thumb = jpeg_encode(np.full((8, 8, 3), 7, np.uint8), quality=95)
+    only = exif.exif_payload({}, thumbnail=thumb)
+    assert exif.exif_thumbnail(only) == thumb
+    # out-of-range bounds raise loudly instead of slicing garbage
+    bad = bytearray(exif.exif_payload({"Make": "x"}, thumbnail=thumb))
+    bad = bytes(bad[: len(bad) - len(thumb) + 2])  # truncate the bytes
+    with pytest.raises(exif.ExifError, match="bounds"):
+        exif.exif_thumbnail(bad)
