@@ -65,12 +65,23 @@ def _remove_dot_segments(path: str) -> str:
 
 def canonicalize(url: str) -> str:
     """Canonical crawl form of ``url``; idempotent."""
+    return _canon2(url)[0]
+
+
+def _canon2(url: str) -> tuple[str, str]:
+    """(canonical url, host) with ONE urlsplit — the host is exactly
+    ``host_of(canonical)`` (lowercased, bracket-stripped for IPv6,
+    sans userinfo/port), computed from the parts canonicalization
+    already extracts instead of re-splitting the result.  The crawl's
+    link path calls this per cache miss; the separate ``host_of``
+    stays for arbitrary (non-canonical-producing) call sites."""
     if url is None:
-        return None  # type: ignore[return-value]
+        return None, ""  # type: ignore[return-value]
     try:
         scheme, netloc, path, query, _frag = urlsplit(url.strip())
     except ValueError:
-        return url.strip()
+        u = url.strip()
+        return u, host_of(u)
     scheme = scheme.lower()
     host = ""
     userinfo = ""
@@ -104,7 +115,14 @@ def canonicalize(url: str) -> str:
     path = _remove_dot_segments(path)
     if netloc and not path:
         path = "/"
-    return urlunsplit((scheme, netloc, path, query, ""))
+    out = urlunsplit((scheme, netloc, path, query, ""))
+    if not netloc:
+        # no authority parsed: dot-segment removal on a pathological
+        # relative path can make the OUTPUT reparse with one (e.g.
+        # "./https://h/x" -> "https://h/x"), and host parity is
+        # defined on the output — take the slow re-split path
+        return out, host_of(out)
+    return out, (host[1:-1] if host.startswith("[") else host)
 
 
 def host_of(url: str) -> str:
@@ -180,8 +198,20 @@ def resolve_canon_host_pairs(
     uncached; cache hits are a dict lookup).  Results are identical
     to the row-wise path by construction — the cache only skips
     recomputation for keys resolution provably cannot distinguish.
+
+    The memo is MODULE-LEVEL and survives across Arrow batches,
+    supersteps, and crawls within one (reused) worker process: a
+    site's link vocabulary repeats across its pages far more than
+    within one batch, so a per-call cache was re-deriving the same
+    keys every batch.  Bounded (~512k entries, ~100 MB/worker
+    worst-case) with whole-cache eviction — the memo of a pure
+    function, so eviction can never change a result.  Fused
+    ``_canon2`` computes the host from the parts canonicalization
+    already extracted instead of re-splitting the canonical URL.
     """
-    cache: dict = {}
+    cache = _RESOLVE_CACHE
+    if len(cache) > _RESOLVE_CACHE_MAX:
+        cache.clear()
     urls: list = []
     hosts: list = []
     for b, r in zip(base, ref):
@@ -190,12 +220,15 @@ def resolve_canon_host_pairs(
         k = _resolution_key(b, r)
         v = cache.get(k)
         if v is None:
-            u = canonicalize(resolve(b, r))
-            v = (u, host_of(u))
+            v = _canon2(resolve(b, r))
             cache[k] = v
         urls.append(v[0])
         hosts.append(v[1])
     return urls, hosts
+
+
+_RESOLVE_CACHE: dict = {}
+_RESOLVE_CACHE_MAX = 512_000
 
 
 # --------------------------------------------------------------------------

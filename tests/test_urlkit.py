@@ -129,3 +129,44 @@ def test_hygiene_flags_each_heuristic(spark):
         [c for _n, c in hygiene_flags(F.col("url"))]
     )._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+_URL_ATOMS = st.sampled_from(
+    list("abXY09.:/@?#%[]-_~ ") + ["http://", "https://", "../", "./"]
+)
+
+
+@settings(max_examples=400, deadline=None)
+@given(st.lists(_URL_ATOMS, max_size=30).map("".join))
+def test_canon2_parity(s):
+    # the fused (canonical, host) pair must agree with the composed
+    # path exactly — including pathological inputs where dot-segment
+    # removal makes the OUTPUT reparse with a scheme ("./https://h/x")
+    canon, host = urlkit._canon2(s)
+    assert canon == urlkit.canonicalize(s)
+    assert host == urlkit.host_of(canon)
+
+
+def test_resolve_cache_module_level_and_bounded():
+    import pandas as pd
+
+    bases = pd.Series(["http://h.test/dir/"] * 4)
+    refs = pd.Series(["a", "./b#f", "/abs", "http://o.test/z"])
+    want_urls = [
+        urlkit.canonicalize(urlkit.resolve(b, r))
+        for b, r in zip(bases, refs)
+    ]
+    urls, hosts = urlkit.resolve_canon_host_pairs(bases, refs)
+    assert urls == want_urls
+    assert hosts == [urlkit.host_of(x) for x in want_urls]
+    # memo persists across calls (module-level), answers unchanged
+    assert (set(urlkit._resolution_key(b or "", r or "") for b, r in zip(bases, refs))
+            <= set(urlkit._RESOLVE_CACHE))
+    assert urlkit.resolve_canon_host_pairs(bases, refs) == (urls, hosts)
+    # eviction clears but never changes results
+    old_max = urlkit._RESOLVE_CACHE_MAX
+    try:
+        urlkit._RESOLVE_CACHE_MAX = 0
+        assert urlkit.resolve_canon_host_pairs(bases, refs) == (urls, hosts)
+    finally:
+        urlkit._RESOLVE_CACHE_MAX = old_max
