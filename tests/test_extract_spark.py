@@ -327,3 +327,77 @@ def test_fallback_selectors_raise_in_column_compiler():
 def test_fallback_requires_body_column(surface_parsed):
     with pytest.raises(page.SelectorError, match="body"):
         page.links_with(surface_parsed.drop("body"), "a ~ a").count()
+
+
+# ---------------------------------------------------- lean fast-path parity
+
+def _lean_slow(url, body):
+    from mechaml_spark import extract
+
+    p = extract._LeanParser(url)
+    p.feed(body)
+    return p.base, p.hrefs, p.imgs
+
+
+def test_lean_fast_path_covers_corpus_and_agrees():
+    from mechaml_spark import extract
+    from mechaml_spark.corpus import CorpusSpec, _page_html, page_url
+
+    spec = CorpusSpec(
+        n_hosts=8, pages_per_host=20, links_per_page=100, images_per_page=2
+    )
+    for i in range(8):
+        for j in range(20):
+            u, b = page_url(spec, i, j), _page_html(spec, i, j)
+            f = extract._parse_page_fast(u, b)
+            # every synthetic-corpus page must take the FAST path —
+            # a silent fallback would be a crawl perf regression
+            assert f is not None, (i, j)
+            assert f == _lean_slow(u, b)
+
+
+def test_lean_fast_path_adversarial_parity():
+    """Markup-soup differential: wherever the strict scan claims
+    eligibility it must equal the stdlib tokenizer; hazards and
+    non-strict forms must fall back (None)."""
+    import random
+
+    from mechaml_spark import extract
+
+    atoms = [
+        '<a href="', "<a href=", "<img src='", '<base href="', '">x</a>',
+        ">", "<", '"', "'", ' alt="A&amp;B"', " href", "<!-- c -->",
+        '<script>var a="<a href=z>"</script>', '<A HREF="UP">', "text",
+        "&lt;a", " ", "/>", "</a>", "=", '<a-b c="d">',
+        '<div title="<a href=q>">', "<?pi?>", "<![CDATA[<a href=w>]]>",
+        "<a href=a=b>", "<style>.x{}</style>", '<a\nhref="nl">',
+        '<a  href = "sp" >', "<a href>", "<img>",
+        '<base href="http://b.test/dir/">', '<a href="a&#38;b">',
+        '<a href="a&ampx">',
+    ]
+    rng = random.Random(11)
+    u = "http://h.test/p/q"
+    eligible = 0
+    for _ in range(8000):
+        body = "".join(
+            rng.choice(atoms) for _ in range(rng.randint(0, 12))
+        )
+        f = extract._parse_page_fast(u, body)
+        if f is not None:
+            eligible += 1
+            assert f == _lean_slow(u, body), body
+    assert eligible > 500  # the fast path must actually engage
+    # hazard constructs always fall back
+    for bad in (
+        "<script>x</script>",
+        "<!-- <a href=x> -->",
+        "<!DOCTYPE html><a href='y'>",
+        "<?php ?>",
+        "<![CDATA[z]]>",
+        "<STYLE>s</STYLE>",
+    ):
+        assert extract._parse_page_fast(u, bad) is None
+    # scriptlike names are NOT hazards (html.parser treats them as
+    # ordinary tags) and must stay on the fast path
+    assert extract._parse_page_fast(u, "<scripty><a href='k'></scripty>") \
+        == (u, ["k"], [])
