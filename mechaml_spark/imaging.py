@@ -1431,3 +1431,46 @@ def payload_ok(data: bytes, fmt: str, reference_pixels: np.ndarray) -> bool:
             np.array_equal(got, reference_pixels)
         )
     return psnr(got, reference_pixels) >= 40.0
+
+
+def median_cut_palette(pixels: np.ndarray, k: int = 4) -> np.ndarray:
+    """Median-cut color quantization (Heckbert 1982): split the color
+    box with the widest channel range at the pixel median until ``k``
+    boxes remain; the palette is each box's integer floor-mean color,
+    returned sorted lexicographically (r, g, b).
+
+    Fully deterministic so results are engine/partitioning-stable:
+    widest-box selection tie-breaks on (range, channel, box index),
+    the split sorts pixels with a stable key (r,g,b lexicographic on
+    the split channel first) and cuts at ``n // 2``, and means use
+    exact integer floor division.  ``k`` must be a power-of-two-ish
+    target <= number of pixels; fewer distinct colors than ``k``
+    simply yields duplicate palette rows from the equal splits."""
+    px = pixels.reshape(-1, pixels.shape[-1])[:, :3].astype(np.int64)
+    boxes = [px]
+    while len(boxes) < k:
+        best = None  # (range, channel, box idx)
+        for bi, b in enumerate(boxes):
+            if len(b) < 2:
+                continue
+            rng = b.max(axis=0) - b.min(axis=0)
+            c = int(np.argmax(rng))  # first-widest channel wins ties
+            cand = (int(rng[c]), -c, -bi)  # prefer low channel/box idx
+            if best is None or cand > best[0]:
+                best = (cand, bi, c)
+        if best is None:
+            break  # every box is a single pixel
+        _, bi, c = best
+        b = boxes.pop(bi)
+        order = np.lexsort(
+            (b[:, 2], b[:, 1], b[:, 0], b[:, c])  # split channel primary
+        )
+        b = b[order]
+        mid = len(b) // 2
+        boxes.insert(bi, b[mid:])
+        boxes.insert(bi, b[:mid])
+    pal = np.array(
+        [b.sum(axis=0) // len(b) for b in boxes], dtype=np.int64
+    )
+    pal = pal[np.lexsort((pal[:, 2], pal[:, 1], pal[:, 0]))]
+    return pal.astype(np.uint8)

@@ -5040,6 +5040,65 @@ def q_exif_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant-palette extraction by median-cut quantization
+    (Heckbert 1982, the classic k-color reduction behind GIF/indexed
+    thumbnails and palette-based image dedup): decode PNG bytes, cut
+    the color cube to k=4 boxes, report each box's floor-mean color.
+    Corpus images are four-quadrant planes whose colors are closed
+    forms of doc_id and split cleanly (equal counts, widest channel
+    always R), so the exact palette is SQL-expressible.  Scale
+    posture: decode + quantize per row inside mapInPandas — pixels
+    never shuffle; only (doc_id, 4 palette rows) leave the worker."""
+    import numpy as _np
+    import pandas as _pd
+
+    from mechaml_spark import imaging as _im
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 200
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                px = _np.zeros((16, 16, 3), _np.uint8)
+                for i, sl in enumerate(
+                    ((slice(0, 8), slice(0, 8)), (slice(0, 8), slice(8, 16)),
+                     (slice(8, 16), slice(0, 8)), (slice(8, 16), slice(8, 16)))
+                ):
+                    px[sl] = (
+                        30 + 60 * i + did % 8,
+                        (did * 5) % 256,
+                        (did * 7) % 256,
+                    )
+                rows.append({"doc_id": did, "bytes": _im.png_encode(px)})
+            yield _pd.DataFrame(rows, columns=["doc_id", "bytes"])
+
+    media = d.mapInPandas(gen, schema="doc_id long, bytes binary")
+
+    def quant(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "slot": [], "r": [], "g": [], "b": []}
+            for did, data in zip(pdf["doc_id"], pdf["bytes"]):
+                pal = _im.median_cut_palette(
+                    _im.png_decode(bytes(data)), 4
+                )
+                for s, (r, g, b) in enumerate(pal):
+                    out["doc_id"].append(int(did))
+                    out["slot"].append(s)
+                    out["r"].append(int(r))
+                    out["g"].append(int(g))
+                    out["b"].append(int(b))
+            yield _pd.DataFrame(out)
+
+    return media.mapInPandas(
+        quant, schema="doc_id long, slot int, r int, g int, b int"
+    )
+
+
 def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flesch Reading Ease per document (the classic text-quality
     feature: 206.835 - 1.015*(words/sentences) - 84.6*(syll/words)),
@@ -5239,6 +5298,7 @@ QUERIES = {
     "readability": q_readability,
     "word_collocations": q_word_collocations,
     "exif_thumbnail": q_exif_thumbnail,
+    "image_palette": q_image_palette,
 }
 
 _TOKS_SQL = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
@@ -7025,5 +7085,15 @@ ORACLES = {
                CAST(CASE WHEN doc_id % 4 <> 3
                          THEN (doc_id * 11) % 251 END AS INT) AS mean_px
         FROM documents WHERE doc_id < 300
+    """,
+    "image_palette": """
+        SELECT doc_id,
+               CAST(slot AS INT) AS slot,
+               CAST(30 + 60 * slot + doc_id % 8 AS INT) AS r,
+               CAST((doc_id * 5) % 256 AS INT) AS g,
+               CAST((doc_id * 7) % 256 AS INT) AS b
+        FROM documents
+        CROSS JOIN (SELECT unnest(range(0, 4)) AS slot)
+        WHERE doc_id < 200
     """,
 }

@@ -1149,3 +1149,24 @@ def test_gif_against_real_giflib():
         assert lg.EGifCloseFile(ctypes.c_void_p(g), ctypes.byref(err)) == 1
         data = open(path, "rb").read()
     assert (imaging.gif_decode(data) == pal[idx]).all()
+
+
+def test_median_cut_palette():
+    from mechaml_spark.imaging import median_cut_palette
+
+    # four-quadrant image: palette recovers the colors exactly
+    colors = [(35, 25, 35), (95, 25, 35), (155, 25, 35), (215, 25, 35)]
+    px = np.zeros((16, 16, 3), np.uint8)
+    px[:8, :8], px[:8, 8:], px[8:, :8], px[8:, 8:] = colors
+    assert [tuple(r) for r in median_cut_palette(px, 4)] == sorted(colors)
+    # constant image: k duplicate rows, never fewer (stable schema)
+    pal = median_cut_palette(np.full((4, 4, 3), 9, np.uint8), 4)
+    assert pal.shape == (4, 3) and (pal == 9).all()
+    # deterministic under pixel shuffling (set-of-pixels function)
+    rng = np.random.default_rng(3)
+    flat = px.reshape(-1, 3)
+    shuffled = flat[rng.permutation(len(flat))].reshape(16, 16, 3)
+    assert (median_cut_palette(shuffled, 4) == median_cut_palette(px, 4)).all()
+    # RGBA input: alpha ignored
+    rgba = np.concatenate([px, np.full((16, 16, 1), 7, np.uint8)], axis=2)
+    assert (median_cut_palette(rgba, 4) == median_cut_palette(px, 4)).all()
