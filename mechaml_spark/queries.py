@@ -5040,6 +5040,78 @@ def q_exif_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HLL_M = 64  # registers (b = 6 bits)
+_HLL_ALPHA_NUM = 0.709 * (_HLL_M**2) * float(1 << 55)  # inlined literal
+
+
+def q_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable HyperLogLog distinct-count sketch (Flajolet et
+    al. 2007) — the frontier's "how many distinct URLs has this host
+    contributed" estimator at 10^10 scale, where exact countDistinct
+    shuffles every key.  Built from scratch on md5 so Spark and
+    DuckDB produce BIT-IDENTICAL registers: 60 bits of the md5 ->
+    top 6 bits pick one of 64 registers, rho = leading-zero count of
+    the remaining 54 bits + 1 (via binary-string length — no float
+    log anywhere), register = max(rho).  The register SUM is kept as
+    the exact integer sum of 2^(55-rho) (order-free, so partial
+    aggregation cannot perturb it; a float 2^-rho sum would be
+    addition-order-dependent and nondeterministic across
+    partitionings); the estimate divides an inlined double literal
+    by that integer — one correctly-rounded division, identical in
+    both engines.  v0 (untouched registers) is reported so a client
+    can apply the standard linear-counting small-range correction
+    (ln is deliberately kept OUT of the cross-engine contract).
+
+    Scale posture: one partial-agg groupBy(key, bucket) max — the
+    shuffle carries at most 64 rows per key — then a 64-row fold per
+    key.  n_true (exact countDistinct) rides along at test scale to
+    show sketch error; a production pipeline drops it."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    # 50% duplicate URLs so the sketch sees real repetition
+    url = F.concat(
+        F.lit("http://"), F.col("lang"), F.lit(".test/p"),
+        F.expr("cast(doc_id div 2 as string)"),
+    )
+    h60 = F.conv(F.substring(F.md5(url.cast("binary")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    rows = d.select(
+        "lang", url.alias("url"), h60.alias("h60")
+    ).select(
+        "lang",
+        "url",
+        F.expr(f"h60 div {1 << 54}").cast("int").alias("bucket"),
+        (F.col("h60") % F.lit(1 << 54).cast("long")).alias("w"),
+    )
+    rho = F.when(F.col("w") == 0, F.lit(55)).otherwise(
+        F.lit(55) - F.length(F.conv(F.col("w"), 10, 2))
+    )
+    regs = rows.select(
+        "lang", "url", "bucket", rho.cast("int").alias("rho")
+    )
+    per_reg = regs.groupBy("lang", "bucket").agg(
+        F.max("rho").alias("rmax"),
+        F.countDistinct("url").alias("_nd"),
+    )
+    agg = per_reg.groupBy("lang").agg(
+        F.sum(
+            F.expr("shiftleft(cast(1 as bigint), 55 - rmax)")
+        ).alias("s_present"),
+        F.count("*").alias("n_buckets"),
+        F.sum("_nd").alias("n_true"),
+    )
+    s_reg = F.col("s_present") + (F.lit(64) - F.col("n_buckets")) * F.lit(
+        1 << 55
+    ).cast("long")
+    return agg.select(
+        "lang",
+        F.col("n_true").cast("long").alias("n_true"),
+        (F.lit(64) - F.col("n_buckets")).cast("int").alias("v0"),
+        s_reg.cast("long").alias("s_reg"),
+        (F.lit(_HLL_ALPHA_NUM) / s_reg.cast("double")).alias("est"),
+    )
+
+
 def q_image_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dominant-palette extraction by median-cut quantization
     (Heckbert 1982, the classic k-color reduction behind GIF/indexed
@@ -5299,6 +5371,7 @@ QUERIES = {
     "word_collocations": q_word_collocations,
     "exif_thumbnail": q_exif_thumbnail,
     "image_palette": q_image_palette,
+    "distinct_sketch": q_distinct_sketch,
 }
 
 _TOKS_SQL = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
@@ -7095,5 +7168,46 @@ ORACLES = {
         FROM documents
         CROSS JOIN (SELECT unnest(range(0, 4)) AS slot)
         WHERE doc_id < 200
+    """,
+    "distinct_sketch": f"""
+        WITH urls AS (
+            SELECT lang,
+                   'http://' || lang || '.test/p'
+                       || CAST(doc_id // 2 AS VARCHAR) AS url
+            FROM documents),
+        h AS (
+            SELECT lang, url,
+                   CAST(concat('0x', substr(md5(url), 1, 15)) AS BIGINT)
+                       AS h60
+            FROM urls),
+        b AS (
+            SELECT lang, url,
+                   CAST(h60 // 18014398509481984 AS INT) AS bucket,
+                   h60 % 18014398509481984 AS w
+            FROM h),
+        r AS (
+            SELECT lang, url, bucket,
+                   CAST(CASE WHEN w = 0 THEN 55
+                             ELSE 55 - length(bin(w)) END AS INT) AS rho
+            FROM b),
+        pr AS (
+            SELECT lang, bucket, max(rho) AS rmax,
+                   CAST(count(DISTINCT url) AS BIGINT) AS nd
+            FROM r GROUP BY lang, bucket),
+        a AS (
+            SELECT lang,
+                   CAST(sum(CAST(1 AS BIGINT) << (55 - rmax)) AS BIGINT)
+                       AS s_present,
+                   count(*) AS nb,
+                   CAST(sum(nd) AS BIGINT) AS n_true
+            FROM pr GROUP BY lang)
+        SELECT lang, n_true,
+               CAST(64 - nb AS INT) AS v0,
+               CAST(s_present + (64 - nb) * 36028797018963968 AS BIGINT)
+                   AS s_reg,
+               CAST({_HLL_ALPHA_NUM!r} AS DOUBLE)
+                   / CAST(s_present + (64 - nb) * 36028797018963968
+                          AS DOUBLE) AS est
+        FROM a
     """,
 }

@@ -112,3 +112,23 @@ def test_cap_per_group_deterministic_and_capped(spark):
     assert sorted((r["g"], r["k"]) for r in other.collect()) != sorted(
         (r["g"], r["k"]) for r in rows
     )
+
+
+def test_distinct_sketch_quality(spark):
+    """The HLL estimate (with the client-side linear-counting
+    correction the docstring prescribes for the v0>0 small-range
+    regime) must land within ~3 sigma of the exact count — m=64
+    registers give a ~13% standard error."""
+    import math
+
+    from mechaml_spark.queries import QUERIES
+
+    rows = QUERIES["distinct_sketch"](spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        est = r["est"]
+        if r["v0"] > 0 and est <= 2.5 * 64:
+            est = 64 * math.log(64 / r["v0"])  # linear counting
+        assert abs(est - r["n_true"]) / r["n_true"] < 0.4, (
+            r["lang"], r["n_true"], r["est"], r["v0"], est,
+        )
