@@ -5112,6 +5112,70 @@ def q_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_freq_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency sketch (Cormode & Muthukrishnan 2005) —
+    the heavy-hitter estimator (hot tokens, hot URLs, hot hosts) at
+    scales where an exact per-key count is itself the bottleneck.
+    Engine-portable like ``distinct_sketch``: 4 salted md5 hash rows
+    x 512 counters, every counter an EXACT integer sum (order-free
+    under partial aggregation), estimate = min over the 4 rows.
+    Count-min never underestimates, so ``est >= n_true`` is an
+    invariant the oracle check exercises on every row; the
+    over-estimate ratio rides along in exact integer milli.
+
+    Scale posture: counters build as one partial-agg groupBy(row,
+    bucket) — at most 4x512 rows survive the shuffle regardless of
+    corpus size; candidates (here: tokens with exact count >= 50,
+    computed at test scale for comparison) probe the broadcast
+    counter table."""
+    d = _t(spark, sf_dir, "documents")
+    tok_counts = (
+        d.select(F.explode(_toks(F.lower(F.col("text")))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+    )
+    rows_ = []
+    for hr in range(4):
+        bucket = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"cm{hr}:"), F.col("tok")).cast("binary")),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 512
+        )
+        rows_.append(
+            tok_counts.select(
+                F.lit(hr).alias("hrow"), bucket.alias("bucket"), "n",
+                "tok",
+            )
+        )
+    from functools import reduce as _reduce
+
+    hashed = _reduce(lambda a, b: a.unionByName(b), rows_)
+    counters = hashed.groupBy("hrow", "bucket").agg(
+        F.sum("n").alias("cnt")
+    )
+    cand = hashed.where(F.col("n") >= 50).select(
+        "hrow", "bucket", "tok", "n"
+    )
+    est = (
+        cand.join(counters, ["hrow", "bucket"])
+        .groupBy("tok")
+        .agg(F.min("cnt").alias("est"), F.first("n").alias("n_true"))
+    )
+    return est.select(
+        "tok",
+        F.col("n_true").cast("long").alias("n_true"),
+        F.col("est").cast("long").alias("est"),
+        F.expr("(est * 1000) div n_true").alias("over_milli"),
+    )
+
+
 def q_image_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dominant-palette extraction by median-cut quantization
     (Heckbert 1982, the classic k-color reduction behind GIF/indexed
@@ -5372,6 +5436,7 @@ QUERIES = {
     "exif_thumbnail": q_exif_thumbnail,
     "image_palette": q_image_palette,
     "distinct_sketch": q_distinct_sketch,
+    "freq_sketch": q_freq_sketch,
 }
 
 _TOKS_SQL = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
@@ -7209,5 +7274,33 @@ ORACLES = {
                    / CAST(s_present + (64 - nb) * 36028797018963968
                           AS DOUBLE) AS est
         FROM a
+    """,
+    "freq_sketch": """
+        WITH tc AS (
+            SELECT t.tok, CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT unnest(list_filter(
+                      string_split_regex(lower(text), '\\s+'),
+                      x -> x <> '')) AS tok
+                  FROM documents) t
+            GROUP BY t.tok),
+        hashed AS (
+            SELECT hrow, tok, n,
+                   CAST(concat('0x', substr(
+                       md5('cm' || hrow || ':' || tok), 1, 8)) AS BIGINT)
+                       % 512 AS bucket
+            FROM tc CROSS JOIN (SELECT unnest(range(0, 4)) AS hrow)),
+        counters AS (
+            SELECT hrow, bucket, CAST(sum(n) AS BIGINT) AS cnt
+            FROM hashed GROUP BY hrow, bucket),
+        est AS (
+            SELECT h.tok,
+                   CAST(min(c.cnt) AS BIGINT) AS est,
+                   CAST(min(h.n) AS BIGINT) AS n_true
+            FROM hashed h JOIN counters c USING (hrow, bucket)
+            WHERE h.n >= 50
+            GROUP BY h.tok)
+        SELECT tok, n_true, est,
+               CAST(est * 1000 // n_true AS BIGINT) AS over_milli
+        FROM est
     """,
 }

@@ -132,3 +132,18 @@ def test_distinct_sketch_quality(spark):
         assert abs(est - r["n_true"]) / r["n_true"] < 0.4, (
             r["lang"], r["n_true"], r["est"], r["v0"], est,
         )
+
+
+def test_freq_sketch_invariants(spark):
+    """Count-min never underestimates; at 4x512 counters vs a small
+    token vocabulary the heavy hitters should be nearly exact."""
+    from mechaml_spark.queries import QUERIES
+
+    rows = QUERIES["freq_sketch"](spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r["est"] >= r["n_true"], (r["tok"], r["est"], r["n_true"])
+        assert r["over_milli"] >= 1000
+    # median over-estimate stays tight (counters >> distinct tokens)
+    overs = sorted(r["over_milli"] for r in rows)
+    assert overs[len(overs) // 2] <= 1500, overs
