@@ -5134,12 +5134,13 @@ def q_freq_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count("*").alias("n"))
     )
-    rows_ = []
-    for hr in range(4):
-        bucket = (
+    def _bucket(hr):
+        return (
             F.conv(
                 F.substring(
-                    F.md5(F.concat(F.lit(f"cm{hr}:"), F.col("tok")).cast("binary")),
+                    F.md5(
+                        F.concat(F.lit(f"cm{hr}:"), F.col("tok")).cast("binary")
+                    ),
                     1,
                     8,
                 ),
@@ -5148,15 +5149,17 @@ def q_freq_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long")
             % 512
         )
-        rows_.append(
-            tok_counts.select(
-                F.lit(hr).alias("hrow"), bucket.alias("bucket"), "n",
-                "tok",
-            )
-        )
-    from functools import reduce as _reduce
 
-    hashed = _reduce(lambda a, b: a.unionByName(b), rows_)
+    # ONE pass over the exact counts: the 4 hash rows explode from an
+    # in-row array (posexplode), not a 4-way union that would
+    # re-aggregate the token counts once per row
+    hashed = tok_counts.select(
+        "tok",
+        "n",
+        F.posexplode(F.array(*[_bucket(hr) for hr in range(4)])).alias(
+            "hrow", "bucket"
+        ),
+    )
     counters = hashed.groupBy("hrow", "bucket").agg(
         F.sum("n").alias("cnt")
     )
@@ -5164,7 +5167,7 @@ def q_freq_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hrow", "bucket", "tok", "n"
     )
     est = (
-        cand.join(counters, ["hrow", "bucket"])
+        cand.join(F.broadcast(counters), ["hrow", "bucket"])
         .groupBy("tok")
         .agg(F.min("cnt").alias("est"), F.first("n").alias("n_true"))
     )
