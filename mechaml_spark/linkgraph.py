@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "hits", "connected_components"]
+__all__ = ["pagerank", "hits", "opic", "connected_components"]
 
 
 def pagerank(
@@ -180,6 +180,106 @@ def hits(
         hubs = half(auths, "auth", "dst", "src", "hub")
         hubs = hubs.localCheckpoint(eager=False)
     return hubs.join(auths, "node").select("node", "hub", "auth")
+
+
+def opic(
+    edges: DataFrame,
+    n_iter: int = 3,
+    scale: int = 10**9,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """OPIC — Adaptive On-Line Page Importance Computation (Abiteboul,
+    Preda & Cobena, WWW 2003) in exact integer fixed-point: the
+    frontier-prioritization signal designed FOR crawlers.  Unlike
+    PageRank it needs no converged global iteration before it is
+    useful — each page carries ``cash`` (importance flowing through it
+    right now) and ``history`` (importance already observed), and
+    ``importance = history + cash`` is meaningful after any number of
+    steps, which is why a crawl scheduler can consume it mid-crawl.
+
+    Synchronous batch form, every division an integer floor in a
+    pinned order (same bit-reproducibility discipline as
+    :func:`pagerank` — the DuckDB oracle unrolls the identical
+    formula):
+
+        cash_0(v)    = scale div N            history_0(v) = 0
+        insum_i(v)   = sum over distinct in-edges (u, v) of
+                       cash_i(u) div outdeg(u)
+        dangling_i   = sum of cash_i(u) over zero-outdegree u
+        cash_{i+1}(v)    = insum_i(v) + dangling_i div N
+        history_{i+1}(v) = history_i(v) + cash_i(v)
+
+    (the dangling term is the virtual-root page of the paper: cash
+    parked on sinks re-enters uniformly, floor-div remainders are
+    deliberately burned — deterministic, and a vanishing fraction at
+    ``scale = 10^9``).
+
+    Scale posture at 10^10 edges: one equi-join (cash → edges on src)
+    + one partial-aggregated groupBy(dst) per iteration, identical
+    shuffle shape to :func:`pagerank`; the dangling mass is a one-row
+    aggregate broadcast-crossJoined back, never a driver collect; hub
+    in-degree skew is flattened map-side by the partial agg.
+
+    Returns ``(node, cash, history, importance)`` in ``1/scale``
+    units.  Reference parity: the reference engine has no crawl
+    scheduler at all (single-agent monad, src/agent.ml); this is
+    engine-brief breadth for the frontier priority queue.
+    """
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()  # one scalar job up front; N is plan metadata
+    if n == 0:
+        return (
+            nodes.withColumn("cash", F.lit(0).cast("long"))
+            .withColumn("history", F.lit(0).cast("long"))
+            .withColumn("importance", F.lit(0).cast("long"))
+        )
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+
+    state = nodes.select(
+        "node",
+        F.lit(scale // n).cast("long").alias("cash"),
+        F.lit(0).cast("long").alias("history"),
+    )
+    for _ in range(n_iter):
+        insum = (
+            e.join(state, e["src"] == state["node"])
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("cash div outdeg").alias("share"),
+            )
+            .groupBy("node")
+            .agg(F.sum("share").alias("insum"))
+        )
+        dangling = (
+            state.join(e.select("src").distinct(),
+                       state["node"] == F.col("src"), "left_anti")
+            .agg(F.coalesce(F.sum("cash"), F.lit(0)).alias("dm"))
+        )
+        state = (
+            state.join(insum, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                F.expr(f"coalesce(insum, 0) + (dm div {n})")
+                .cast("long").alias("cash"),
+                (F.col("history") + F.col("cash")).alias("history"),
+            )
+        )
+        # truncate lineage so n_iter doesn't stack into one mega-plan
+        state = state.localCheckpoint(eager=False)
+    return state.select(
+        "node", "cash", "history",
+        (F.col("history") + F.col("cash")).alias("importance"),
+    )
 
 
 def connected_components(

@@ -3483,6 +3483,83 @@ def _hits_oracle_sql(n_iter: int = 3, scale: int = 10**6) -> str:
     return "".join(parts)
 
 
+def q_opic_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPIC frontier prioritization (:func:`mechaml_spark.linkgraph.
+    opic`, Abiteboul/Preda/Cobena WWW 2003) with an EXACT oracle: 3
+    synchronous cash/history steps over a deterministic 400-node
+    graph — two affine out-edges per doc plus a hub edge to node 1
+    from every 8th doc, and srcs drawn mod 380 so nodes 380-399 are
+    pure sinks exercising the dangling (virtual-root) path.  Every
+    division is an integer floor in a pinned order, so the DuckDB
+    oracle unrolls the identical formula bit-for-bit."""
+    from mechaml_spark.linkgraph import opic
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 1200
+    )
+    e1 = d.select(
+        (F.col("doc_id") % 380).alias("src"),
+        ((F.col("doc_id") * 11 + 3) % 400).alias("dst"),
+    )
+    e2 = d.select(
+        (F.col("doc_id") % 380).alias("src"),
+        ((F.col("doc_id") * 17 + 9) % 400).alias("dst"),
+    )
+    e3 = d.where(F.col("doc_id") % 8 == 0).select(
+        (F.col("doc_id") % 380).alias("src"),
+        F.lit(1).cast("long").alias("dst"),
+    )
+    return opic(e1.union(e2).union(e3), n_iter=3)
+
+
+def _opic_oracle_sql(n_iter: int = 3, scale: int = 10**9) -> str:
+    """DuckDB mirror of q_opic_scores: the same integer fixed-point
+    cash/history update unrolled ``n_iter`` times."""
+    parts = [f"""
+        WITH e AS (
+            SELECT DISTINCT src, dst FROM (
+                SELECT doc_id % 380 AS src, (doc_id * 11 + 3) % 400 AS dst
+                FROM documents WHERE doc_id < 1200
+                UNION
+                SELECT doc_id % 380, (doc_id * 17 + 9) % 400
+                FROM documents WHERE doc_id < 1200
+                UNION
+                SELECT doc_id % 380, 1
+                FROM documents WHERE doc_id < 1200 AND doc_id % 8 = 0
+            )
+        ), nodes AS (
+            SELECT src AS node FROM e UNION SELECT dst FROM e
+        ), meta AS (SELECT COUNT(*) AS n FROM nodes),
+        outdeg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+        s0 AS (
+            SELECT node, CAST({scale} // n AS BIGINT) AS cash,
+                   CAST(0 AS BIGINT) AS history
+            FROM nodes, meta
+        )"""]
+    for i in range(1, n_iter + 1):
+        parts.append(f""",
+        c{i} AS (
+            SELECT e.dst AS node, SUM(s.cash // o.outdeg) AS insum
+            FROM e JOIN s{i - 1} s ON e.src = s.node
+                   JOIN outdeg o ON e.src = o.src
+            GROUP BY e.dst
+        ), d{i} AS (
+            SELECT COALESCE(SUM(cash), 0) AS dm FROM s{i - 1}
+            WHERE node NOT IN (SELECT src FROM e)
+        ), s{i} AS (
+            SELECT node,
+                   CAST(COALESCE(insum, 0) + dm // n AS BIGINT) AS cash,
+                   CAST(history + cash AS BIGINT) AS history
+            FROM s{i - 1} CROSS JOIN meta CROSS JOIN d{i}
+            LEFT JOIN c{i} USING (node)
+        )""")
+    parts.append(
+        f"\n        SELECT node, cash, history,"
+        f" CAST(history + cash AS BIGINT) AS importance FROM s{n_iter}"
+    )
+    return "".join(parts)
+
+
 def q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate removal with a CLOSED-FORM oracle: synthesized
     pages carry four chrome/junk blocks every real page has — a nav
@@ -5392,6 +5469,7 @@ QUERIES = {
     "image_probe": q_image_probe,
     "pagerank_frontier": q_pagerank_frontier,
     "hits_scores": q_hits_scores,
+    "opic_scores": q_opic_scores,
     "main_content": q_main_content,
     "bm25_score": q_bm25_score,
     "url_hygiene": q_url_hygiene,
@@ -6352,6 +6430,7 @@ ORACLES = {
     """,
     "pagerank_frontier": _pagerank_oracle_sql(3),
     "hits_scores": _hits_oracle_sql(3),
+    "opic_scores": _opic_oracle_sql(3),
     "url_hygiene": """
         SELECT doc_id,
                doc_id % 11 = 0 AS long_url,

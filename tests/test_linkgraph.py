@@ -120,3 +120,67 @@ def test_hits_l1_normalization_bound(spark):
     # to stay bounded (no drift across iterations).
     assert 0.5 * 10**6 < r["h"] <= 2 * 10**6
     assert 0.5 * 10**6 < r["a"] <= 2 * 10**6
+
+
+# ------------------------------------------------------------- OPIC
+
+
+def test_opic_hand_computed(spark):
+    """a -> {b, c}; b dangles; c -> a.  One synchronous step, every
+    floor division by hand:
+
+      N=3, cash0 = 333_333_333 each, history0 = 0
+      share(a->b) = share(a->c) = 333_333_333 // 2 = 166_666_666
+      insum(a) = cash0(c) = 333_333_333 (c's outdeg is 1)
+      dangling = cash0(b) = 333_333_333, dm // 3 = 111_111_111
+      cash1(a) = 333_333_333 + 111_111_111 = 444_444_444
+      cash1(b) = cash1(c) = 166_666_666 + 111_111_111 = 277_777_777
+      history1 = cash0 = 333_333_333 everywhere
+    """
+    from mechaml_spark.linkgraph import opic
+
+    e = _edges(spark, [(0, 1), (0, 2), (2, 0)])
+    got = {r["node"]: (r["cash"], r["history"], r["importance"])
+           for r in opic(e, n_iter=1).collect()}
+    assert got == {
+        0: (444_444_444, 333_333_333, 777_777_777),
+        1: (277_777_777, 333_333_333, 611_111_110),
+        2: (277_777_777, 333_333_333, 611_111_110),
+    }
+
+
+def test_opic_cash_nearly_conserved_and_history_monotone(spark):
+    """Total cash per step only shrinks by floor-div remainders
+    (< |E| + N per step at these sizes), and history equals the sum
+    of the cash snapshots — the OPIC invariant importance builds on."""
+    import random
+
+    from mechaml_spark.linkgraph import opic
+
+    rng = random.Random(11)
+    pairs = [(rng.randrange(40), rng.randrange(40)) for _ in range(200)]
+    e = _edges(spark, pairs)
+    r1 = {r["node"]: r for r in opic(e, n_iter=1).collect()}
+    r3 = {r["node"]: r for r in opic(e, n_iter=3).collect()}
+    n = len(r1)
+    tot1 = sum(r["cash"] for r in r1.values())
+    tot3 = sum(r["cash"] for r in r3.values())
+    assert 10**9 - (len(pairs) + n) * 1 <= tot1 <= 10**9
+    assert 10**9 - (len(pairs) + n) * 3 <= tot3 <= 10**9
+    # history is cumulative: 3-step history >= 1-step history per node
+    assert all(r3[k]["history"] >= r1[k]["history"] for k in r3)
+
+
+def test_opic_bit_reproducible_across_partitionings(spark):
+    import random
+
+    from mechaml_spark.linkgraph import opic
+
+    rng = random.Random(23)
+    pairs = [(rng.randrange(60), rng.randrange(60)) for _ in range(400)]
+    e = _edges(spark, pairs)
+    a = {r["node"]: (r["cash"], r["history"])
+         for r in opic(e.repartition(2), n_iter=3).collect()}
+    b = {r["node"]: (r["cash"], r["history"])
+         for r in opic(e.repartition(13), n_iter=3).collect()}
+    assert a == b
