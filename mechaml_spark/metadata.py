@@ -484,3 +484,84 @@ def hreflang_alternates(
         F.col("_alt")["hreflang"].alias("hreflang"),
         rc["url_norm"].alias("alt_url"),
     ).drop("_alt")
+
+
+# --------------------------------------------------- meta refresh
+
+_META_TAG_RE = r"(?is)<meta\b[^>]*>"
+
+
+def meta_refresh(
+    df: DataFrame, url_col: str = "url", body_col: str = "body"
+) -> DataFrame:
+    """Extract ``<meta http-equiv="refresh" content="N; url=...">``
+    redirects — the HTML-level redirect channel a crawler must honor
+    alongside 3xx (soft redirects are endemic on parked/migrated
+    pages; Common Crawl treats them as first-class outlinks).
+
+    Pinned WHATWG-subset parse of the shared declarative refresh
+    steps (documented, asserted in tests):
+
+      * a meta tag participates iff its ``http-equiv`` value is
+        ``refresh`` (ASCII case-insensitive); ``name=refresh`` decoys
+        do NOT;
+      * ``content`` must start with an integer delay (whole seconds —
+        fractional parts are not consumed); a delay followed by ``;``
+        or ``,`` may carry a URL, with the optional case-insensitive
+        ``url=`` keyword, single- or double-quoted (value runs to the
+        matching quote) or bare (trailing whitespace trimmed);
+      * the FIRST tag whose content parses wins (browser behavior);
+        an unparseable content (``content="abc"``) contributes
+        nothing;
+      * a delay-only refresh (reload-self) yields a NULL target;
+      * the target resolves against the page URL through the shared
+        vectorized canonicalizer, so it lands in the frontier's URL
+        space like any extracted link.
+
+    Pages without a parseable refresh contribute no rows.  The tag
+    scan and content parse are expression-only (regexp_extract_all +
+    higher-order filter/transform — codegen); the single resolve is
+    the same fused Arrow UDF every link takes.  Scale posture: a
+    map-only projection over fetched bodies, zero shuffles."""
+    body = F.col(body_col)
+    tags = F.regexp_extract_all(body, F.lit(_META_TAG_RE), F.lit(0))
+    refreshing = F.filter(
+        tags, lambda t: F.lower(_attr(t, "http-equiv")) == "refresh"
+    )
+    parsed = F.transform(
+        refreshing,
+        lambda t: F.struct(
+            F.regexp_extract(
+                F.coalesce(_attr(t, "content"), F.lit("")),
+                r"^\s*(\d+)", 1,
+            ).alias("delay"),
+            F.regexp_extract(
+                F.coalesce(_attr(t, "content"), F.lit("")),
+                r"(?is)^\s*\d+\s*[;,]\s*(?:url\s*=\s*)?(.*)$", 1,
+            ).alias("rest"),
+        ),
+    )
+    valid = F.filter(parsed, lambda p: p["delay"] != "")
+    # try_element_at: NULL on empty (ANSI element_at throws)
+    first = F.try_element_at(valid, F.lit(1))
+    with_hit = df.select("*", first.alias("_mr")).where(
+        F.col("_mr").isNotNull()
+    )
+    rest = F.col("_mr")["rest"]
+    href = (
+        F.when(
+            rest.startswith('"'),
+            F.regexp_extract(rest, r'^"([^"]*)', 1),
+        )
+        .when(
+            rest.startswith("'"),
+            F.regexp_extract(rest, r"^'([^']*)", 1),
+        )
+        .otherwise(F.trim(rest))
+    )
+    rc = page.resolve_canon_host(F.col(url_col), href)
+    return with_hit.select(
+        "*",
+        F.col("_mr")["delay"].cast("int").alias("refresh_delay_s"),
+        F.when(href != "", rc["url_norm"]).alias("refresh_target"),
+    ).drop("_mr")

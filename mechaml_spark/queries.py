@@ -4642,6 +4642,71 @@ def q_hreflang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_meta_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML meta-refresh soft redirects (metadata.meta_refresh): the
+    WHATWG-subset content parse over every quoting/keyword shape —
+    bare relative url, single-quoted absolute inside ``URL=`` (case
+    folded), comma separator + spaced ``url =`` + quoted relative,
+    delay-only reload-self (NULL target) — plus the decoys that must
+    NOT match (``name=refresh``, unparseable delay, and an
+    unparseable first tag that must lose to a later valid one).
+    Targets resolve through the shared canonicalizer.  Pages without
+    a parseable refresh contribute no rows."""
+    from mechaml_spark import metadata as md
+
+    d = _t(spark, sf_dir, "documents")
+    m6 = d.doc_id % 6
+    body = F.concat(
+        F.lit("<head><meta charset='utf-8'>"),
+        F.when(
+            m6 == 0,
+            F.concat(
+                F.lit('<meta http-equiv="refresh" content="0; url=/next'),
+                d.doc_id,
+                F.lit('"><meta http-equiv="refresh" '
+                      'content="9; url=/second">'),
+            ),
+        )
+        .when(
+            m6 == 1,
+            F.concat(
+                F.lit("<meta HTTP-EQUIV='REFRESH' "
+                      "CONTENT='5;URL=\"http://abs.test/x"),
+                d.doc_id,
+                F.lit("\"'>"),
+            ),
+        )
+        .when(
+            m6 == 2,
+            F.concat(
+                F.lit('<meta http-equiv="refresh" content="oops">'
+                      '<meta http-equiv="refresh" '
+                      "content=\"3 ,url = 'p"),
+                d.doc_id,
+                F.lit(".html'\">"),
+            ),
+        )
+        .when(
+            m6 == 3,
+            F.lit('<meta http-equiv="refresh" content="10">'),
+        )
+        .when(
+            m6 == 4,
+            F.lit('<meta name="refresh" content="5; url=/no">'
+                  '<meta http-equiv="refresh" content="abc; url=/no">'),
+        )
+        .otherwise(F.lit("")),
+        F.lit("</head>"),
+    )
+    url = F.concat(
+        F.lit("http://h"), d.doc_id % 5, F.lit(".test/pages/d"), d.doc_id
+    )
+    pages = d.select("doc_id", url.alias("url"), body.alias("body"))
+    return md.meta_refresh(pages).select(
+        "doc_id", "refresh_delay_s", "refresh_target"
+    )
+
+
 def q_robots_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Page-level robots directives + link-level nofollow — the
     crawl-side counterpart of robots.txt: ``<meta name=robots>`` and
@@ -5492,6 +5557,7 @@ QUERIES = {
     "public_suffix": q_public_suffix,
     "pub_date": q_pub_date,
     "hreflang": q_hreflang,
+    "meta_refresh": q_meta_refresh,
     "sentence_split": q_sentence_split,
     "crawl_delay_budgets": q_crawl_delay_budgets,
     "link_stats": q_link_stats,
@@ -6517,6 +6583,22 @@ ORACLES = {
         UNION ALL
         SELECT doc_id, 5, 'Extra tail ' || doc_id || ' ends.'
         FROM documents WHERE doc_id % 3 = 0
+    """,
+    "meta_refresh": """
+        SELECT doc_id, 0 AS refresh_delay_s,
+               'http://h' || (doc_id % 5) || '.test/next' || doc_id
+                   AS refresh_target
+        FROM documents WHERE doc_id % 6 = 0
+        UNION ALL
+        SELECT doc_id, 5, 'http://abs.test/x' || doc_id
+        FROM documents WHERE doc_id % 6 = 1
+        UNION ALL
+        SELECT doc_id, 3, 'http://h' || (doc_id % 5) || '.test/pages/p'
+                   || doc_id || '.html'
+        FROM documents WHERE doc_id % 6 = 2
+        UNION ALL
+        SELECT doc_id, 10, CAST(NULL AS VARCHAR)
+        FROM documents WHERE doc_id % 6 = 3
     """,
     "hreflang": """
         SELECT doc_id, 'en' AS hreflang,

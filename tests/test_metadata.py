@@ -216,3 +216,45 @@ def test_pub_date_invalid_falls_through(spark):
     # day 00 / 32 rejected by the grammar
     assert _pub(spark, "<time datetime='2019-01-00'>y</time>") == (None, None)
     assert _pub(spark, "<time datetime='2019-01-32'>y</time>") == (None, None)
+
+
+# --------------------------------------------------- meta refresh
+
+
+def _refresh_rows(spark, bodies, base="http://h.test/a/page"):
+    df = spark.createDataFrame(
+        [(i, base, b) for i, b in enumerate(bodies)], "i long, url string, body string"
+    )
+    out = md.meta_refresh(df).collect()
+    return {r["i"]: (r["refresh_delay_s"], r["refresh_target"]) for r in out}
+
+
+def test_meta_refresh_shapes_and_decoys(spark):
+    got = _refresh_rows(spark, [
+        # 0: bare relative url, instant
+        '<meta http-equiv="refresh" content="0; url=/next">',
+        # 1: uppercase keyword, double-quoted absolute inside SQ attr
+        "<meta HTTP-EQUIV='REFRESH' CONTENT='5;URL=\"http://abs.test/x\"'>",
+        # 2: comma separator, spaced url =, single-quoted relative
+        '<meta http-equiv="refresh" content="3 ,url = \'p.html\'">',
+        # 3: delay-only reload-self -> NULL target
+        '<meta http-equiv="refresh" content="10">',
+        # 4: name=refresh decoy -> no row
+        '<meta name="refresh" content="5; url=/no">',
+        # 5: unparseable delay -> no row
+        '<meta http-equiv="refresh" content="abc; url=/no">',
+        # 6: first PARSEABLE tag wins (bad one loses to later valid)
+        '<meta http-equiv="refresh" content="oops">'
+        '<meta http-equiv="refresh" content="7; url=/ok">',
+        # 7: first-wins between two valid tags
+        '<meta http-equiv="refresh" content="1; url=/first">'
+        '<meta http-equiv="refresh" content="2; url=/second">',
+    ])
+    assert got == {
+        0: (0, "http://h.test/next"),
+        1: (5, "http://abs.test/x"),
+        2: (3, "http://h.test/a/p.html"),
+        3: (10, None),
+        6: (7, "http://h.test/ok"),
+        7: (1, "http://h.test/first"),
+    }
