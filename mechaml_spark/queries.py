@@ -1742,6 +1742,69 @@ def q_revisit_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational table extraction (:func:`mechaml_spark.tables.
+    extract_tables`): every page carries a thead/tbody table with a
+    colspan=2 cell and a NESTED table (own table_idx, text excluded
+    from the outer cell), every 3rd page a leading EMPTY table that
+    still consumes an index, every 2nd page a rowspan=2 table — so
+    the oracle enumerates the exact grid (spanned positions repeat
+    the cell text) with a closed-form index offset.  Grid semantics
+    drift (span fill, section attribution, nested-table leakage) is
+    a hash miss."""
+    from mechaml_spark.tables import extract_tables
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 500
+    )
+    i = d.doc_id
+    body = F.concat(
+        F.when(i % 3 == 0, F.lit("<p>decoy</p><table></table>"))
+        .otherwise(F.lit("")),
+        F.lit('<table><thead><tr><th>H0</th><th>H1 '), i,
+        F.lit('</th></tr></thead><tbody><tr><td colspan="2">w '), i,
+        F.lit("</td></tr><tr><td>a "), i,
+        F.lit("</td><td><table><tr><td>n "), i,
+        F.lit("</td></tr></table> x "), i,
+        F.lit("</td></tr></tbody></table>"),
+        F.when(
+            i % 2 == 0,
+            F.concat(
+                F.lit('<table><tr><td rowspan="2">r '), i,
+                F.lit("</td><td>b "), i,
+                F.lit("</td></tr><tr><td>c "), i,
+                F.lit("</td></tr></table>"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    pages = d.select("doc_id", body.alias("body"))
+    return extract_tables(pages)
+
+
+_HTML_TABLES_ORACLE = """
+    WITH d AS (
+        SELECT doc_id, CAST(doc_id % 3 = 0 AS INT) AS t
+        FROM documents WHERE doc_id < 500
+    )
+    SELECT doc_id, t AS table_idx, 0 AS row_idx, 0 AS col_idx,
+           'H0' AS cell, TRUE AS is_header, 'thead' AS section FROM d
+    UNION ALL SELECT doc_id, t, 0, 1, 'H1 ' || doc_id, TRUE, 'thead' FROM d
+    UNION ALL SELECT doc_id, t, 1, 0, 'w ' || doc_id, FALSE, 'tbody' FROM d
+    UNION ALL SELECT doc_id, t, 1, 1, 'w ' || doc_id, FALSE, 'tbody' FROM d
+    UNION ALL SELECT doc_id, t, 2, 0, 'a ' || doc_id, FALSE, 'tbody' FROM d
+    UNION ALL SELECT doc_id, t, 2, 1, 'x ' || doc_id, FALSE, 'tbody' FROM d
+    UNION ALL SELECT doc_id, t + 1, 0, 0, 'n ' || doc_id, FALSE, '' FROM d
+    UNION ALL SELECT doc_id, t + 2, 0, 0, 'r ' || doc_id, FALSE, ''
+        FROM d WHERE doc_id % 2 = 0
+    UNION ALL SELECT doc_id, t + 2, 0, 1, 'b ' || doc_id, FALSE, ''
+        FROM d WHERE doc_id % 2 = 0
+    UNION ALL SELECT doc_id, t + 2, 1, 0, 'r ' || doc_id, FALSE, ''
+        FROM d WHERE doc_id % 2 = 0
+    UNION ALL SELECT doc_id, t + 2, 1, 1, 'c ' || doc_id, FALSE, ''
+        FROM d WHERE doc_id % 2 = 0
+"""
+
+
 def q_html_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Visible-text extraction from full HTML pages, expression-only
     (:func:`mechaml_spark.extract.html_visible_text`).  Pages are
@@ -5520,6 +5583,7 @@ QUERIES = {
     "text_normalize": q_text_normalize,
     "bpe_encode": q_bpe_encode,
     "html_text": q_html_text,
+    "html_tables": q_html_tables,
     "robots_rfc": q_robots_rfc,
     "mime_sniff": q_mime_sniff,
     "charset_decode": q_charset_decode,
@@ -6400,6 +6464,7 @@ ORACLES = {
                     THEN array_to_string(ks, chr(10)) END AS cleaned_text
         FROM kept
     """,
+    "html_tables": _HTML_TABLES_ORACLE,
     "html_text": """
         SELECT doc_id,
                'menu ' || text || ' A & B <tag> "q" ''s'' x y' AS text_out
