@@ -1805,6 +1805,58 @@ _HTML_TABLES_ORACLE = """
 """
 
 
+def q_html_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML→Markdown conversion (:func:`mechaml_spark.markdown.
+    to_markdown`): pages exercise the whole pinned subset in one
+    body — heading, paragraph with bold + link around documents
+    text, unordered list, fenced pre, blockquote, pipe table with
+    header row — and the oracle is the exact expected markdown
+    string (chr(10)-joined closed form), so any rendering drift
+    (block joining, inline markup, fence, quote prefix, pipe
+    layout) is a hash miss."""
+    from mechaml_spark.markdown import to_markdown
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text").where(
+        F.col("doc_id") < 400
+    )
+    i = d.doc_id
+    body = F.concat(
+        F.lit("<html><head><title>T</title><style>p{}</style></head>"
+              "<body><h1>Doc "), i,
+        F.lit("</h1><p>"), d.text,
+        F.lit(" with <b>bold "), i,
+        F.lit('</b> and <a href="/l'), i,
+        F.lit('">go</a>.</p><ul><li>alpha '), i,
+        F.lit("</li><li>beta "), i,
+        F.lit("</li></ul><pre>code("), i,
+        F.lit(")</pre><blockquote><p>quote "), i,
+        F.lit("</p></blockquote><table><tr><th>K</th><th>V</th></tr>"
+              "<tr><td>k"), i,
+        F.lit("</td><td>v"), i,
+        F.lit("</td></tr></table></body></html>"),
+    )
+    pages = d.select("doc_id", body.alias("body"))
+    return pages.select(
+        "doc_id", to_markdown(F.col("body")).alias("md")
+    )
+
+
+_HTML_MARKDOWN_ORACLE = """
+    SELECT doc_id,
+           '# Doc ' || doc_id || chr(10) || chr(10)
+           || text || ' with **bold ' || doc_id || '** and [go](/l'
+           || doc_id || ').' || chr(10) || chr(10)
+           || '- alpha ' || doc_id || chr(10)
+           || '- beta ' || doc_id || chr(10) || chr(10)
+           || '```' || chr(10) || 'code(' || doc_id || ')' || chr(10)
+           || '```' || chr(10) || chr(10)
+           || '> quote ' || doc_id || chr(10) || chr(10)
+           || '| K | V |' || chr(10) || '| --- | --- |' || chr(10)
+           || '| k' || doc_id || ' | v' || doc_id || ' |' AS md
+    FROM documents WHERE doc_id < 400
+"""
+
+
 def q_html_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Visible-text extraction from full HTML pages, expression-only
     (:func:`mechaml_spark.extract.html_visible_text`).  Pages are
@@ -5584,6 +5636,7 @@ QUERIES = {
     "bpe_encode": q_bpe_encode,
     "html_text": q_html_text,
     "html_tables": q_html_tables,
+    "html_markdown": q_html_markdown,
     "robots_rfc": q_robots_rfc,
     "mime_sniff": q_mime_sniff,
     "charset_decode": q_charset_decode,
@@ -6465,6 +6518,7 @@ ORACLES = {
         FROM kept
     """,
     "html_tables": _HTML_TABLES_ORACLE,
+    "html_markdown": _HTML_MARKDOWN_ORACLE,
     "html_text": """
         SELECT doc_id,
                'menu ' || text || ' A & B <tag> "q" ''s'' x y' AS text_out
