@@ -1805,6 +1805,65 @@ _HTML_TABLES_ORACLE = """
 """
 
 
+def q_microdata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """schema.org microdata triples (:func:`mechaml_spark.microdata.
+    extract_microdata`): every page carries a Product item exercising
+    each per-tag value rule (text span, img src, multi-token
+    ``itemprop="url brand"`` on an ``<a>``, meta content, time
+    datetime) plus a NESTED Offer item (``#item:`` linkage), every
+    2nd page an untyped item (NULL ``@type``), and an orphan
+    ``itemprop`` decoy outside any scope that must be ignored.  The
+    oracle enumerates the exact triple set."""
+    from mechaml_spark.microdata import extract_microdata
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 400
+    )
+    i = d.doc_id
+    body = F.concat(
+        F.lit('<div itemscope itemtype="https://schema.org/Product">'
+              '<span itemprop="name">Widget '), i,
+        F.lit('</span><img itemprop="image" src="/i'), i,
+        F.lit('.png"><a itemprop="url brand" href="/p'), i,
+        F.lit('">go</a><meta itemprop="sku" content="S'), i,
+        F.lit('"><time itemprop="released" datetime="2021-07-0'),
+        i % 9 + 1,
+        F.lit('">July</time><div itemprop="offers" itemscope '
+              'itemtype="https://schema.org/Offer">'
+              '<span itemprop="price">'), i % 90,
+        F.lit(".99</span></div></div>"
+              '<span itemprop="orphan">ignored</span>'),
+        F.when(
+            i % 2 == 0,
+            F.concat(F.lit('<div itemscope><b itemprop="x">untyped '),
+                     i, F.lit("</b></div>")),
+        ).otherwise(F.lit("")),
+    )
+    pages = d.select("doc_id", body.alias("body"))
+    return extract_microdata(pages)
+
+
+_MICRODATA_ORACLE = """
+    WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 400)
+    SELECT doc_id, 0 AS item_idx, '@type' AS prop,
+           'https://schema.org/Product' AS value FROM d
+    UNION ALL SELECT doc_id, 0, 'name', 'Widget ' || doc_id FROM d
+    UNION ALL SELECT doc_id, 0, 'image', '/i' || doc_id || '.png' FROM d
+    UNION ALL SELECT doc_id, 0, 'url', '/p' || doc_id FROM d
+    UNION ALL SELECT doc_id, 0, 'brand', '/p' || doc_id FROM d
+    UNION ALL SELECT doc_id, 0, 'sku', 'S' || doc_id FROM d
+    UNION ALL SELECT doc_id, 0, 'released',
+        '2021-07-0' || (doc_id % 9 + 1) FROM d
+    UNION ALL SELECT doc_id, 0, 'offers', '#item:1' FROM d
+    UNION ALL SELECT doc_id, 1, '@type', 'https://schema.org/Offer' FROM d
+    UNION ALL SELECT doc_id, 1, 'price', (doc_id % 90) || '.99' FROM d
+    UNION ALL SELECT doc_id, 2, '@type', CAST(NULL AS VARCHAR)
+        FROM d WHERE doc_id % 2 = 0
+    UNION ALL SELECT doc_id, 2, 'x', 'untyped ' || doc_id
+        FROM d WHERE doc_id % 2 = 0
+"""
+
+
 def q_html_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML→Markdown conversion (:func:`mechaml_spark.markdown.
     to_markdown`): pages exercise the whole pinned subset in one
@@ -5637,6 +5696,7 @@ QUERIES = {
     "html_text": q_html_text,
     "html_tables": q_html_tables,
     "html_markdown": q_html_markdown,
+    "microdata": q_microdata,
     "robots_rfc": q_robots_rfc,
     "mime_sniff": q_mime_sniff,
     "charset_decode": q_charset_decode,
@@ -6519,6 +6579,7 @@ ORACLES = {
     """,
     "html_tables": _HTML_TABLES_ORACLE,
     "html_markdown": _HTML_MARKDOWN_ORACLE,
+    "microdata": _MICRODATA_ORACLE,
     "html_text": """
         SELECT doc_id,
                'menu ' || text || ' A & B <tag> "q" ''s'' x y' AS text_out
