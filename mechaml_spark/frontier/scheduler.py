@@ -250,6 +250,7 @@ def crawl(
         _pool = ThreadPoolExecutor(1)
         closure_fut = _pool.submit(_build_fetcher)
         _pool.shutdown(wait=False)
+    mark("closure submitted")
     # robots rules come from actually fetching /robots.txt per host
     # through the fetch stage (north rule: broadcast robots cache).
     # No silent fallback: a corpus is always present here, and a
@@ -280,6 +281,7 @@ def crawl(
             .distinct()
             .localCheckpoint(eager=False)
         )
+        mark("seeds_canon planned")
         schemes = (
             seeds_canon.select(
                 "host",
