@@ -5495,6 +5495,111 @@ def q_freq_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable log-histogram quantile sketch (the DDSketch shape,
+    Masson et al. VLDB 2019) — completing the sketch family next to
+    HLL (``distinct_sketch``) and count-min (``freq_sketch``): the
+    per-key latency/size percentile estimator at scales where exact
+    quantiles mean a full sort.  Engine-portable and EXACT-integer
+    like its siblings: bucket id for a positive int v is
+    ``(e, v >> max(0, e-3))`` with ``e = floor(log2 v)`` computed via
+    binary-STRING length (no float log anywhere), i.e. one bucket per
+    top-4-bits-per-octave — guaranteed relative error <= 2^-3 = 12.5%
+    on the reported lower bound (asserted in tests).  The sketch is a
+    groupBy(key, bucket) count — order-free partial aggregation, at
+    most 16 rows per octave per key cross the shuffle — and the
+    quantile walk is a pure array fold over the sorted bucket list
+    (no window function in the Spark plan), picking the first bucket
+    whose cumulative count reaches the ceil permille rank
+    ``(n*p + 999) div 1000``.  DuckDB mirrors the identical
+    arithmetic with a window cumsum, bit-for-bit."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    v = (1 + (F.col("doc_id") * F.col("doc_id")) % 100000).cast("long")
+    e = (F.length(F.conv(F.col("v"), 10, 2)) - 1).cast("int")
+    rows = (
+        d.select("lang", v.alias("v"))
+        .select("lang", "v", e.alias("e"))
+        # shiftright/shiftleft by a COLUMN needs the SQL form (the
+        # pyspark wrappers take a literal int only)
+        .select(
+            "lang",
+            F.expr(
+                "e * 16 + shiftright(v, greatest(0, e - 3))"
+            ).cast("long").alias("bucket"),
+            F.expr(
+                "shiftleft(shiftright(v, greatest(0, e - 3)),"
+                " greatest(0, e - 3))"
+            ).cast("long").alias("lb"),
+        )
+    )
+    sk = rows.groupBy("lang", "bucket").agg(
+        F.count("*").alias("cnt"), F.first("lb").alias("lb")
+    )
+    per_key = sk.groupBy("lang").agg(
+        F.sort_array(
+            F.collect_list(F.struct("bucket", "cnt", "lb"))
+        ).alias("arr"),
+        F.sum("cnt").alias("n"),
+        F.count("*").alias("n_buckets"),
+    )
+
+    def pick(permille: int):
+        return F.expr(
+            f"""aggregate(
+                arr,
+                struct(cast(0 as bigint) as cum, cast(-1 as bigint) as lb),
+                (acc, x) -> if(acc.lb >= 0, acc,
+                    if(acc.cum + x.cnt >= (n * {permille} + 999) div 1000,
+                       struct(acc.cum + x.cnt as cum, x.lb as lb),
+                       struct(acc.cum + x.cnt as cum,
+                              cast(-1 as bigint) as lb)))
+            ).lb"""
+        )
+
+    return per_key.select(
+        "lang",
+        F.col("n").cast("long").alias("n"),
+        F.col("n_buckets").cast("long").alias("n_buckets"),
+        pick(500).alias("p50_lb"),
+        pick(900).alias("p90_lb"),
+        pick(990).alias("p99_lb"),
+    )
+
+
+_QUANTILE_SKETCH_ORACLE = """
+    WITH vals AS (
+        SELECT lang, 1 + (doc_id * doc_id) % 100000 AS v
+        FROM documents
+    ), b AS (
+        SELECT lang, v,
+               length(printf('%b', v)) - 1 AS e
+        FROM vals
+    ), bk AS (
+        SELECT lang,
+               e * 16 + (v >> greatest(0, e - 3)) AS bucket,
+               (v >> greatest(0, e - 3)) << greatest(0, e - 3) AS lb
+        FROM b
+    ), sk AS (
+        SELECT lang, bucket, COUNT(*) AS cnt, MIN(lb) AS lb
+        FROM bk GROUP BY lang, bucket
+    ), cum AS (
+        SELECT lang, bucket, lb, cnt,
+               SUM(cnt) OVER (PARTITION BY lang ORDER BY bucket) AS c,
+               SUM(cnt) OVER (PARTITION BY lang) AS n
+        FROM sk
+    )
+    SELECT lang, CAST(MAX(n) AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(MIN(CASE WHEN c >= (n * 500 + 999) // 1000
+                    THEN lb END) AS BIGINT) AS p50_lb,
+           CAST(MIN(CASE WHEN c >= (n * 900 + 999) // 1000
+                    THEN lb END) AS BIGINT) AS p90_lb,
+           CAST(MIN(CASE WHEN c >= (n * 990 + 999) // 1000
+                    THEN lb END) AS BIGINT) AS p99_lb
+    FROM cum GROUP BY lang
+"""
+
+
 def q_image_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dominant-palette extraction by median-cut quantization
     (Heckbert 1982, the classic k-color reduction behind GIF/indexed
@@ -5761,6 +5866,7 @@ QUERIES = {
     "image_palette": q_image_palette,
     "distinct_sketch": q_distinct_sketch,
     "freq_sketch": q_freq_sketch,
+    "quantile_sketch": q_quantile_sketch,
 }
 
 _TOKS_SQL = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
@@ -7619,6 +7725,7 @@ ORACLES = {
                           AS DOUBLE) AS est
         FROM a
     """,
+    "quantile_sketch": _QUANTILE_SKETCH_ORACLE,
     "freq_sketch": """
         WITH tc AS (
             SELECT t.tok, CAST(count(*) AS BIGINT) AS n

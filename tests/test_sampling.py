@@ -147,3 +147,46 @@ def test_freq_sketch_invariants(spark):
     # median over-estimate stays tight (counters >> distinct tokens)
     overs = sorted(r["over_milli"] for r in rows)
     assert overs[len(overs) // 2] <= 1500, overs
+
+
+def test_quantile_sketch_error_bound(spark):
+    """The log-histogram sketch's reported lower bound must satisfy
+    lb <= exact_quantile < lb * (1 + 2^-3) * 2  — concretely: the
+    exact ceil-rank quantile v lands in the reported bucket, whose
+    width is <= lb/8 (top-4-bits-per-octave), so
+    lb <= v <= lb + max(lb // 8, 7)."""
+    import duckdb
+
+    from mechaml_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["quantile_sketch"](spark, sf).collect()
+    assert rows
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    exact = {
+        lang: (p50, p90, p99)
+        for lang, p50, p90, p99 in con.execute("""
+            WITH v AS (SELECT lang, 1 + (doc_id*doc_id) % 100000 AS v
+                       FROM documents),
+            r AS (SELECT lang, v,
+                         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY v)
+                             AS rk,
+                         COUNT(*) OVER (PARTITION BY lang) AS n FROM v)
+            SELECT lang,
+                   MIN(CASE WHEN rk >= (n*500+999)//1000 THEN v END),
+                   MIN(CASE WHEN rk >= (n*900+999)//1000 THEN v END),
+                   MIN(CASE WHEN rk >= (n*990+999)//1000 THEN v END)
+            FROM r GROUP BY lang
+        """).fetchall()
+    }
+    for r in rows:
+        for col, ex in zip(("p50_lb", "p90_lb", "p99_lb"),
+                           exact[r["lang"]]):
+            lb = r[col]
+            assert lb <= ex <= lb + max(lb // 8, 7), (
+                r["lang"], col, lb, ex,
+            )
