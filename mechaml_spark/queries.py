@@ -5495,6 +5495,150 @@ def q_freq_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher document-quality rule table (Rae et al. 2021,
+    "Scaling Language Models", table A1 filtering) as named boolean
+    gates, every comparison EXACT-integer (mean-word-length bounds as
+    ``3n <= chars <= 10n`` — no float ratio anywhere): word-count
+    window, mean word length 3-10, symbol-to-word ratio (# and ...),
+    bullet-start <= 90% of lines, ellipsis-end <= 30% of lines,
+    >= 80% words alphabetic, >= 2 of the 8-stop-word set.  Documents
+    are extended with deterministic bullet / ellipsis / symbol lines
+    so every rule fires on its own modulus class; the DuckDB oracle
+    recomputes the identical counts over the identical text.
+    Expression-only: one codegen project, zero shuffles, pushes below
+    any downstream join like c4_filters."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    m3 = d.doc_id % 3
+    extra = (
+        F.when(m3 == 0, F.lit("\n- bullet one\n- bullet two"))
+        .when(m3 == 1, F.lit("\ntrailing thought..."))
+        .otherwise(F.lit("\n# # # # # # # # # #"))
+    )
+    t2 = F.concat(d.text, extra)
+    toks = F.filter(F.split(t2, r"\s+"), lambda x: x != "")
+    lines = F.split(t2, r"\n")
+    n_words = F.size(toks).cast("long")
+    total_chars = F.aggregate(
+        F.transform(toks, F.length),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    n_alpha = F.size(
+        F.filter(toks, lambda x: x.rlike("[a-zA-Z]"))
+    ).cast("long")
+    n_hash = (
+        (F.length(t2) - F.length(F.replace(t2, F.lit("#"), F.lit(""))))
+    ).cast("long")
+    n_ellipsis = (
+        (F.length(t2) - F.length(F.replace(t2, F.lit("..."), F.lit(""))))
+        / 3
+    ).cast("long")
+    n_lines = F.size(lines).cast("long")
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda x: x.startswith("- ") | x.startswith("* "),
+        )
+    ).cast("long")
+    n_ell_end = F.size(
+        F.filter(lines, lambda x: x.rlike("\\.\\.\\.$"))
+    ).cast("long")
+    stops = ("the", "be", "to", "of", "and", "that", "have", "with")
+    n_stopset = sum(
+        F.when(F.array_contains(toks, s), 1).otherwise(0) for s in stops
+    ).cast("long")
+    q = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        (n_words.between(50, 100000)).alias("r_words"),
+        (
+            (3 * n_words <= total_chars) & (total_chars <= 10 * n_words)
+        ).alias("r_mean_len"),
+        (10 * (n_hash + n_ellipsis) <= n_words).alias("r_symbol"),
+        (10 * n_bullet <= 9 * n_lines).alias("r_bullet"),
+        (10 * n_ell_end <= 3 * n_lines).alias("r_ellipsis"),
+        (5 * n_alpha >= 4 * n_words).alias("r_alpha"),
+        (n_stopset >= 2).alias("r_stop"),
+    )
+    return q.select(
+        "*",
+        (
+            F.col("r_words") & F.col("r_mean_len") & F.col("r_symbol")
+            & F.col("r_bullet") & F.col("r_ellipsis") & F.col("r_alpha")
+            & F.col("r_stop")
+        ).alias("keep"),
+    )
+
+
+_GOPHER_RULES_ORACLE = """
+    WITH t AS (
+        SELECT doc_id,
+               text || CASE doc_id % 3
+                 WHEN 0 THEN chr(10) || '- bullet one' || chr(10)
+                     || '- bullet two'
+                 WHEN 1 THEN chr(10) || 'trailing thought...'
+                 ELSE chr(10) || '# # # # # # # # # #'
+               END AS t2
+        FROM documents
+    ), c AS (
+        SELECT doc_id, t2,
+               list_filter(string_split_regex(t2, '\\s+'),
+                           x -> x <> '') AS toks,
+               string_split(t2, chr(10)) AS lines
+        FROM t
+    ), m AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_words,
+               CAST(coalesce(list_sum(
+                   list_transform(toks, x -> len(x))), 0) AS BIGINT)
+                   AS total_chars,
+               CAST(len(list_filter(toks,
+                   x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT)
+                   AS n_alpha,
+               CAST(len(t2) - len(replace(t2, '#', '')) AS BIGINT)
+                   AS n_hash,
+               CAST((len(t2) - len(replace(t2, '...', ''))) // 3
+                   AS BIGINT) AS n_ellipsis,
+               CAST(len(lines) AS BIGINT) AS n_lines,
+               CAST(len(list_filter(lines,
+                   x -> x LIKE '- %' OR x LIKE '* %')) AS BIGINT)
+                   AS n_bullet,
+               CAST(len(list_filter(lines,
+                   x -> regexp_matches(x, '\\.\\.\\.$'))) AS BIGINT)
+                   AS n_ell_end,
+               CAST((CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END)
+                  + (CASE WHEN list_contains(toks, 'be') THEN 1 ELSE 0 END)
+                  + (CASE WHEN list_contains(toks, 'to') THEN 1 ELSE 0 END)
+                  + (CASE WHEN list_contains(toks, 'of') THEN 1 ELSE 0 END)
+                  + (CASE WHEN list_contains(toks, 'and') THEN 1 ELSE 0 END)
+                  + (CASE WHEN list_contains(toks, 'that') THEN 1 ELSE 0 END)
+                  + (CASE WHEN list_contains(toks, 'have') THEN 1 ELSE 0 END)
+                  + (CASE WHEN list_contains(toks, 'with') THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_stopset
+        FROM c
+    )
+    SELECT doc_id, n_words,
+           n_words BETWEEN 50 AND 100000 AS r_words,
+           3 * n_words <= total_chars AND total_chars <= 10 * n_words
+               AS r_mean_len,
+           10 * (n_hash + n_ellipsis) <= n_words AS r_symbol,
+           10 * n_bullet <= 9 * n_lines AS r_bullet,
+           10 * n_ell_end <= 3 * n_lines AS r_ellipsis,
+           5 * n_alpha >= 4 * n_words AS r_alpha,
+           n_stopset >= 2 AS r_stop,
+           (n_words BETWEEN 50 AND 100000)
+               AND (3 * n_words <= total_chars
+                    AND total_chars <= 10 * n_words)
+               AND (10 * (n_hash + n_ellipsis) <= n_words)
+               AND (10 * n_bullet <= 9 * n_lines)
+               AND (10 * n_ell_end <= 3 * n_lines)
+               AND (5 * n_alpha >= 4 * n_words)
+               AND (n_stopset >= 2) AS keep
+    FROM m
+"""
+
+
 def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable log-histogram quantile sketch (the DDSketch shape,
     Masson et al. VLDB 2019) — completing the sketch family next to
@@ -5867,6 +6011,7 @@ QUERIES = {
     "distinct_sketch": q_distinct_sketch,
     "freq_sketch": q_freq_sketch,
     "quantile_sketch": q_quantile_sketch,
+    "gopher_rules": q_gopher_rules,
 }
 
 _TOKS_SQL = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
@@ -7726,6 +7871,7 @@ ORACLES = {
         FROM a
     """,
     "quantile_sketch": _QUANTILE_SKETCH_ORACLE,
+    "gopher_rules": _GOPHER_RULES_ORACLE,
     "freq_sketch": """
         WITH tc AS (
             SELECT t.tok, CAST(count(*) AS BIGINT) AS n
