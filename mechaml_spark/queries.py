@@ -5495,6 +5495,115 @@ def q_freq_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_ssim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global SSIM (Wang et al. 2004) between image pairs — the
+    perceptual counterpart of the payload PSNR invariant, used to
+    verify re-encodes and score near-dup candidates.  EXACT-integer
+    engine-portable form: the stage accumulates the six sufficient
+    statistics (n, Sx, Sy, Sxx, Syy, Sxy) as exact integers over REAL
+    PNG decodes, then evaluates the SSIM rational with C1/C2 scaled
+    by 10^4 so numerator and denominator are exact big integers
+    (Python int in the stage, HUGEINT in DuckDB — no float anywhere):
+
+        ssim_milli = (1000 * (2*10^4*Sx*Sy + 65025*n^2)
+                           * (2*10^4*(n*Sxy - Sx*Sy) + 585225*n^2))
+                     div ((10^4*(Sx^2 + Sy^2) + 65025*n^4')
+                           ... same structure for the variance term)
+
+    Pairs are (constant plane a, same plane with the right half
+    shifted by s) so every statistic is a closed form of doc_id;
+    identical planes (s=0 when doc_id%17==0) must yield exactly
+    1000."""
+    import numpy as _np
+    import pandas as _pd
+
+    from mechaml_spark.imaging import png_decode, png_encode
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 300
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                a = (did * 7) % 200
+                s = did % 17
+                x = _np.full((16, 16, 3), a, _np.uint8)
+                y = x.copy()
+                y[:, 8:, :] += _np.uint8(s)
+                rows.append(
+                    {"doc_id": did, "png_a": png_encode(x),
+                     "png_b": png_encode(y)}
+                )
+            yield _pd.DataFrame(rows,
+                                columns=["doc_id", "png_a", "png_b"])
+
+    pairs = d.mapInPandas(
+        gen, schema="doc_id long, png_a binary, png_b binary"
+    )
+
+    def ssim_stage(batches):
+        for pdf in batches:
+            rows = []
+            for did, ba, bb in zip(
+                pdf["doc_id"], pdf["png_a"], pdf["png_b"]
+            ):
+                x = png_decode(bytes(ba)).astype(_np.int64)
+                y = png_decode(bytes(bb)).astype(_np.int64)
+                n = int(x.size)
+                sx, sy = int(x.sum()), int(y.sum())
+                sxx = int((x * x).sum())
+                syy = int((y * y).sum())
+                sxy = int((x * y).sum())
+                # exact rational SSIM, C1/C2 x10^4 (6.5025 / 58.5225)
+                num = (2 * 10**4 * sx * sy + 65025 * n * n) * (
+                    2 * 10**4 * (n * sxy - sx * sy) + 585225 * n * n
+                )
+                den = (10**4 * (sx * sx + sy * sy) + 65025 * n * n) * (
+                    10**4 * (n * sxx - sx * sx + n * syy - sy * sy)
+                    + 585225 * n * n
+                )
+                rows.append(
+                    {"doc_id": int(did), "n_px": n,
+                     "ssim_milli": (1000 * num) // den}
+                )
+            yield _pd.DataFrame(
+                rows, columns=["doc_id", "n_px", "ssim_milli"]
+            )
+
+    return pairs.mapInPandas(
+        ssim_stage, schema="doc_id long, n_px long, ssim_milli long"
+    )
+
+
+_IMAGE_SSIM_ORACLE = """
+    WITH s AS (
+        SELECT doc_id,
+               CAST(768 AS HUGEINT) AS n,
+               CAST((doc_id * 7) % 200 AS HUGEINT) AS a,
+               CAST(doc_id % 17 AS HUGEINT) AS sh
+        FROM documents WHERE doc_id < 300
+    ), m AS (
+        SELECT doc_id, n,
+               n * a AS sx,
+               n * a + (n // 2) * sh AS sy,
+               n * a * a AS sxx,
+               (n // 2) * (a * a + (a + sh) * (a + sh)) AS syy,
+               (n // 2) * (a * a + a * (a + sh)) AS sxy
+        FROM s
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_px,
+           CAST((1000 * ((2 * 10000 * sx * sy + 65025 * n * n)
+                 * (2 * 10000 * (n * sxy - sx * sy) + 585225 * n * n)))
+                // ((10000 * (sx * sx + sy * sy) + 65025 * n * n)
+                 * (10000 * (n * sxx - sx * sx + n * syy - sy * sy)
+                    + 585225 * n * n)) AS BIGINT) AS ssim_milli
+    FROM m
+"""
+
+
 def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Gopher document-quality rule table (Rae et al. 2021,
     "Scaling Language Models", table A1 filtering) as named boolean
@@ -6012,6 +6121,7 @@ QUERIES = {
     "freq_sketch": q_freq_sketch,
     "quantile_sketch": q_quantile_sketch,
     "gopher_rules": q_gopher_rules,
+    "image_ssim": q_image_ssim,
 }
 
 _TOKS_SQL = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
@@ -7872,6 +7982,7 @@ ORACLES = {
     """,
     "quantile_sketch": _QUANTILE_SKETCH_ORACLE,
     "gopher_rules": _GOPHER_RULES_ORACLE,
+    "image_ssim": _IMAGE_SSIM_ORACLE,
     "freq_sketch": """
         WITH tc AS (
             SELECT t.tok, CAST(count(*) AS BIGINT) AS n

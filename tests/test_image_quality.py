@@ -54,3 +54,22 @@ def test_undecodable_and_null_rows_flagged_not_failed(spark):
     )
     assert got[1]["ok"] is False and got[2]["ok"] is False
     assert got[1]["lap_var_milli"] is None
+
+
+def test_image_ssim_invariants(spark):
+    """Identical planes score EXACTLY 1000 milli (the integer-exact
+    rational hits 1 with zero float drift); any shifted pair scores
+    strictly below; stronger shifts never score above weaker ones at
+    the same base level."""
+    import pyspark.sql.functions as F
+
+    from mechaml_spark.queries import QUERIES
+
+    df = QUERIES["image_ssim"](spark, "/root/testdata/sf0.001")
+    rows = {r["doc_id"]: r["ssim_milli"] for r in df.collect()}
+    assert rows
+    for did, v in rows.items():
+        if did % 17 == 0:
+            assert v == 1000, (did, v)
+        else:
+            assert v < 1000, (did, v)
