@@ -5495,6 +5495,93 @@ def q_freq_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL template mining — the structural-dedup / crawl-trap
+    signal `url_hygiene` doesn't cover: URLs collapse to templates
+    (digit runs → ``{d}``, >=8-char hex runs → ``{x}``, query VALUES
+    → ``{v}`` keeping key names), then per (host, template) the
+    frontier learns cardinality: a template with huge fan-out is a
+    calendar/session trap or a paginated listing to cap, and
+    template identity is the cheapest URL-level near-dup key.
+    Expression-only regexp_replace chain (pinned order: hex before
+    digits, so a hex id never half-collapses) + one partial-agg
+    groupBy — codegen, one shuffle on the fine-grained template key.
+    The oracle applies the identical replacements in SQL."""
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 2000
+    )
+    m4 = d.doc_id % 4
+    url = (
+        F.when(
+            m4 == 0,
+            F.concat(F.lit("http://h"), d.doc_id % 8,
+                     F.lit(".test/item/"), d.doc_id,
+                     F.lit("/view?page="), d.doc_id % 30),
+        )
+        .when(
+            m4 == 1,
+            F.concat(F.lit("http://h"), d.doc_id % 8,
+                     F.lit(".test/s/"),
+                     F.md5((d.doc_id).cast("string")),
+                     F.lit("/download")),
+        )
+        .when(
+            m4 == 2,
+            F.concat(F.lit("http://h"), d.doc_id % 8,
+                     F.lit(".test/cal/2021/"), d.doc_id % 12 + 1,
+                     F.lit("/"), d.doc_id % 28 + 1,
+                     F.lit("?sid="), F.md5((d.doc_id * 3).cast("string"))),
+        )
+        .otherwise(
+            F.concat(F.lit("http://h"), d.doc_id % 8,
+                     F.lit(".test/about")),
+        )
+    )
+    hexed = F.regexp_replace(url, "[0-9a-f]{8,}", "{x}")
+    dig = F.regexp_replace(hexed, "[0-9]+", "{d}")
+    tpl = F.regexp_replace(dig, "=([^&=?]+)", "={v}")
+    rows = d.select(
+        F.regexp_extract(url, "^https?://([^/]+)", 1).alias("host"),
+        tpl.alias("template"),
+        url.alias("url"),
+    )
+    return rows.groupBy("host", "template").agg(
+        F.count("*").alias("n_urls"),
+        F.countDistinct("url").alias("n_distinct"),
+    )
+
+
+_URL_TEMPLATES_ORACLE = """
+    WITH u AS (
+        SELECT doc_id,
+               CASE doc_id % 4
+                 WHEN 0 THEN 'http://h' || (doc_id % 8) || '.test/item/'
+                     || doc_id || '/view?page=' || (doc_id % 30)
+                 WHEN 1 THEN 'http://h' || (doc_id % 8) || '.test/s/'
+                     || md5(CAST(doc_id AS VARCHAR)) || '/download'
+                 WHEN 2 THEN 'http://h' || (doc_id % 8) || '.test/cal/2021/'
+                     || (doc_id % 12 + 1) || '/' || (doc_id % 28 + 1)
+                     || '?sid=' || md5(CAST(doc_id * 3 AS VARCHAR))
+                 ELSE 'http://h' || (doc_id % 8) || '.test/about'
+               END AS url
+        FROM documents WHERE doc_id < 2000
+    ), t AS (
+        SELECT url,
+               regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(url, '[0-9a-f]{8,}', '{x}', 'g'),
+                       '[0-9]+', '{d}', 'g'),
+                   '=([^&=?]+)', '={v}', 'g') AS template
+        FROM u
+    )
+    SELECT host, template,
+           COUNT(*) AS n_urls,
+           COUNT(DISTINCT url) AS n_distinct
+    FROM t GROUP BY host, template
+"""
+
+
 def q_image_ssim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global SSIM (Wang et al. 2004) between image pairs — the
     perceptual counterpart of the payload PSNR invariant, used to
@@ -6122,6 +6209,7 @@ QUERIES = {
     "quantile_sketch": q_quantile_sketch,
     "gopher_rules": q_gopher_rules,
     "image_ssim": q_image_ssim,
+    "url_templates": q_url_templates,
 }
 
 _TOKS_SQL = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
@@ -7983,6 +8071,7 @@ ORACLES = {
     "quantile_sketch": _QUANTILE_SKETCH_ORACLE,
     "gopher_rules": _GOPHER_RULES_ORACLE,
     "image_ssim": _IMAGE_SSIM_ORACLE,
+    "url_templates": _URL_TEMPLATES_ORACLE,
     "freq_sketch": """
         WITH tc AS (
             SELECT t.tok, CAST(count(*) AS BIGINT) AS n
