@@ -5495,6 +5495,18 @@ def q_freq_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def url_template_col(url) -> "F.Column":
+    """URL → structural template: hex runs (>=8) → ``{x}`` FIRST (so
+    a hex id never half-collapses into digits), digit runs → ``{d}``,
+    query values → ``={v}`` keeping key names.  Shared by the
+    `url_templates` driver query and the streaming crawl's
+    incremental template-cardinality fold (parity asserted in
+    tests)."""
+    hexed = F.regexp_replace(url, "[0-9a-f]{8,}", "{x}")
+    dig = F.regexp_replace(hexed, "[0-9]+", "{d}")
+    return F.regexp_replace(dig, "=([^&=?]+)", "={v}")
+
+
 def q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL template mining — the structural-dedup / crawl-trap
     signal `url_hygiene` doesn't cover: URLs collapse to templates
@@ -5537,9 +5549,7 @@ def q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.lit(".test/about")),
         )
     )
-    hexed = F.regexp_replace(url, "[0-9a-f]{8,}", "{x}")
-    dig = F.regexp_replace(hexed, "[0-9]+", "{d}")
-    tpl = F.regexp_replace(dig, "=([^&=?]+)", "={v}")
+    tpl = url_template_col(url)
     rows = d.select(
         F.regexp_extract(url, "^https?://([^/]+)", 1).alias("host"),
         tpl.alias("template"),

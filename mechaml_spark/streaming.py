@@ -96,6 +96,9 @@ class StreamingCrawl:
         self._minhash_counts = spark.createDataFrame(
             [], "sig0 string, sig1 string, n_docs long"
         )
+        self._tpl_counts = spark.createDataFrame(
+            [], "host string, template string, n_urls long"
+        )
 
     def _robots_filter(self, df: DataFrame) -> DataFrame:
         # literally the batch scheduler's robots stage
@@ -167,6 +170,25 @@ class StreamingCrawl:
             self._minhash_counts.unionByName(new_sigs)
             .groupBy("sig0", "sig1")
             .agg(F.sum("n_docs").alias("n_docs"))
+            .localCheckpoint(eager=True)
+        )
+        # crawl-analytics layer, same fold shape: URL-template
+        # cardinality (trap / pagination signal) maintained
+        # incrementally — one row per live (host, template) crosses
+        # the merge shuffle, never URLs
+        from mechaml_spark.queries import url_template_col
+
+        new_tpl = (
+            finals.select(
+                "host", url_template_col(F.col("url_norm")).alias("template")
+            )
+            .groupBy("host", "template")
+            .agg(F.count("*").alias("n_urls"))
+        )
+        self._tpl_counts = (
+            self._tpl_counts.unionByName(new_tpl)
+            .groupBy("host", "template")
+            .agg(F.sum("n_urls").alias("n_urls"))
             .localCheckpoint(eager=True)
         )
         # fused parse+resolve+filter — the exact stage the batch
@@ -273,6 +295,12 @@ class StreamingCrawl:
         index — must equal the batch dedup_minhash stage run once over
         all fetched bodies (asserted in tests)."""
         return self._minhash_counts.where(F.col("n_docs") > 1)
+
+    def url_template_counts(self) -> DataFrame:
+        """Incrementally maintained (host, template) cardinality —
+        must equal the batch url_template_col fold run once over all
+        visited URLs (asserted in tests)."""
+        return self._tpl_counts
 
 
 # ---------------------------------------------------------------------------

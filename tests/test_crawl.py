@@ -345,3 +345,34 @@ def test_crawl_with_host_budgets_matches_oracle(spark):
     # the budget map actually changed the schedule vs the flat run
     flat = crawl_oracle(spec, seeds, budget_per_host=2, max_epochs=6)
     assert flat.visit_log != oracle.visit_log
+
+
+def test_prebuilt_fetcher_crawl_byte_equal(spark, spark_result):
+    """bench.py pre-resolves the corpus redirect closure OUTSIDE the
+    crawl timer and passes the ResolvedCorpusFetcher in.  That path
+    must be byte-equal to the default in-crawl build (it constructs
+    the SAME fetcher) — guards the bench framing: moving the closure
+    out must not change a single visit."""
+    from mechaml_spark import agent
+
+    corpus = cp.corpus_df(spark, SPEC).cache()
+    closure = agent.resolve_redirect_closure(corpus).localCheckpoint(
+        eager=False
+    )
+    pre = crawl(
+        spark,
+        SPEC,
+        SEEDS,
+        budget_per_host=BUDGET,
+        max_epochs=EPOCHS,
+        n_shards=4,
+        n_bits=1 << 16,
+        corpus=corpus,
+        fetcher=agent.ResolvedCorpusFetcher(closure),
+    )
+    assert _spark_visit_list(pre) == _spark_visit_list(spark_result)
+    seen_pre = {r["url_norm"] for r in pre.seen.seen_df.collect()}
+    seen_def = {
+        r["url_norm"] for r in spark_result.seen.seen_df.collect()
+    }
+    assert seen_pre == seen_def

@@ -78,6 +78,23 @@ def test_streaming_crawl_visits_reachable_set(spark, tmp_path):
     want_b = sorted(map(tuple, batch_buckets.collect()))
     assert got_b == want_b and len(got_b) > 0
 
+    # crawl-analytics parity: the incrementally folded URL-template
+    # cardinality must equal the batch fold run ONCE over all visits
+    from mechaml_spark.queries import url_template_col
+
+    batch_tpl = (
+        visits.select(
+            F.regexp_extract("url_norm", "^https?://([^/]+)", 1)
+            .alias("host"),
+            url_template_col(F.col("url_norm")).alias("template"),
+        )
+        .groupBy("host", "template")
+        .agg(F.count("*").alias("n_urls"))
+    )
+    got_t = sorted(map(tuple, sc.url_template_counts().collect()))
+    want_t = sorted(map(tuple, batch_tpl.collect()))
+    assert got_t == want_t and len(got_t) > 0
+
 
 @pytest.mark.timeout(300)
 def test_sessionize_stream_matches_batch_rule(spark, tmp_path):
