@@ -5495,6 +5495,67 @@ def q_freq_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three pipeline stages COMPOSED in one plan — the shape a real
+    training-data run takes (gate → dedup → corpus stats), proving
+    the operators chain without materialization barriers: (1) the
+    quality gate (chars 100-400, >=20 tokens, stop-word ratio), (2)
+    exact dedup keeping the min-doc_id copy per text, (3) per-lang
+    corpus statistics over survivors.  One SQL mirror runs the same
+    three stages; Catalyst fuses the gate into the scan filter and
+    the dedup + stats are two partial-agg groupBys — the composed
+    plan is exactly what the stages cost individually, no glue."""
+    d = _t(spark, sf_dir, "documents")
+    toks = _toks(d.text)
+    stops = F.filter(toks, lambda x: x.isin("the", "a", "and", "of"))
+    gated = d.select(
+        "doc_id", "lang", "text", "n_chars",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(stops).cast("long").alias("n_stop"),
+    ).where(
+        (F.col("n_chars") >= 100)
+        & (F.col("n_chars") <= 400)
+        & (F.col("n_tokens") >= 20)
+        & (20 * F.col("n_stop") >= F.col("n_tokens"))
+    )
+    kept = gated.groupBy("text").agg(
+        F.min("doc_id").alias("keeper"),
+        F.min("lang").alias("lang"),
+        F.min("n_tokens").alias("n_tokens"),
+        F.count("*").alias("n_copies"),
+    )
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_unique"),
+        F.sum("n_copies").cast("long").alias("n_gated"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.min("keeper").cast("long").alias("min_keeper"),
+    )
+
+
+_PIPELINE_COMPOSE_ORACLE = """
+    WITH g AS (
+        SELECT doc_id, lang, text, n_chars,
+               len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_tokens,
+               len(list_filter(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''),
+                   x -> x IN ('the','a','and','of'))) AS n_stop
+        FROM documents
+    ), gated AS (
+        SELECT * FROM g
+        WHERE n_chars BETWEEN 100 AND 400 AND n_tokens >= 20
+          AND 20 * n_stop >= n_tokens
+    ), kept AS (
+        SELECT text, MIN(doc_id) AS keeper, MIN(lang) AS lang,
+               MIN(n_tokens) AS n_tokens, COUNT(*) AS n_copies
+        FROM gated GROUP BY text
+    )
+    SELECT lang, COUNT(*) AS n_unique,
+           CAST(SUM(n_copies) AS BIGINT) AS n_gated,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(MIN(keeper) AS BIGINT) AS min_keeper
+    FROM kept GROUP BY lang
+"""
+
+
 def url_template_col(url) -> "F.Column":
     """URL → structural template: hex runs (>=8) → ``{x}`` FIRST (so
     a hex id never half-collapses into digits), digit runs → ``{d}``,
@@ -6220,6 +6281,7 @@ QUERIES = {
     "gopher_rules": q_gopher_rules,
     "image_ssim": q_image_ssim,
     "url_templates": q_url_templates,
+    "pipeline_compose": q_pipeline_compose,
 }
 
 _TOKS_SQL = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
@@ -8082,6 +8144,7 @@ ORACLES = {
     "gopher_rules": _GOPHER_RULES_ORACLE,
     "image_ssim": _IMAGE_SSIM_ORACLE,
     "url_templates": _URL_TEMPLATES_ORACLE,
+    "pipeline_compose": _PIPELINE_COMPOSE_ORACLE,
     "freq_sketch": """
         WITH tc AS (
             SELECT t.tok, CAST(count(*) AS BIGINT) AS n
