@@ -142,3 +142,32 @@ def parse_html(html: str) -> Element:
         # best-effort recovery: keep whatever tree was built
         pass
     return b.root
+
+
+def dom_stats(html: str) -> tuple[int, int, int]:
+    """Structural page statistics over the parsed tree:
+    ``(n_tags, max_depth, text_chars)`` — element count, deepest
+    element depth (root's children = depth 1), and raw text length
+    (every data chunk, script/style excluded).  The text-to-markup
+    ratio built on these is a classic template/boilerplate-heaviness
+    quality gate (a page that is 95% markup is chrome, not content).
+    Pure function: runs inside Arrow batches and in oracles."""
+    root = parse_html(html)
+    n_tags = 0
+    max_depth = 0
+    text_chars = 0
+
+    def walk(el: Element, depth: int) -> None:
+        nonlocal n_tags, max_depth, text_chars
+        for c in el.children:
+            if isinstance(c, str):
+                if el.tag not in ("script", "style"):
+                    text_chars += len(c)
+            else:
+                n_tags += 1
+                if depth + 1 > max_depth:
+                    max_depth = depth + 1
+                walk(c, depth + 1)
+
+    walk(root, 0)
+    return n_tags, max_depth, text_chars

@@ -5495,6 +5495,174 @@ def q_freq_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_http_cache_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9111 response-freshness policy for the recrawl scheduler —
+    the header-derived half of `revisit_policy`: Cache-Control
+    ``no-store`` / ``no-cache`` / ``max-age=N`` (which WINS over
+    Expires per §4.2.1) and ``Expires`` vs ``Date`` HTTP-date
+    arithmetic (parsed, not regex'd apart — both engines run a real
+    timestamp parse), falling back to ``heuristic`` when nothing is
+    asserted.  Expression-only over a raw header block; fresh_s is
+    an exact integer epoch difference."""
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 1000
+    )
+    i = d.doc_id
+    mm = F.lpad(((i / 60).cast("long") % 60).cast("string"), 2, "0")
+    ss = F.lpad((i % 60).cast("string"), 2, "0")
+    m5 = i % 5
+    headers = F.concat(
+        F.lit("Date: Mon, 01 Jan 2024 00:00:00 GMT\r\n"),
+        F.when(
+            m5 == 0,
+            F.concat(F.lit("Cache-Control: public, max-age="),
+                     i % 7200,
+                     F.lit("\r\nExpires: Mon, 01 Jan 2024 09:00:00 GMT"
+                           "\r\n")),
+        )
+        .when(m5 == 1, F.lit("Cache-Control: no-store\r\n"))
+        .when(m5 == 2,
+              F.lit("Cache-Control: no-cache, private\r\n"))
+        .when(
+            m5 == 3,
+            F.concat(F.lit("Expires: Mon, 01 Jan 2024 00:"), mm,
+                     F.lit(":"), ss, F.lit(" GMT\r\n")),
+        )
+        .otherwise(F.lit("Server: test\r\n")),
+    )
+    h = d.select("doc_id", headers.alias("headers"))
+    cc = F.regexp_extract(
+        F.col("headers"), r"(?m)^Cache-Control: ([^\r\n]*)", 1
+    )
+    max_age = F.regexp_extract(cc, r"max-age=(\d+)", 1)
+    # Spark 3+ forbids EEE in parse patterns: strip the weekday in
+    # the extract, parse the fixed-width remainder
+    date_ts = F.to_timestamp(
+        F.regexp_extract(
+            F.col("headers"),
+            r"(?m)^Date: \w+, (\d+ \w+ \d+ [\d:]+) GMT", 1,
+        ),
+        "dd MMM yyyy HH:mm:ss",
+    )
+    exp_raw = F.regexp_extract(
+        F.col("headers"), r"(?m)^Expires: ([^\r\n]*)", 1
+    )
+    exp_ts = F.to_timestamp(
+        F.regexp_extract(
+            F.col("headers"),
+            r"(?m)^Expires: \w+, (\d+ \w+ \d+ [\d:]+) GMT", 1,
+        ),
+        "dd MMM yyyy HH:mm:ss",
+    )
+    policy = (
+        F.when(cc.contains("no-store"), F.lit("no-store"))
+        .when(cc.contains("no-cache"), F.lit("no-cache"))
+        .when(max_age != "", F.lit("max-age"))
+        .when(exp_raw != "", F.lit("expires"))
+        .otherwise(F.lit("heuristic"))
+    )
+    fresh = (
+        F.when(cc.contains("no-store") | cc.contains("no-cache"),
+               F.lit(0))
+        .when(max_age != "", max_age.cast("long"))
+        .when(
+            exp_raw != "",
+            F.unix_timestamp(exp_ts) - F.unix_timestamp(date_ts),
+        )
+        .otherwise(F.lit(None).cast("long"))
+    )
+    return h.select(
+        "doc_id", policy.alias("policy"),
+        fresh.cast("long").alias("fresh_s"),
+    )
+
+
+_HTTP_CACHE_ORACLE = """
+    SELECT doc_id,
+           CASE doc_id % 5
+             WHEN 0 THEN 'max-age'
+             WHEN 1 THEN 'no-store'
+             WHEN 2 THEN 'no-cache'
+             WHEN 3 THEN 'expires'
+             ELSE 'heuristic'
+           END AS policy,
+           CASE doc_id % 5
+             WHEN 0 THEN doc_id % 7200
+             WHEN 1 THEN 0
+             WHEN 2 THEN 0
+             WHEN 3 THEN 60 * ((doc_id // 60) % 60) + doc_id % 60
+             ELSE NULL
+           END AS fresh_s
+    FROM documents WHERE doc_id < 1000
+"""
+
+
+def q_dom_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOM structural statistics (:func:`mechaml_spark.htmlkit.
+    parser.dom_stats`) — element count, max element depth, raw text
+    chars, and the text-to-markup permille a template-heaviness
+    quality gate runs on.  Pages nest 1+d%4 divs around documents
+    text with a fixed head/p frame, so every statistic is a closed
+    form of (doc_id, n_chars) and the ratio's denominator is the
+    length of the SAME body string the oracle reconstructs in SQL."""
+    import pandas as _pd
+
+    from mechaml_spark.htmlkit.parser import dom_stats
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars"
+    ).where(F.col("doc_id") < 500)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                k = 1 + did % 4
+                body = (
+                    "<html><head><title>T</title></head><body>"
+                    + "<div>" * k + text + "</div>" * k
+                    + "<p>x</p></body></html>"
+                )
+                n_tags, max_depth, text_chars = dom_stats(body)
+                rows.append({
+                    "doc_id": did, "n_tags": n_tags,
+                    "max_depth": max_depth, "text_chars": text_chars,
+                    "markup_ratio_milli":
+                        text_chars * 1000 // len(body),
+                })
+            yield _pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_tags", "max_depth",
+                         "text_chars", "markup_ratio_milli"],
+            )
+
+    return d.mapInPandas(
+        gen,
+        schema="doc_id long, n_tags long, max_depth long, "
+               "text_chars long, markup_ratio_milli long",
+    )
+
+
+_DOM_STATS_ORACLE = """
+    WITH b AS (
+        SELECT doc_id, n_chars, 1 + doc_id % 4 AS k,
+               '<html><head><title>T</title></head><body>'
+               || repeat('<div>', CAST(1 + doc_id % 4 AS INT)) || text
+               || repeat('</div>', CAST(1 + doc_id % 4 AS INT))
+               || '<p>x</p></body></html>' AS body
+        FROM documents WHERE doc_id < 500
+    )
+    SELECT doc_id,
+           CAST(5 + k AS BIGINT) AS n_tags,
+           CAST(greatest(3, 2 + k) AS BIGINT) AS max_depth,
+           CAST(n_chars + 2 AS BIGINT) AS text_chars,
+           CAST((n_chars + 2) * 1000 // len(body) AS BIGINT)
+               AS markup_ratio_milli
+    FROM b
+"""
+
+
 def q_pipeline_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three pipeline stages COMPOSED in one plan — the shape a real
     training-data run takes (gate → dedup → corpus stats), proving
@@ -6282,6 +6450,8 @@ QUERIES = {
     "image_ssim": q_image_ssim,
     "url_templates": q_url_templates,
     "pipeline_compose": q_pipeline_compose,
+    "dom_stats": q_dom_stats,
+    "http_cache_headers": q_http_cache_headers,
 }
 
 _TOKS_SQL = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
@@ -8145,6 +8315,8 @@ ORACLES = {
     "image_ssim": _IMAGE_SSIM_ORACLE,
     "url_templates": _URL_TEMPLATES_ORACLE,
     "pipeline_compose": _PIPELINE_COMPOSE_ORACLE,
+    "dom_stats": _DOM_STATS_ORACLE,
+    "http_cache_headers": _HTTP_CACHE_ORACLE,
     "freq_sketch": """
         WITH tc AS (
             SELECT t.tok, CAST(count(*) AS BIGINT) AS n
