@@ -6329,6 +6329,109 @@ def q_word_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("lift_milli") > 1000)
 
 
+def textrank_scores(
+    d: DataFrame, iters: int = 3, damping_micro: int = 850_000
+) -> DataFrame:
+    """TextRank (Mihalcea & Tarau 2004) over per-document word
+    co-occurrence graphs, in EXACT integer micro fixed-point so two
+    engines agree bit-for-bit.
+
+    ``d`` carries ``(doc_id, ws)`` where ``ws`` is the kept-token
+    array.  The graph is the set of DISTINCT undirected edges between
+    adjacent kept tokens (self-loops dropped); each power-iteration
+    step is ``s'(w) = (1M - damping) + damping * S // 1M`` with
+    ``S = sum over neighbours u of s(u) // deg(u)`` — floor division
+    in a pinned order (per-edge first, then the sum), all positive
+    int64, so Spark's ``div`` and DuckDB's ``//`` coincide.
+
+    Scale posture: every join and groupBy keys on ``(doc_id, word)``
+    — per-doc graphs never mix across documents, the ``iters`` join
+    rounds reuse one co-partitioning, and edge rows carry only two
+    short words.  Degrees attach to the directed-edge table once,
+    outside the loop."""
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("ws") - 1),
+        lambda i: F.struct(
+            F.element_at("ws", i).alias("w1"),
+            F.element_at("ws", i + 1).alias("w2"),
+        ),
+    )
+    e = (
+        d.where(F.size("ws") >= 2)
+        .select("doc_id", F.explode(pairs).alias("p"))
+        .select(
+            "doc_id",
+            F.least("p.w1", "p.w2").alias("a"),
+            F.greatest("p.w1", "p.w2").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    dir_e = e.select(
+        "doc_id", F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(
+        e.select("doc_id", F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    deg = dir_e.groupBy("doc_id", "src").agg(
+        F.count("*").cast("long").alias("deg")
+    )
+    # one materialization: the directed-edge+degree table drives every
+    # power-iteration join — without the checkpoint each of the
+    # ``iters`` branches re-derives explode+distinct+degree at run
+    # time, and the static plan grows a copy of that subtree per step
+    de = dir_e.join(deg, ["doc_id", "src"]).localCheckpoint(eager=False)
+    base = 1_000_000 - damping_micro
+    s = deg.select(
+        "doc_id", F.col("src").alias("w"), F.lit(1_000_000).cast("long").alias("s")
+    )
+    for _ in range(iters):
+        contrib = (
+            de.join(s.withColumnRenamed("w", "src"), ["doc_id", "src"])
+            .select(
+                "doc_id",
+                F.col("dst").alias("w"),
+                F.expr("s div deg").alias("c"),
+            )
+            .groupBy("doc_id", "w")
+            .agg(F.sum("c").alias("cs"))
+        )
+        s = contrib.select(
+            "doc_id",
+            "w",
+            F.expr(f"{base} + ({damping_micro} * cs) div 1000000").alias("s"),
+        )
+    return s
+
+
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword extraction for topic tagging / corpus curation: top-3
+    TextRank words per document (score desc, word asc tie-break) over
+    the adjacency graph of kept tokens (len >= 3, stopwords out).
+    The oracle unrolls the same 3 integer power-iteration steps as
+    CTEs — same recipe as pagerank_frontier / opic_scores."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.filter(
+            _toks(F.lower(F.col("text"))),
+            lambda x: (F.length(x) >= 3) & ~x.isin("the", "and"),
+        ).alias("ws"),
+    )
+    s = textrank_scores(d)
+    win = Window.partitionBy("doc_id").orderBy(
+        F.col("s").desc(), F.col("w").asc()
+    )
+    return (
+        s.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= 3)
+        .select(
+            "doc_id",
+            "rank",
+            F.col("w").alias("word"),
+            F.col("s").alias("score_micro"),
+        )
+    )
+
+
 QUERIES = {
     "extract_links": q_extract_links,
     "selector_suffix": q_selector_suffix,
@@ -6441,6 +6544,7 @@ QUERIES = {
     "chunk_overlap": q_chunk_overlap,
     "readability": q_readability,
     "word_collocations": q_word_collocations,
+    "textrank_keywords": q_textrank_keywords,
     "exif_thumbnail": q_exif_thumbnail,
     "image_palette": q_image_palette,
     "distinct_sketch": q_distinct_sketch,
@@ -8247,6 +8351,56 @@ ORACLES = {
         JOIN uni u2 ON b.w2 = u2.w
         CROSS JOIN n
         WHERE b.n_ab * n.nt * 1000 // (u1.n_w * u2.n_w) > 1000
+    """,
+    "textrank_keywords": """
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(
+                       list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> x <> ''),
+                       x -> len(x) >= 3 AND x NOT IN ('the', 'and')) AS ws
+            FROM documents),
+        e AS (
+            SELECT DISTINCT doc_id, a, b FROM (
+                SELECT doc_id,
+                       least((p).w1, (p).w2) AS a,
+                       greatest((p).w1, (p).w2) AS b
+                FROM (SELECT doc_id,
+                             unnest(list_transform(
+                                 range(1, len(ws)),
+                                 i -> {'w1': ws[i], 'w2': ws[i+1]})) AS p
+                      FROM t WHERE len(ws) >= 2))
+            WHERE a <> b),
+        de AS (SELECT doc_id, a AS src, b AS dst FROM e
+               UNION ALL
+               SELECT doc_id, b AS src, a AS dst FROM e),
+        deg AS (SELECT doc_id, src, CAST(count(*) AS BIGINT) AS deg
+                FROM de GROUP BY 1, 2),
+        d2 AS (SELECT de.doc_id, de.src, de.dst, deg.deg
+               FROM de JOIN deg USING (doc_id, src)),
+        s0 AS (SELECT doc_id, src AS w, CAST(1000000 AS BIGINT) AS s
+               FROM deg),
+        s1 AS (SELECT d2.doc_id, d2.dst AS w,
+                      CAST(150000 + (850000 * sum(s0.s // d2.deg)) // 1000000
+                           AS BIGINT) AS s
+               FROM d2 JOIN s0 ON d2.doc_id = s0.doc_id AND d2.src = s0.w
+               GROUP BY 1, 2),
+        s2 AS (SELECT d2.doc_id, d2.dst AS w,
+                      CAST(150000 + (850000 * sum(s1.s // d2.deg)) // 1000000
+                           AS BIGINT) AS s
+               FROM d2 JOIN s1 ON d2.doc_id = s1.doc_id AND d2.src = s1.w
+               GROUP BY 1, 2),
+        s3 AS (SELECT d2.doc_id, d2.dst AS w,
+                      CAST(150000 + (850000 * sum(s2.s // d2.deg)) // 1000000
+                           AS BIGINT) AS s
+               FROM d2 JOIN s2 ON d2.doc_id = s2.doc_id AND d2.src = s2.w
+               GROUP BY 1, 2)
+        SELECT doc_id, CAST(rank AS INT) AS rank, word, score_micro
+        FROM (SELECT doc_id, w AS word, s AS score_micro,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY s DESC, w ASC) AS rank
+              FROM s3)
+        WHERE rank <= 3
     """,
     "exif_thumbnail": """
         SELECT doc_id,
