@@ -1474,3 +1474,27 @@ def median_cut_palette(pixels: np.ndarray, k: int = 4) -> np.ndarray:
     )
     pal = pal[np.lexsort((pal[:, 2], pal[:, 1], pal[:, 0]))]
     return pal.astype(np.uint8)
+
+
+def detect_crop(pixels: np.ndarray, thr: int = 24) -> tuple[int, int, int, int]:
+    """Letterbox / pillarbox border detection, the ffmpeg ``cropdetect``
+    shape: a border row/column is one whose MAX integer BT.601 luma
+    ``(77R + 150G + 29B) >> 8`` is <= ``thr`` (default 24, ffmpeg's
+    default limit); content is the bounding box of the bright rows and
+    columns.  Returns ``(x, y, w, h)``; an all-dark frame yields
+    ``(0, 0, 0, 0)``.  Exact integer arithmetic throughout, so the
+    box is a closed form of any synthetic generator's parameters.
+
+    The reference has no imaging ops (the agent stores raw bytes,
+    src/agent.ml save_image); this is pipeline breadth for the
+    image+caption corpus — cropping letterboxed thumbnails before
+    feature extraction / CLIP scoring is a standard dataset stage."""
+    px = pixels.astype(np.int64)
+    luma = (77 * px[..., 0] + 150 * px[..., 1] + 29 * px[..., 2]) >> 8
+    rows = np.where((luma > thr).any(axis=1))[0]
+    cols = np.where((luma > thr).any(axis=0))[0]
+    if len(rows) == 0 or len(cols) == 0:
+        return (0, 0, 0, 0)
+    y0, y1 = int(rows[0]), int(rows[-1])
+    x0, x1 = int(cols[0]), int(cols[-1])
+    return (x0, y0, x1 - x0 + 1, y1 - y0 + 1)

@@ -6432,6 +6432,157 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_cropdetect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Letterbox/pillarbox border detection (the ffmpeg ``cropdetect``
+    stage every video/image dataset pipeline runs before feature
+    extraction): decode PNG bytes, find the bounding box of rows and
+    columns whose max integer BT.601 luma exceeds 24, report the
+    ffmpeg-style ``(crop_x, crop_y, crop_w, crop_h)``.  Corpus images
+    are 24x32 frames with black borders of closed-form widths
+    (top/bottom = doc_id % 5, left/right = (doc_id*3) % 7) around a
+    bright two-tone content plate; every 37th image is entirely
+    near-black to exercise the all-dark degenerate branch (crop =
+    0,0,0,0).  The detected box is therefore a pure closed form of
+    doc_id and the oracle recomputes it arithmetically.  Scale
+    posture: decode + luma scan per row inside mapInPandas — pixels
+    never shuffle; four ints per image leave the worker."""
+    import numpy as _np
+    import pandas as _pd
+
+    from mechaml_spark import imaging as _im
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 300
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                px = _np.zeros((24, 32, 3), _np.uint8)
+                if did % 37 == 0:
+                    px[:] = 15  # luma 15 <= 24: all-dark frame
+                else:
+                    t, l = did % 5, (did * 3) % 7
+                    px[t : 24 - t, l : 16] = (
+                        40 + did % 160, 200, 60,
+                    )
+                    px[t : 24 - t, 16 : 32 - l] = (
+                        200, 40 + (did * 7) % 160, 90,
+                    )
+                rows.append({"doc_id": did, "bytes": _im.png_encode(px)})
+            yield _pd.DataFrame(rows, columns=["doc_id", "bytes"])
+
+    media = d.mapInPandas(gen, schema="doc_id long, bytes binary")
+
+    def crop(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "crop_x": [], "crop_y": [],
+                   "crop_w": [], "crop_h": []}
+            for did, data in zip(pdf["doc_id"], pdf["bytes"]):
+                x, y, w, h = _im.detect_crop(_im.png_decode(bytes(data)))
+                out["doc_id"].append(int(did))
+                out["crop_x"].append(x)
+                out["crop_y"].append(y)
+                out["crop_w"].append(w)
+                out["crop_h"].append(h)
+            yield _pd.DataFrame(out)
+
+    return media.mapInPandas(
+        crop,
+        schema="doc_id long, crop_x int, crop_y int, crop_w int, crop_h int",
+    )
+
+
+_IDN_HOSTS = [
+    "xn--bcher-kva.example",   # bücher.example — legitimate Latin IDN
+    "xn--80ak6aa92e.com",      # аррӏе.com — whole-script Cyrillic spoof
+    "xn--pypal-4ve.com",       # pаypal.com — mixed Latin+Cyrillic label
+    "example.com",             # plain ASCII
+    "xn--mxacde.example",      # αβγδ.example — Greek, not confusable
+    "www.xn--fiqs8s",          # www.中国 — Han
+    "xn--mgbh0fb.net",         # مثال.net — Arabic
+    "xn--5dbqzzl.org",         # עברית.org — Hebrew
+    "xn--!!!.bad",             # malformed ACE: kept verbatim, bad_ace
+    "xn--vxaj.com",            # οκ.com — whole-script Greek confusable
+]
+
+# (decoded, scripts, mixed, confusable, bad_ace) per fixture above —
+# stated literally so the DuckDB oracle can assert them; the Spark
+# side RUNS the RFC 3492 decoder, tests/test_idn.py differentially
+# checks it against CPython's independent punycode codec.
+_IDN_EXPECT = [
+    ("bücher.example", "latin", False, False, False),
+    ("аррӏе.com", "cyrillic,latin", False, True, False),
+    ("pаypal.com", "cyrillic,latin", True, False, False),
+    ("example.com", "latin", False, False, False),
+    ("αβγδ.example", "greek,latin", False, False, False),
+    ("www.中国", "han,latin", False, False, False),
+    ("مثال.net", "arabic,latin", False, False, False),
+    ("עברית.org", "hebrew,latin", False, False, False),
+    ("xn--!!!.bad", "latin,other", True, False, True),
+    ("οκ.com", "greek,latin", False, True, False),
+]
+
+
+def q_idn_hostnames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDN hostname hygiene for the URL frontier: RFC 3492 punycode
+    decode of ``xn--`` ACE labels plus the two standard UTS #39-style
+    homograph signals (per-label mixed-script, whole-script
+    Cyrillic/Greek->Latin confusable) and a malformed-ACE flag.  The
+    reference never decodes hostnames (src/agent.ml passes the URI to
+    the HTTP layer untouched); a 10^10-URL frontier that dedupes,
+    politeness-buckets, and safety-gates per host needs the decoded
+    form and the spoof flags.  Hosts are a 10-row fixture table of
+    published homograph shapes (аррӏе.com et al.) cycled by doc_id;
+    the oracle states the expected decode/flags literally while Spark
+    actually runs the spec decoder (differentially tested against
+    CPython's punycode codec).  Scale posture: expression-only host
+    assembly + one Arrow-batched pandas stage; per-row scalar work,
+    zero shuffle — scales exactly like the canonicalizer."""
+    import pandas as _pd
+
+    from mechaml_spark import idn as _idn
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") < 500)
+        .withColumn(
+            "host",
+            F.element_at(
+                F.array(*[F.lit(h) for h in _IDN_HOSTS]),
+                (F.col("doc_id") % 10 + 1).cast("int"),
+            ),
+        )
+    )
+
+    def flags(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "host": [], "decoded": [], "scripts": [],
+                   "mixed_script": [], "confusable": [], "bad_ace": []}
+            for did, host in zip(pdf["doc_id"], pdf["host"]):
+                dec, bad = _idn.decode_host(str(host))
+                s, m, c = _idn.script_flags(dec)
+                out["doc_id"].append(int(did))
+                out["host"].append(str(host))
+                out["decoded"].append(dec)
+                out["scripts"].append(s)
+                out["mixed_script"].append(m)
+                out["confusable"].append(c)
+                out["bad_ace"].append(bad)
+            yield _pd.DataFrame(out)
+
+    return d.mapInPandas(
+        flags,
+        schema=(
+            "doc_id long, host string, decoded string, scripts string, "
+            "mixed_script boolean, confusable boolean, bad_ace boolean"
+        ),
+    )
+
+
 QUERIES = {
     "extract_links": q_extract_links,
     "selector_suffix": q_selector_suffix,
@@ -6556,6 +6707,8 @@ QUERIES = {
     "pipeline_compose": q_pipeline_compose,
     "dom_stats": q_dom_stats,
     "http_cache_headers": q_http_cache_headers,
+    "image_cropdetect": q_image_cropdetect,
+    "idn_hostnames": q_idn_hostnames,
 }
 
 _TOKS_SQL = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
@@ -8498,5 +8651,57 @@ ORACLES = {
         SELECT tok, n_true, est,
                CAST(est * 1000 // n_true AS BIGINT) AS over_milli
         FROM est
+    """,
+    # The borders are a closed form of doc_id (generator in
+    # q_image_cropdetect): top/bottom = doc_id % 5, left/right =
+    # (doc_id*3) % 7, every 37th frame all-dark -> (0,0,0,0).  The
+    # Spark side actually decodes the PNG and scans integer BT.601
+    # luma; the oracle recomputes the box arithmetically.
+    "image_cropdetect": """
+        SELECT doc_id,
+               CAST(CASE WHEN doc_id % 37 = 0 THEN 0
+                         ELSE (doc_id * 3) % 7 END AS INT) AS crop_x,
+               CAST(CASE WHEN doc_id % 37 = 0 THEN 0
+                         ELSE doc_id % 5 END AS INT) AS crop_y,
+               CAST(CASE WHEN doc_id % 37 = 0 THEN 0
+                         ELSE 32 - 2 * ((doc_id * 3) % 7) END AS INT)
+                   AS crop_w,
+               CAST(CASE WHEN doc_id % 37 = 0 THEN 0
+                         ELSE 24 - 2 * (doc_id % 5) END AS INT) AS crop_h
+        FROM documents
+        WHERE doc_id < 300
+    """,
+    # Expected decode/flags stated literally per fixture host (the
+    # _IDN_EXPECT table, validated against CPython's independent
+    # punycode codec); Spark RUNS the RFC 3492 decoder + UTS #39-style
+    # classifier on the wire-form host.
+    "idn_hostnames": """
+        WITH fx(idx, host, decoded, scripts,
+                mixed_script, confusable, bad_ace) AS (VALUES
+            (0, 'xn--bcher-kva.example', 'bücher.example', 'latin',
+             FALSE, FALSE, FALSE),
+            (1, 'xn--80ak6aa92e.com', 'аррӏе.com', 'cyrillic,latin',
+             FALSE, TRUE, FALSE),
+            (2, 'xn--pypal-4ve.com', 'pаypal.com', 'cyrillic,latin',
+             TRUE, FALSE, FALSE),
+            (3, 'example.com', 'example.com', 'latin',
+             FALSE, FALSE, FALSE),
+            (4, 'xn--mxacde.example', 'αβγδ.example', 'greek,latin',
+             FALSE, FALSE, FALSE),
+            (5, 'www.xn--fiqs8s', 'www.中国', 'han,latin',
+             FALSE, FALSE, FALSE),
+            (6, 'xn--mgbh0fb.net', 'مثال.net', 'arabic,latin',
+             FALSE, FALSE, FALSE),
+            (7, 'xn--5dbqzzl.org', 'עברית.org', 'hebrew,latin',
+             FALSE, FALSE, FALSE),
+            (8, 'xn--!!!.bad', 'xn--!!!.bad', 'latin,other',
+             TRUE, FALSE, TRUE),
+            (9, 'xn--vxaj.com', 'οκ.com', 'greek,latin',
+             FALSE, TRUE, FALSE))
+        SELECT d.doc_id, fx.host, fx.decoded, fx.scripts,
+               fx.mixed_script, fx.confusable, fx.bad_ace
+        FROM documents d
+        JOIN fx ON fx.idx = d.doc_id % 10
+        WHERE d.doc_id < 500
     """,
 }

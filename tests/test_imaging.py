@@ -1170,3 +1170,30 @@ def test_median_cut_palette():
     # RGBA input: alpha ignored
     rgba = np.concatenate([px, np.full((16, 16, 1), 7, np.uint8)], axis=2)
     assert (median_cut_palette(rgba, 4) == median_cut_palette(px, 4)).all()
+
+
+def test_detect_crop_letterbox():
+    from mechaml_spark.imaging import detect_crop
+
+    # bright plate with 3-row letterbox and 5-col pillarbox borders
+    px = np.zeros((24, 32, 3), np.uint8)
+    px[3:21, 5:27] = (200, 180, 40)
+    assert detect_crop(px) == (5, 3, 22, 18)
+    # all-dark frame: degenerate (0, 0, 0, 0)
+    assert detect_crop(np.full((24, 32, 3), 15, np.uint8)) == (0, 0, 0, 0)
+    # luma exactly at the threshold is still border (strict >):
+    # (77*24 + 150*24 + 29*24) >> 8 == 24
+    assert detect_crop(np.full((8, 8, 3), 24, np.uint8)) == (0, 0, 0, 0)
+    px = np.full((8, 8, 3), 24, np.uint8)
+    px[2:6, 3:7] = 25  # luma 25 > 24
+    assert detect_crop(px) == (3, 2, 4, 4)
+    # a dark-blue plate (R=G=0, B=220 -> luma 24) stays border while a
+    # green plate of equal max channel is content - BT.601 weighting
+    blue = np.zeros((8, 8, 3), np.uint8)
+    blue[:, :, 2] = 220
+    assert detect_crop(blue) == (0, 0, 0, 0)
+    green = np.zeros((8, 8, 3), np.uint8)
+    green[:, :, 1] = 220
+    assert detect_crop(green) == (0, 0, 8, 8)
+    # full-bleed content: crop == frame
+    assert detect_crop(np.full((6, 7, 3), 200, np.uint8)) == (0, 0, 7, 6)
