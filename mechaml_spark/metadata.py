@@ -565,3 +565,89 @@ def meta_refresh(
         F.col("_mr")["delay"].cast("int").alias("refresh_delay_s"),
         F.when(href != "", rc["url_norm"]).alias("refresh_target"),
     ).drop("_mr")
+
+
+# ---------------------------------------------------------------------------
+# Caption-quality rules (LAION / DataComp-style junk filters)
+# ---------------------------------------------------------------------------
+
+# Boilerplate phrases whose presence marks a caption as site chrome /
+# stock-agency residue rather than a description of the image.  The
+# published image-text curation pipelines (LAION-5B, DataComp) drop
+# these before CLIP scoring; matching is lowercase substring.
+CAPTION_BOILERPLATE = (
+    "click to enlarge",
+    "stock photo",
+    "getty images",
+    "shutterstock",
+    "royalty free",
+    "thumbnail for",
+    "image may contain",
+)
+
+_FILENAME_CAPTION_RE = (
+    r"(?i)^(img|dsc|dcim|pic|image|photo|untitled)[-_ ]?\d*"
+    r"\.(jpe?g|png|gif|webp|bmp|tiff?)$"
+)
+
+
+def caption_quality_cols(caption: Column) -> list[Column]:
+    """The caption half of image-text pair curation as pure
+    expressions: token count, filename-like, URL-bearing, boilerplate,
+    all-caps, digit share, too-short, and the combined ``keep`` gate.
+
+    The reference stores captions verbatim (src/agent.ml save_image
+    has no text side at all); these are the junk filters every
+    published image-text pipeline runs before pair scoring.  All
+    eight signals are single-pass regexp/length expressions over the
+    caption column — whole-stage codegen end to end, zero shuffle,
+    which is what lets the gate run inline in the fetch stage at
+    10^10 rows.  Integer permille for the digit share (no floats —
+    bit-stable across engines).  ``keep`` = no flag fired AND 3..64
+    tokens."""
+    cap = F.trim(caption)
+    n_tokens = F.size(F.split(cap, r"\s+")).alias("n_tokens")
+    letters = F.length(F.regexp_replace(cap, r"[^A-Za-z]", ""))
+    uppers = F.length(F.regexp_replace(cap, r"[^A-Z]", ""))
+    digits = F.length(F.regexp_replace(cap, r"[^0-9]", ""))
+    total = F.length(cap)
+    filename_like = cap.rlike(_FILENAME_CAPTION_RE).alias("filename_like")
+    has_url = cap.rlike(r"(?i)(https?://|www\.)").alias("has_url")
+    low = F.lower(cap)
+    boilerplate = None
+    for phrase in CAPTION_BOILERPLATE:
+        hit = low.contains(phrase)
+        boilerplate = hit if boilerplate is None else (boilerplate | hit)
+    boilerplate = boilerplate.alias("boilerplate")
+    all_caps = ((letters >= F.lit(6)) & (uppers == letters)).alias(
+        "all_caps"
+    )
+    digit_permille = (
+        F.when(total > 0, (digits * 1000).cast("long") / total)
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("digit_permille")
+    )
+    too_short = ((total < 8) | (F.size(F.split(cap, r"\s+")) < 3)).alias(
+        "too_short"
+    )
+    keep = (
+        ~(
+            cap.rlike(_FILENAME_CAPTION_RE)
+            | cap.rlike(r"(?i)(https?://|www\.)")
+            | F.coalesce(boilerplate, F.lit(False))
+            | ((letters >= F.lit(6)) & (uppers == letters))
+            | (total < 8)
+        )
+        & F.size(F.split(cap, r"\s+")).between(3, 64)
+    ).alias("keep")
+    return [
+        n_tokens,
+        filename_like,
+        has_url,
+        boilerplate,
+        all_caps,
+        digit_permille,
+        too_short,
+        keep,
+    ]

@@ -23,6 +23,7 @@ from typing import Iterable, Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from mechaml_spark import imaging
@@ -1546,3 +1547,40 @@ def color_histogram(
             yield out
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Aspect-ratio bucketing (SDXL / kohya-style training prep)
+# ---------------------------------------------------------------------------
+
+# Pinned bucket table: 64-multiple (w, h) shapes around a 1024x1024
+# budget, the published SDXL multi-aspect training set (paper app. I /
+# kohya bucketing).  Order is the tie-break: equal-distance images go
+# to the LOWER index.
+ASPECT_BUCKETS = (
+    (512, 2048), (576, 1792), (640, 1536), (704, 1408), (768, 1344),
+    (832, 1216), (896, 1152), (1024, 1024), (1152, 896), (1216, 832),
+    (1344, 768), (1408, 704), (1536, 640), (1792, 576), (2048, 512),
+)
+
+
+def aspect_bucket_expr(w_col: str, h_col: str):
+    """Nearest-aspect bucket assignment as ONE whole-stage-codegen
+    expression (no UDF, no shuffle): per bucket the exact-integer
+    quantized ratio distance ``abs(w*bh - h*bw) * 10^6 div (h*bw)``
+    (the |w/h - bw/bh| / (bw/bh) relative error in micro units, all
+    64-bit-safe), then ``array_min`` over ``struct(d, i, w, h)`` whose
+    lexicographic struct order IS the pinned (distance, index)
+    tie-break.  Truncating ``div`` on non-negative operands matches
+    DuckDB's floor ``//`` bit-for-bit, so the oracle can replay the
+    same arithmetic.  Returns a struct column ``(d, i, w, h)``."""
+    buckets = ", ".join(
+        f"struct({i} as i, {bw} as w, {bh} as h)"
+        for i, (bw, bh) in enumerate(ASPECT_BUCKETS)
+    )
+    return F.expr(
+        f"array_min(transform(array({buckets}), b -> struct("
+        f"(abs(cast({w_col} as bigint) * b.h - cast({h_col} as bigint) * b.w)"
+        f" * 1000000) div (cast({h_col} as bigint) * b.w) as d, "
+        f"b.i as i, b.w as w, b.h as h)))"
+    )

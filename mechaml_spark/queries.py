@@ -6583,6 +6583,115 @@ def q_idn_hostnames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_caption_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAION / DataComp-style caption junk filters for image-text
+    pair curation: token count, filename-like (IMG_1234.JPG), URL in
+    caption, boilerplate phrases, all-caps, integer digit permille,
+    too-short, and the combined ``keep`` gate.  Captions are a closed
+    form of doc_id — one modulus class per junk shape with pinned
+    precedence (filename > url > boilerplate > caps > short > good) —
+    so the oracle derives every flag arithmetically while Spark runs
+    the REAL expression-only rule set
+    (:func:`mechaml_spark.metadata.caption_quality_cols`).  Scale
+    posture: single-pass regexp/length expressions, whole-stage
+    codegen, zero shuffle — the gate runs inline in the fetch stage
+    at 10^10 (image, caption) rows."""
+    from mechaml_spark.metadata import caption_quality_cols
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 800
+    )
+    did = F.col("doc_id")
+    caption = (
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.lit("IMG_"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+                F.lit(".JPG"),
+            ),
+        )
+        .when(
+            did % 5 == 0,
+            F.concat(
+                F.lit("see http://ex"),
+                (did % 9).cast("string"),
+                F.lit(".test/p now"),
+            ),
+        )
+        .when(
+            did % 11 == 0,
+            F.concat(
+                F.lit("click to enlarge stock photo "),
+                (did % 100).cast("string"),
+            ),
+        )
+        .when(
+            did % 13 == 0,
+            F.concat(
+                F.lit("GREAT PRODUCT NUMBER "), (did % 100).cast("string")
+            ),
+        )
+        .when(did % 3 == 0, F.lit("img"))
+        .otherwise(
+            F.concat(
+                F.lit("a photo of item "),
+                (did % 50).cast("string"),
+                F.lit(" on a wooden table"),
+            )
+        )
+    )
+    return d.select(
+        "doc_id",
+        caption.alias("caption"),
+        *caption_quality_cols(caption),
+    )
+
+
+def q_aspect_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SDXL-style multi-aspect training buckets over the image table:
+    resolution gate (>= 0.25 MP), extreme-ratio gate (long side <= 4x
+    short side), and nearest-aspect assignment into the pinned
+    64-multiple bucket list by exact-integer relative ratio error
+    (micro units) with (distance, index) tie-break — the standard
+    prep stage between an image crawl and a diffusion trainer.
+    Dimensions are a closed form of doc_id (w = 128 + 97*d mod 1920,
+    h = 128 + 53*d mod 1080), so the oracle replays the identical
+    integer arithmetic per bucket in SQL while Spark evaluates the
+    one-expression ``array_min(transform(...))`` form
+    (:func:`mechaml_spark.multimodal.aspect_bucket_expr`).  Scale
+    posture: whole-stage codegen, zero shuffle, 15-element constant
+    array per row — runs inline in the ingest scan at 10^10 rows."""
+    from mechaml_spark.multimodal import aspect_bucket_expr
+
+    did = F.col("doc_id")
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(did < 1000)
+        .withColumn("w", (F.lit(128) + (did * 97) % 1920).cast("int"))
+        .withColumn("h", (F.lit(128) + (did * 53) % 1080).cast("int"))
+    )
+    ok = (
+        (F.col("w").cast("long") * F.col("h") >= 262144)
+        & (
+            F.greatest("w", "h").cast("long")
+            <= 4 * F.least("w", "h").cast("long")
+        )
+    ).alias("ok")
+    best = aspect_bucket_expr("w", "h")
+    return d.select(
+        "doc_id",
+        "w",
+        "h",
+        ok,
+        F.when(ok, best["i"]).alias("bucket_i"),
+        F.when(ok, best["w"]).alias("bucket_w"),
+        F.when(ok, best["h"]).alias("bucket_h"),
+        F.when(ok, best["d"]).alias("ratio_err_micro"),
+    )
+
+
 QUERIES = {
     "extract_links": q_extract_links,
     "selector_suffix": q_selector_suffix,
@@ -6709,6 +6818,8 @@ QUERIES = {
     "http_cache_headers": q_http_cache_headers,
     "image_cropdetect": q_image_cropdetect,
     "idn_hostnames": q_idn_hostnames,
+    "caption_rules": q_caption_rules,
+    "aspect_buckets": q_aspect_buckets,
 }
 
 _TOKS_SQL = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
@@ -8703,5 +8814,108 @@ ORACLES = {
         FROM documents d
         JOIN fx ON fx.idx = d.doc_id % 10
         WHERE d.doc_id < 500
+    """,
+    # Flags derived arithmetically per modulus class (pinned
+    # precedence filename > url > boilerplate > caps > short > good);
+    # Spark runs the real regexp rule set over the same closed-form
+    # captions.  L = decimal width of the class's embedded number.
+    "caption_rules": """
+        WITH base AS (
+            SELECT doc_id,
+                   CASE
+                     WHEN doc_id % 7 = 0 THEN
+                       'IMG_' || lpad(CAST(doc_id % 10000 AS VARCHAR),
+                                      4, '0') || '.JPG'
+                     WHEN doc_id % 5 = 0 THEN
+                       'see http://ex' || (doc_id % 9) || '.test/p now'
+                     WHEN doc_id % 11 = 0 THEN
+                       'click to enlarge stock photo ' || (doc_id % 100)
+                     WHEN doc_id % 13 = 0 THEN
+                       'GREAT PRODUCT NUMBER ' || (doc_id % 100)
+                     WHEN doc_id % 3 = 0 THEN 'img'
+                     ELSE 'a photo of item ' || (doc_id % 50)
+                          || ' on a wooden table'
+                   END AS caption,
+                   CASE
+                     WHEN doc_id % 7 = 0 THEN 'A'
+                     WHEN doc_id % 5 = 0 THEN 'B'
+                     WHEN doc_id % 11 = 0 THEN 'C'
+                     WHEN doc_id % 13 = 0 THEN 'D'
+                     WHEN doc_id % 3 = 0 THEN 'E'
+                     ELSE 'F'
+                   END AS cls,
+                   len(CAST(doc_id % 100 AS VARCHAR)) AS l2,
+                   len(CAST(doc_id % 50 AS VARCHAR)) AS l50
+            FROM documents WHERE doc_id < 800)
+        SELECT doc_id, caption,
+               CAST(CASE cls WHEN 'A' THEN 1 WHEN 'B' THEN 3
+                             WHEN 'C' THEN 6 WHEN 'D' THEN 4
+                             WHEN 'E' THEN 1 ELSE 9 END AS INT)
+                   AS n_tokens,
+               cls = 'A' AS filename_like,
+               cls = 'B' AS has_url,
+               cls = 'C' AS boilerplate,
+               cls IN ('A', 'D') AS all_caps,
+               CAST(CASE cls
+                    WHEN 'A' THEN 4000 // 12
+                    WHEN 'B' THEN 1000 // 25
+                    WHEN 'C' THEN 1000 * l2 // (29 + l2)
+                    WHEN 'D' THEN 1000 * l2 // (21 + l2)
+                    WHEN 'E' THEN 0
+                    ELSE 1000 * l50 // (34 + l50)
+               END AS BIGINT) AS digit_permille,
+               cls IN ('A', 'E') AS too_short,
+               cls = 'F' AS keep
+        FROM base
+    """,
+    # Same exact-integer bucket arithmetic replayed relationally:
+    # CROSS JOIN the pinned 15-bucket table, quantized relative ratio
+    # error in micro units with floor division (Spark's div on
+    # non-negative operands agrees bit-for-bit), (d, i) tie-break via
+    # row_number.
+    "aspect_buckets": """
+        WITH b(i, bw, bh) AS (VALUES
+            (0, 512, 2048),
+            (1, 576, 1792),
+            (2, 640, 1536),
+            (3, 704, 1408),
+            (4, 768, 1344),
+            (5, 832, 1216),
+            (6, 896, 1152),
+            (7, 1024, 1024),
+            (8, 1152, 896),
+            (9, 1216, 832),
+            (10, 1344, 768),
+            (11, 1408, 704),
+            (12, 1536, 640),
+            (13, 1792, 576),
+            (14, 2048, 512)),
+        imgs AS (
+            SELECT doc_id,
+                   CAST(128 + (doc_id * 97) % 1920 AS INT) AS w,
+                   CAST(128 + (doc_id * 53) % 1080 AS INT) AS h
+            FROM documents WHERE doc_id < 1000),
+        gated AS (
+            SELECT *, (CAST(w AS BIGINT) * h >= 262144 AND
+                       greatest(w, h) <= 4 * least(w, h)) AS ok
+            FROM imgs),
+        dist AS (
+            SELECT g.doc_id, g.w, g.h, g.ok, b.i, b.bw, b.bh,
+                   (abs(CAST(g.w AS BIGINT) * b.bh
+                        - CAST(g.h AS BIGINT) * b.bw) * 1000000)
+                       // (CAST(g.h AS BIGINT) * b.bw) AS d,
+                   row_number() OVER (
+                       PARTITION BY g.doc_id ORDER BY
+                       (abs(CAST(g.w AS BIGINT) * b.bh
+                            - CAST(g.h AS BIGINT) * b.bw) * 1000000)
+                           // (CAST(g.h AS BIGINT) * b.bw), b.i) AS rn
+            FROM gated g CROSS JOIN b)
+        SELECT doc_id, w, h, ok,
+               CAST(CASE WHEN ok THEN i END AS INT) AS bucket_i,
+               CAST(CASE WHEN ok THEN bw END AS INT) AS bucket_w,
+               CAST(CASE WHEN ok THEN bh END AS INT) AS bucket_h,
+               CAST(CASE WHEN ok THEN d END AS BIGINT)
+                   AS ratio_err_micro
+        FROM dist WHERE rn = 1
     """,
 }
