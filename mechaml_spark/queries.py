@@ -6583,6 +6583,59 @@ def q_idn_hostnames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IP_HOSTS = [
+    "93.184.216.34",    # public dotted quad — is_ip, not blocked
+    "127.0.0.1",        # loopback
+    "2130706433",       # 127.0.0.1 as one decimal (inet_aton 1-part)
+    "0x7F.0.0.1",       # hex first octet (case-insensitive)
+    "017700000001",     # 127.0.0.1 as one octal literal
+    "10.1.2.3",         # RFC 1918 10/8
+    "172.16.0.5",       # RFC 1918 172.16/12
+    "192.168.1.1",      # RFC 1918 192.168/16
+    "169.254.9.9",      # link-local 169.254/16
+    "100.64.0.1",       # CGNAT 100.64/10
+    "239.255.255.250",  # multicast (SSDP)
+    "0.1.2.3",          # this-network 0/8
+    "192.168.257",      # 3-part short form -> 192.168.1.1
+    "127.1",            # 2-part short form -> 127.0.0.1
+    "example.com",      # ordinary hostname — not an IP
+    "256.1.1.1",        # octet overflow — inet_aton fails, not an IP
+]
+
+
+def q_ip_hostnames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSRF gate for the fetch stage: classify IPv4-literal hosts in
+    every ``inet_aton`` spelling crawled HTML abuses (dotted quads,
+    1/2/3-part short forms, decimal / leading-zero-octal / 0x-hex
+    parts in any mix), canonicalize to the dotted quad, and flag the
+    reserved ranges a distributed fetcher must never dial (RFC 1918,
+    loopback, link-local, CGNAT, 0/8, 224/4+).  The reference hands
+    the URI string straight to the HTTP stack (src/agent.ml); a
+    fetcher fleet inside a VPC needs this on every frontier row,
+    which is why :func:`mechaml_spark.urlkit.ip_literal_cols` is
+    expression-only — conv/transform/aggregate under whole-stage
+    codegen, zero Python, zero shuffle.  Hosts are a 16-row fixture
+    of the canonical abuse spellings cycled by doc_id; the oracle
+    states the expected classification literally while Spark runs
+    the real expressions (differentially tested against
+    ``socket.inet_aton`` in tests/test_ipliteral.py)."""
+    from mechaml_spark.urlkit import ip_literal_cols
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") < 800)
+        .withColumn(
+            "host",
+            F.element_at(
+                F.array(*[F.lit(h) for h in _IP_HOSTS]),
+                (F.col("doc_id") % 16 + 1).cast("int"),
+            ),
+        )
+    )
+    return d.select("doc_id", "host", *ip_literal_cols(F.col("host")))
+
+
 def q_caption_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LAION / DataComp-style caption junk filters for image-text
     pair curation: token count, filename-like (IMG_1234.JPG), URL in
@@ -6818,6 +6871,7 @@ QUERIES = {
     "http_cache_headers": q_http_cache_headers,
     "image_cropdetect": q_image_cropdetect,
     "idn_hostnames": q_idn_hostnames,
+    "ip_hostnames": q_ip_hostnames,
     "caption_rules": q_caption_rules,
     "aspect_buckets": q_aspect_buckets,
 }
@@ -8814,6 +8868,41 @@ ORACLES = {
         FROM documents d
         JOIN fx ON fx.idx = d.doc_id % 10
         WHERE d.doc_id < 500
+    """,
+    # Expected SSRF classification stated literally per fixture host
+    # (validated against socket.inet_aton + the ipaddress module in
+    # tests/test_ipliteral.py); Spark RUNS the expression-only
+    # inet_aton recognizer + reserved-range classifier.
+    "ip_hostnames": """
+        WITH fx(idx, host, is_ip, ip_canonical, blocked,
+                block_reason) AS (VALUES
+            (0, '93.184.216.34', TRUE, '93.184.216.34', FALSE,
+             CAST(NULL AS VARCHAR)),
+            (1, '127.0.0.1', TRUE, '127.0.0.1', TRUE, 'loopback'),
+            (2, '2130706433', TRUE, '127.0.0.1', TRUE, 'loopback'),
+            (3, '0x7F.0.0.1', TRUE, '127.0.0.1', TRUE, 'loopback'),
+            (4, '017700000001', TRUE, '127.0.0.1', TRUE, 'loopback'),
+            (5, '10.1.2.3', TRUE, '10.1.2.3', TRUE, 'rfc1918'),
+            (6, '172.16.0.5', TRUE, '172.16.0.5', TRUE, 'rfc1918'),
+            (7, '192.168.1.1', TRUE, '192.168.1.1', TRUE, 'rfc1918'),
+            (8, '169.254.9.9', TRUE, '169.254.9.9', TRUE,
+             'link-local'),
+            (9, '100.64.0.1', TRUE, '100.64.0.1', TRUE, 'cgnat'),
+            (10, '239.255.255.250', TRUE, '239.255.255.250', TRUE,
+             'multicast-reserved'),
+            (11, '0.1.2.3', TRUE, '0.1.2.3', TRUE, 'this-network'),
+            (12, '192.168.257', TRUE, '192.168.1.1', TRUE,
+             'rfc1918'),
+            (13, '127.1', TRUE, '127.0.0.1', TRUE, 'loopback'),
+            (14, 'example.com', FALSE, CAST(NULL AS VARCHAR), FALSE,
+             CAST(NULL AS VARCHAR)),
+            (15, '256.1.1.1', FALSE, CAST(NULL AS VARCHAR), FALSE,
+             CAST(NULL AS VARCHAR)))
+        SELECT d.doc_id, fx.host, fx.is_ip, fx.ip_canonical,
+               fx.blocked, fx.block_reason
+        FROM documents d
+        JOIN fx ON fx.idx = d.doc_id % 16
+        WHERE d.doc_id < 800
     """,
     # Flags derived arithmetically per modulus class (pinned
     # precedence filename > url > boilerplate > caps > short > good);

@@ -289,3 +289,99 @@ def hygiene_flags(url):
         ("has_session", has_session), ("trap", trap), ("deep", deep),
         ("digit_heavy", digit_heavy), ("spam", spam),
     ]
+
+
+# ---------------------------------------------------------------------------
+# IPv4-literal hosts (SSRF guard for the fetch stage)
+# ---------------------------------------------------------------------------
+
+def ip_literal_cols(host):
+    """SSRF guard as pure expressions: recognize IPv4-literal hosts in
+    every ``inet_aton`` spelling crawled HTML actually abuses —
+    dotted quads, 1/2/3-part forms, and decimal / octal(leading-0) /
+    hex(0x) parts in any mix (``2130706433``, ``0x7f.0.0.1``,
+    ``017700000001`` are all 127.0.0.1) — canonicalize to the dotted
+    quad, and classify against the reserved ranges a fetcher must
+    never dial out to (RFC 1918, loopback, link-local, CGNAT
+    100.64/10, 0/8, 224/4-and-up).  The reference hands the URI
+    string straight to the HTTP stack (src/agent.ml); a distributed
+    fetcher running inside a VPC needs this gate on every frontier
+    row, which is why it is expression-only (conv/transform/aggregate,
+    whole-stage codegen, zero Python, zero shuffle).
+
+    Returns columns ``[is_ip, ip_canonical, blocked, block_reason]``.
+    A host that merely LOOKS numeric but fails inet_aton (octet
+    overflow, 5+ parts, bad digits) is NOT an IP — DNS would refuse
+    it — so it passes through unflagged like any other hostname.
+    Documented boundary vs glibc: hex parts support at most 8 hex
+    digits after ``0x`` (covers every 32-bit value); a
+    leading-zero-padded 9+-digit hex part is treated as a hostname.
+    Differentially tested against ``socket.inet_aton`` + the
+    ``ipaddress`` module in tests/test_ipliteral.py.
+    """
+    from pyspark.sql import functions as F
+
+    h = F.lower(host)
+    parts = F.split(h, r"\.")
+    n = F.size(parts)
+    part_ok = F.forall(
+        parts,
+        lambda p: p.rlike(r"^(0x[0-9a-f]{1,8}|0[0-7]{0,11}|[1-9][0-9]{0,9})$"),
+    )
+    shape_ok = (F.length(h) > 0) & n.between(1, 4) & part_ok
+    vals = F.transform(
+        parts,
+        lambda p: F.when(
+            p.startswith("0x"), F.conv(F.substring(p, 3, 8), 16, 10)
+        )
+        .when(p.rlike(r"^0[0-7]*$"), F.conv(p, 8, 10))
+        .otherwise(p)
+        .try_cast("long"),  # non-numeric hostname parts -> null, not ANSI error
+    )
+    # first n-1 parts are single bytes; the LAST part fills the
+    # remaining 5-n bytes (inet_aton semantics)
+    head_ok = F.forall(
+        F.slice(vals, 1, n - 1), lambda v: v.between(0, 255)
+    ) | (n == 1)
+    last = F.element_at(vals, -1)
+    # the last part fills 5-n bytes: its bound and the head multiplier
+    # are both 256^(5-n), looked up from a constant table (shiftleft's
+    # numBits arg must be a literal in PySpark)
+    pow_tab = F.array(*[F.lit(256**k) for k in (4, 3, 2, 1)])
+    scale = F.element_at(pow_tab, n)
+    last_ok = (last >= 0) & (last < scale)
+    is_ip = shape_ok & head_ok & last_ok
+    ip = F.when(
+        is_ip,
+        F.aggregate(
+            F.slice(vals, 1, n - 1),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc * 256 + v,
+        )
+        * scale
+        + last,
+    )
+    b = lambda k: F.shiftrightunsigned(ip, k)  # noqa: E731
+    reason = (
+        F.when(b(24) == 0, "this-network")
+        .when(b(24) == 127, "loopback")
+        .when(b(24) == 10, "rfc1918")
+        .when(b(20) == 0xAC1, "rfc1918")
+        .when(b(16) == 0xC0A8, "rfc1918")
+        .when(b(16) == 0xA9FE, "link-local")
+        .when(b(22) == 401, "cgnat")
+        .when(b(28) >= 0xE, "multicast-reserved")
+    )
+    dq = F.concat_ws(
+        ".",
+        (b(24) % 256).cast("string"),
+        (b(16) % 256).cast("string"),
+        (b(8) % 256).cast("string"),
+        (ip % 256).cast("string"),
+    )
+    return [
+        is_ip.alias("is_ip"),
+        F.when(is_ip, dq).alias("ip_canonical"),
+        (is_ip & reason.isNotNull()).alias("blocked"),
+        F.when(is_ip, reason).alias("block_reason"),
+    ]
