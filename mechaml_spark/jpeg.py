@@ -975,3 +975,84 @@ def _jpeg_decode(data: bytes) -> np.ndarray:
         axis=-1,
     )
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# --------------------------------------------------- quality estimation
+
+
+def parse_dqt(data: bytes) -> list:
+    """Walk the marker segments of a JPEG stream and return every
+    quantization table as ``(tq, ndarray(8,8) natural order)`` in
+    stream order.  8- and 16-bit (Pq=1) precisions both parse; a DQT
+    segment may carry several tables (T.81 B.2.4.1).  Stops at SOS —
+    tables after the first scan (rare, T.81-legal) are not chased,
+    matching what quality estimators in curation pipelines do."""
+    if len(data) < 4 or data[0:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream")
+    tables = []
+    p = 2
+    n = len(data)
+    while p + 4 <= n:
+        if data[p] != 0xFF:
+            p += 1
+            continue
+        marker = data[p + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            p += 2
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        seglen = struct.unpack(">H", data[p + 2 : p + 4])[0]
+        body = data[p + 4 : p + 2 + seglen]
+        if marker == 0xDB:
+            q = 0
+            while q < len(body):
+                pq, tq = body[q] >> 4, body[q] & 0x0F
+                q += 1
+                if pq:
+                    vals = np.frombuffer(
+                        body[q : q + 128], dtype=">u2"
+                    ).astype(np.int32)
+                    q += 128
+                else:
+                    vals = np.frombuffer(
+                        body[q : q + 64], dtype=np.uint8
+                    ).astype(np.int32)
+                    q += 64
+                nat = np.zeros(64, dtype=np.int32)
+                nat[_ZIGZAG] = vals  # DQT is in zigzag order
+                tables.append((tq, nat.reshape(8, 8)))
+        elif marker == 0xDA:  # SOS — entropy data follows
+            break
+        p += 2 + seglen
+    return tables
+
+
+def quality_estimate(data: bytes):
+    """Estimate the libjpeg quality factor a JPEG was encoded at by
+    inverting the IJG scaling of the Annex-K tables — the standard
+    curation gate (discard q below threshold) run by LAION-style
+    image pipelines.  For each candidate q in 1..100 the expected
+    luma/chroma tables are recomputed with the exact encoder formula
+    (``_quality_scale``); the estimate is the LOWEST q minimizing the
+    summed L1 distance to the observed tables (ties broken low,
+    pinned for the oracle).  Returns ``(q_est, exact, n_tables)``
+    where ``exact`` means zero distance — true for any stream written
+    with unmodified IJG tables (libjpeg default, this repo's encoder);
+    custom-table encoders get the nearest standard q with
+    ``exact=False``."""
+    tables = parse_dqt(data)
+    if not tables:
+        raise ValueError("JPEG stream carries no DQT segment")
+    luma = next((t for tq, t in tables if tq == 0), tables[0][1])
+    chroma = next((t for tq, t in tables if tq != 0), None)
+    best_q, best_d = 1, None
+    for qq in range(1, 101):
+        d = int(np.abs(luma - _quality_scale(_QY, qq)).sum())
+        if chroma is not None:
+            d += int(np.abs(chroma - _quality_scale(_QC, qq)).sum())
+        if best_d is None or d < best_d:
+            best_q, best_d = qq, d
+            if d == 0:
+                break
+    return best_q, best_d == 0, len(tables)

@@ -670,6 +670,52 @@ def q_image_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jpeg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG quality-factor estimation from the quantization tables —
+    the standard LAION-style curation gate (drop images encoded below
+    a quality threshold, no decode needed).  Each doc encodes a tiny
+    plane at quality 35 + (doc_id*7 mod 61), even docs baseline
+    (SOF0), odd docs PROGRESSIVE (SOF2, the libjpeg scan script);
+    Spark walks the real marker stream (:func:`jpeg.parse_dqt`) and
+    inverts the IJG Annex-K scaling (:func:`jpeg.quality_estimate`,
+    exact for all q in 1..100 — proven by the round-trip test over
+    the full range).  The oracle states q arithmetically.  Scale
+    posture: mapInPandas over the first ~600 header bytes' worth of
+    parse work per image — no entropy decode, no pixels; 3 small
+    columns leave the worker; zero shuffle."""
+    import numpy as _np
+    import pandas as _pd
+
+    from mechaml_spark.jpeg import (
+        jpeg_encode,
+        jpeg_encode_progressive,
+        quality_estimate,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 400
+    )
+
+    def est(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "q_est": [], "exact": [], "n_tables": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                q = 35 + (did * 7) % 61
+                px = _np.full((8, 8, 3), (did * 29) % 251, dtype=_np.uint8)
+                enc = jpeg_encode_progressive if did % 2 else jpeg_encode
+                qe, exact, nt = quality_estimate(enc(px, quality=q))
+                out["doc_id"].append(did)
+                out["q_est"].append(qe)
+                out["exact"].append(exact)
+                out["n_tables"].append(nt)
+            yield _pd.DataFrame(out)
+
+    return d.mapInPandas(
+        est, schema="doc_id long, q_est int, exact boolean, n_tables int"
+    )
+
+
 def q_image_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Progressive (SOF2) JPEG decode, oracle-checked: 16x16 images
     of four constant 8x8 quadrants keyed by doc_id — even docs encode
@@ -6766,6 +6812,7 @@ QUERIES = {
     "image_phash": q_image_phash,
     "image_neardup": q_image_neardup,
     "image_jpeg_features": q_image_jpeg_features,
+    "jpeg_quality": q_jpeg_quality,
     "image_jpeg_progressive": q_image_jpeg_progressive,
     "image_png_variants": q_image_png_variants,
     "image_exif": q_image_exif,
@@ -7245,6 +7292,18 @@ ORACLES = {
                      (phash >> (16 * CAST(b AS INT))) & 65535 AS val
               FROM ph, range(4) rb(b))
         GROUP BY band, val HAVING count(*) > 1
+    """,
+    # Estimator inverts the IJG Annex-K scaling exactly for every q
+    # in 1..100 (tests/test_jpeg_quality.py proves the round trip
+    # over the full range, baseline AND progressive), so the oracle
+    # is the encoding quality itself, stated arithmetically.
+    "jpeg_quality": """
+        SELECT doc_id,
+               CAST(35 + (doc_id * 7) % 61 AS INT) AS q_est,
+               TRUE AS exact,
+               CAST(2 AS INT) AS n_tables
+        FROM documents
+        WHERE doc_id < 400
     """,
     "image_jpeg_features": """
         SELECT doc_id,
