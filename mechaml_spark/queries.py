@@ -4652,6 +4652,34 @@ def q_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted domain mixing (alpha=0.5) — the
+    head-flattening resample (sampling.temperature_mixture) LLM
+    training pipelines run over sources/languages so a 100x-larger
+    domain only contributes 10x more documents.  Domains are a
+    geometric-skew closed form of doc_id (bit-length of doc_id%63+1:
+    sizes 1,2,4,8,16,32 per 63-block); weights, integer thresholds,
+    and the salted-md5 draw are exact integer arithmetic the oracle
+    replays bit-for-bit.  Returns the per-domain mixture table
+    (n_docs, weight, threshold, kept).  Scale posture: one partial-agg
+    groupBy + broadcast rate table + codegen filter — no window,
+    no skew, hot domains just filter harder."""
+    from mechaml_spark import sampling as _sm
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .withColumn(
+            "domain",
+            F.length(
+                F.conv((F.col("doc_id") % 63 + 1).cast("string"), 10, 2)
+            ).cast("int"),
+        )
+    )
+    _, mixture = _sm.temperature_mixture(d, "domain", "doc_id", "mix-v1", 300)
+    return mixture.select("domain", "n_docs", "weight", "threshold", "kept")
+
+
 def q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor-text aggregation — the classic off-page relevance signal
     (anchor words describe the TARGET; search/caption pipelines index
@@ -6875,6 +6903,7 @@ QUERIES = {
     "warc_wat": q_warc_wat,
     "warc_revisit": q_warc_revisit,
     "doc_sample": q_doc_sample,
+    "domain_mixture": q_domain_mixture,
     "domain_cap": q_domain_cap,
     "anchor_text": q_anchor_text,
     "robots_meta": q_robots_meta,
@@ -8076,6 +8105,40 @@ ORACLES = {
                        AS BIGINT) AS grp_rank
             FROM documents)
         WHERE grp_rank <= 10
+    """,
+    # Replays the identical integer arithmetic: bit-length domains,
+    # floor-sqrt weights, min(2^32, (T*2^32*w) // (sum_w*n)) keep
+    # thresholds, and the same salted-md5 uniform per doc.
+    "domain_mixture": """
+        WITH d AS (
+            SELECT doc_id,
+                   CAST(length(bin(CAST(doc_id % 63 + 1 AS BIGINT)))
+                        AS INT) AS domain
+            FROM documents),
+        c AS (
+            SELECT domain, CAST(count(*) AS BIGINT) AS n_docs
+            FROM d GROUP BY domain),
+        w AS (
+            SELECT domain, n_docs,
+                   CAST(floor(sqrt(n_docs)) AS BIGINT) AS weight
+            FROM c),
+        t AS (
+            SELECT domain, n_docs, weight,
+                   LEAST(CAST(4294967296 AS BIGINT),
+                         (300 * CAST(4294967296 AS BIGINT) * weight)
+                         // (s.sum_w * n_docs)) AS threshold
+            FROM w CROSS JOIN
+                 (SELECT SUM(weight) AS sum_w FROM w) s),
+        k AS (
+            SELECT d.domain, CAST(count(*) AS BIGINT) AS kept
+            FROM d JOIN t USING (domain)
+            WHERE CAST(concat('0x', substr(md5('mix-v1:' || d.doc_id),
+                                           1, 8)) AS BIGINT)
+                  < t.threshold
+            GROUP BY d.domain)
+        SELECT t.domain, t.n_docs, t.weight, t.threshold,
+               COALESCE(k.kept, CAST(0 AS BIGINT)) AS kept
+        FROM t LEFT JOIN k USING (domain)
     """,
     "doc_sample": """
         WITH u AS (

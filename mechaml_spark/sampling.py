@@ -119,3 +119,62 @@ def cap_per_group(
         df.withColumn("grp_rank", F.row_number().over(w).cast("long"))
         .where(F.col("grp_rank") <= cap)
     )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    domain_col: str,
+    key_col: str,
+    salt: str,
+    target_total: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Temperature-weighted domain mixing (alpha = 0.5) — the
+    head-flattening resample every large-corpus training pipeline
+    runs: source/domain d with n_d documents gets sampling weight
+    ``w_d = floor(sqrt(n_d))``, and an expected ``target_total *
+    w_d / sum(w)`` documents survive, so a domain 100x larger only
+    contributes 10x more (multilingual pipelines use the same move
+    over languages).
+
+    Everything is exact integer arithmetic so the draw is
+    reproducible across engines: per-domain keep threshold
+    ``min(2^32, (target_total * 2^32 * w_d) div (sum_w * n_d))``
+    compared against the salted-md5 uniform of the row key (the
+    same retry-stable draw as :func:`sample` — no rand()).
+
+    Returns ``(kept_rows, mixture_table)`` where ``mixture_table``
+    has one row per domain: ``(domain, n_docs, weight, threshold,
+    kept)``.  Scale posture: ONE partial-agg groupBy for the counts,
+    a broadcast of the tiny per-domain rate table back onto the data,
+    and a codegen filter — the 100-TB shape; no window, no skew
+    (the filter is per-row, hot domains just filter harder)."""
+    counts = (
+        df.groupBy(domain_col)
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .withColumn(
+            "weight", F.floor(F.sqrt(F.col("n_docs"))).cast("long")
+        )
+    )
+    tot = counts.agg(F.sum("weight").alias("sum_w"))
+    rates = counts.crossJoin(F.broadcast(tot)).withColumn(
+        "threshold",
+        F.least(
+            F.lit(M32).cast("long"),
+            F.expr(
+                f"({target_total} * {M32}L * weight) "
+                "div (sum_w * n_docs)"
+            ),
+        ),
+    ).select(domain_col, "n_docs", "weight", "threshold")
+    u = hash_uniform_col(F.col(key_col), salt)
+    kept_rows = df.join(F.broadcast(rates), domain_col).where(
+        u < F.col("threshold")
+    )
+    kept = kept_rows.groupBy(domain_col).agg(
+        F.count("*").cast("long").alias("kept")
+    )
+    mixture = (
+        rates.join(kept, domain_col, "left")
+        .withColumn("kept", F.coalesce(F.col("kept"), F.lit(0).cast("long")))
+    )
+    return kept_rows.drop("n_docs", "weight", "threshold"), mixture

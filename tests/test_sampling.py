@@ -190,3 +190,48 @@ def test_quantile_sketch_error_bound(spark):
             assert lb <= ex <= lb + max(lb // 8, 7), (
                 r["lang"], col, lb, ex,
             )
+
+
+def test_temperature_mixture_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from mechaml_spark import sampling as sm
+
+    d = spark.range(0, 6300).select(
+        F.col("id").alias("doc_id"),
+        F.length(
+            F.conv((F.col("id") % 63 + 1).cast("string"), 10, 2)
+        ).cast("int").alias("domain"),
+    )
+    kept_rows, mixture = sm.temperature_mixture(
+        d, "domain", "doc_id", "mix-t", 300
+    )
+    mx = {r["domain"]: r for r in mixture.collect()}
+    # geometric domain sizes 1,2,4,8,16,32 per 63-block, 100 blocks
+    assert {m: mx[m]["n_docs"] for m in sorted(mx)} == {
+        1: 100, 2: 200, 3: 400, 4: 800, 5: 1600, 6: 3200
+    }
+    for m, r in mx.items():
+        assert r["weight"] == int(r["n_docs"] ** 0.5)
+    # the kept table is exactly the kept rows, grouped
+    got = {
+        r["domain"]: r["count"]
+        for r in kept_rows.groupBy("domain").count().collect()
+    }
+    for m, r in mx.items():
+        assert got.get(m, 0) == r["kept"]
+    # head-flattening: raw sizes span 32x, kept counts span < 8x
+    ks = [r["kept"] for r in mx.values()]
+    assert min(ks) > 0 and max(ks) / min(ks) < 8
+    # per-domain keep rate matches its integer threshold to ~3 sigma
+    for r in mx.values():
+        p = r["threshold"] / sm.M32
+        exp = r["n_docs"] * p
+        assert abs(r["kept"] - exp) <= 3 * (exp * (1 - p)) ** 0.5 + 1
+    # partitioning invariance: same draw at a different parallelism
+    _, mixture2 = sm.temperature_mixture(
+        d.repartition(13, "doc_id"), "domain", "doc_id", "mix-t", 300
+    )
+    assert sorted(map(tuple, mixture2.collect())) == sorted(
+        map(tuple, mixture.collect())
+    )
