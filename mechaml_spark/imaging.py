@@ -1498,3 +1498,30 @@ def detect_crop(pixels: np.ndarray, thr: int = 24) -> tuple[int, int, int, int]:
     y0, y1 = int(rows[0]), int(rows[-1])
     x0, x1 = int(cols[0]), int(cols[-1])
     return (x0, y0, x1 - x0 + 1, y1 - y0 + 1)
+
+
+def edge_density_thirds(
+    pixels: np.ndarray, thr: int = 32
+) -> tuple[int, int, int]:
+    """Horizontal-edge density per vertical third of the frame, in
+    exact integer permille — the cheap "does this image bear rendered
+    overlay text" signal image-curation pipelines gate on (caption
+    banners / subtitles / watermark strips live in an otherwise-flat
+    third, so a high bottom-third edge density with quiet upper
+    thirds flags them, while uniformly busy photos don't).
+
+    An edge is an adjacent-column pair whose integer BT.601 luma
+    ``(77R + 150G + 29B) >> 8`` differs by more than ``thr``;
+    each third scores ``(1000 * edges) // pairs`` (floor), so the
+    triple is a closed form of any synthetic generator's parameters.
+    Returns ``(top, mid, bottom)`` permille."""
+    px = pixels.astype(np.int64)
+    luma = (77 * px[..., 0] + 150 * px[..., 1] + 29 * px[..., 2]) >> 8
+    h = luma.shape[0]
+    edges = np.abs(np.diff(luma, axis=1)) > thr
+    bounds = [0, h // 3, (2 * h) // 3, h]
+    out = []
+    for i in range(3):
+        seg = edges[bounds[i] : bounds[i + 1]]
+        out.append(int(1000 * int(seg.sum()) // max(1, seg.size)))
+    return out[0], out[1], out[2]

@@ -670,6 +670,63 @@ def q_image_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlay-text detection by per-third horizontal edge density
+    (imaging.edge_density_thirds): caption banners / subtitle strips
+    put a high-frequency band in one third of an otherwise-flat
+    image, so the gate is bottom-third permille >= 300 with quiet
+    upper thirds (<= 50) — uniformly busy photos (all thirds hot)
+    pass.  Three closed-form 18x24 classes per doc_id%3: flat (no
+    edges), bottom-third period-2 stripes (the overlay shape:
+    bottom = 1000*64//136 = 470 exactly), full-frame period-1
+    stripes (all thirds 1000, NOT flagged).  Spark encodes + decodes
+    real PNGs and counts real luma edges; the oracle states the
+    arithmetic.  Scale posture: decode + count inside mapInPandas,
+    3 ints + a bool leave the worker; the flag is a codegen
+    expression; zero shuffle."""
+    import numpy as _np
+    import pandas as _pd
+
+    from mechaml_spark import imaging as _im
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 600
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "top_pm": [], "mid_pm": [], "bot_pm": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                v0 = (did * 23) % 200
+                px = _np.full((24, 18, 3), v0, dtype=_np.uint8)
+                cols = _np.arange(18)
+                if did % 3 == 1:  # bottom-third period-2 stripes
+                    stripe = v0 + 55 * ((cols // 2) % 2)
+                    px[16:, :, :] = stripe[None, :, None].astype(_np.uint8)
+                elif did % 3 == 2:  # full-frame period-1 stripes
+                    stripe = v0 + 55 * (cols % 2)
+                    px[:, :, :] = stripe[None, :, None].astype(_np.uint8)
+                t, m, b = _im.edge_density_thirds(
+                    _im.png_decode(_im.png_encode(px))
+                )
+                out["doc_id"].append(did)
+                out["top_pm"].append(t)
+                out["mid_pm"].append(m)
+                out["bot_pm"].append(b)
+            yield _pd.DataFrame(out)
+
+    scored = d.mapInPandas(
+        gen, schema="doc_id long, top_pm int, mid_pm int, bot_pm int"
+    )
+    return scored.withColumn(
+        "text_overlay",
+        (F.col("bot_pm") >= 300)
+        & (F.col("top_pm") <= 50)
+        & (F.col("mid_pm") <= 50),
+    )
+
+
 def q_jpeg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JPEG quality-factor estimation from the quantization tables —
     the standard LAION-style curation gate (drop images encoded below
@@ -6841,6 +6898,7 @@ QUERIES = {
     "image_neardup": q_image_neardup,
     "image_jpeg_features": q_image_jpeg_features,
     "jpeg_quality": q_jpeg_quality,
+    "text_overlay": q_text_overlay,
     "image_jpeg_progressive": q_image_jpeg_progressive,
     "image_png_variants": q_image_png_variants,
     "image_exif": q_image_exif,
@@ -7321,6 +7379,22 @@ ORACLES = {
                      (phash >> (16 * CAST(b AS INT))) & 65535 AS val
               FROM ph, range(4) rb(b))
         GROUP BY band, val HAVING count(*) > 1
+    """,
+    # Three closed-form classes: flat -> 0/0/0; bottom-third
+    # period-2 stripes -> 0/0/470 (1000*64//136) and flagged;
+    # full-frame period-1 stripes -> 1000 everywhere, not flagged.
+    "text_overlay": """
+        SELECT doc_id,
+               CAST(CASE WHEN doc_id % 3 = 2 THEN 1000 ELSE 0 END
+                    AS INT) AS top_pm,
+               CAST(CASE WHEN doc_id % 3 = 2 THEN 1000 ELSE 0 END
+                    AS INT) AS mid_pm,
+               CAST(CASE WHEN doc_id % 3 = 1 THEN 470
+                         WHEN doc_id % 3 = 2 THEN 1000
+                         ELSE 0 END AS INT) AS bot_pm,
+               doc_id % 3 = 1 AS text_overlay
+        FROM documents
+        WHERE doc_id < 600
     """,
     # Estimator inverts the IJG Annex-K scaling exactly for every q
     # in 1..100 (tests/test_jpeg_quality.py proves the round trip

@@ -73,3 +73,31 @@ def test_image_ssim_invariants(spark):
             assert v == 1000, (did, v)
         else:
             assert v < 1000, (did, v)
+
+
+def test_edge_density_thirds_closed_forms():
+    import numpy as np
+
+    from mechaml_spark import imaging as im
+
+    # flat image: no edges anywhere
+    px = np.full((24, 18, 3), 120, dtype=np.uint8)
+    assert im.edge_density_thirds(px) == (0, 0, 0)
+    # bottom-third period-2 stripes: 8 boundaries/row, 17 pairs
+    cols = np.arange(18)
+    px2 = px.copy()
+    px2[16:, :, :] = (120 + 55 * ((cols // 2) % 2))[None, :, None]
+    assert im.edge_density_thirds(px2) == (0, 0, 1000 * 64 // 136)
+    # full period-1 stripes: every pair an edge
+    px3 = np.empty_like(px)
+    px3[:, :, :] = (120 + 55 * (cols % 2))[None, :, None]
+    assert im.edge_density_thirds(px3) == (1000, 1000, 1000)
+    # sub-threshold contrast is not an edge
+    px4 = np.empty_like(px)
+    px4[:, :, :] = (120 + 20 * (cols % 2))[None, :, None]
+    assert im.edge_density_thirds(px4) == (0, 0, 0)
+    # threshold is on LUMA, not raw channels: green dominates
+    px5 = px.copy()
+    px5[..., 1] = (60 + 80 * (cols % 2))[None, :]
+    t, m, b = im.edge_density_thirds(px5)
+    assert t == m == b == 1000  # 80*150>>8 = 46 > 32
