@@ -27,6 +27,7 @@ __all__ = [
     "exif_parse",
     "jpeg_set_exif",
     "exif_strip",
+    "exif_strip_gps",
     "ifd_parse",
 ]
 
@@ -426,3 +427,31 @@ def exif_strip(jpeg: bytes) -> bytes:
         p = t
     out.append(jpeg[p:])
     return b"".join(out)
+
+
+def exif_strip_gps(jpeg: bytes) -> tuple[bytes, bool]:
+    """Surgical location scrub: remove ONLY the GPS sub-IFD from a
+    JPEG's Exif, keeping the tags downstream stages still need
+    (Orientation for display normalization, pixel dims for size
+    gates, Make/Model/DateTime, the IFD1 thumbnail) — the compliance
+    middle ground between shipping location data and
+    :func:`exif_strip`'s drop-everything.
+
+    Returns ``(jpeg_out, had_gps)``.  A JPEG with no Exif or no GPS
+    tags comes back byte-identical with ``had_gps=False``.  The
+    surviving payload is REBUILT through :func:`exif_payload` (same
+    byte order, thumbnail carried through), so only the spec-subset
+    tags this module reads survive — documented behavior: a privacy
+    scrub must whitelist what it keeps, not blacklist what it drops.
+    """
+    tags = exif_parse(jpeg)
+    if not any(k.startswith("GPS") for k in tags):
+        return jpeg, False
+    kept = {k: v for k, v in tags.items() if not k.startswith("GPS")}
+    tiff = _tiff_body(jpeg)
+    order = "II" if tiff[:2] == b"II" else "MM"
+    thumb = exif_thumbnail(jpeg)
+    for k in ("ThumbnailOffset", "ThumbnailLength", "ThumbnailCompression"):
+        kept.pop(k, None)
+    payload = exif_payload(kept, byte_order=order, thumbnail=thumb)
+    return jpeg_set_exif(jpeg, payload), True

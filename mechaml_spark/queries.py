@@ -670,6 +670,72 @@ def q_image_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_exif_gps_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-side PII compliance: surgical GPS scrub
+    (exif.exif_strip_gps) that removes ONLY the location sub-IFD
+    while Orientation / dims / Make / DateTime survive — the
+    text-side twin is `pii_scrub`.  Three fixture classes per
+    doc_id%3: full EXIF WITH GPS (alternating II/MM byte order),
+    EXIF without GPS (must come back byte-identical), no EXIF.
+    Spark builds real APP1 payloads, scrubs, and RE-PARSES the
+    scrubbed bytes to prove the GPS is gone and the keepers kept;
+    the oracle states the class table.  Scale posture: header-only
+    segment surgery in mapInPandas — pixels never re-encode, no
+    entropy decode; zero shuffle."""
+    import numpy as _np
+    import pandas as _pd
+
+    from mechaml_spark import exif as _ex
+    from mechaml_spark.jpeg import jpeg_encode as _jenc
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 500
+    )
+
+    def scrub(batches):
+        base = _jenc(_np.full((8, 8, 3), 77, dtype=_np.uint8), quality=90)
+        for pdf in batches:
+            out = {"doc_id": [], "had_gps": [], "gps_after": [],
+                   "orientation": [], "make": [], "unchanged": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                cls = did % 3
+                tags = {"Make": "Cam", "Orientation": 1 + did % 8}
+                if cls == 0:
+                    tags.update(
+                        GPSLatitudeRef="N",
+                        GPSLatitude=[(52, 1), (did % 60, 1), (0, 1)],
+                        GPSLongitudeRef="E",
+                        GPSLongitude=[(13, 1), (did % 60, 1), (30, 1)],
+                    )
+                if cls == 2:
+                    src = base
+                else:
+                    order = "II" if did % 2 == 0 else "MM"
+                    src = _ex.jpeg_set_exif(
+                        base, _ex.exif_payload(tags, byte_order=order)
+                    )
+                scrubbed, had = _ex.exif_strip_gps(src)
+                after = _ex.exif_parse(scrubbed)
+                out["doc_id"].append(did)
+                out["had_gps"].append(had)
+                out["gps_after"].append(
+                    any(k.startswith("GPS") for k in after)
+                )
+                out["orientation"].append(after.get("Orientation"))
+                out["make"].append(after.get("Make"))
+                out["unchanged"].append(scrubbed == src)
+            yield _pd.DataFrame(out)
+
+    return d.mapInPandas(
+        scrub,
+        schema=(
+            "doc_id long, had_gps boolean, gps_after boolean, "
+            "orientation int, make string, unchanged boolean"
+        ),
+    )
+
+
 def q_text_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlay-text detection by per-third horizontal edge density
     (imaging.edge_density_thirds): caption banners / subtitle strips
@@ -6899,6 +6965,7 @@ QUERIES = {
     "image_jpeg_features": q_image_jpeg_features,
     "jpeg_quality": q_jpeg_quality,
     "text_overlay": q_text_overlay,
+    "exif_gps_scrub": q_exif_gps_scrub,
     "image_jpeg_progressive": q_image_jpeg_progressive,
     "image_png_variants": q_image_png_variants,
     "image_exif": q_image_exif,
@@ -7379,6 +7446,20 @@ ORACLES = {
                      (phash >> (16 * CAST(b AS INT))) & 65535 AS val
               FROM ph, range(4) rb(b))
         GROUP BY band, val HAVING count(*) > 1
+    """,
+    # Class table stated literally: cls0 carries GPS (scrubbed,
+    # bytes change), cls1 EXIF sans GPS (byte-identical), cls2 no
+    # EXIF (byte-identical, no surviving tags).
+    "exif_gps_scrub": """
+        SELECT doc_id,
+               doc_id % 3 = 0 AS had_gps,
+               FALSE AS gps_after,
+               CAST(CASE WHEN doc_id % 3 < 2 THEN 1 + doc_id % 8
+                    END AS INT) AS orientation,
+               CASE WHEN doc_id % 3 < 2 THEN 'Cam' END AS make,
+               doc_id % 3 <> 0 AS unchanged
+        FROM documents
+        WHERE doc_id < 500
     """,
     # Three closed-form classes: flat -> 0/0/0; bottom-third
     # period-2 stripes -> 0/0/470 (1000*64//136) and flagged;

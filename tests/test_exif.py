@@ -149,3 +149,60 @@ def test_thumbnail_absent_and_bounds():
     bad = bytes(bad[: len(bad) - len(thumb) + 2])  # truncate the bytes
     with pytest.raises(exif.ExifError, match="bounds"):
         exif.exif_thumbnail(bad)
+
+
+def test_strip_gps_surgical():
+    import numpy as np
+
+    from mechaml_spark import exif, jpeg
+
+    base = jpeg.jpeg_encode(np.full((8, 8, 3), 77, np.uint8), quality=90)
+    tags = {
+        "Make": "Cam", "Model": "X1", "Orientation": 5,
+        "DateTime": "2024:01:02 03:04:05",
+        "PixelXDimension": 8, "PixelYDimension": 8,
+        "GPSLatitudeRef": "N", "GPSLatitude": [(52, 1), (30, 1), (0, 1)],
+        "GPSLongitudeRef": "E", "GPSLongitude": [(13, 1), (24, 1), (30, 1)],
+    }
+    for order in ("II", "MM"):
+        j = exif.jpeg_set_exif(base, exif.exif_payload(tags, byte_order=order))
+        out, had = exif.exif_strip_gps(j)
+        assert had
+        after = exif.exif_parse(out)
+        assert not any(k.startswith("GPS") for k in after)
+        # keepers survive the rebuild
+        for k in ("Make", "Model", "Orientation", "DateTime",
+                  "PixelXDimension", "PixelYDimension"):
+            assert after[k] == tags[k], k
+        # byte order preserved, pixels untouched, idempotent
+        assert exif._tiff_body(out)[:2].decode() == order
+        assert jpeg.jpeg_decode(out).tobytes() == jpeg.jpeg_decode(j).tobytes()
+        out2, had2 = exif.exif_strip_gps(out)
+        assert not had2 and out2 == out
+
+
+def test_strip_gps_thumbnail_carried():
+    import numpy as np
+
+    from mechaml_spark import exif, jpeg
+
+    base = jpeg.jpeg_encode(np.full((8, 8, 3), 10, np.uint8), quality=90)
+    thumb = jpeg.jpeg_encode(np.full((8, 8, 3), 200, np.uint8), quality=80)
+    tags = {"Orientation": 3, "GPSLatitudeRef": "S",
+            "GPSLatitude": [(1, 1), (2, 1), (3, 1)]}
+    j = exif.jpeg_set_exif(
+        base, exif.exif_payload(tags, thumbnail=thumb)
+    )
+    out, had = exif.exif_strip_gps(j)
+    assert had and exif.exif_thumbnail(out) == thumb
+    assert not any(k.startswith("GPS") for k in exif.exif_parse(out))
+
+
+def test_strip_gps_no_exif_passthrough():
+    import numpy as np
+
+    from mechaml_spark import exif, jpeg
+
+    base = jpeg.jpeg_encode(np.full((8, 8, 3), 50, np.uint8), quality=85)
+    out, had = exif.exif_strip_gps(base)
+    assert not had and out == base
