@@ -670,6 +670,55 @@ def q_image_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pair_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-text PAIR dedup on the north-rule input table shape
+    (image_id, bytes, w, h, fmt, caption, phash): LAION-style
+    (caption, phash) exact-pair grouping with keep-highest-resolution
+    — re-crawls and mirrors yield the same caption+perceptual-hash
+    pair at many sizes, and the curated set keeps one row per pair:
+    the max (w*h, doc_id) member (struct-order max, pinned
+    tie-break).  Table synthesized closed-form from doc_id (40 pair
+    groups x 20 members with varying dims).  Scale posture: ONE
+    partial-agg groupBy on (caption, phash) — max/count combine
+    map-side, bytes never shuffle (the keeper's bytes are fetched by
+    a later semi-join on doc_id at real scale); no window, no skew
+    beyond ordinary key balance."""
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 800
+    )
+    g = F.col("doc_id") % 40
+    pairs = d.select(
+        "doc_id",
+        F.concat(F.lit("img"), F.col("doc_id")).alias("image_id"),
+        (64 * (1 + F.col("doc_id") % 8)).cast("int").alias("w"),
+        (64 * (1 + F.col("doc_id") % 5)).cast("int").alias("h"),
+        F.element_at(
+            F.array(F.lit("jpg"), F.lit("png"), F.lit("webp")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("fmt"),
+        F.concat(F.lit("a photo of item "), g).alias("caption"),
+        (g * F.lit(2654435761)).cast("long").alias("phash"),
+    )
+    kept = (
+        pairs.withColumn(
+            "area", (F.col("w").cast("long") * F.col("h")).alias("area")
+        )
+        .groupBy("caption", "phash")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.max(F.struct("area", "doc_id")).alias("k"),
+        )
+        .select(
+            "caption",
+            "phash",
+            "n_pairs",
+            F.col("k")["doc_id"].alias("keep_doc"),
+            F.col("k")["area"].alias("keep_area"),
+        )
+    )
+    return kept
+
+
 def q_exif_gps_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-side PII compliance: surgical GPS scrub
     (exif.exif_strip_gps) that removes ONLY the location sub-IFD
@@ -6965,6 +7014,7 @@ QUERIES = {
     "image_jpeg_features": q_image_jpeg_features,
     "jpeg_quality": q_jpeg_quality,
     "text_overlay": q_text_overlay,
+    "pair_dedup": q_pair_dedup,
     "exif_gps_scrub": q_exif_gps_scrub,
     "image_jpeg_progressive": q_image_jpeg_progressive,
     "image_png_variants": q_image_png_variants,
@@ -7446,6 +7496,28 @@ ORACLES = {
                      (phash >> (16 * CAST(b AS INT))) & 65535 AS val
               FROM ph, range(4) rb(b))
         GROUP BY band, val HAVING count(*) > 1
+    """,
+    # Same synthesis + the identical (area, doc_id) struct-order max
+    # replayed as a row_number over (w*h DESC, doc_id DESC).
+    "pair_dedup": """
+        WITH p AS (
+            SELECT doc_id,
+                   'a photo of item ' || (doc_id % 40) AS caption,
+                   CAST((doc_id % 40) * 2654435761 AS BIGINT) AS phash,
+                   CAST(64 * (1 + doc_id % 8) AS BIGINT)
+                   * CAST(64 * (1 + doc_id % 5) AS BIGINT) AS area
+            FROM documents WHERE doc_id < 800),
+        r AS (
+            SELECT caption, phash, doc_id, area,
+                   row_number() OVER (PARTITION BY caption, phash
+                                      ORDER BY area DESC, doc_id DESC)
+                       AS rk,
+                   count(*) OVER (PARTITION BY caption, phash)
+                       AS n_pairs
+            FROM p)
+        SELECT caption, phash, CAST(n_pairs AS BIGINT) AS n_pairs,
+               doc_id AS keep_doc, area AS keep_area
+        FROM r WHERE rk = 1
     """,
     # Class table stated literally: cls0 carries GPS (scrubbed,
     # bytes change), cls1 EXIF sans GPS (byte-identical), cls2 no
