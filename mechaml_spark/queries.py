@@ -670,6 +670,72 @@ def q_image_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_subtitle_cues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRT / WebVTT subtitle-cue parsing (subtitles.cues_col) — the
+    caption-alignment stage of a video-text pipeline (pair sampled
+    frames with the cue text overlapping them).  Each doc synthesizes
+    a 3-cue subtitle file closed-form from doc_id: even docs SRT
+    (numeric index lines, comma milliseconds), odd docs WebVTT
+    (header block, dot milliseconds, cue settings after the arrow);
+    docs%4==0 append a malformed no-arrow block the parser must
+    drop.  Spark BUILDS the text and runs the real expression-only
+    grammar; the oracle states start/end/text arithmetically.  Scale
+    posture: split/transform/filter/regexp under whole-stage codegen
+    — zero Python, zero shuffle; explode is the only row-expansion."""
+    from mechaml_spark.subtitles import cues_col
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 600
+    )
+    did = F.col("doc_id")
+    two = lambda c: F.lpad(c.cast("string"), 2, "0")  # noqa: E731
+    vtt = did % 2 == 1
+    sep = F.when(vtt, ".").otherwise(",")
+    mmm = F.lpad(((did % 10) * 100).cast("string"), 3, "0")
+
+    def cue(i: int):
+        s = (did % 50) * 3 + 4 * i
+        e = s + 2 + i
+        start = F.concat(
+            F.lit("00:"), two((s / 60).cast("int")), F.lit(":"),
+            two(s % 60), sep, mmm,
+        )
+        end = F.concat(
+            F.lit("00:"), two((e / 60).cast("int")), F.lit(":"),
+            two(e % 60), sep, mmm,
+        )
+        idx = F.when(vtt, F.lit("")).otherwise(
+            F.concat(F.lit(f"{i + 1}"), F.lit("\n"))
+        )
+        settings = F.when(vtt, F.lit(" align:start")).otherwise(F.lit(""))
+        body = (
+            F.concat(F.lit("item "), did, F.lit(f" cue {i}\nextra"))
+            if i == 0
+            else F.concat(F.lit("item "), did, F.lit(f" cue {i}"))
+        )
+        return F.concat(idx, start, F.lit(" --> "), end, settings,
+                        F.lit("\n"), body)
+
+    header = F.when(vtt, F.lit("WEBVTT\n\n")).otherwise(F.lit(""))
+    junk = F.when(did % 4 == 0, F.lit("\n\njunk block\nno arrow")).otherwise(
+        F.lit("")
+    )
+    doc = F.concat(
+        header, cue(0), F.lit("\n\n"), cue(1), F.lit("\n\n"), cue(2), junk,
+        F.lit("\n"),
+    )
+    return (
+        d.select("doc_id", F.posexplode(cues_col(doc)).alias("cue_no", "c"))
+        .select(
+            "doc_id",
+            F.col("cue_no").cast("int").alias("cue_no"),
+            F.col("c")["start_ms"].alias("start_ms"),
+            F.col("c")["end_ms"].alias("end_ms"),
+            F.col("c")["text"].alias("text"),
+        )
+    )
+
+
 def q_pair_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-text PAIR dedup on the north-rule input table shape
     (image_id, bytes, w, h, fmt, caption, phash): LAION-style
@@ -7014,6 +7080,7 @@ QUERIES = {
     "image_jpeg_features": q_image_jpeg_features,
     "jpeg_quality": q_jpeg_quality,
     "text_overlay": q_text_overlay,
+    "subtitle_cues": q_subtitle_cues,
     "pair_dedup": q_pair_dedup,
     "exif_gps_scrub": q_exif_gps_scrub,
     "image_jpeg_progressive": q_image_jpeg_progressive,
@@ -7496,6 +7563,23 @@ ORACLES = {
                      (phash >> (16 * CAST(b AS INT))) & 65535 AS val
               FROM ph, range(4) rb(b))
         GROUP BY band, val HAVING count(*) > 1
+    """,
+    # start/end/text are closed forms of (doc_id, cue_no); the
+    # malformed no-arrow block (docs%4==0) and the WEBVTT/NOTE header
+    # blocks contribute no rows by construction.
+    "subtitle_cues": """
+        WITH c(cue_no) AS (VALUES (0), (1), (2))
+        SELECT d.doc_id,
+               CAST(c.cue_no AS INT) AS cue_no,
+               CAST(((d.doc_id % 50) * 3 + 4 * c.cue_no) * 1000
+                    + (d.doc_id % 10) * 100 AS BIGINT) AS start_ms,
+               CAST(((d.doc_id % 50) * 3 + 4 * c.cue_no + 2 + c.cue_no)
+                    * 1000 + (d.doc_id % 10) * 100 AS BIGINT) AS end_ms,
+               'item ' || d.doc_id || ' cue ' || c.cue_no
+                   || CASE WHEN c.cue_no = 0 THEN chr(10) || 'extra'
+                           ELSE '' END AS text
+        FROM documents d CROSS JOIN c
+        WHERE d.doc_id < 600
     """,
     # Same synthesis + the identical (area, doc_id) struct-order max
     # replayed as a row_number over (w*h DESC, doc_id DESC).

@@ -1,0 +1,65 @@
+"""Grammar tests for the expression-only SRT/WebVTT cue parser."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mechaml_spark.subtitles import cues_col
+
+
+def _parse(spark, text):
+    df = spark.createDataFrame([(text,)], "body string")
+    rows = df.select(
+        F.explode(cues_col(F.col("body"))).alias("c")
+    ).select("c.start_ms", "c.end_ms", "c.text").collect()
+    return [(r["start_ms"], r["end_ms"], r["text"]) for r in rows]
+
+
+def test_srt_basic(spark):
+    out = _parse(
+        spark,
+        "1\n00:00:03,250 --> 00:00:05,900\nline A\nline B\n\n"
+        "2\n00:01:09,000 --> 00:01:11,005\nsecond\n",
+    )
+    assert out == [
+        (3250, 5900, "line A\nline B"),
+        (69000, 71005, "second"),
+    ]
+
+
+def test_webvtt_header_note_settings_dot_ms(spark):
+    out = _parse(
+        spark,
+        "WEBVTT\n\nNOTE this is a comment\nspanning lines\n\n"
+        "00:01:00.000 --> 00:01:02.250 align:start position:10%\nvtt text\n",
+    )
+    assert out == [(60000, 62250, "vtt text")]
+
+
+def test_malformed_blocks_dropped_not_crashed(spark):
+    out = _parse(
+        spark,
+        "garbage\nno arrow\n\n1\n00:00:01,000 --> 00:00:02,000\nok\n\n"
+        "3\n99:99 --> nope\nbad times\n",
+    )
+    assert out == [(1000, 2000, "ok")]
+
+
+def test_crlf_and_hours(spark):
+    out = _parse(
+        spark,
+        "1\r\n01:02:03,004 --> 01:02:04,004\r\ncrlf text\r\n\r\n"
+        "2\r\n10:00:00,000 --> 10:00:01,000\r\nten hours\r\n",
+    )
+    assert out == [
+        (3723004, 3724004, "crlf text"),
+        (36000000, 36001000, "ten hours"),
+    ]
+
+
+def test_empty_and_headerless_vtt_cue_without_index(spark):
+    assert _parse(spark, "") == []
+    # bare cue with neither index nor header: timing is line 0
+    assert _parse(spark, "00:00:05,000 --> 00:00:06,000\nbare\n") == [
+        (5000, 6000, "bare")
+    ]
