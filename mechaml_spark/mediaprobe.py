@@ -43,7 +43,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 __all__ = [
-    "mp4_write", "mp4_probe", "mp3_write", "mp3_probe",
+    "mp4_write", "mp4_probe", "mp4_write_sampled", "mp4_samples",
+    "mp3_write", "mp3_probe",
     "ogg_write", "ogg_probe", "flac_write", "flac_probe",
     "mkv_write", "mkv_probe", "probe_media", "PROBE_T",
 ]
@@ -1111,3 +1112,246 @@ _PROBERS.update({
     "avif": avif_probe, "heic": avif_probe,
     "webp": webp_probe, "jxl": jxl_probe,
 })
+
+
+# --------------------------------------------------------------------------
+# MP4 sample tables: write + expand (frame locations WITHOUT decode)
+# --------------------------------------------------------------------------
+
+def _stbl_sampled(
+    entry: bytes,
+    deltas: list[int],
+    sizes: list[int],
+    chunk_spc: list[int],
+    chunk_offsets: list[int],
+    sync: list[int] | None,
+) -> bytes:
+    """stbl with REAL stts/stsc/stsz/stco[/stss] tables."""
+    runs: list[tuple[int, int]] = []
+    for d in deltas:
+        if runs and runs[-1][1] == d:
+            runs[-1] = (runs[-1][0] + 1, d)
+        else:
+            runs.append((1, d))
+    stts = _full(
+        b"stts", 0, 0,
+        struct.pack(">I", len(runs))
+        + b"".join(struct.pack(">II", c, d) for c, d in runs),
+    )
+    stsc_entries: list[tuple[int, int]] = []
+    for i, spc in enumerate(chunk_spc):
+        if not stsc_entries or stsc_entries[-1][1] != spc:
+            stsc_entries.append((i + 1, spc))
+    stsc = _full(
+        b"stsc", 0, 0,
+        struct.pack(">I", len(stsc_entries))
+        + b"".join(
+            struct.pack(">III", fc, spc, 1) for fc, spc in stsc_entries
+        ),
+    )
+    stsz = _full(
+        b"stsz", 0, 0,
+        struct.pack(">II", 0, len(sizes))
+        + b"".join(struct.pack(">I", s) for s in sizes),
+    )
+    stco = _full(
+        b"stco", 0, 0,
+        struct.pack(">I", len(chunk_offsets))
+        + b"".join(struct.pack(">I", o) for o in chunk_offsets),
+    )
+    stss = b""
+    if sync is not None:
+        stss = _full(
+            b"stss", 0, 0,
+            struct.pack(">I", len(sync))
+            + b"".join(struct.pack(">I", s) for s in sync),
+        )
+    return _box(
+        b"stbl",
+        _full(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
+        + stts + stsc + stsz + stco + stss,
+    )
+
+
+def mp4_write_sampled(
+    width: int,
+    height: int,
+    deltas: list[int],
+    sizes: list[int],
+    chunk_spc: list[int],
+    sync: list[int] | None = None,
+    timescale: int = 30000,
+    video_codec: bytes = b"avc1",
+) -> bytes:
+    """Deterministic BMFF fixture whose video track carries REAL
+    sample tables: ``deltas``/``sizes`` per sample, ``chunk_spc``
+    samples per chunk (must sum to len(sizes)), ``sync`` 1-based
+    keyframe numbers (None = no stss, every sample a sync point).
+    Chunks pack contiguously into one mdat, so sample n's file offset
+    is ``mdat_payload_start + sum(sizes[:n])``.  Built twice: once
+    with zero chunk offsets to learn the moov size, then for real."""
+    if sum(chunk_spc) != len(sizes) or len(deltas) != len(sizes):
+        raise ValueError("inconsistent sample tables")
+    ts = 1000
+    dur_ms = sum(deltas) * 1000 // timescale
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+
+    def build(offsets: list[int]) -> bytes:
+        mvhd = _full(
+            b"mvhd", 0, 0,
+            struct.pack(">IIII", 0, 0, ts, dur_ms)
+            + struct.pack(">IH", 0x00010000, 0x0100)
+            + b"\x00" * 10 + _UNITY_MATRIX + b"\x00" * 24
+            + struct.pack(">I", 2),
+        )
+        tkhd = _full(
+            b"tkhd", 0, 7,
+            struct.pack(">IIII", 0, 0, 1, 0)
+            + struct.pack(">I", dur_ms) + b"\x00" * 8
+            + struct.pack(">HHHH", 0, 0, 0, 0) + _UNITY_MATRIX
+            + struct.pack(">II", width << 16, height << 16),
+        )
+        mdhd = _full(
+            b"mdhd", 0, 0,
+            struct.pack(">IIII", 0, 0, timescale, sum(deltas))
+            + struct.pack(">HH", 0x55C4, 0),
+        )
+        hdlr = _full(
+            b"hdlr", 0, 0,
+            struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"probe\x00",
+        )
+        dinf = _box(
+            b"dinf",
+            _full(b"dref", 0, 0,
+                  struct.pack(">I", 1) + _full(b"url ", 0, 1, b"")),
+        )
+        stbl = _stbl_sampled(
+            _visual_entry(video_codec, width, height),
+            deltas, sizes, chunk_spc, offsets, sync,
+        )
+        minf = _box(
+            b"minf",
+            _full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+            + dinf + stbl,
+        )
+        trak = _box(b"trak", tkhd + _box(b"mdia", mdhd + hdlr + minf))
+        return _box(b"moov", mvhd + trak)
+
+    moov0 = build([0] * len(chunk_spc))
+    base = len(ftyp) + len(moov0) + 8  # + mdat header
+    offsets, pos, si = [], base, 0
+    for spc in chunk_spc:
+        offsets.append(pos)
+        pos += sum(sizes[si : si + spc])
+        si += spc
+    moov = build(offsets)
+    assert len(moov) == len(moov0)
+    payload = bytes(
+        (7 * i + j) & 0xFF for i, s in enumerate(sizes) for j in range(s)
+    )
+    return ftyp + moov + _box(b"mdat", payload)
+
+
+def mp4_samples(data: bytes) -> dict | None:
+    """Expand the first video track's sample tables into per-sample
+    ``(offset, size, dts_ticks, keyframe)`` — how a video pipeline
+    locates frame byte-ranges and sync points WITHOUT touching a
+    codec (the GPU decode stage downstream seeks straight to the
+    keyframe samples).  Returns ``{"timescale": int, "samples":
+    [...]}``, or None when the bytes are not a plausible BMFF stream.
+    Sample offset = stco chunk base + cumulative sizes within the
+    chunk (ISO 14496-12 §8.7); missing stss means every sample is a
+    sync point (§8.6.2)."""
+    probe_ok = False
+    for tag, s, e in _walk_boxes(data, 0, len(data)):
+        if tag == b"ftyp":
+            probe_ok = True
+        elif tag == b"moov" and probe_ok:
+            for t2, s2, e2 in _walk_boxes(data, s, e):
+                if t2 != b"trak":
+                    continue
+                got = _track_tables(data, s2, e2)
+                if got is not None:
+                    return got
+    return None
+
+
+def _track_tables(data: bytes, s: int, e: int) -> dict | None:
+    handler = None
+    timescale = None
+    tbl: dict[bytes, tuple[int, int]] = {}
+
+    def walk(a: int, b: int) -> None:
+        nonlocal handler, timescale
+        for tag, ps, pe in _walk_boxes(data, a, b):
+            if tag in (b"mdia", b"minf", b"stbl"):
+                walk(ps, pe)
+            elif tag == b"hdlr":
+                handler = data[ps + 8 : ps + 12]
+            elif tag == b"mdhd":
+                timescale = struct.unpack_from(">I", data, ps + 12)[0]
+            elif tag in (b"stts", b"stsc", b"stsz", b"stco", b"stss"):
+                tbl[tag] = (ps, pe)
+
+    walk(s, e)
+    if handler != b"vide" or not all(
+        k in tbl for k in (b"stts", b"stsc", b"stsz", b"stco")
+    ):
+        return None
+
+    def u32s(ps: int, skip: int, n: int) -> list[int]:
+        return list(
+            struct.unpack_from(f">{n}I", data, ps + skip)
+        ) if n else []
+
+    ps, _ = tbl[b"stts"]
+    n_runs = struct.unpack_from(">I", data, ps + 4)[0]
+    runs = u32s(ps, 8, 2 * n_runs)
+    deltas: list[int] = []
+    for i in range(n_runs):
+        deltas += [runs[2 * i + 1]] * runs[2 * i]
+    ps, _ = tbl[b"stsz"]
+    fixed, n_samples = struct.unpack_from(">II", data, ps + 4)
+    sizes = (
+        [fixed] * n_samples if fixed else u32s(ps, 12, n_samples)
+    )
+    ps, _ = tbl[b"stco"]
+    n_chunks = struct.unpack_from(">I", data, ps + 4)[0]
+    chunk_off = u32s(ps, 8, n_chunks)
+    ps, _ = tbl[b"stsc"]
+    n_sc = struct.unpack_from(">I", data, ps + 4)[0]
+    sc = u32s(ps, 8, 3 * n_sc)
+    spc_by_chunk: list[int] = []
+    for i in range(n_sc):
+        first = sc[3 * i]
+        spc = sc[3 * i + 1]
+        last = sc[3 * (i + 1)] if i + 1 < n_sc else n_chunks + 1
+        spc_by_chunk += [spc] * (last - first)
+    sync = None
+    if b"stss" in tbl:
+        ps, _ = tbl[b"stss"]
+        n_sync = struct.unpack_from(">I", data, ps + 4)[0]
+        sync = set(u32s(ps, 8, n_sync))
+
+    samples = []
+    dts = 0
+    si = 0
+    for ci, spc in enumerate(spc_by_chunk):
+        if ci >= len(chunk_off):
+            break
+        pos = chunk_off[ci]
+        for _ in range(spc):
+            if si >= n_samples:
+                break
+            samples.append(
+                (
+                    pos,
+                    sizes[si],
+                    dts,
+                    sync is None or (si + 1) in sync,
+                )
+            )
+            pos += sizes[si]
+            dts += deltas[si] if si < len(deltas) else 0
+            si += 1
+    return {"timescale": timescale, "samples": samples}

@@ -670,6 +670,61 @@ def q_image_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mp4_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4 (ISO BMFF) sample-table expansion — how a video pipeline
+    locates per-frame byte ranges, decode timestamps, and keyframe
+    sync points WITHOUT touching a codec (the downstream GPU decode
+    seeks straight to keyframe offsets; ISO 14496-12 §8.6-8.7).
+    Each doc writes a real BMFF stream (mediaprobe.mp4_write_sampled)
+    with 6 samples in chunks of [2,3,1], two stts delta runs, per-doc
+    sizes, and stss=[1,4]; Spark parses the real boxes back
+    (mediaprobe.mp4_samples).  The fixture shape is constant, so the
+    mdat payload base is the constant 680 the oracle states (pinned
+    by tests/test_mp4_samples.py) and offsets are base + a window
+    cumsum of the closed-form sizes.  Scale posture: header-only box
+    walk in mapInPandas — mdat bytes never parse; 5 small columns
+    per sample leave the worker; zero shuffle."""
+    import pandas as _pd
+
+    from mechaml_spark.mediaprobe import mp4_samples, mp4_write_sampled
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 400
+    )
+
+    def expand(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "sample_no": [], "offset": [],
+                   "size": [], "dts": [], "keyframe": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                d1 = 400 + (did % 5) * 20
+                d2 = 900 + (did % 3) * 100
+                sizes = [16 + (did + i) % 9 for i in range(6)]
+                data = mp4_write_sampled(
+                    64, 48, [d1] * 3 + [d2] * 3, sizes, [2, 3, 1],
+                    sync=[1, 4],
+                )
+                got = mp4_samples(data)
+                assert got["timescale"] == 30000
+                for i, (o, sz, dts, key) in enumerate(got["samples"]):
+                    out["doc_id"].append(did)
+                    out["sample_no"].append(i)
+                    out["offset"].append(o)
+                    out["size"].append(sz)
+                    out["dts"].append(dts)
+                    out["keyframe"].append(key)
+            yield _pd.DataFrame(out)
+
+    return d.mapInPandas(
+        expand,
+        schema=(
+            "doc_id long, sample_no int, offset long, size long, "
+            "dts long, keyframe boolean"
+        ),
+    )
+
+
 def q_subtitle_cues(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRT / WebVTT subtitle-cue parsing (subtitles.cues_col) — the
     caption-alignment stage of a video-text pipeline (pair sampled
@@ -7080,6 +7135,7 @@ QUERIES = {
     "image_jpeg_features": q_image_jpeg_features,
     "jpeg_quality": q_jpeg_quality,
     "text_overlay": q_text_overlay,
+    "mp4_samples": q_mp4_samples,
     "subtitle_cues": q_subtitle_cues,
     "pair_dedup": q_pair_dedup,
     "exif_gps_scrub": q_exif_gps_scrub,
@@ -7563,6 +7619,33 @@ ORACLES = {
                      (phash >> (16 * CAST(b AS INT))) & 65535 AS val
               FROM ph, range(4) rb(b))
         GROUP BY band, val HAVING count(*) > 1
+    """,
+    # Constant fixture shape -> constant mdat payload base 680
+    # (pinned by test_mp4_samples); offsets/dts replayed as window
+    # cumsums of the closed-form sizes/deltas.
+    "mp4_samples": """
+        WITH s(sample_no) AS (VALUES (0),(1),(2),(3),(4),(5)),
+        p AS (
+            SELECT d.doc_id, s.sample_no,
+                   CAST(16 + (d.doc_id + s.sample_no) % 9 AS BIGINT)
+                       AS size,
+                   CASE WHEN s.sample_no < 3
+                        THEN 400 + (d.doc_id % 5) * 20
+                        ELSE 900 + (d.doc_id % 3) * 100 END AS delta
+            FROM documents d CROSS JOIN s
+            WHERE d.doc_id < 400)
+        SELECT doc_id, CAST(sample_no AS INT) AS sample_no,
+               680 + COALESCE(SUM(size) OVER (
+                   PARTITION BY doc_id ORDER BY sample_no
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS offset,
+               size,
+               CAST(COALESCE(SUM(delta) OVER (
+                   PARTITION BY doc_id ORDER BY sample_no
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS dts,
+               sample_no IN (0, 3) AS keyframe
+        FROM p
     """,
     # start/end/text are closed forms of (doc_id, cue_no); the
     # malformed no-arrow block (docs%4==0) and the WEBVTT/NOTE header
