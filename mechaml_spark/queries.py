@@ -7003,6 +7003,103 @@ def q_ip_hostnames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "host", *ip_literal_cols(F.col("host")))
 
 
+_IP6_HOSTS = [
+    "[::1]",                      # loopback
+    "[fe80::1ff:fe23:4567:890a]", # link-local
+    "[fd12:3456:789a::1]",        # ULA fc00::/7
+    "[2001:db8::2:1]",            # documentation range
+    "[2606:2800:220:1:248:1893:25c8:1946]",  # global (example.com)
+    "[::ffff:127.0.0.1]",         # v4-mapped loopback
+    "[::ffff:10.1.2.3]",          # v4-mapped RFC 1918
+    "[::ffff:93.184.216.34]",     # v4-mapped public
+    "[ff02::fb]",                 # multicast (mDNS)
+    "[::]",                       # unspecified
+    "[2001:db8::zz]",             # malformed: kept verbatim, not an IP
+    "example.com",                # not bracketed, not v6
+]
+
+
+def q_ip6_hostnames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPv6 side of the SSRF gate (the v4 twin is `ip_hostnames`):
+    bracketed IPv6 URL hosts parsed with the stdlib grammar
+    (``::`` elision, embedded dotted-quad tails) and classified
+    against the ranges a VPC fetcher must not dial — loopback ::1,
+    link-local fe80::/10, ULA fc00::/7, documentation 2001:db8::/32,
+    multicast ff00::/8, unspecified ::, and v4-MAPPED addresses
+    (::ffff:a.b.c.d) classified by their embedded IPv4 so the v4
+    reserved ranges cannot be smuggled through a v6 literal.
+    12-host fixture cycled by doc_id; the oracle states the
+    classification literally while Spark runs the real parser.
+    Scale posture: one Arrow-batched pandas stage, per-row scalar
+    work, zero shuffle — scales like the canonicalizer."""
+    import ipaddress as _ip
+
+    import pandas as _pd
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") < 600)
+        .withColumn(
+            "host",
+            F.element_at(
+                F.array(*[F.lit(h) for h in _IP6_HOSTS]),
+                (F.col("doc_id") % 12 + 1).cast("int"),
+            ),
+        )
+    )
+
+    def classify(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "host": [], "is_ip6": [],
+                   "canonical": [], "blocked": [], "block_reason": []}
+            for did, host in zip(pdf["doc_id"], pdf["host"]):
+                host = str(host)
+                addr = None
+                if host.startswith("[") and host.endswith("]"):
+                    try:
+                        addr = _ip.IPv6Address(host[1:-1])
+                    except ValueError:
+                        addr = None
+                reason = None
+                if addr is not None:
+                    v4 = addr.ipv4_mapped
+                    if v4 is not None:
+                        if v4.is_loopback:
+                            reason = "v4-mapped-loopback"
+                        elif v4.is_private:
+                            reason = "v4-mapped-private"
+                    elif addr.is_unspecified:
+                        reason = "unspecified"
+                    elif addr.is_loopback:
+                        reason = "loopback"
+                    elif addr.is_link_local:
+                        reason = "link-local"
+                    elif addr.is_multicast:
+                        reason = "multicast"
+                    elif addr in _ip.ip_network("fc00::/7"):
+                        reason = "unique-local"
+                    elif addr in _ip.ip_network("2001:db8::/32"):
+                        reason = "documentation"
+                out["doc_id"].append(int(did))
+                out["host"].append(host)
+                out["is_ip6"].append(addr is not None)
+                out["canonical"].append(
+                    addr.compressed if addr is not None else None
+                )
+                out["blocked"].append(reason is not None)
+                out["block_reason"].append(reason)
+            yield _pd.DataFrame(out)
+
+    return d.mapInPandas(
+        classify,
+        schema=(
+            "doc_id long, host string, is_ip6 boolean, canonical string, "
+            "blocked boolean, block_reason string"
+        ),
+    )
+
+
 def q_caption_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LAION / DataComp-style caption junk filters for image-text
     pair curation: token count, filename-like (IMG_1234.JPG), URL in
@@ -7246,6 +7343,7 @@ QUERIES = {
     "image_cropdetect": q_image_cropdetect,
     "idn_hostnames": q_idn_hostnames,
     "ip_hostnames": q_ip_hostnames,
+    "ip6_hostnames": q_ip6_hostnames,
     "caption_rules": q_caption_rules,
     "aspect_buckets": q_aspect_buckets,
 }
@@ -9419,6 +9517,40 @@ ORACLES = {
         FROM documents d
         JOIN fx ON fx.idx = d.doc_id % 16
         WHERE d.doc_id < 800
+    """,
+    # Expected v6 classification stated literally per fixture host
+    # (validated against the stdlib ipaddress module, which Spark
+    # actually runs inside the Arrow stage).
+    "ip6_hostnames": """
+        WITH fx(idx, host, is_ip6, canonical, blocked,
+                block_reason) AS (VALUES
+            (0, '[::1]', TRUE, '::1', TRUE, 'loopback'),
+            (1, '[fe80::1ff:fe23:4567:890a]', TRUE,
+             'fe80::1ff:fe23:4567:890a', TRUE, 'link-local'),
+            (2, '[fd12:3456:789a::1]', TRUE, 'fd12:3456:789a::1',
+             TRUE, 'unique-local'),
+            (3, '[2001:db8::2:1]', TRUE, '2001:db8::2:1', TRUE,
+             'documentation'),
+            (4, '[2606:2800:220:1:248:1893:25c8:1946]', TRUE,
+             '2606:2800:220:1:248:1893:25c8:1946', FALSE,
+             CAST(NULL AS VARCHAR)),
+            (5, '[::ffff:127.0.0.1]', TRUE, '::ffff:7f00:1', TRUE,
+             'v4-mapped-loopback'),
+            (6, '[::ffff:10.1.2.3]', TRUE, '::ffff:a01:203', TRUE,
+             'v4-mapped-private'),
+            (7, '[::ffff:93.184.216.34]', TRUE, '::ffff:5db8:d822',
+             FALSE, CAST(NULL AS VARCHAR)),
+            (8, '[ff02::fb]', TRUE, 'ff02::fb', TRUE, 'multicast'),
+            (9, '[::]', TRUE, '::', TRUE, 'unspecified'),
+            (10, '[2001:db8::zz]', FALSE, CAST(NULL AS VARCHAR),
+             FALSE, CAST(NULL AS VARCHAR)),
+            (11, 'example.com', FALSE, CAST(NULL AS VARCHAR), FALSE,
+             CAST(NULL AS VARCHAR)))
+        SELECT d.doc_id, fx.host, fx.is_ip6, fx.canonical, fx.blocked,
+               fx.block_reason
+        FROM documents d
+        JOIN fx ON fx.idx = d.doc_id % 12
+        WHERE d.doc_id < 600
     """,
     # Flags derived arithmetically per modulus class (pinned
     # precedence filename > url > boilerplate > caps > short > good);

@@ -167,3 +167,29 @@ def test_short_and_radix_forms(spark, h, dq):
     assert r["is_ip"] and r["ip_canonical"] == dq
     # sanity: agrees with the platform inet_aton too
     assert _aton(h) == (True, dq)
+
+
+def test_ip6_fixture_agrees_with_stdlib(spark):
+    import ipaddress as ip
+
+    from mechaml_spark.queries import QUERIES
+
+    out = QUERIES["ip6_hostnames"](spark, "/root/testdata/sf0.001")
+    rows = {r["host"]: r for r in out.collect()}
+    for host, r in rows.items():
+        inner = host[1:-1] if host.startswith("[") else None
+        try:
+            addr = ip.IPv6Address(inner) if inner else None
+        except ValueError:
+            addr = None
+        assert r["is_ip6"] == (addr is not None), host
+        if addr is not None:
+            assert r["canonical"] == addr.compressed
+            v4 = addr.ipv4_mapped
+            if v4 is not None:
+                # the v4 twin gate must agree on the embedded address
+                assert r["blocked"] == (v4.is_loopback or v4.is_private)
+            elif r["block_reason"] == "documentation":
+                assert addr in ip.ip_network("2001:db8::/32")
+        else:
+            assert not r["blocked"] and r["canonical"] is None
