@@ -810,7 +810,10 @@ def sample_video_frames(
 ) -> DataFrame:
     """Frame sampling: one output row per sampled frame (PNG bytes).
 
-    REAL for animated GIF (``fmt == 'gif'``: frames decoded via
+    REAL for animated WebP (``fmt == 'webp'``:
+    :func:`mechaml_spark.webp.webp_decode_frames` — VP8X/ANIM/ANMF
+    compositing, alpha blend + dispose-to-background, still WebP =
+    one frame), animated GIF (``fmt == 'gif'``: frames decoded via
     :func:`mechaml_spark.imaging.gif_decode_frames`) and animated PNG
     (``fmt == 'apng'``: :func:`mechaml_spark.imaging.apng_decode_frames`
     — full fcTL/fdAT compositing, dispose + blend ops), composited
@@ -848,12 +851,14 @@ def sample_video_frames(
         for pdf in batches:
             rows = []
             for mid, data, fmt in zip(pdf[id_col], pdf[bytes_col], pdf[fmt_col]):
-                if fmt in ("gif", "apng"):
-                    decode_frames = (
-                        imaging.gif_decode_frames
-                        if fmt == "gif"
-                        else imaging.apng_decode_frames
-                    )
+                if fmt in ("gif", "apng", "webp"):
+                    if fmt == "gif":
+                        decode_frames = imaging.gif_decode_frames
+                    elif fmt == "apng":
+                        decode_frames = imaging.apng_decode_frames
+                    else:
+                        from mechaml_spark.webp import webp_decode_frames
+                        decode_frames = webp_decode_frames
                     try:
                         frames = decode_frames(bytes(data))
                     except ValueError:

@@ -2815,6 +2815,84 @@ def q_video_frames_apng(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_video_frames_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Animated-WebP pipeline with a CLOSED-FORM oracle covering the
+    ANMF machinery: sub-frame offsets, no-blend overwrite,
+    dispose-to-ANIM-background, and integer alpha blending — through
+    the REAL VP8L codec both ways (fixtures written by the repo's
+    encoder, decoded by the spec decoder).
+
+    Doc d, 4x4 canvas in 2x2 quadrants, 4 frames every 100 ms:
+    f0 full c0 opaque; f1 = c1 at Q10 with dispose-to-bg; f2 = c2 at
+    Q01 overwrite; f3 = c3 ALPHA 128 at Q11 blended over c0 —
+    blended channel = (128*c3 + 127*c0 + 127) // 255 exactly (the
+    decoder's integer Porter-Duff).  Per-tick mean*1000 values are
+    the shared closed forms."""
+    import numpy as _np
+    import pandas as _pd
+
+    from mechaml_spark import multimodal
+    from mechaml_spark.webp import webp_encode_anim
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 200
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                c0 = [(did * p) % 251 for p in (7, 11, 13)]
+                c1 = [(did * p) % 251 for p in (17, 19, 23)]
+                c2 = [(did * p) % 251 for p in (29, 31, 37)]
+                c3 = [(did * p) % 251 for p in (41, 43, 47)]
+                bg = tuple((did * p) % 251 for p in (53, 59, 61)) + (255,)
+
+                def solid(c, a=None):
+                    ch = 4 if a is not None else 3
+                    px = _np.empty((2, 2, ch), _np.uint8)
+                    px[..., :3] = _np.array(c, _np.uint8)
+                    if a is not None:
+                        px[..., 3] = a
+                    return px
+
+                f0 = _np.empty((4, 4, 3), _np.uint8)
+                f0[..., :] = _np.array(c0, _np.uint8)
+                data = webp_encode_anim(
+                    [
+                        (100, 0, 0, f0, False, False),
+                        (100, 2, 0, solid(c1), True, False),
+                        (100, 0, 2, solid(c2), False, False),
+                        (100, 2, 2, solid(c3, a=128), False, True),
+                    ],
+                    canvas_wh=(4, 4),
+                    bg=bg,
+                )
+                rows.append(
+                    {"media_id": str(did), "bytes": data, "fmt": "webp"}
+                )
+            yield _pd.DataFrame(rows, columns=["media_id", "bytes", "fmt"])
+
+    media = d.mapInPandas(
+        gen, schema="media_id string, bytes binary, fmt string"
+    )
+    sampled = multimodal.sample_video_frames(media, every_ms=100)
+    feats = multimodal.image_features(
+        sampled.withColumnRenamed("frame", "bytes").withColumn(
+            "fmt", F.lit("png")
+        )
+    )
+    return feats.select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        "frame_idx",
+        "ts_ms",
+        F.col("features")["mean_r"].alias("mean_r"),
+        F.col("features")["mean_g"].alias("mean_g"),
+        F.col("features")["mean_b"].alias("mean_b"),
+    )
+
+
 def q_video_frames_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MJPEG-in-AVI pipeline with a CLOSED-FORM oracle: deterministic
     AVI containers keyed by doc_id — ``F = 2 + d%3`` constant-plane
@@ -7274,6 +7352,7 @@ QUERIES = {
     "video_frames": q_video_frames,
     "video_frames_avi": q_video_frames_avi,
     "video_frames_apng": q_video_frames_apng,
+    "video_frames_webp": q_video_frames_webp,
     "audio_g711_features": q_audio_g711_features,
     "audio_adpcm_features": q_audio_adpcm_features,
     "audio_container_features": q_audio_container_features,
@@ -9051,6 +9130,47 @@ ORACLES = {
                CAST((doc_id * 13 + k * 41) % 251 AS BIGINT) * 1000 AS mean_b
         FROM documents, range(4) rk(k)
         WHERE doc_id < 200 AND k < 2 + doc_id % 3
+    """,
+    # Quadrant closed forms through the REAL VP8L codec both ways;
+    # blended channel = (128*c3 + 127*c0 + 127) // 255 (the decoder's
+    # integer Porter-Duff over an opaque canvas).
+    "video_frames_webp": """
+        WITH c AS (
+            SELECT doc_id, k,
+                   (doc_id * 7)  % 251 AS r0, (doc_id * 11) % 251 AS g0,
+                   (doc_id * 13) % 251 AS b0,
+                   (doc_id * 17) % 251 AS r1, (doc_id * 19) % 251 AS g1,
+                   (doc_id * 23) % 251 AS b1,
+                   (doc_id * 29) % 251 AS r2, (doc_id * 31) % 251 AS g2,
+                   (doc_id * 37) % 251 AS b2,
+                   (doc_id * 41) % 251 AS r3, (doc_id * 43) % 251 AS g3,
+                   (doc_id * 47) % 251 AS b3,
+                   (doc_id * 53) % 251 AS rb, (doc_id * 59) % 251 AS gb,
+                   (doc_id * 61) % 251 AS bb
+            FROM documents, range(4) rk(k) WHERE doc_id < 200
+        )
+        SELECT doc_id,
+               CAST(k AS INT) AS frame_idx,
+               CAST(k * 100 AS BIGINT) AS ts_ms,
+               CAST(CASE k WHEN 0 THEN r0 * 1000
+                    WHEN 1 THEN (3 * r0 + r1) * 250
+                    WHEN 2 THEN (2 * r0 + rb + r2) * 250
+                    ELSE (r0 + rb + r2
+                          + (128 * r3 + 127 * r0 + 127) // 255) * 250
+                    END AS BIGINT) AS mean_r,
+               CAST(CASE k WHEN 0 THEN g0 * 1000
+                    WHEN 1 THEN (3 * g0 + g1) * 250
+                    WHEN 2 THEN (2 * g0 + gb + g2) * 250
+                    ELSE (g0 + gb + g2
+                          + (128 * g3 + 127 * g0 + 127) // 255) * 250
+                    END AS BIGINT) AS mean_g,
+               CAST(CASE k WHEN 0 THEN b0 * 1000
+                    WHEN 1 THEN (3 * b0 + b1) * 250
+                    WHEN 2 THEN (2 * b0 + bb + b2) * 250
+                    ELSE (b0 + bb + b2
+                          + (128 * b3 + 127 * b0 + 127) // 255) * 250
+                    END AS BIGINT) AS mean_b
+        FROM c
     """,
     "video_frames_apng": """
         WITH c AS (

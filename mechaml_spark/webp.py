@@ -825,3 +825,147 @@ def webp_encode(pixels: np.ndarray, mode: str = "auto") -> bytes:
     if len(payload) & 1:
         chunk += b"\x00"
     return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+# ------------------------------------------------- animated WebP (ANMF)
+
+
+def _u24(n: int) -> bytes:
+    return struct.pack("<I", n)[:3]
+
+
+def _chunk(fourcc: bytes, payload: bytes) -> bytes:
+    out = fourcc + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        out += b"\x00"
+    return out
+
+
+def webp_encode_anim(
+    frames: list,
+    canvas_wh: tuple[int, int] | None = None,
+    bg: tuple[int, int, int, int] = (255, 255, 255, 255),
+    loop: int = 0,
+) -> bytes:
+    """Animated lossless WebP writer (RIFF + VP8X + ANIM + ANMF*).
+
+    ``frames``: list of ``(duration_ms, x, y, rgb_subframe, dispose,
+    blend)`` — ``x``/``y`` MUST be even (the ANMF header stores them
+    divided by 2, per spec §Animation); ``dispose`` True = restore
+    the frame rectangle to the ANIM background color after display;
+    ``blend`` True = alpha-blend over the canvas (opaque VP8L frames
+    overwrite either way).  Used as the fixture writer for the
+    animated-WebP decode path, same role as the GIF/APNG writers."""
+    if canvas_wh is None:
+        cw = max(x + f.shape[1] for _, x, _, f, _, _ in frames)
+        ch = max(y + f.shape[0] for _, _, y, f, _, _ in frames)
+    else:
+        cw, ch = canvas_wh
+    body = _chunk(
+        b"VP8X",
+        bytes([0x02]) + b"\x00\x00\x00" + _u24(cw - 1) + _u24(ch - 1),
+    )
+    b_, g_, r_, a_ = bg[2], bg[1], bg[0], bg[3]
+    body += _chunk(
+        b"ANIM", bytes([b_, g_, r_, a_]) + struct.pack("<H", loop)
+    )
+    for dur, x, y, sub, dispose, blend in frames:
+        if x % 2 or y % 2:
+            raise ValueError("ANMF frame offsets must be even")
+        payload = vp8l_encode(sub)
+        inner = _chunk(b"VP8L", payload)
+        flags = (0 if blend else 0x02) | (0x01 if dispose else 0)
+        hdr = (
+            _u24(x // 2) + _u24(y // 2)
+            + _u24(sub.shape[1] - 1) + _u24(sub.shape[0] - 1)
+            + _u24(dur) + bytes([flags])
+        )
+        body += _chunk(b"ANMF", hdr + inner)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body
+
+
+def webp_decode_frames(data: bytes) -> list:
+    """Animated WebP -> ``[(delay_ms, rgb_canvas HxWx3), ...]`` —
+    the composited canvas on display for each frame, matching the
+    ``gif_decode_frames`` / ``apng_decode_frames`` convention so the
+    shared video sampling stage consumes all three.
+
+    Spec semantics (WebP container spec, Animation): canvas starts
+    fully transparent; each ANMF sub-frame is placed at (2*frame_x,
+    2*frame_y), alpha-BLENDED when blending method is 0 or copied
+    when 1; after display, disposal 1 restores the frame rectangle
+    to the ANIM background color.  A still (non-animated) WebP
+    decodes as one zero-delay frame.  Emitted canvases drop alpha
+    (repo-wide HxWx3 convention)."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a WebP (RIFF/WEBP header missing)")
+    pos = 12
+    canvas = None
+    bg = np.zeros(4, dtype=np.uint8)
+    frames: list = []
+    animated = False
+    while pos + 8 <= len(data):
+        fourcc = data[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        payload = data[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)
+        if fourcc == b"VP8X":
+            animated = bool(payload[0] & 0x02)
+            cw = 1 + int.from_bytes(payload[4:7], "little")
+            ch = 1 + int.from_bytes(payload[7:10], "little")
+            canvas = np.zeros((ch, cw, 4), dtype=np.uint8)
+        elif fourcc == b"ANIM":
+            # stored B,G,R,A
+            bg = np.array(
+                [payload[2], payload[1], payload[0], payload[3]],
+                dtype=np.uint8,
+            )
+        elif fourcc == b"ANMF":
+            if canvas is None:
+                raise ValueError("ANMF before VP8X")
+            x = 2 * int.from_bytes(payload[0:3], "little")
+            y = 2 * int.from_bytes(payload[3:6], "little")
+            fw = 1 + int.from_bytes(payload[6:9], "little")
+            fh = 1 + int.from_bytes(payload[9:12], "little")
+            dur = int.from_bytes(payload[12:15], "little")
+            flags = payload[15]
+            # embedded chunks: find the VP8L frame data
+            ip = 16
+            argb = None
+            while ip + 8 <= len(payload):
+                fc = payload[ip : ip + 4]
+                (sz,) = struct.unpack_from("<I", payload, ip + 4)
+                if fc == b"VP8L":
+                    argb = vp8l_decode(payload[ip + 8 : ip + 8 + sz])
+                    break
+                if fc == b"VP8 ":
+                    raise NotImplementedError(
+                        "lossy animated WebP frame (VP8) not available "
+                        "in-sandbox"
+                    )
+                ip += 8 + sz + (sz & 1)
+            if argb is None or argb.shape[:2] != (fh, fw):
+                raise ValueError("ANMF frame data missing or wrong size")
+            rgba = argb[..., [1, 2, 3, 0]].astype(np.uint16)
+            rect = canvas[y : y + fh, x : x + fw].astype(np.uint16)
+            if flags & 0x02:  # no blend: overwrite
+                merged = rgba
+            else:  # alpha blend over canvas (integer, a in 0..255)
+                a = rgba[..., 3:4]
+                merged = rgba.copy()
+                merged[..., :3] = (
+                    rgba[..., :3] * a + rect[..., :3] * (255 - a) + 127
+                ) // 255
+                merged[..., 3] = np.maximum(rgba[..., 3], rect[..., 3])
+            canvas[y : y + fh, x : x + fw] = merged.astype(np.uint8)
+            frames.append((dur, canvas[..., :3].copy()))
+            if flags & 0x01:  # dispose to background color
+                canvas[y : y + fh, x : x + fw] = bg
+        elif fourcc == b"VP8L" and not animated:
+            argb = vp8l_decode(payload)
+            frames.append(
+                (0, np.ascontiguousarray(argb[..., 1:4]))
+            )
+    if not frames:
+        raise ValueError("WebP: no frames found")
+    return frames

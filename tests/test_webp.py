@@ -16,6 +16,7 @@ import numpy as np
 import pytest
 
 from mechaml_spark import imaging
+from mechaml_spark import webp
 from mechaml_spark.webp import (
     _CODE_TO_OFFSET,
     _BitWriter,
@@ -409,3 +410,76 @@ def test_against_real_libwebp():
                 p, shape=(hei.value, wid.value, 3)
             ).copy()
             assert (arr == px).all(), (i, mode)
+
+
+# ------------------------------------------------- animated (ANMF)
+
+
+def test_anim_roundtrip_compositing():
+    f0 = np.full((8, 8, 3), 50, np.uint8)
+    f1 = np.full((4, 4, 3), 200, np.uint8)
+    f2 = np.full((2, 2, 3), 10, np.uint8)
+    data = webp.webp_encode_anim(
+        [
+            (120, 0, 0, f0, False, False),
+            (80, 2, 2, f1, True, False),  # dispose rect to bg after
+            (60, 0, 0, f2, False, False),
+        ],
+        bg=(1, 2, 3, 255),
+    )
+    frames = webp.webp_decode_frames(data)
+    assert [d for d, _ in frames] == [120, 80, 60]
+    c0, c1, c2 = (c for _, c in frames)
+    assert (c0 == 50).all()
+    assert (c1[2:6, 2:6] == 200).all() and (c1[0, 0] == 50).all()
+    assert tuple(c2[3, 3]) == (1, 2, 3)     # disposed to bg
+    assert (c2[0:2, 0:2] == 10).all()       # overwrite
+    assert (c2[6:, 6:] == 50).all()         # untouched
+
+
+def test_anim_alpha_blend_integer():
+    f0 = np.full((4, 4, 3), 100, np.uint8)
+    patch = np.empty((2, 2, 4), np.uint8)
+    patch[..., :3] = 20
+    patch[..., 3] = 128
+    data = webp.webp_encode_anim(
+        [(100, 0, 0, f0, False, False), (100, 2, 2, patch, False, True)],
+        canvas_wh=(4, 4),
+    )
+    frames = webp.webp_decode_frames(data)
+    want = (128 * 20 + 127 * 100 + 127) // 255
+    assert (frames[1][1][2:4, 2:4] == want).all()
+    assert (frames[1][1][0:2, 0:2] == 100).all()
+
+
+def test_anim_no_blend_overwrites_even_with_alpha():
+    f0 = np.full((4, 4, 3), 100, np.uint8)
+    patch = np.empty((2, 2, 4), np.uint8)
+    patch[..., :3] = 20
+    patch[..., 3] = 128
+    data = webp.webp_encode_anim(
+        [(100, 0, 0, f0, False, False), (100, 0, 0, patch, False, False)],
+        canvas_wh=(4, 4),
+    )
+    frames = webp.webp_decode_frames(data)
+    assert (frames[1][1][0:2, 0:2] == 20).all()
+
+
+def test_anim_still_webp_single_frame():
+    still = webp.webp_encode(np.full((5, 3, 3), 7, np.uint8))
+    frames = webp.webp_decode_frames(still)
+    assert len(frames) == 1 and frames[0][0] == 0
+    assert (frames[0][1] == 7).all()
+
+
+def test_anim_odd_offset_rejected():
+    f = np.full((2, 2, 3), 1, np.uint8)
+    with pytest.raises(ValueError):
+        webp.webp_encode_anim([(10, 1, 0, f, False, False)])
+
+
+def test_still_decode_still_refuses_animation():
+    f = np.full((2, 2, 3), 1, np.uint8)
+    data = webp.webp_encode_anim([(10, 0, 0, f, False, False)])
+    with pytest.raises(NotImplementedError):
+        webp.webp_decode(data)
