@@ -651,3 +651,35 @@ def caption_quality_cols(caption: Column) -> list[Column]:
         too_short,
         keep,
     ]
+
+
+def link_header_col(header: Column) -> Column:
+    """RFC 8288 ``Link:`` response-header parse as pure expressions —
+    ``array<struct<url:string, rel:string>>`` in header order.  The
+    crawl cares about three rels: ``next``/``prev`` drive API and
+    listing pagination where the HTML carries no anchors, and
+    ``canonical`` joins the `canonical_urls` dedup signal; all other
+    rels pass through for downstream filters.
+
+    Pinned subset (documented): links split on commas followed by
+    ``<`` (URLs inside ``<>`` cannot contain ``,`` per RFC 3986, so
+    this is exact for conformant headers); the first ``rel`` param
+    wins with optional quotes, case folded; a multi-token quoted
+    rel ("next preload") keeps its FIRST token (RFC 8288 §3.3 says
+    relation types are space-separated — the primary one leads);
+    entries without a ``<url>`` are dropped.  Zero Python, zero
+    shuffle."""
+    parts = F.split(header, r",(?=\s*<)")
+
+    def parse(p: Column) -> Column:
+        url = F.regexp_extract(p, r"^\s*<([^>]*)>", 1)
+        rel = F.lower(
+            F.regexp_extract(
+                p, r"""[;\s]rel\s*=\s*"?([A-Za-z0-9._-]+)""", 1
+            )
+        )
+        return F.struct(url.alias("url"), rel.alias("rel"))
+
+    return F.filter(
+        F.transform(parts, parse), lambda s: s["url"] != ""
+    )

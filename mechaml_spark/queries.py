@@ -5023,6 +5023,49 @@ def q_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_link_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 8288 ``Link:`` header parse (metadata.link_header_col) —
+    rel=next/prev drive pagination discovery where the HTML carries
+    no anchors (APIs, Link-paginated listings), rel=canonical joins
+    the canonical-URL dedup signal.  Headers are a closed form of
+    doc_id (next/prev/canonical + an every-3rd preload with a
+    multi-token quoted rel keeping its first token); the oracle
+    states every (url, rel) arithmetically.  Scale posture: one
+    split-on-comma-lookahead + per-element regexp projection under
+    whole-stage codegen; explode is the only row expansion; zero
+    Python, zero shuffle."""
+    from mechaml_spark.metadata import link_header_col
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 700
+    )
+    did = F.col("doc_id")
+    h = F.concat(F.lit("h"), (did % 20).cast("string"), F.lit(".test"))
+    header = F.concat(
+        F.lit("<https://"), h, F.lit("/page"), (did % 50 + 1),
+        F.lit('>; rel="next", <https://'), h, F.lit("/page"),
+        (did % 50 - 1), F.lit(">;rel=prev , <https://"), h,
+        F.lit("/canon"), (did % 50),
+        F.lit('>; title="c"; rel="canonical"'),
+        F.when(
+            did % 3 == 0,
+            F.lit(', <https://cdn.test/s.css>; rel="alternate stylesheet"'),
+        ).otherwise(F.lit("")),
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.posexplode(link_header_col(header)).alias("pos", "l"),
+        )
+        .select(
+            "doc_id",
+            F.col("pos").cast("int").alias("pos"),
+            F.col("l")["url"].alias("url"),
+            F.col("l")["rel"].alias("rel"),
+        )
+    )
+
+
 def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-weighted domain mixing (alpha=0.5) — the
     head-flattening resample (sampling.temperature_mixture) LLM
@@ -7377,6 +7420,7 @@ QUERIES = {
     "warc_wat": q_warc_wat,
     "warc_revisit": q_warc_revisit,
     "doc_sample": q_doc_sample,
+    "link_headers": q_link_headers,
     "domain_mixture": q_domain_mixture,
     "domain_cap": q_domain_cap,
     "anchor_text": q_anchor_text,
@@ -8676,6 +8720,25 @@ ORACLES = {
                        AS BIGINT) AS grp_rank
             FROM documents)
         WHERE grp_rank <= 10
+    """,
+    # Every (url, rel) stated arithmetically; the multi-token quoted
+    # rel keeps its first token per RFC 8288 3.3.
+    "link_headers": """
+        WITH e(pos, kind) AS (VALUES (0, 'next'), (1, 'prev'),
+                                     (2, 'canonical'), (3, 'alternate'))
+        SELECT d.doc_id, CAST(e.pos AS INT) AS pos,
+               CASE e.kind
+                 WHEN 'next' THEN 'https://h' || (d.doc_id % 20)
+                     || '.test/page' || (d.doc_id % 50 + 1)
+                 WHEN 'prev' THEN 'https://h' || (d.doc_id % 20)
+                     || '.test/page' || (d.doc_id % 50 - 1)
+                 WHEN 'canonical' THEN 'https://h' || (d.doc_id % 20)
+                     || '.test/canon' || (d.doc_id % 50)
+                 ELSE 'https://cdn.test/s.css' END AS url,
+               e.kind AS rel
+        FROM documents d JOIN e
+          ON e.pos < 3 OR d.doc_id % 3 = 0
+        WHERE d.doc_id < 700
     """,
     # Replays the identical integer arithmetic: bit-length domains,
     # floor-sqrt weights, min(2^32, (T*2^32*w) // (sum_w*n)) keep

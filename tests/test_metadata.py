@@ -258,3 +258,37 @@ def test_meta_refresh_shapes_and_decoys(spark):
         6: (7, "http://h.test/ok"),
         7: (1, "http://h.test/first"),
     }
+
+
+def test_link_header_parse(spark):
+    from mechaml_spark.metadata import link_header_col
+
+    cases = [
+        # (header, expected [(url, rel)])
+        ('<https://a.test/p2>; rel="next"', [("https://a.test/p2", "next")]),
+        ('<https://a.test/p0>;rel=prev , <https://a.test/c>; '
+         'title="x"; rel="canonical"',
+         [("https://a.test/p0", "prev"), ("https://a.test/c", "canonical")]),
+        # multi-token quoted rel keeps its first token
+        ('<https://cdn.test/s.css>; rel="alternate stylesheet"',
+         [("https://cdn.test/s.css", "alternate")]),
+        # rel-less entry kept with empty rel; no-url entry dropped
+        ('<https://a.test/x>; type="text/html"', [("https://a.test/x", "")]),
+        ('rel="next"; foo=bar', []),
+        ("", []),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(cases)], "i int, h string"
+    )
+    from pyspark.sql import functions as F
+
+    rows = (
+        df.select("i", F.explode(link_header_col(F.col("h"))).alias("l"))
+        .select("i", "l.url", "l.rel")
+        .collect()
+    )
+    got: dict = {}
+    for r in rows:
+        got.setdefault(r["i"], []).append((r["url"], r["rel"]))
+    for i, (_, want) in enumerate(cases):
+        assert got.get(i, []) == want, (i, got.get(i), want)
