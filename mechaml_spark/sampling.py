@@ -174,7 +174,7 @@ def temperature_mixture(
         F.count("*").cast("long").alias("kept")
     )
     mixture = (
-        rates.join(kept, domain_col, "left")
+        rates.join(F.broadcast(kept), domain_col, "left")
         .withColumn("kept", F.coalesce(F.col("kept"), F.lit(0).cast("long")))
     )
     return kept_rows.drop("n_docs", "weight", "threshold"), mixture
