@@ -95,3 +95,42 @@ def test_non_bmff_returns_none():
 def test_inconsistent_tables_raise_on_write():
     with pytest.raises(ValueError):
         mp.mp4_write_sampled(8, 8, DELTAS, SIZES, [2, 2])
+
+
+def test_random_tables_roundtrip():
+    # randomized writer->parser round trip over arbitrary chunkings,
+    # delta runs, and keyframe sets — the expansion must equal the
+    # directly-computed layout every time
+    import random
+
+    rng = random.Random(20260820)
+    for _ in range(60):
+        n = rng.randrange(1, 40)
+        sizes = [rng.randrange(1, 300) for _ in range(n)]
+        deltas = []
+        while len(deltas) < n:
+            run = min(n - len(deltas), rng.randrange(1, 6))
+            deltas += [rng.choice([256, 512, 1001, 3003])] * run
+        spc = []
+        left = n
+        while left:
+            c = min(left, rng.randrange(1, 7))
+            spc.append(c)
+            left -= c
+        sync = sorted(rng.sample(range(1, n + 1), rng.randrange(0, n + 1)))
+        data = mp.mp4_write_sampled(
+            32, 32, deltas, sizes, spc, sync=sync or None
+        )
+        got = mp.mp4_samples(data)
+        assert got["timescale"] == 30000
+        assert len(got["samples"]) == n
+        base = got["samples"][0][0]
+        off, dts = 0, 0
+        for i, (o, s, d, k) in enumerate(got["samples"]):
+            assert (o, s, d) == (base + off, sizes[i], dts), i
+            want_key = (i + 1) in sync if sync else True
+            assert k == want_key, i
+            off += sizes[i]
+            dts += deltas[i]
+        # the byte ranges really address the mdat payload
+        assert base + off == len(data)

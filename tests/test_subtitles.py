@@ -63,3 +63,61 @@ def test_empty_and_headerless_vtt_cue_without_index(spark):
     assert _parse(spark, "00:00:05,000 --> 00:00:06,000\nbare\n") == [
         (5000, 6000, "bare")
     ]
+
+
+def test_random_cue_lists_roundtrip(spark):
+    # randomized render -> parse equality: build SRT/VTT documents
+    # from random cue lists, parse with the expression grammar, and
+    # require exact (start, end, text) recovery
+    import random
+
+    rng = random.Random(77)
+    docs = []
+    want = {}
+    for i in range(40):
+        vtt = rng.random() < 0.5
+        cues = []
+        t = rng.randrange(0, 5000)
+        for _ in range(rng.randrange(1, 6)):
+            start = t
+            end = start + rng.randrange(100, 4000)
+            t = end + rng.randrange(100, 2000)
+            lines = [
+                rng.choice(["hello world", "caption text", "x -> y",
+                            "1", "WEBVTT inside text", "a  b"])
+                for _ in range(rng.randrange(1, 4))
+            ]
+            cues.append((start, end, "\n".join(lines)))
+
+        def ts(ms):
+            h, r = divmod(ms, 3600000)
+            m, r2 = divmod(r, 60000)
+            s, mil = divmod(r2, 1000)
+            sep = "." if vtt else ","
+            return f"{h:02d}:{m:02d}:{s:02d}{sep}{mil:03d}"
+
+        blocks = []
+        for k, (a, b, text) in enumerate(cues):
+            idx = "" if vtt else f"{k + 1}\n"
+            blocks.append(f"{idx}{ts(a)} --> {ts(b)}\n{text}")
+        head = "WEBVTT\n\n" if vtt else ""
+        docs.append((i, head + "\n\n".join(blocks) + "\n"))
+        want[i] = cues
+
+    from pyspark.sql import functions as F
+
+    from mechaml_spark.subtitles import cues_col
+
+    df = spark.createDataFrame(docs, "i int, body string")
+    rows = (
+        df.select("i", F.posexplode(cues_col(F.col("body"))).alias("k", "c"))
+        .select("i", "k", "c.start_ms", "c.end_ms", "c.text")
+        .collect()
+    )
+    got: dict = {}
+    for r in rows:
+        got.setdefault(r["i"], []).append(
+            (r["start_ms"], r["end_ms"], r["text"])
+        )
+    for i, cues in want.items():
+        assert got.get(i, []) == cues, i
