@@ -840,6 +840,63 @@ def q_pair_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept
 
 
+def q_image_otsu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scanned-document detection (imaging.otsu_stats): exact-integer
+    Otsu threshold over the BT.601 luma histogram (cross-multiplied
+    rational objective, lowest-maximizer tie-break), ink permille,
+    and horizontal black/white transition permille — the gate that
+    routes rendered-text/scan images to OCR instead of captioning.
+    Three closed-form 16x16 gray classes per doc_id%3: period-2
+    column stripes (threshold = dark level, ink 500, transitions
+    1000 -> scanlike), constant (degenerate: ink 1000, transitions
+    0), half-split (transitions 1000*16//240 = 66).  Spark decodes
+    real PNGs and runs the real estimator (differentially tested vs
+    float Otsu over 300 random images); the oracle states the class
+    table.  Scale posture: decode + histogram in mapInPandas, 3 ints
+    + flag out; flag is codegen; zero shuffle."""
+    import numpy as _np
+    import pandas as _pd
+
+    from mechaml_spark import imaging as _im
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 600
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "threshold": [], "ink_pm": [],
+                   "trans_pm": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                v0 = 20 + did % 10
+                px = _np.empty((16, 16, 3), dtype=_np.uint8)
+                cols = _np.arange(16)
+                if did % 3 == 0:
+                    px[:, :, :] = (v0 + 190 * (cols % 2))[None, :, None]
+                elif did % 3 == 1:
+                    px[:, :, :] = 100 + did % 100
+                else:
+                    px[:, :8, :] = v0
+                    px[:, 8:, :] = v0 + 190
+                t, ink, tr = _im.otsu_stats(
+                    _im.png_decode(_im.png_encode(px))
+                )
+                out["doc_id"].append(did)
+                out["threshold"].append(t)
+                out["ink_pm"].append(ink)
+                out["trans_pm"].append(tr)
+            yield _pd.DataFrame(out)
+
+    scored = d.mapInPandas(
+        gen, schema="doc_id long, threshold int, ink_pm int, trans_pm int"
+    )
+    return scored.withColumn(
+        "scanlike",
+        F.col("ink_pm").between(200, 800) & (F.col("trans_pm") >= 300),
+    )
+
+
 def q_exif_gps_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-side PII compliance: surgical GPS scrub
     (exif.exif_strip_gps) that removes ONLY the location sub-IFD
@@ -7356,6 +7413,7 @@ QUERIES = {
     "mp4_samples": q_mp4_samples,
     "subtitle_cues": q_subtitle_cues,
     "pair_dedup": q_pair_dedup,
+    "image_otsu": q_image_otsu,
     "exif_gps_scrub": q_exif_gps_scrub,
     "image_jpeg_progressive": q_image_jpeg_progressive,
     "image_png_variants": q_image_png_variants,
@@ -7906,6 +7964,21 @@ ORACLES = {
         SELECT caption, phash, CAST(n_pairs AS BIGINT) AS n_pairs,
                doc_id AS keep_doc, area AS keep_area
         FROM r WHERE rk = 1
+    """,
+    # Class table: stripes -> (dark, 500, 1000, scanlike), constant
+    # -> degenerate (level, 1000, 0), half-split -> (dark, 500, 66).
+    "image_otsu": """
+        SELECT doc_id,
+               CAST(CASE WHEN doc_id % 3 = 1 THEN 100 + doc_id % 100
+                         ELSE 20 + doc_id % 10 END AS INT) AS threshold,
+               CAST(CASE WHEN doc_id % 3 = 1 THEN 1000
+                         ELSE 500 END AS INT) AS ink_pm,
+               CAST(CASE WHEN doc_id % 3 = 0 THEN 1000
+                         WHEN doc_id % 3 = 1 THEN 0
+                         ELSE 66 END AS INT) AS trans_pm,
+               doc_id % 3 = 0 AS scanlike
+        FROM documents
+        WHERE doc_id < 600
     """,
     # Class table stated literally: cls0 carries GPS (scrubbed,
     # bytes change), cls1 EXIF sans GPS (byte-identical), cls2 no

@@ -101,3 +101,56 @@ def test_edge_density_thirds_closed_forms():
     px5[..., 1] = (60 + 80 * (cols % 2))[None, :]
     t, m, b = im.edge_density_thirds(px5)
     assert t == m == b == 1000  # 80*150>>8 = 46 > 32
+
+
+def test_otsu_stats_integer_exact():
+    import numpy as np
+
+    from mechaml_spark import imaging as im
+
+    # two-level stripes: lowest-maximizer tie-break -> dark level
+    px = np.empty((16, 16, 3), np.uint8)
+    cols = np.arange(16)
+    px[:, :, :] = (30 + 190 * (cols % 2))[None, :, None]
+    assert im.otsu_stats(px) == (30, 500, 1000)
+    # degenerate single level
+    assert im.otsu_stats(np.full((8, 8, 3), 200, np.uint8)) == (200, 1000, 0)
+    # half split: 1 transition per row, 15 pairs per row
+    half = np.empty((16, 16, 3), np.uint8)
+    half[:, :8] = 30
+    half[:, 8:] = 220
+    assert im.otsu_stats(half) == (30, 500, 1000 * 16 // 240)
+
+
+def test_otsu_matches_float_reference():
+    import numpy as np
+
+    from mechaml_spark import imaging as im
+
+    rng = np.random.RandomState(7)
+    for trial in range(300):
+        shape = int(rng.choice([4, 8, 16]))
+        px = rng.randint(0, 256, (shape, shape, 3)).astype(np.uint8)
+        if trial % 3 == 0:
+            px[:, : shape // 2] = rng.randint(0, 60)
+            px[:, shape // 2:] = rng.randint(150, 256)
+        t, ink, _ = im.otsu_stats(px)
+        p = px.astype(np.int64)
+        luma = (77 * p[..., 0] + 150 * p[..., 1] + 29 * p[..., 2]) >> 8
+        hist = np.bincount(
+            luma.reshape(-1), minlength=256
+        ).astype(np.float64)
+        n = hist.sum()
+        tot = float((hist * np.arange(256)).sum())
+        best, bt, n0, s0 = -1.0, 0, 0.0, 0.0
+        for tt in range(256):
+            n0 += hist[tt]
+            s0 += hist[tt] * tt
+            n1 = n - n0
+            if n0 == 0 or n1 == 0:
+                continue
+            v = (s0 * n1 - (tot - s0) * n0) ** 2 / (n0 * n1)
+            if v > best * (1 + 1e-12):
+                best, bt = v, tt
+        assert t == bt, trial
+        assert ink == 1000 * int((luma <= t).sum()) // luma.size
