@@ -1572,3 +1572,27 @@ def otsu_stats(pixels: np.ndarray) -> tuple[int, int, int]:
         1000 * int(pairs.sum()) // pairs.size if pairs.size else 0
     )
     return best_t, ink_pm, trans_pm
+
+
+def posterize_stats(pixels: np.ndarray, cap: int = 4096) -> tuple[int, int]:
+    """Posterization probe — the screenshots/charts/renders-vs-photos
+    signal an image-caption corpus mixes on (graphics are heavily
+    quantized; photos occupy a dense color cloud).  Returns
+    ``(distinct_colors, step)``: distinct RGB triples counted up to
+    ``cap`` (reported as ``cap`` when exceeded — at web scale nobody
+    needs the exact count of a 200k-color photo), and the greatest
+    common divisor of all successive differences of the distinct
+    VALUE levels across all channels (0 for a single-level image,
+    1 for continuous-tone) — a uniform k-step quantizer shows
+    ``step == k`` exactly."""
+    h, w = pixels.shape[:2]
+    flat = pixels.reshape(-1, pixels.shape[2])[:, :3].astype(np.int64)
+    packed = (flat[:, 0] << 16) | (flat[:, 1] << 8) | flat[:, 2]
+    colors = np.unique(packed)
+    distinct = int(min(len(colors), cap))
+    levels = np.unique(flat)
+    if len(levels) < 2:
+        step = 0
+    else:
+        step = int(np.gcd.reduce(np.diff(levels)))
+    return distinct, step

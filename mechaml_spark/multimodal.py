@@ -1589,3 +1589,46 @@ def aspect_bucket_expr(w_col: str, h_col: str):
         f" * 1000000) div (cast({h_col} as bigint) * b.w) as d, "
         f"b.i as i, b.w as w, b.h as h)))"
     )
+
+
+def silence_stats(
+    samples: np.ndarray,
+    sample_rate: int,
+    window_ms: int = 100,
+    threshold: int = 328,
+) -> tuple[int, int, int, int]:
+    """Silence segmentation in exact integer arithmetic — the
+    trim-and-gate stage of an audio corpus (drop dead air, measure
+    lead/trail silence before cutting clips).  The first channel is
+    split into fixed ``window_ms`` windows (the ragged tail window
+    counts too); a window is SILENT when its mean absolute int16
+    amplitude (floor division) is below ``threshold`` (default 328
+    ~= 1% of full scale, the common -40 dBFS-ish gate).  Returns
+    ``(n_windows, n_silent, lead_ms, trail_ms)`` where lead/trail
+    are whole silent windows x window_ms (a partial trailing window
+    reports its true residual length)."""
+    ch0 = samples[:, 0].astype(np.int64) if samples.ndim == 2 else (
+        samples.astype(np.int64)
+    )
+    n = len(ch0)
+    win = max(1, sample_rate * window_ms // 1000)
+    n_windows = -(-n // win) if n else 0
+    flags = []
+    for i in range(n_windows):
+        seg = ch0[i * win : (i + 1) * win]
+        flags.append(int(np.abs(seg).sum()) // len(seg) < threshold)
+    n_silent = sum(flags)
+    lead = 0
+    while lead < n_windows and flags[lead]:
+        lead += 1
+    trail = 0
+    while trail < n_windows - lead and flags[n_windows - 1 - trail]:
+        trail += 1
+
+    def win_len_ms(idx: int) -> int:
+        size = min(win, n - idx * win)
+        return size * 1000 // sample_rate
+
+    lead_ms = sum(win_len_ms(i) for i in range(lead))
+    trail_ms = sum(win_len_ms(n_windows - 1 - i) for i in range(trail))
+    return n_windows, n_silent, lead_ms, trail_ms

@@ -840,6 +840,114 @@ def q_pair_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept
 
 
+def q_audio_silence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence segmentation (multimodal.silence_stats) — the trim
+    and dead-air gate of an audio corpus, run through the REAL WAV
+    codec both ways.  Doc d synthesizes 8 kHz int16 mono with
+    L = d%3 leading silent 100 ms windows, M = 2 + d%2 loud windows
+    (alternating +/-8000), T = 1 + d%2 trailing silent windows, and
+    docs%5==0 append a ragged 50 ms silent tail; every reported
+    count/duration is the stated closed form.  Scale posture:
+    decode + windowed integer means in mapInPandas, 4 ints out,
+    zero shuffle."""
+    import numpy as _np
+    import pandas as _pd
+
+    from mechaml_spark import multimodal as _mm
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 500
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "n_windows": [], "n_silent": [],
+                   "lead_ms": [], "trail_ms": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                lead, loud, tr = did % 3, 2 + did % 2, 1 + did % 2
+                win = 800  # 100 ms at 8 kHz
+                sig = _np.zeros((lead + loud + tr) * win, _np.int16)
+                a = lead * win
+                loud_seg = _np.tile(
+                    _np.array([8000, -8000], _np.int16), loud * win // 2
+                )
+                sig[a : a + loud * win] = loud_seg
+                if did % 5 == 0:
+                    sig = _np.concatenate(
+                        [sig, _np.zeros(400, _np.int16)]
+                    )
+                data = _mm.wav_encode(sig.reshape(-1, 1), 8000)
+                rate, decoded = _mm.wav_decode(data)
+                nw, ns, lm, tm = _mm.silence_stats(decoded, rate)
+                out["doc_id"].append(did)
+                out["n_windows"].append(nw)
+                out["n_silent"].append(ns)
+                out["lead_ms"].append(lm)
+                out["trail_ms"].append(tm)
+            yield _pd.DataFrame(out)
+
+    return d.mapInPandas(
+        gen,
+        schema=(
+            "doc_id long, n_windows int, n_silent int, "
+            "lead_ms int, trail_ms int"
+        ),
+    )
+
+
+def q_image_posterize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posterization probe (imaging.posterize_stats): distinct-color
+    count (capped) + exact gcd quantization step over the value
+    levels — the screenshots/charts-vs-photos router of an
+    image-caption corpus.  Three closed-form 16x16 classes per
+    doc_id%3: a 32-step quantized gradient (8 levels per channel,
+    step 32, 8 distinct colors), a 2-color checker (2 distinct,
+    step = the level gap 190+(did%10) gcd'd with the dark level
+    spacing — stated arithmetically), and a dense ramp with step 1
+    (256 distinct gray levels capped by the 16x16 = 256-pixel
+    frame).  ``graphics`` gate = distinct <= 64.  Scale posture:
+    decode + unique in mapInPandas, 2 ints + flag; zero shuffle."""
+    import numpy as _np
+    import pandas as _pd
+
+    from mechaml_spark import imaging as _im
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 600
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "distinct_colors": [], "step": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                px = _np.empty((16, 16, 3), dtype=_np.uint8)
+                cols = _np.arange(16)
+                if did % 3 == 0:
+                    # 32-step quantized gradient: levels 0,32,...,224
+                    px[:, :, :] = (32 * (cols // 2))[None, :, None]
+                elif did % 3 == 1:
+                    v0 = 20 + did % 10
+                    px[:, :, :] = (v0 + 190 * (cols % 2))[None, :, None]
+                else:
+                    # dense ramp: 256 distinct gray levels over 256 px
+                    g = _np.arange(256, dtype=_np.uint8).reshape(16, 16)
+                    px[..., 0] = px[..., 1] = px[..., 2] = g
+                dc, step = _im.posterize_stats(
+                    _im.png_decode(_im.png_encode(px))
+                )
+                out["doc_id"].append(did)
+                out["distinct_colors"].append(dc)
+                out["step"].append(step)
+            yield _pd.DataFrame(out)
+
+    scored = d.mapInPandas(
+        gen, schema="doc_id long, distinct_colors int, step int"
+    )
+    return scored.withColumn("graphics", F.col("distinct_colors") <= 64)
+
+
 def q_image_otsu(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scanned-document detection (imaging.otsu_stats): exact-integer
     Otsu threshold over the BT.601 luma histogram (cross-multiplied
@@ -7413,6 +7521,8 @@ QUERIES = {
     "mp4_samples": q_mp4_samples,
     "subtitle_cues": q_subtitle_cues,
     "pair_dedup": q_pair_dedup,
+    "audio_silence": q_audio_silence,
+    "image_posterize": q_image_posterize,
     "image_otsu": q_image_otsu,
     "exif_gps_scrub": q_exif_gps_scrub,
     "image_jpeg_progressive": q_image_jpeg_progressive,
@@ -7964,6 +8074,35 @@ ORACLES = {
         SELECT caption, phash, CAST(n_pairs AS BIGINT) AS n_pairs,
                doc_id AS keep_doc, area AS keep_area
         FROM r WHERE rk = 1
+    """,
+    # L = d%3 lead, M = 2+d%2 loud, T = 1+d%2 trail windows; d%5==0
+    # adds one ragged 50 ms silent tail window.
+    "audio_silence": """
+        SELECT doc_id,
+               CAST(doc_id % 3 + (2 + doc_id % 2) + (1 + doc_id % 2)
+                    + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END
+                    AS INT) AS n_windows,
+               CAST(doc_id % 3 + (1 + doc_id % 2)
+                    + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END
+                    AS INT) AS n_silent,
+               CAST((doc_id % 3) * 100 AS INT) AS lead_ms,
+               CAST((1 + doc_id % 2) * 100
+                    + CASE WHEN doc_id % 5 = 0 THEN 50 ELSE 0 END
+                    AS INT) AS trail_ms
+        FROM documents
+        WHERE doc_id < 500
+    """,
+    # Class table: quantized gradient -> (8, 32), 2-level checker ->
+    # (2, 190), dense gray ramp -> (256, 1).
+    "image_posterize": """
+        SELECT doc_id,
+               CAST(CASE doc_id % 3 WHEN 0 THEN 8 WHEN 1 THEN 2
+                    ELSE 256 END AS INT) AS distinct_colors,
+               CAST(CASE doc_id % 3 WHEN 0 THEN 32 WHEN 1 THEN 190
+                    ELSE 1 END AS INT) AS step,
+               doc_id % 3 < 2 AS graphics
+        FROM documents
+        WHERE doc_id < 600
     """,
     # Class table: stripes -> (dark, 500, 1000, scanlike), constant
     # -> degenerate (level, 1000, 0), half-split -> (dark, 500, 66).

@@ -681,3 +681,58 @@ def test_color_histogram_stage(spark):
     assert got[1]["dom_bin"] == 0 and got[1]["dom_milli"] == 500
     assert got[1]["hist"][0] == 8 and got[1]["hist"][63] == 8
     assert got[2]["ok"] is False and got[2]["hist"] is None
+
+
+def test_silence_stats_semantics():
+    import numpy as np
+
+    from mechaml_spark import multimodal as mm
+
+    # 3 lead silent, 2 loud, 1 trail silent @ 8kHz, 100ms windows
+    win = 800
+    sig = np.zeros(6 * win, np.int16)
+    sig[3 * win : 5 * win] = np.tile(
+        np.array([8000, -8000], np.int16), win
+    )
+    assert mm.silence_stats(sig, 8000) == (6, 4, 300, 100)
+    # ragged 50ms silent tail
+    sig2 = np.concatenate([sig, np.zeros(400, np.int16)])
+    assert mm.silence_stats(sig2, 8000) == (7, 5, 300, 150)
+    # sub-threshold noise still counts as silence; at-threshold not
+    noisy = np.full(2 * win, 327, np.int16)
+    assert mm.silence_stats(noisy, 8000)[1] == 2
+    loud = np.full(2 * win, 328, np.int16)
+    assert mm.silence_stats(loud, 8000)[1] == 0
+    # all-silent and empty
+    assert mm.silence_stats(np.zeros(win, np.int16), 8000) == (
+        1, 1, 100, 0
+    )
+    assert mm.silence_stats(np.zeros(0, np.int16), 8000) == (0, 0, 0, 0)
+    # stereo: first channel decides
+    st = np.zeros((2 * win, 2), np.int16)
+    st[:, 1] = 8000
+    assert mm.silence_stats(st, 8000)[1] == 2
+
+
+def test_posterize_stats_semantics():
+    import numpy as np
+
+    from mechaml_spark import imaging as im
+
+    cols = np.arange(16)
+    px = np.empty((16, 16, 3), np.uint8)
+    px[:, :, :] = (32 * (cols // 2))[None, :, None]
+    assert im.posterize_stats(px) == (8, 32)
+    two = np.empty((16, 16, 3), np.uint8)
+    two[:, :, :] = (20 + 190 * (cols % 2))[None, :, None]
+    assert im.posterize_stats(two) == (2, 190)
+    ramp = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    g = np.stack([ramp] * 3, axis=-1)
+    assert im.posterize_stats(g) == (256, 1)
+    # single color: step 0 by convention
+    assert im.posterize_stats(np.full((4, 4, 3), 9, np.uint8)) == (1, 0)
+    # cap
+    rng = np.random.RandomState(0)
+    big = rng.randint(0, 256, (80, 80, 3)).astype(np.uint8)
+    dc, _ = im.posterize_stats(big, cap=100)
+    assert dc == 100
