@@ -840,6 +840,90 @@ def q_pair_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept
 
 
+def q_pipeline_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-rule IMAGE pipeline composed in ONE Catalyst plan:
+    caption junk gate (the real regexp rule set) -> (caption, phash)
+    pair-dedup keeper (struct-order max) -> SDXL aspect-bucket
+    histogram of the survivors — crawl-to-trainer prep as a single
+    lazy DataFrame, proving the image-side operators chain with no
+    materialization barriers (the text-side twin is
+    `pipeline_compose`).  Synthesis is the pair_dedup/aspect_buckets
+    closed form with junk captions injected at doc_id%7 (filename)
+    and %11 (URL); the SQL mirror runs the same three stages.  Scale
+    posture: gate is a codegen filter fused into the scan; dedup is
+    ONE partial-agg groupBy; bucket assignment is expression-only on
+    the ~|groups| keeper rows; final histogram is a second tiny
+    groupBy."""
+    from mechaml_spark.metadata import caption_quality_cols
+    from mechaml_spark.multimodal import aspect_bucket_expr
+
+    did = F.col("doc_id")
+    g = did % 40
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(did < 1200)
+        .select(
+            "doc_id",
+            F.when(
+                did % 7 == 0,
+                F.concat(
+                    F.lit("IMG_"),
+                    F.lpad((did % 10000).cast("string"), 4, "0"),
+                    F.lit(".JPG"),
+                ),
+            )
+            .when(
+                did % 11 == 0,
+                F.concat(
+                    F.lit("see http://ex"),
+                    (did % 9).cast("string"),
+                    F.lit(".test/p now"),
+                ),
+            )
+            .otherwise(
+                F.concat(
+                    F.lit("a photo of item "), g,
+                    F.lit(" on a wooden table"),
+                )
+            )
+            .alias("caption"),
+            (F.lit(128) + (did * 97) % 1920).cast("int").alias("w"),
+            (F.lit(128) + (did * 53) % 1080).cast("int").alias("h"),
+            (g * F.lit(2654435761)).cast("long").alias("phash"),
+        )
+    )
+    gated = d.withColumn(
+        "keep", caption_quality_cols(F.col("caption"))[-1]
+    ).where(F.col("keep"))
+    keepers = (
+        gated.withColumn(
+            "area", F.col("w").cast("long") * F.col("h")
+        )
+        .groupBy("caption", "phash")
+        .agg(F.max(F.struct("area", "doc_id", "w", "h")).alias("k"))
+        .select(
+            F.col("k")["w"].alias("w"), F.col("k")["h"].alias("h")
+        )
+    )
+    ok = (
+        (F.col("w").cast("long") * F.col("h") >= 262144)
+        & (
+            F.greatest("w", "h").cast("long")
+            <= 4 * F.least("w", "h").cast("long")
+        )
+    )
+    best = aspect_bucket_expr("w", "h")
+    assigned = keepers.where(ok).select(
+        best["i"].alias("bucket_i"),
+        best["w"].alias("bucket_w"),
+        best["h"].alias("bucket_h"),
+    )
+    return assigned.groupBy("bucket_i", "bucket_w", "bucket_h").agg(
+        F.count("*").cast("long").alias("n_pairs")
+    )
+
+
 def q_audio_silence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Silence segmentation (multimodal.silence_stats) — the trim
     and dead-air gate of an audio corpus, run through the REAL WAV
@@ -7521,6 +7605,7 @@ QUERIES = {
     "mp4_samples": q_mp4_samples,
     "subtitle_cues": q_subtitle_cues,
     "pair_dedup": q_pair_dedup,
+    "pipeline_image": q_pipeline_image,
     "audio_silence": q_audio_silence,
     "image_posterize": q_image_posterize,
     "image_otsu": q_image_otsu,
@@ -8074,6 +8159,58 @@ ORACLES = {
         SELECT caption, phash, CAST(n_pairs AS BIGINT) AS n_pairs,
                doc_id AS keep_doc, area AS keep_area
         FROM r WHERE rk = 1
+    """,
+    # The same three stages in SQL: regexp-free junk gate (junk
+    # classes are arithmetically known), row_number pair keeper,
+    # micro-ratio-error bucket argmin, then the histogram.
+    "pipeline_image": """
+        WITH b(i, bw, bh) AS (VALUES
+            (0, 512, 2048), (1, 576, 1792), (2, 640, 1536),
+            (3, 704, 1408), (4, 768, 1344), (5, 832, 1216),
+            (6, 896, 1152), (7, 1024, 1024), (8, 1152, 896),
+            (9, 1216, 832), (10, 1344, 768), (11, 1408, 704),
+            (12, 1536, 640), (13, 1792, 576), (14, 2048, 512)),
+        gated AS (
+            SELECT doc_id,
+                   'a photo of item ' || (doc_id % 40)
+                       || ' on a wooden table' AS caption,
+                   CAST((doc_id % 40) * 2654435761 AS BIGINT) AS phash,
+                   CAST(128 + (doc_id * 97) % 1920 AS INT) AS w,
+                   CAST(128 + (doc_id * 53) % 1080 AS INT) AS h
+            FROM documents
+            WHERE doc_id < 1200 AND doc_id % 7 <> 0
+              AND doc_id % 11 <> 0),
+        keepers AS (
+            SELECT w, h FROM (
+                SELECT w, h, row_number() OVER (
+                    PARTITION BY caption, phash
+                    ORDER BY CAST(w AS BIGINT) * h DESC, doc_id DESC
+                ) AS rn
+                FROM gated) WHERE rn = 1),
+        okk AS (
+            SELECT * FROM keepers
+            WHERE CAST(w AS BIGINT) * h >= 262144
+              AND greatest(w, h) <= 4 * least(w, h)),
+        assigned AS (
+            SELECT i AS bucket_i, bw AS bucket_w, bh AS bucket_h
+            FROM (
+                SELECT k.w, k.h, b.i, b.bw, b.bh,
+                       row_number() OVER (
+                           PARTITION BY k.w, k.h, k.rid ORDER BY
+                           (abs(CAST(k.w AS BIGINT) * b.bh
+                                - CAST(k.h AS BIGINT) * b.bw)
+                            * 1000000)
+                               // (CAST(k.h AS BIGINT) * b.bw), b.i)
+                           AS rn
+                FROM (SELECT w, h, row_number() OVER () AS rid
+                      FROM okk) k
+                CROSS JOIN b) WHERE rn = 1)
+        SELECT CAST(bucket_i AS INT) AS bucket_i,
+               CAST(bucket_w AS INT) AS bucket_w,
+               CAST(bucket_h AS INT) AS bucket_h,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM assigned
+        GROUP BY bucket_i, bucket_w, bucket_h
     """,
     # L = d%3 lead, M = 2+d%2 loud, T = 1+d%2 trail windows; d%5==0
     # adds one ragged 50 ms silent tail window.
