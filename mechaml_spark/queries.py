@@ -147,6 +147,45 @@ def q_politeness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_politeness_by_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness by resolved-SERVER group, not hostname — the
+    virtual-hosting reality at 10^10 frontier scale: thousands of
+    hostnames resolve to one server, and a per-host budget alone
+    would still hammer it.  Hosts map to a simulated DNS A-record
+    (first md5 byte mod 8 — deterministic, engine-portable) and the
+    REAL salted two-phase top-B (frontier.scheduler.politeness_split,
+    the exact operator the crawl runs) selects budget=4 per server
+    group over the total key (depth, url_norm).  The oracle is the
+    provably-equal naive window per group.  Scale posture: identical
+    to the crawl's politeness stage — two bounded windows, hot
+    groups split across salt shards, no single-task skew."""
+    from mechaml_spark.frontier.scheduler import politeness_split
+
+    o = _t(spark, sf_dir, "orders")
+    host = F.concat(F.lit("h"), o.o_custkey % 40, F.lit(".test"))
+    frontier = o.select(
+        F.concat(
+            F.lit("http://h"), o.o_custkey % 40, F.lit(".test/p"),
+            o.o_orderkey,
+        ).alias("url_norm"),
+        host.alias("real_host"),
+        (o.o_orderkey % 5).cast("int").alias("depth"),
+    ).withColumn(
+        "host",
+        (
+            F.conv(F.substring(F.md5(F.col("real_host")), 1, 2), 16, 10)
+            .cast("long") % 8
+        ).cast("string"),
+    )
+    selected, _rest = politeness_split(
+        frontier, 4, key_cols=("depth", "url_norm")
+    )
+    return selected.select(
+        F.col("host").alias("server_group"), "real_host", "depth",
+        "url_norm",
+    )
+
+
 def q_seen_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered exact URL-seen dedup (the crawl's operator)."""
     o = _t(spark, sf_dir, "orders")
@@ -7586,6 +7625,7 @@ QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "cookie_match": q_cookie_match,
     "politeness_topk": q_politeness_topk,
+    "politeness_by_ip": q_politeness_by_ip,
     "seen_dedupe": q_seen_dedupe,
     "seen_dedupe_cuckoo": q_seen_dedupe_cuckoo,
     "form_defaults": q_form_defaults,
@@ -7935,6 +7975,26 @@ ORACLES = {
                CASE WHEN c_custkey % 5 = 0 THEN ''
                     ELSE 'sess=' || n_name END AS cookie_header
         FROM customer JOIN nation ON n_nationkey = c_nationkey
+    """,
+    # The salted two-phase top-B is provably equal to this naive
+    # per-group window (scheduler.politeness_split docstring); the
+    # simulated A-record is the same md5 arithmetic.
+    "politeness_by_ip": """
+        WITH fr AS (
+            SELECT 'http://h' || (o_custkey % 40) || '.test/p'
+                       || o_orderkey AS url_norm,
+                   'h' || (o_custkey % 40) || '.test' AS real_host,
+                   CAST(o_orderkey % 5 AS INT) AS depth
+            FROM orders),
+        g AS (
+            SELECT *,
+                   CAST(CAST(concat('0x', substr(md5(real_host), 1, 2))
+                             AS BIGINT) % 8 AS VARCHAR) AS server_group
+            FROM fr)
+        SELECT server_group, real_host, depth, url_norm
+        FROM g
+        QUALIFY row_number() OVER (
+            PARTITION BY server_group ORDER BY depth, url_norm) <= 4
     """,
     "politeness_topk": """
         SELECT o_orderkey, 'h' || (o_custkey % 20) AS host
