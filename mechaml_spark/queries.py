@@ -147,6 +147,97 @@ def q_politeness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_warc_requests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full WARC capture pairs (warc.to_warc_segments_paired): each
+    fetched row archives as a ``request`` record (real
+    ``msgtype=request`` block: method, path+query target, Host)
+    linked Common-Crawl-style via ``WARC-Concurrent-To`` to the
+    ``response`` that follows it.  The whole sink/parse chain is
+    REAL — write paired segments, re-parse, join requests to
+    responses on the link, and parse the request block back.
+    Methods alternate GET/POST by doc_id; the oracle states
+    method/target/pairing arithmetically.  Scale posture: one
+    segment per partition both ways (Common Crawl sharding shape);
+    the pairing join is records-to-records on record id."""
+    import pandas as _pd
+
+    from mechaml_spark import warc as _warc
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 400
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                rows.append(
+                    {
+                        "uri": (
+                            f"http://h{did % 20}.test/p{did}"
+                            f"?q={did % 7}"
+                        ),
+                        "body": f"body-{did}",
+                        "date": "2026-01-02T03:04:05Z",
+                        "method": "POST" if did % 3 == 0 else "GET",
+                    }
+                )
+            yield _pd.DataFrame(
+                rows, columns=["uri", "body", "date", "method"]
+            )
+
+    pages = d.mapInPandas(
+        gen, schema="uri string, body string, date string, method string"
+    )
+    segs = _warc.to_warc_segments_paired(pages, method_col="method")
+    recs = _warc.parse_warc_segments(segs)
+
+    def link(batches):
+        # one partition = one segment's records, but Arrow may split
+        # them across batches: accumulate the partition first
+        all_pdf = _pd.concat(list(batches), ignore_index=True)
+        for pdf in ([all_pdf] if len(all_pdf) else []):
+            by_id = {}
+            reqs = []
+            for _, r in pdf.iterrows():
+                if r["warc_type"] == "response":
+                    by_id[r["record_id"]] = r
+                elif r["warc_type"] == "request":
+                    reqs.append(r)
+            out = {"doc_id": [], "method": [], "target": [],
+                   "paired": [], "resp_body": []}
+            for r in reqs:
+                m, target, hdrs, _b = _warc.parse_http_request(
+                    bytes(r["block"])
+                )
+                resp = by_id.get(r["concurrent_to"])
+                paired = (
+                    resp is not None and resp["uri"] == r["uri"]
+                )
+                body = None
+                if resp is not None:
+                    _s, _h, rb = _warc.parse_http_response(
+                        bytes(resp["block"])
+                    )
+                    body = rb.decode("utf-8")
+                did = int(r["uri"].split("/p")[1].split("?")[0])
+                out["doc_id"].append(did)
+                out["method"].append(m)
+                out["target"].append(target)
+                out["paired"].append(paired)
+                out["resp_body"].append(body)
+            yield _pd.DataFrame(out)
+
+    return recs.mapInPandas(
+        link,
+        schema=(
+            "doc_id long, method string, target string, "
+            "paired boolean, resp_body string"
+        ),
+    )
+
+
 def q_politeness_by_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Politeness by resolved-SERVER group, not hostname — the
     virtual-hosting reality at 10^10 frontier scale: thousands of
@@ -7626,6 +7717,7 @@ QUERIES = {
     "cookie_match": q_cookie_match,
     "politeness_topk": q_politeness_topk,
     "politeness_by_ip": q_politeness_by_ip,
+    "warc_requests": q_warc_requests,
     "seen_dedupe": q_seen_dedupe,
     "seen_dedupe_cuckoo": q_seen_dedupe_cuckoo,
     "form_defaults": q_form_defaults,
@@ -7975,6 +8067,19 @@ ORACLES = {
                CASE WHEN c_custkey % 5 = 0 THEN ''
                     ELSE 'sess=' || n_name END AS cookie_header
         FROM customer JOIN nation ON n_nationkey = c_nationkey
+    """,
+    # method/target/pairing stated arithmetically; the chain itself
+    # (paired write -> reparse -> Concurrent-To join -> request-block
+    # parse) is the real machinery.
+    "warc_requests": """
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'POST' ELSE 'GET' END
+                   AS method,
+               '/p' || doc_id || '?q=' || (doc_id % 7) AS target,
+               TRUE AS paired,
+               'body-' || doc_id AS resp_body
+        FROM documents
+        WHERE doc_id < 400
     """,
     # The salted two-phase top-B is provably equal to this naive
     # per-group window (scheduler.politeness_split docstring); the

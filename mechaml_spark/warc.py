@@ -86,6 +86,7 @@ def warc_record(
     block: bytes,
     content_type: str = "application/http;msgtype=response",
     extra_headers: dict[str, str] | None = None,
+    record_id: str | None = None,
 ) -> bytes:
     """One WARC/1.1 record: named headers, CRLF framing, the block,
     and the spec's two trailing CRLFs.  Header order is fixed for
@@ -97,7 +98,7 @@ def warc_record(
     head = (
         "WARC/1.1\r\n"
         f"WARC-Type: {warc_type}\r\n"
-        f"WARC-Record-ID: <{record_id_for(uri)}>\r\n"
+        f"WARC-Record-ID: <{record_id or record_id_for(uri)}>\r\n"
         f"WARC-Date: {date}\r\n"
         f"WARC-Target-URI: {uri}\r\n"
         f"{extras}"
@@ -196,6 +197,8 @@ RECORD_T = T.StructType(
         T.StructField("profile", T.StringType()),
         T.StructField("payload_digest", T.StringType()),
         T.StructField("refers_to_target_uri", T.StringType()),
+        # request-record pairing (WARC 1.1 5.7); NULL elsewhere
+        T.StructField("concurrent_to", T.StringType()),
     ]
 )
 
@@ -275,6 +278,9 @@ def parse_warc_segments(
                             "refers_to_target_uri": headers.get(
                                 "WARC-Refers-To-Target-URI"
                             ),
+                            "concurrent_to": headers.get(
+                                "WARC-Concurrent-To", ""
+                            ).strip("<>") or None,
                         }
                     )
             if rows:
@@ -284,7 +290,7 @@ def parse_warc_segments(
                         "uri", "warc_type", "warc_date", "record_id",
                         "refers_to", "content_length", "block",
                         "profile", "payload_digest",
-                        "refers_to_target_uri",
+                        "refers_to_target_uri", "concurrent_to",
                     ],
                 )
 
@@ -695,3 +701,98 @@ def to_warc_segments_dedup(
             )
 
     return marked.mapInPandas(run, schema=SEGMENT_T)
+
+
+# --------------------------------------------------------------------------
+# request records (WARC 1.1 §6.4) — the full capture pair
+# --------------------------------------------------------------------------
+
+def build_http_request(
+    url: str,
+    method: str = "GET",
+    headers: dict[str, str] | None = None,
+    body: bytes = b"",
+) -> bytes:
+    """Serialize a minimal HTTP/1.1 request message (the
+    ``application/http;msgtype=request`` block of a WARC ``request``
+    record): request line from the URL's path+query, Host from its
+    authority, caller headers in insertion order, Content-Length
+    only when a body rides along."""
+    from urllib.parse import urlsplit
+
+    p = urlsplit(url)
+    target = (p.path or "/") + (f"?{p.query}" if p.query else "")
+    lines = [f"{method} {target} HTTP/1.1", f"Host: {p.netloc}"]
+    for k, v in (headers or {}).items():
+        lines.append(f"{k}: {v}")
+    if body:
+        lines.append(f"Content-Length: {len(body)}")
+    return ("\r\n".join(lines) + "\r\n\r\n").encode("ascii") + body
+
+
+def parse_http_request(block: bytes) -> tuple[str, str, dict, bytes]:
+    """Split an HTTP request block into (method, target, headers,
+    body)."""
+    sep = block.index(b"\r\n\r\n")
+    head = block[:sep].decode("iso-8859-1").split("\r\n")
+    method, target, _ = head[0].split(" ", 2)
+    hdrs = {}
+    for line in head[1:]:
+        k, _, v = line.partition(":")
+        hdrs[k.strip().lower()] = v.strip()
+    return method, target, hdrs, block[sep + 4 :]
+
+
+def to_warc_segments_paired(
+    df: DataFrame,
+    uri_col: str = "uri",
+    body_col: str = "body",
+    date_col: str = "date",
+    method_col: str | None = None,
+    compress: bool = False,
+    content_type: str = "text/plain",
+) -> DataFrame:
+    """Sink: one WARC segment per partition with the FULL capture
+    pair per row — a ``request`` record (block =
+    ``msgtype=request``) immediately followed by its ``response``,
+    linked the Common-Crawl way: the request carries
+    ``WARC-Concurrent-To: <response id>``.  Request record ids are
+    derived from ``req:<uri>`` so the pair never collides."""
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        buf = io.BytesIO()
+        count = 0
+        for pdf in batches:
+            methods = (
+                pdf[method_col] if method_col is not None
+                else ["GET"] * len(pdf)
+            )
+            for uri, body, date, method in zip(
+                pdf[uri_col], pdf[body_col], pdf[date_col], methods
+            ):
+                uri, date, method = str(uri), str(date), str(method)
+                body_b = (
+                    bytes(body) if isinstance(body, (bytes, bytearray))
+                    else str(body).encode("utf-8")
+                )
+                resp_id = record_id_for(uri)
+                req = warc_record(
+                    "request", uri, date,
+                    build_http_request(uri, method=method),
+                    content_type="application/http;msgtype=request",
+                    extra_headers={"WARC-Concurrent-To": f"<{resp_id}>"},
+                    record_id=record_id_for("req:" + uri),
+                )
+                resp = warc_record(
+                    "response", uri, date,
+                    build_http_response(body_b, content_type=content_type),
+                )
+                for rec in (req, resp):
+                    buf.write(gzip_member(rec) if compress else rec)
+                count += 2
+        if count:
+            yield pd.DataFrame(
+                [{"segment": buf.getvalue(), "n_records": count}]
+            )
+
+    return df.mapInPandas(run, schema=SEGMENT_T)

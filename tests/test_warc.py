@@ -358,3 +358,49 @@ def test_revisit_records_dedup_archive(spark):
     # digests agree between the revisit and its original
     assert rev["payload_digest"] == src["payload_digest"]
     assert rev["payload_digest"].startswith("sha256:")
+
+
+def test_request_records_pure():
+    req = warc.build_http_request(
+        "http://h.test/a/b?x=1", method="POST",
+        headers={"Accept": "*/*"}, body=b"k=v",
+    )
+    m, target, hdrs, body = warc.parse_http_request(req)
+    assert (m, target, body) == ("POST", "/a/b?x=1", b"k=v")
+    assert hdrs["host"] == "h.test"
+    assert hdrs["accept"] == "*/*"
+    assert hdrs["content-length"] == "3"
+    # bare path defaults to /
+    m2, t2, h2, b2 = warc.parse_http_request(
+        warc.build_http_request("http://h.test")
+    )
+    assert (m2, t2, b2) == ("GET", "/", b"")
+    assert "content-length" not in h2
+
+
+def test_paired_segments_roundtrip(spark):
+    import pandas as pd
+
+    rows = [
+        {"uri": f"http://h{i % 3}.test/p{i}", "body": f"b{i}",
+         "date": "2026-01-02T03:04:05Z",
+         "method": "POST" if i % 2 else "GET"}
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    segs = warc.to_warc_segments_paired(df, method_col="method")
+    recs = warc.parse_warc_segments(segs).collect()
+    reqs = {r["record_id"]: r for r in recs if r["warc_type"] == "request"}
+    resps = {r["record_id"]: r for r in recs if r["warc_type"] == "response"}
+    assert len(reqs) == 6 and len(resps) == 6
+    for r in reqs.values():
+        # the Concurrent-To link lands on the SAME URI's response
+        assert r["concurrent_to"] in resps
+        assert resps[r["concurrent_to"]]["uri"] == r["uri"]
+        # ids never collide pairwise
+        assert r["record_id"] != r["concurrent_to"]
+        m, target, hdrs, _ = warc.parse_http_request(bytes(r["block"]))
+        assert target == "/" + r["uri"].split("/", 3)[3]
+        assert hdrs["host"] == r["uri"].split("/")[2]
+    # responses carry no concurrent_to
+    assert all(r["concurrent_to"] is None for r in resps.values())
