@@ -1056,3 +1056,53 @@ def quality_estimate(data: bytes):
             if d == 0:
                 break
     return best_q, best_d == 0, len(tables)
+
+
+def jpeg_sof_probe(data: bytes):
+    """Header-only stream-structure probe: walk to the first SOF
+    marker and report ``(progressive, w, h, n_components,
+    subsampling)`` where subsampling is the conventional J:a:b
+    notation for the standard factor layouts ("4:4:4", "4:2:0",
+    "4:2:2", "4:4:0", else "other"; single-component streams report
+    "gray").  Curation pipelines gate on this next to
+    :func:`quality_estimate` (heavy chroma subsampling under a
+    quality bar) without ever entropy-decoding."""
+    if len(data) < 4 or data[0:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream")
+    p = 2
+    n = len(data)
+    while p + 4 <= n:
+        if data[p] != 0xFF:
+            p += 1
+            continue
+        marker = data[p + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            p += 2
+            continue
+        if marker in (0xD9, 0xDA):
+            break
+        seglen = struct.unpack(">H", data[p + 2 : p + 4])[0]
+        if marker in (0xC0, 0xC1, 0xC2):
+            progressive = marker == 0xC2
+            h, w = struct.unpack(">HH", data[p + 5 : p + 9])
+            nc = data[p + 9]
+            if nc == 1:
+                sub = "gray"
+            else:
+                factors = [
+                    (data[p + 11 + 3 * i] >> 4, data[p + 11 + 3 * i] & 15)
+                    for i in range(nc)
+                ]
+                luma, chroma = factors[0], factors[1:]
+                if any(c != chroma[0] for c in chroma):
+                    sub = "other"
+                else:
+                    sub = {
+                        ((1, 1), (1, 1)): "4:4:4",
+                        ((2, 2), (1, 1)): "4:2:0",
+                        ((2, 1), (1, 1)): "4:2:2",
+                        ((1, 2), (1, 1)): "4:4:0",
+                    }.get((luma, chroma[0]), "other")
+            return progressive, w, h, nc, sub
+        p += 2 + seglen
+    raise ValueError("JPEG stream carries no SOF marker")

@@ -147,6 +147,67 @@ def q_politeness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jpeg_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG stream-structure probe (jpeg.jpeg_sof_probe): progressive
+    flag + chroma subsampling in J:a:b notation from the SOF marker
+    alone — the curation signal next to `jpeg_quality` (gate heavy
+    4:2:0 under a quality bar) with zero entropy decode.  Four
+    classes per doc_id%4: baseline 4:4:4, progressive 4:4:4 (both
+    real own-encoder streams), and 4:2:0 / 4:2:2 header variants
+    (SOF sampling factors patched — probe-only streams, the
+    subsampled DECODE path is separately exercised by the codec
+    tests).  Scale posture: first-marker walk in mapInPandas,
+    5 small columns out, zero shuffle."""
+    import numpy as _np
+    import pandas as _pd
+
+    from mechaml_spark.jpeg import (
+        jpeg_encode,
+        jpeg_encode_progressive,
+        jpeg_sof_probe,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 400
+    )
+
+    def probe(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "progressive": [], "w": [], "h": [],
+                   "n_components": [], "subsampling": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                q = 50 + did % 45
+                px = _np.full(
+                    (16, 16, 3), (did * 31) % 251, dtype=_np.uint8
+                )
+                if did % 4 == 1:
+                    data = jpeg_encode_progressive(px, quality=q)
+                else:
+                    data = jpeg_encode(px, quality=q)
+                    if did % 4 >= 2:
+                        b = bytearray(data)
+                        i = data.index(b"\xff\xc0")
+                        b[i + 11] = 0x22 if did % 4 == 2 else 0x21
+                        data = bytes(b)
+                prog, w, h, nc, sub = jpeg_sof_probe(data)
+                out["doc_id"].append(did)
+                out["progressive"].append(prog)
+                out["w"].append(w)
+                out["h"].append(h)
+                out["n_components"].append(nc)
+                out["subsampling"].append(sub)
+            yield _pd.DataFrame(out)
+
+    return d.mapInPandas(
+        probe,
+        schema=(
+            "doc_id long, progressive boolean, w int, h int, "
+            "n_components int, subsampling string"
+        ),
+    )
+
+
 def q_warc_requests(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full WARC capture pairs (warc.to_warc_segments_paired): each
     fetched row archives as a ``request`` record (real
@@ -7717,6 +7778,7 @@ QUERIES = {
     "cookie_match": q_cookie_match,
     "politeness_topk": q_politeness_topk,
     "politeness_by_ip": q_politeness_by_ip,
+    "jpeg_structure": q_jpeg_structure,
     "warc_requests": q_warc_requests,
     "seen_dedupe": q_seen_dedupe,
     "seen_dedupe_cuckoo": q_seen_dedupe_cuckoo,
@@ -8067,6 +8129,18 @@ ORACLES = {
                CASE WHEN c_custkey % 5 = 0 THEN ''
                     ELSE 'sess=' || n_name END AS cookie_header
         FROM customer JOIN nation ON n_nationkey = c_nationkey
+    """,
+    # Four structure classes stated literally per doc_id%4.
+    "jpeg_structure": """
+        SELECT doc_id,
+               doc_id % 4 = 1 AS progressive,
+               CAST(16 AS INT) AS w, CAST(16 AS INT) AS h,
+               CAST(3 AS INT) AS n_components,
+               CASE doc_id % 4 WHEN 2 THEN '4:2:0'
+                               WHEN 3 THEN '4:2:2'
+                               ELSE '4:4:4' END AS subsampling
+        FROM documents
+        WHERE doc_id < 400
     """,
     # method/target/pairing stated arithmetically; the chain itself
     # (paired write -> reparse -> Concurrent-To join -> request-block

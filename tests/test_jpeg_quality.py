@@ -74,3 +74,18 @@ def test_not_jpeg_and_no_dqt_raise():
         jpeg.parse_dqt(b"\x89PNG\r\n")
     with pytest.raises(ValueError):
         jpeg.quality_estimate(b"\xff\xd8\xff\xd9")
+
+
+def test_sof_probe_structures():
+    px = np.full((16, 16, 3), 90, np.uint8)
+    base = jpeg.jpeg_encode(px, quality=80)
+    assert jpeg.jpeg_sof_probe(base) == (False, 16, 16, 3, "4:4:4")
+    prog = jpeg.jpeg_encode_progressive(px, quality=80)
+    assert jpeg.jpeg_sof_probe(prog) == (True, 16, 16, 3, "4:4:4")
+    for byte, want in ((0x22, "4:2:0"), (0x21, "4:2:2"),
+                       (0x12, "4:4:0"), (0x31, "other")):
+        b = bytearray(base)
+        b[base.index(b"\xff\xc0") + 11] = byte
+        assert jpeg.jpeg_sof_probe(bytes(b))[4] == want, hex(byte)
+    with pytest.raises(ValueError):
+        jpeg.jpeg_sof_probe(b"\xff\xd8\xff\xd9")
