@@ -238,10 +238,16 @@ def _escape_literal(s: str) -> bytes:
 
 
 def pdf_write(
-    pages: list[list[str]], compress: bool = True
+    pages: list[list[str]],
+    compress: bool = True,
+    images: list[tuple[int, int, bytes]] | None = None,
 ) -> bytes:
     """Minimal conformant PDF: one content stream per page, each page
-    a list of text lines (``T*`` line advance), Helvetica 12."""
+    a list of text lines (``T*`` line advance), Helvetica 12.
+
+    ``images``: optional ``(width, height, jpeg_bytes)`` list embedded
+    as DCTDecode image XObjects, painted on page 1 (``cm`` + ``Do``)
+    — the fixture shape for :func:`pdf_extract_images`."""
     objs: list[bytes] = []  # bodies; object number = index + 1
 
     def add(body: bytes) -> int:
@@ -251,6 +257,15 @@ def pdf_write(
     font = add(
         b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
     )
+    img_ids: list[int] = []
+    for w, h, jb in images or []:
+        img_ids.append(add(
+            b"<< /Type /XObject /Subtype /Image /Width "
+            + str(w).encode() + b" /Height " + str(h).encode()
+            + b" /ColorSpace /DeviceRGB /BitsPerComponent 8"
+            + b" /Filter /DCTDecode /Length " + str(len(jb)).encode()
+            + b" >>\nstream\n" + jb + b"\nendstream"
+        ))
     page_ids: list[tuple[int, int]] = []
     for lines in pages:
         cs = bytearray(b"BT /F1 12 Tf 14 TL 72 720 Td")
@@ -259,6 +274,14 @@ def pdf_write(
                 cs += b" T*"
             cs += b" (" + _escape_literal(line) + b") Tj"
         cs += b" ET"
+        if img_ids and not page_ids:  # paint images on page 1
+            for k, (w, h, _jb) in enumerate(images):
+                cs += (
+                    b" q " + str(w).encode() + b" 0 0 "
+                    + str(h).encode() + b" "
+                    + str(72 + 100 * k).encode()
+                    + b" 100 cm /Im" + str(k).encode() + b" Do Q"
+                )
         raw = zlib.compress(bytes(cs), 6) if compress else bytes(cs)
         filt = b"/Filter /FlateDecode " if compress else b""
         content = add(
@@ -279,7 +302,19 @@ def pdf_write(
             + str(pages_obj).encode()
             + b" 0 R /MediaBox [0 0 612 792] /Resources << /Font << /F1 "
             + str(font).encode()
-            + b" 0 R >> >> /Contents "
+            + b" 0 R >>"
+            + (
+                b" /XObject << "
+                + b" ".join(
+                    b"/Im" + str(k).encode() + b" "
+                    + str(oid).encode() + b" 0 R"
+                    for k, oid in enumerate(img_ids)
+                )
+                + b" >>"
+                if img_ids and k == 0
+                else b""
+            )
+            + b" >> /Contents "
             + str(content).encode()
             + b" 0 R >>"
         )
@@ -346,3 +381,46 @@ def extract_pdf_text_stage(df, bytes_col: str = "bytes",
             yield out
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+def pdf_extract_images(data: bytes) -> list:
+    """Embedded-image mining — PDFs are a real image+caption source
+    (figure + caption pairs), and the common embedding for photos is
+    a DCTDecode XObject whose stream IS a JFIF/JPEG byte string.
+    Walks the object table for ``/Subtype /Image`` and returns
+    ``[(obj_num, width, height, filter, bytes)]`` in object order:
+    DCTDecode streams come back verbatim (decode with the repo's
+    JPEG codec downstream), FlateDecode raw-sample images come back
+    inflated, anything else keeps its filter name with ``bytes =
+    None`` (recorded, not crashed — the crawl rule)."""
+    out = []
+    objs = _objects(data)
+    for num in sorted(objs):
+        head, raw = objs[num]
+        if raw is None or not re.search(rb"/Subtype\s*/Image", head):
+            continue
+        wm = re.search(rb"/Width\s+(\d+)", head)
+        hm = re.search(rb"/Height\s+(\d+)", head)
+        fm = re.search(rb"/Filter\s*/(\w+)", head)
+        filt = fm.group(1).decode() if fm else "raw"
+        if filt == "DCTDecode":
+            payload = raw
+        elif filt == "FlateDecode":
+            try:
+                payload = zlib.decompress(raw)
+            except zlib.error:
+                payload = None
+        elif filt == "raw":
+            payload = raw
+        else:
+            payload = None
+        out.append(
+            (
+                num,
+                int(wm.group(1)) if wm else None,
+                int(hm.group(1)) if hm else None,
+                filt,
+                payload,
+            )
+        )
+    return out

@@ -147,6 +147,71 @@ def q_politeness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pdf_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF figure mining (pdfkit.pdf_extract_images): embedded
+    DCTDecode image XObjects come back as verbatim JPEG streams and
+    decode with the repo's codec — the PDF half of an image+caption
+    corpus (figure + caption text from the same page).  Each doc
+    writes a 2-page PDF with two constant-plane q95 JPEGs (exact
+    decode — the `image_jpeg_features` argument) and caption text;
+    Spark runs the real object-table walk + JPEG decode and pairs
+    the first caption line; every output is a closed form.  Scale
+    posture: object walk + decode in mapInPandas, bytes never
+    shuffle; 6 small columns out."""
+    import numpy as _np
+    import pandas as _pd
+
+    from mechaml_spark import pdfkit as _pk
+    from mechaml_spark.jpeg import jpeg_decode as _jdec
+    from mechaml_spark.jpeg import jpeg_encode as _jenc
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 300
+    )
+
+    def mine(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "img_no": [], "w": [], "h": [],
+                   "mean_r": [], "caption": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                v1, v2 = (did * 7) % 251, (did * 11) % 251
+                doc = _pk.pdf_write(
+                    [[f"figure {did} caption"], ["page 2"]],
+                    images=[
+                        (8, 8, _jenc(
+                            _np.full((8, 8, 3), v1, _np.uint8),
+                            quality=95,
+                        )),
+                        (16, 8, _jenc(
+                            _np.full((8, 16, 3), v2, _np.uint8),
+                            quality=95,
+                        )),
+                    ],
+                )
+                cap = _pk.pdf_extract_text(doc).splitlines()[0]
+                for k, (_n, w, h, filt, payload) in enumerate(
+                    _pk.pdf_extract_images(doc)
+                ):
+                    assert filt == "DCTDecode"
+                    px = _jdec(payload)
+                    out["doc_id"].append(did)
+                    out["img_no"].append(k)
+                    out["w"].append(w)
+                    out["h"].append(h)
+                    out["mean_r"].append(int(px[..., 0].mean()))
+                    out["caption"].append(cap)
+            yield _pd.DataFrame(out)
+
+    return d.mapInPandas(
+        mine,
+        schema=(
+            "doc_id long, img_no int, w int, h int, mean_r int, "
+            "caption string"
+        ),
+    )
+
+
 def q_jpeg_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JPEG stream-structure probe (jpeg.jpeg_sof_probe): progressive
     flag + chroma subsampling in J:a:b notation from the SOF marker
@@ -7778,6 +7843,7 @@ QUERIES = {
     "cookie_match": q_cookie_match,
     "politeness_topk": q_politeness_topk,
     "politeness_by_ip": q_politeness_by_ip,
+    "pdf_images": q_pdf_images,
     "jpeg_structure": q_jpeg_structure,
     "warc_requests": q_warc_requests,
     "seen_dedupe": q_seen_dedupe,
@@ -8129,6 +8195,18 @@ ORACLES = {
                CASE WHEN c_custkey % 5 = 0 THEN ''
                     ELSE 'sess=' || n_name END AS cookie_header
         FROM customer JOIN nation ON n_nationkey = c_nationkey
+    """,
+    # Constant q95 planes decode exactly, so means/dims/captions are
+    # the stated closed forms.
+    "pdf_images": """
+        WITH k(img_no, w, h) AS (VALUES (0, 8, 8), (1, 16, 8))
+        SELECT d.doc_id, CAST(k.img_no AS INT) AS img_no,
+               CAST(k.w AS INT) AS w, CAST(k.h AS INT) AS h,
+               CAST(CASE k.img_no WHEN 0 THEN (d.doc_id * 7) % 251
+                    ELSE (d.doc_id * 11) % 251 END AS INT) AS mean_r,
+               'figure ' || d.doc_id || ' caption' AS caption
+        FROM documents d CROSS JOIN k
+        WHERE d.doc_id < 300
     """,
     # Four structure classes stated literally per doc_id%4.
     "jpeg_structure": """

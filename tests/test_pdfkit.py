@@ -84,3 +84,57 @@ def test_spark_stage(spark):
     assert rows["a"] == "alpha\nbeta"
     assert rows["b"] == "gamma"
     assert rows["c"] == ""  # parses, no pages -> empty text
+
+
+def test_pdf_images_roundtrip():
+    import numpy as np
+
+    from mechaml_spark import jpeg, pdfkit
+
+    j1 = jpeg.jpeg_encode(np.full((8, 8, 3), 60, np.uint8), quality=95)
+    j2 = jpeg.jpeg_encode(np.full((4, 16, 3), 180, np.uint8), quality=95)
+    doc = pdfkit.pdf_write(
+        [["fig caption"], ["page 2"]], images=[(8, 8, j1), (16, 4, j2)]
+    )
+    # text layer unaffected by the image objects
+    text = pdfkit.pdf_extract_text(doc)
+    assert "fig caption" in text and "page 2" in text
+    imgs = pdfkit.pdf_extract_images(doc)
+    assert [(w, h, f) for _, w, h, f, _ in imgs] == [
+        (8, 8, "DCTDecode"), (16, 4, "DCTDecode")
+    ]
+    # DCT streams verbatim -> repo decoder round-trips exactly
+    assert imgs[0][4] == j1 and imgs[1][4] == j2
+    assert (jpeg.jpeg_decode(imgs[0][4]) == 60).all()
+    assert (jpeg.jpeg_decode(imgs[1][4]) == 180).all()
+
+
+def test_pdf_images_flate_and_unknown_filters():
+    import zlib as _z
+
+    from mechaml_spark import pdfkit
+
+    raw = bytes(range(48))  # 4x4 RGB samples
+    flate = (
+        b"5 0 obj\n<< /Type /XObject /Subtype /Image /Width 4 "
+        b"/Height 4 /ColorSpace /DeviceRGB /BitsPerComponent 8 "
+        b"/Filter /FlateDecode /Length "
+        + str(len(_z.compress(raw))).encode()
+        + b" >>\nstream\n" + _z.compress(raw) + b"\nendstream\nendobj\n"
+    )
+    jbig = (
+        b"6 0 obj\n<< /Subtype /Image /Width 2 /Height 2 "
+        b"/Filter /JBIG2Decode /Length 3 >>\nstream\nabc\nendstream\n"
+        b"endobj\n"
+    )
+    doc = pdfkit.pdf_write([["x"]]) + flate + jbig
+    imgs = pdfkit.pdf_extract_images(doc)
+    assert len(imgs) == 2
+    assert imgs[0][3] == "FlateDecode" and imgs[0][4] == raw
+    assert imgs[1][3] == "JBIG2Decode" and imgs[1][4] is None
+
+
+def test_pdf_without_images_yields_none():
+    from mechaml_spark import pdfkit
+
+    assert pdfkit.pdf_extract_images(pdfkit.pdf_write([["t"]])) == []
