@@ -147,6 +147,98 @@ def q_politeness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_data_uri_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline data:-URI image mining (metadata.data_uri_cols):
+    crawled pages inline small images as base64 ``data:`` URLs, and
+    the pipeline routes them into the SAME decode stages as fetched
+    bytes.  Each doc's HTML carries one base64 PNG (own codec,
+    constant plane v = doc_id*13 %% 251), one percent-encoded
+    text/plain data URI, and one ordinary fetchable img URL; the
+    page goes through the REAL parse path (parse_pages ->
+    images_with), the split/unbase64 happens JVM-side, and the PNG
+    decodes through the real codec back to its closed-form mean.
+    Scale posture: expression-only split (codegen, unbase64 on the
+    JVM); only the decode of actual image payloads touches an Arrow
+    stage; zero shuffle."""
+    import base64 as _b64
+
+    import numpy as _np
+    import pandas as _pd
+
+    from mechaml_spark import imaging as _im
+    from mechaml_spark.metadata import data_uri_cols
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 300
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                v = (did * 13) % 251
+                png = _im.png_encode(
+                    _np.full((4, 4, 3), v, dtype=_np.uint8)
+                )
+                b64 = _b64.b64encode(png).decode()
+                body = (
+                    "<html><body>"
+                    f'<img src="data:image/png;base64,{b64}">'
+                    f'<img src="data:,note%20{did}">'
+                    f'<img src="http://img{did % 9}.test/x.png">'
+                    "</body></html>"
+                )
+                rows.append(
+                    {"doc_id": did,
+                     "url": f"http://s.test/d{did}",
+                     "body": body}
+                )
+            yield _pd.DataFrame(rows, columns=["doc_id", "url", "body"])
+
+    pages = d.mapInPandas(
+        gen, schema="doc_id long, url string, body string"
+    )
+    imgs = page.images_with(
+        extract.parse_pages(pages), "", page_cols=("doc_id",)
+    )
+    split = imgs.select(
+        "doc_id",
+        F.col("node")["src"].alias("src"),
+        *data_uri_cols(F.col("node")["src"]),
+    )
+
+    def decode(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "mime": [], "mean_r": [],
+                   "text_payload": []}
+            for _, r in pdf.iterrows():
+                mime = r["data_mime"]
+                mean_r = None
+                text = None
+                if mime == "image/png":
+                    px = _im.png_decode(bytes(r["data_bytes"]))
+                    mean_r = int(px[..., 0].mean())
+                elif mime is not None:
+                    text = bytes(r["data_bytes"]).decode("utf-8")
+                out["doc_id"].append(int(r["doc_id"]))
+                out["mime"].append(mime)
+                out["mean_r"].append(mean_r)
+                out["text_payload"].append(text)
+            yield _pd.DataFrame(out)
+
+    return (
+        split.where(F.col("is_data_uri"))
+        .mapInPandas(
+            decode,
+            schema=(
+                "doc_id long, mime string, mean_r int, "
+                "text_payload string"
+            ),
+        )
+    )
+
+
 def q_pdf_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF figure mining (pdfkit.pdf_extract_images): embedded
     DCTDecode image XObjects come back as verbatim JPEG streams and
@@ -7843,6 +7935,7 @@ QUERIES = {
     "cookie_match": q_cookie_match,
     "politeness_topk": q_politeness_topk,
     "politeness_by_ip": q_politeness_by_ip,
+    "data_uri_images": q_data_uri_images,
     "pdf_images": q_pdf_images,
     "jpeg_structure": q_jpeg_structure,
     "warc_requests": q_warc_requests,
@@ -8195,6 +8288,18 @@ ORACLES = {
                CASE WHEN c_custkey % 5 = 0 THEN ''
                     ELSE 'sess=' || n_name END AS cookie_header
         FROM customer JOIN nation ON n_nationkey = c_nationkey
+    """,
+    # Two data-URI rows per doc: the base64 PNG decodes to its
+    # closed-form plane; the percent-encoded text round-trips.
+    "data_uri_images": """
+        SELECT doc_id, 'image/png' AS mime,
+               CAST((doc_id * 13) % 251 AS INT) AS mean_r,
+               CAST(NULL AS VARCHAR) AS text_payload
+        FROM documents WHERE doc_id < 300
+        UNION ALL
+        SELECT doc_id, 'text/plain', CAST(NULL AS INT),
+               'note ' || doc_id
+        FROM documents WHERE doc_id < 300
     """,
     # Constant q95 planes decode exactly, so means/dims/captions are
     # the stated closed forms.

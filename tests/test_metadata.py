@@ -292,3 +292,39 @@ def test_link_header_parse(spark):
         got.setdefault(r["i"], []).append((r["url"], r["rel"]))
     for i, (_, want) in enumerate(cases):
         assert got.get(i, []) == want, (i, got.get(i), want)
+
+
+def test_data_uri_cols(spark):
+    import base64
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from mechaml_spark.imaging import png_encode
+    from mechaml_spark.metadata import data_uri_cols
+
+    png = png_encode(np.full((2, 2, 3), 9, np.uint8))
+    b64 = base64.b64encode(png).decode()
+    rows = [
+        (0, f"data:image/png;base64,{b64}"),
+        (1, "data:text/plain;charset=utf-8,hello%20world"),
+        (2, "data:,bare"),                      # RFC 2397 default mime
+        (3, "http://x.test/a.png"),             # not a data URI
+        (4, f"data:image/png;base64,{b64[:10]}\n{b64[10:]}"),  # stray ws
+        (5, "data:IMAGE/PNG;base64," + b64),    # case-folded mime
+    ]
+    df = spark.createDataFrame(rows, "i int, src string")
+    got = {
+        r["i"]: r
+        for r in df.select("i", *data_uri_cols(F.col("src"))).collect()
+    }
+    assert bytes(got[0]["data_bytes"]) == png
+    assert got[0]["data_mime"] == "image/png"
+    assert bytes(got[1]["data_bytes"]) == b"hello world"
+    assert got[1]["data_mime"] == "text/plain"
+    assert bytes(got[2]["data_bytes"]) == b"bare"
+    assert got[2]["data_mime"] == "text/plain"
+    assert not got[3]["is_data_uri"] and got[3]["data_bytes"] is None
+    assert bytes(got[4]["data_bytes"]) == png
+    assert got[5]["data_mime"] == "image/png"
+    assert bytes(got[5]["data_bytes"]) == png
