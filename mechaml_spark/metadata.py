@@ -712,3 +712,43 @@ def data_uri_cols(src: Column) -> list[Column]:
         F.when(is_data, F.lower(mime)).alias("data_mime"),
         F.when(is_data, decoded).alias("data_bytes"),
     ]
+
+
+def css_image_urls_col(body: Column) -> Column:
+    """CSS background-image URL discovery as pure expressions — the
+    image-mining channel `<img>` extraction misses entirely (hero
+    banners, galleries, and lazy-load libraries put content images
+    in ``background-image``).  Pinned grammar: every ``url(...)``
+    token inside a ``style="..."``/``style='...'`` attribute or a
+    ``<style>...</style>`` block, quotes optional, whitespace
+    tolerated; ``data:`` URLs are excluded here (they flow through
+    :func:`data_uri_cols` instead).  Returns a deduplicated
+    document-order array of URL strings.  Zero Python, zero
+    shuffle."""
+    url_re = r"""url\(\s*['"]?([^'"\)\s]+)['"]?\s*\)"""
+    scopes = F.concat(
+        F.array_join(
+            F.regexp_extract_all(
+                body, F.lit(r'(?is)\bstyle\s*=\s*"([^"]*)"'), 1
+            ),
+            " ",
+        ),
+        F.lit(" "),
+        F.array_join(
+            F.regexp_extract_all(
+                body, F.lit(r"(?is)\bstyle\s*=\s*'([^']*)'"), 1
+            ),
+            " ",
+        ),
+        F.lit(" "),
+        F.array_join(
+            F.regexp_extract_all(
+                body, F.lit(r"(?is)<style[^>]*>(.*?)</style>"), 1
+            ),
+            " ",
+        ),
+    )
+    urls = F.regexp_extract_all(scopes, F.lit(url_re), 1)
+    return F.array_distinct(
+        F.filter(urls, lambda u: ~u.rlike(r"(?i)^data:"))
+    )

@@ -147,6 +147,86 @@ def q_politeness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image URL discovery across ALL the channels a real page uses
+    — plain ``src``, lazy-load attributes (``data-src`` et al.,
+    which SHADOW the placeholder src the way lazy-load libraries
+    mean them to), best-candidate ``srcset``, and CSS
+    ``background-image`` (style attributes + ``<style>`` blocks via
+    metadata.css_image_urls_col) — the completeness layer of
+    image+caption mining; `<img src>` alone misses hero banners and
+    every lazy-loaded gallery.  HTML is closed-form per doc; the
+    page goes through the REAL parse path for the img channels.
+    Output one row per (doc_id, channel, url).  Scale posture: parse
+    once; all channel extraction is expression-only; explode is the
+    only row expansion; zero Python beyond the shared parse stage."""
+    import pandas as _pd
+
+    from mechaml_spark.metadata import css_image_urls_col
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 400
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                body = (
+                    "<html><head><style>"
+                    f".hero {{ background: url('http://c{did % 7}"
+                    ".test/hero.jpg') no-repeat; }}"
+                    "</style></head><body>"
+                    f'<img src="http://i{did % 9}.test/plain.png">'
+                    f'<img src="http://i{did % 9}.test/blank.gif" '
+                    f'data-src="http://i{did % 9}.test/real{did % 5}'
+                    '.jpg">'
+                    f'<img srcset="http://i{did % 9}.test/a.jpg 1x, '
+                    f'http://i{did % 9}.test/b{did % 3}.jpg 2x">'
+                    f'<div style="background-image: url(http://c'
+                    f'{did % 7}.test/div{did % 4}.png)">x</div>'
+                    "</body></html>"
+                )
+                rows.append(
+                    {"doc_id": did,
+                     "url": f"http://s.test/d{did}", "body": body}
+                )
+            yield _pd.DataFrame(rows, columns=["doc_id", "url", "body"])
+
+    pages = d.mapInPandas(
+        gen, schema="doc_id long, url string, body string"
+    )
+    from mechaml_spark.metadata import best_srcset_url
+
+    imgs = page.images_with(
+        extract.parse_pages(pages), "", page_cols=("doc_id",)
+    )
+    a = F.col("node")["attrs"]
+    lazy = F.coalesce(
+        a["data-src"], a["data-lazy-src"], a["data-original"]
+    )
+    img_rows = imgs.select(
+        "doc_id",
+        F.when(lazy.isNotNull(), F.lit("lazy"))
+        .when(
+            a["srcset"].isNotNull(), F.lit("srcset")
+        )
+        .otherwise(F.lit("src"))
+        .alias("channel"),
+        F.coalesce(
+            lazy,
+            best_srcset_url(a["srcset"], F.col("node")["src"]),
+        ).alias("img_url"),
+    ).where(F.col("img_url").isNotNull())
+    css_rows = pages.select(
+        "doc_id",
+        F.lit("css").alias("channel"),
+        F.explode(css_image_urls_col(F.col("body"))).alias("img_url"),
+    )
+    return img_rows.unionByName(css_rows)
+
+
 def q_data_uri_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inline data:-URI image mining (metadata.data_uri_cols):
     crawled pages inline small images as base64 ``data:`` URLs, and
@@ -7935,6 +8015,7 @@ QUERIES = {
     "cookie_match": q_cookie_match,
     "politeness_topk": q_politeness_topk,
     "politeness_by_ip": q_politeness_by_ip,
+    "image_discovery": q_image_discovery,
     "data_uri_images": q_data_uri_images,
     "pdf_images": q_pdf_images,
     "jpeg_structure": q_jpeg_structure,
@@ -8288,6 +8369,32 @@ ORACLES = {
                CASE WHEN c_custkey % 5 = 0 THEN ''
                     ELSE 'sess=' || n_name END AS cookie_header
         FROM customer JOIN nation ON n_nationkey = c_nationkey
+    """,
+    # Five discovery rows per doc: src, lazy (data-src shadows the
+    # placeholder), srcset best (2x wins), and two CSS urls.
+    "image_discovery": """
+        SELECT doc_id, 'src' AS channel,
+               'http://i' || (doc_id % 9) || '.test/plain.png' AS img_url
+        FROM documents WHERE doc_id < 400
+        UNION ALL
+        SELECT doc_id, 'lazy',
+               'http://i' || (doc_id % 9) || '.test/real'
+                   || (doc_id % 5) || '.jpg'
+        FROM documents WHERE doc_id < 400
+        UNION ALL
+        SELECT doc_id, 'srcset',
+               'http://i' || (doc_id % 9) || '.test/b'
+                   || (doc_id % 3) || '.jpg'
+        FROM documents WHERE doc_id < 400
+        UNION ALL
+        SELECT doc_id, 'css',
+               'http://c' || (doc_id % 7) || '.test/hero.jpg'
+        FROM documents WHERE doc_id < 400
+        UNION ALL
+        SELECT doc_id, 'css',
+               'http://c' || (doc_id % 7) || '.test/div'
+                   || (doc_id % 4) || '.png'
+        FROM documents WHERE doc_id < 400
     """,
     # Two data-URI rows per doc: the base64 PNG decodes to its
     # closed-form plane; the percent-encoded text round-trips.

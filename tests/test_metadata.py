@@ -328,3 +328,38 @@ def test_data_uri_cols(spark):
     assert bytes(got[4]["data_bytes"]) == png
     assert got[5]["data_mime"] == "image/png"
     assert bytes(got[5]["data_bytes"]) == png
+
+
+def test_css_image_urls_col(spark):
+    from pyspark.sql import functions as F
+
+    from mechaml_spark.metadata import css_image_urls_col
+
+    cases = [
+        # style attr, double quotes, unquoted url
+        ('<div style="background: url(http://a.test/x.png)">', ["http://a.test/x.png"]),
+        # style attr single quotes, quoted url
+        ("<div style='background-image:url(\"http://a.test/y.jpg\")'>",
+         ["http://a.test/y.jpg"]),
+        # style block, whitespace, single quotes
+        ("<style>.a{background:url( 'http://a.test/z.gif' );}</style>",
+         ["http://a.test/z.gif"]),
+        # data: urls excluded; duplicates collapsed
+        ('<style>.a{background:url(data:image/png;base64,AA==)}</style>'
+         '<div style="background:url(http://a.test/d.png);'
+         'border-image:url(http://a.test/d.png)">', ["http://a.test/d.png"]),
+        # url() in plain text is NOT a hit
+        ("<p>see url(http://a.test/not.png) in text</p>", []),
+        ("", []),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(cases)], "i int, body string"
+    )
+    got = {
+        r["i"]: list(r["u"])
+        for r in df.select(
+            "i", css_image_urls_col(F.col("body")).alias("u")
+        ).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
