@@ -752,3 +752,44 @@ def css_image_urls_col(body: Column) -> Column:
     return F.array_distinct(
         F.filter(urls, lambda u: ~u.rlike(r"(?i)^data:"))
     )
+
+
+def media_discovery_cols(body: Column) -> Column:
+    """AV asset discovery as pure expressions — the `<video>` /
+    `<audio>` / `<source>` / `<track>` channels a multimodal crawl
+    mines next to images: returns an array of ``struct<channel,
+    url>`` with channels ``video_src``, ``video_poster`` (an IMAGE
+    — it joins the image pipeline), ``audio_src``, ``source_src``
+    (codec-alternative children), and ``track_src`` (subtitle
+    sidecars — feed :mod:`mechaml_spark.subtitles`).  Pinned
+    grammar: double- or single-quoted attributes on the tag, any
+    attribute order.  Zero Python, zero shuffle."""
+
+    def tag_attr(tag: str, attr: str) -> Column:
+        pats = [
+            rf'(?is)<{tag}\b[^>]*\s{attr}\s*=\s*"([^"]*)"',
+            rf"(?is)<{tag}\b[^>]*\s{attr}\s*=\s*'([^']*)'",
+        ]
+        arrs = [
+            F.regexp_extract_all(body, F.lit(p), 1) for p in pats
+        ]
+        return F.concat(*arrs)
+
+    def chan(name: str, urls: Column) -> Column:
+        return F.transform(
+            urls,
+            lambda u: F.struct(
+                F.lit(name).alias("channel"), u.alias("url")
+            ),
+        )
+
+    return F.filter(
+        F.concat(
+            chan("video_src", tag_attr("video", "src")),
+            chan("video_poster", tag_attr("video", "poster")),
+            chan("audio_src", tag_attr("audio", "src")),
+            chan("source_src", tag_attr("source", "src")),
+            chan("track_src", tag_attr("track", "src")),
+        ),
+        lambda s: s["url"] != "",
+    )

@@ -147,6 +147,43 @@ def q_politeness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AV asset discovery (metadata.media_discovery_cols): the
+    `<video>`/`<audio>`/`<source>`/`<track>` channels of a
+    multimodal crawl — video posters join the image pipeline, track
+    sidecars feed the subtitle parser, source children list the
+    codec alternatives.  Closed-form HTML per doc (video with
+    poster + two sources, audio with src, a track sidecar, mixed
+    quote styles); one row per (doc_id, channel, url).  Scale
+    posture: expression-only regexp channels + one explode; zero
+    Python, zero shuffle."""
+    from mechaml_spark.metadata import media_discovery_cols
+
+    did = F.col("doc_id")
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(
+        did < 400
+    )
+    body = F.concat(
+        F.lit('<html><body><video poster="http://m'), did % 6,
+        F.lit('.test/poster.jpg" controls><source src="http://m'),
+        did % 6, F.lit(".test/clip"), did % 4,
+        F.lit(".mp4\" type=\"video/mp4\"><source src='http://m"),
+        did % 6, F.lit(".test/clip"), did % 4,
+        F.lit(".webm'><track src=\"http://m"), did % 6,
+        F.lit(".test/cap"), did % 3,
+        F.lit('.vtt" kind="captions"></video><audio src="http://m'),
+        did % 6, F.lit(".test/pod"), did % 5,
+        F.lit('.wav"></audio></body></html>'),
+    )
+    return d.select(
+        "doc_id", F.explode(media_discovery_cols(body)).alias("m")
+    ).select(
+        "doc_id",
+        F.col("m")["channel"].alias("channel"),
+        F.col("m")["url"].alias("url"),
+    )
+
+
 def q_image_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image URL discovery across ALL the channels a real page uses
     — plain ``src``, lazy-load attributes (``data-src`` et al.,
@@ -8015,6 +8052,7 @@ QUERIES = {
     "cookie_match": q_cookie_match,
     "politeness_topk": q_politeness_topk,
     "politeness_by_ip": q_politeness_by_ip,
+    "media_discovery": q_media_discovery,
     "image_discovery": q_image_discovery,
     "data_uri_images": q_data_uri_images,
     "pdf_images": q_pdf_images,
@@ -8369,6 +8407,33 @@ ORACLES = {
                CASE WHEN c_custkey % 5 = 0 THEN ''
                     ELSE 'sess=' || n_name END AS cookie_header
         FROM customer JOIN nation ON n_nationkey = c_nationkey
+    """,
+    # Five AV rows per doc in channel-group order (poster, two
+    # sources, track, audio).
+    "media_discovery": """
+        SELECT doc_id, 'video_poster' AS channel,
+               'http://m' || (doc_id % 6) || '.test/poster.jpg' AS url
+        FROM documents WHERE doc_id < 400
+        UNION ALL
+        SELECT doc_id, 'source_src',
+               'http://m' || (doc_id % 6) || '.test/clip'
+                   || (doc_id % 4) || '.mp4'
+        FROM documents WHERE doc_id < 400
+        UNION ALL
+        SELECT doc_id, 'source_src',
+               'http://m' || (doc_id % 6) || '.test/clip'
+                   || (doc_id % 4) || '.webm'
+        FROM documents WHERE doc_id < 400
+        UNION ALL
+        SELECT doc_id, 'track_src',
+               'http://m' || (doc_id % 6) || '.test/cap'
+                   || (doc_id % 3) || '.vtt'
+        FROM documents WHERE doc_id < 400
+        UNION ALL
+        SELECT doc_id, 'audio_src',
+               'http://m' || (doc_id % 6) || '.test/pod'
+                   || (doc_id % 5) || '.wav'
+        FROM documents WHERE doc_id < 400
     """,
     # Five discovery rows per doc: src, lazy (data-src shadows the
     # placeholder), srcset best (2x wins), and two CSS urls.

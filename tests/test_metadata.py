@@ -363,3 +363,36 @@ def test_css_image_urls_col(spark):
     }
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (i, got[i], want)
+
+
+def test_media_discovery_cols(spark):
+    from pyspark.sql import functions as F
+
+    from mechaml_spark.metadata import media_discovery_cols
+
+    html = (
+        '<video poster="http://m.test/p.jpg" src=\'http://m.test/v.mp4\'>'
+        '<source src="http://m.test/v.webm">'
+        "<track src='http://m.test/c.vtt' kind=\"captions\">"
+        '</video><audio src="http://m.test/a.wav"></audio>'
+        "<p>video src=\"http://not.test/x\" in text</p>"
+    )
+    df = spark.createDataFrame([(html,)], "body string")
+    got = sorted(
+        (r["m"]["channel"], r["m"]["url"])
+        for r in df.select(
+            F.explode(media_discovery_cols(F.col("body"))).alias("m")
+        ).collect()
+    )
+    assert got == sorted([
+        ("video_src", "http://m.test/v.mp4"),
+        ("video_poster", "http://m.test/p.jpg"),
+        ("source_src", "http://m.test/v.webm"),
+        ("track_src", "http://m.test/c.vtt"),
+        ("audio_src", "http://m.test/a.wav"),
+    ])
+    # empty body / no media
+    df2 = spark.createDataFrame([("<p>none</p>",)], "body string")
+    assert df2.select(
+        F.size(media_discovery_cols(F.col("body"))).alias("n")
+    ).collect()[0]["n"] == 0
