@@ -147,6 +147,71 @@ def q_politeness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset tar shards — the delivery format the image-caption
+    training stack consumes (adjacent ``{key}.jpg`` + ``{key}.txt``
+    members in streamable tars) — driven through the REAL sink and
+    source (webdataset.to_webdataset_shards /
+    parse_webdataset_shards): constant-plane q95 JPEG pairs shard
+    out one-tar-per-partition (byte-deterministic: sorted keys,
+    pinned mtime/uid), parse back, and the images decode through the
+    repo codec to their closed-form means.  Scale posture: bytes
+    shuffle exactly once (the sharding repartition at real scale —
+    here the input partitioning), then stream; one tar per task both
+    ways."""
+    import numpy as _np
+    import pandas as _pd
+
+    from mechaml_spark import webdataset as _wd
+    from mechaml_spark.jpeg import jpeg_decode as _jdec
+    from mechaml_spark.jpeg import jpeg_encode as _jenc
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 400
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                v = (did * 17) % 251
+                rows.append(
+                    {
+                        "key": f"img{did:06d}",
+                        "image": _jenc(
+                            _np.full((8, 8, 3), v, _np.uint8),
+                            quality=95,
+                        ),
+                        "caption": f"a photo of item {did % 40}",
+                    }
+                )
+            yield _pd.DataFrame(rows, columns=["key", "image", "caption"])
+
+    pairs = d.mapInPandas(
+        gen, schema="key string, image binary, caption string"
+    )
+    shards = _wd.to_webdataset_shards(pairs)
+    back = _wd.parse_webdataset_shards(shards)
+
+    def feats(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "caption": [], "mean_r": []}
+            for key, img, cap in zip(
+                pdf["key"], pdf["image"], pdf["caption"]
+            ):
+                out["doc_id"].append(int(str(key)[3:]))
+                out["caption"].append(str(cap))
+                out["mean_r"].append(
+                    int(_jdec(bytes(img))[..., 0].mean())
+                )
+            yield _pd.DataFrame(out)
+
+    return back.mapInPandas(
+        feats, schema="doc_id long, caption string, mean_r int"
+    )
+
+
 def q_media_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AV asset discovery (metadata.media_discovery_cols): the
     `<video>`/`<audio>`/`<source>`/`<track>` channels of a
@@ -8052,6 +8117,7 @@ QUERIES = {
     "cookie_match": q_cookie_match,
     "politeness_topk": q_politeness_topk,
     "politeness_by_ip": q_politeness_by_ip,
+    "webdataset_roundtrip": q_webdataset_roundtrip,
     "media_discovery": q_media_discovery,
     "image_discovery": q_image_discovery,
     "data_uri_images": q_data_uri_images,
@@ -8407,6 +8473,15 @@ ORACLES = {
                CASE WHEN c_custkey % 5 = 0 THEN ''
                     ELSE 'sess=' || n_name END AS cookie_header
         FROM customer JOIN nation ON n_nationkey = c_nationkey
+    """,
+    # Shard/parse/decode is the real machinery; keys, captions, and
+    # exact q95 constant-plane means are the stated closed forms.
+    "webdataset_roundtrip": """
+        SELECT doc_id,
+               'a photo of item ' || (doc_id % 40) AS caption,
+               CAST((doc_id * 17) % 251 AS INT) AS mean_r
+        FROM documents
+        WHERE doc_id < 400
     """,
     # Five AV rows per doc in channel-group order (poster, two
     # sources, track, audio).
