@@ -147,6 +147,62 @@ def q_politeness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bitext_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitext candidate mining from URL structure — the
+    WMT/ParaCrawl-style first stage: pages whose URLs differ ONLY by
+    a language path segment (``/en/page7`` vs ``/de/page7``) are
+    translation-pair candidates, found by collapsing the segment and
+    grouping.  A leading path segment from the pinned lang list
+    folds to ``/_L_``; groupBy (host, collapsed path) aggregates
+    variant count and the sorted distinct lang set — downstream
+    alignment fetches only groups with >= 2 langs.  Two closed-form
+    families: pages < 25 carry all three langs (12 URLs each), pages
+    >= 25 only English (4 URLs).  Scale posture: expression-only
+    collapse + ONE partial-agg groupBy (collect_set of langs is
+    bounded by the lang list, never by URL count); no self-join, no
+    pair explosion at the candidate stage."""
+    did = F.col("doc_id")
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(
+        did < 600
+    )
+    lang = F.element_at(
+        F.array(F.lit("en"), F.lit("de"), F.lit("fr")),
+        (did % 3 + 1).cast("int"),
+    )
+    page_no = did % 50
+    rows = d.select(
+        F.concat(
+            F.lit("http://www.test/"), lang, F.lit("/page"), page_no
+        ).alias("url"),
+    ).where((page_no < 25) | (did % 3 == 0))
+    path = F.regexp_extract(F.col("url"), r"^https?://[^/]+(/.*)$", 1)
+    host = F.regexp_extract(F.col("url"), r"^https?://([^/]+)", 1)
+    lang_seg = F.regexp_extract(
+        path, r"^/(en|de|fr|es|it|pt|ru|ja|zh|ko|ar)(/|$)", 1
+    )
+    collapsed = F.when(
+        lang_seg != "",
+        F.regexp_replace(
+            path, r"^/(en|de|fr|es|it|pt|ru|ja|zh|ko|ar)(/|$)", "/_L_$2"
+        ),
+    ).otherwise(path)
+    return (
+        rows.select(
+            host.alias("host"),
+            collapsed.alias("path_norm"),
+            lang_seg.alias("lang"),
+        )
+        .groupBy("host", "path_norm")
+        .agg(
+            F.count("*").cast("long").alias("n_urls"),
+            F.array_join(
+                F.array_sort(F.collect_set("lang")), ","
+            ).alias("langs"),
+            (F.size(F.collect_set("lang")) >= 2).alias("bitext"),
+        )
+    )
+
+
 def q_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WebDataset tar shards — the delivery format the image-caption
     training stack consumes (adjacent ``{key}.jpg`` + ``{key}.txt``
@@ -8117,6 +8173,7 @@ QUERIES = {
     "cookie_match": q_cookie_match,
     "politeness_topk": q_politeness_topk,
     "politeness_by_ip": q_politeness_by_ip,
+    "bitext_candidates": q_bitext_candidates,
     "webdataset_roundtrip": q_webdataset_roundtrip,
     "media_discovery": q_media_discovery,
     "image_discovery": q_image_discovery,
@@ -8473,6 +8530,25 @@ ORACLES = {
                CASE WHEN c_custkey % 5 = 0 THEN ''
                     ELSE 'sess=' || n_name END AS cookie_header
         FROM customer JOIN nation ON n_nationkey = c_nationkey
+    """,
+    # Pages < 25: 12 URLs across en/de/fr; pages >= 25: the 4
+    # English-only URLs.  Same collapse replayed in SQL.
+    "bitext_candidates": """
+        WITH u AS (
+            SELECT 'www.test' AS host,
+                   '/_L_/page' || (doc_id % 50) AS path_norm,
+                   CASE doc_id % 3 WHEN 0 THEN 'en' WHEN 1 THEN 'de'
+                        ELSE 'fr' END AS lang
+            FROM documents
+            WHERE doc_id < 600
+              AND (doc_id % 50 < 25 OR doc_id % 3 = 0))
+        SELECT host, path_norm,
+               CAST(count(*) AS BIGINT) AS n_urls,
+               list_aggr(list_sort(list_distinct(list(lang))),
+                         'string_agg', ',') AS langs,
+               len(list_distinct(list(lang))) >= 2 AS bitext
+        FROM u
+        GROUP BY host, path_norm
     """,
     # Shard/parse/decode is the real machinery; keys, captions, and
     # exact q95 constant-plane means are the stated closed forms.
