@@ -1355,3 +1355,132 @@ def _track_tables(data: bytes, s: int, e: int) -> dict | None:
             dts += deltas[si] if si < len(deltas) else 0
             si += 1
     return {"timescale": timescale, "samples": samples}
+
+
+# --------------------------------------------------------------------------
+# animation probes — frame count / duration / loop WITHOUT pixel decode
+# --------------------------------------------------------------------------
+
+def gif_anim_probe(data: bytes) -> dict | None:
+    """GIF89a animation metadata by block walk alone: image data
+    sub-blocks are SKIPPED by their length bytes (no LZW touch), GCE
+    delays sum in centiseconds, the NETSCAPE2.0 application
+    extension yields the loop count.  None when the bytes are not a
+    GIF."""
+    if data[:6] not in (b"GIF89a", b"GIF87a"):
+        return None
+    w, h = struct.unpack_from("<HH", data, 6)
+    flags = data[10]
+    p = 13 + (3 * (2 << (flags & 7)) if flags & 0x80 else 0)
+    frames = 0
+    total_cs = 0
+    loop = None
+    pending_delay = 0
+    n = len(data)
+    while p < n:
+        b = data[p]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension
+            label = data[p + 1]
+            p += 2
+            if label == 0xF9 and data[p] >= 4:
+                pending_delay = struct.unpack_from("<H", data, p + 2)[0]
+            if label == 0xFF and data[p] == 11 and (
+                data[p + 1 : p + 12] in (b"NETSCAPE2.0", b"ANIMEXTS1.0")
+            ):
+                q = p + 12
+                if data[q] >= 3 and data[q + 1] == 1:
+                    loop = struct.unpack_from("<H", data, q + 2)[0]
+            while data[p]:  # skip sub-blocks
+                p += 1 + data[p]
+            p += 1
+        elif b == 0x2C:  # image descriptor
+            lflags = data[p + 9]
+            p += 10 + (3 * (2 << (lflags & 7)) if lflags & 0x80 else 0)
+            p += 1  # LZW min code size
+            while data[p]:
+                p += 1 + data[p]
+            p += 1
+            frames += 1
+            total_cs += pending_delay
+            pending_delay = 0
+        else:
+            return None  # corrupt stream: stop cleanly
+    return {
+        "w": int(w), "h": int(h), "n_frames": frames,
+        "total_ms": total_cs * 10, "loop": loop,
+    }
+
+
+def apng_anim_probe(data: bytes) -> dict | None:
+    """APNG metadata from the chunk walk: acTL frame/play counts,
+    fcTL delays (num/den rationals, den 0 = 100 per spec) — IDAT and
+    fdAT bytes never inflate.  Returns None for non-PNG bytes;
+    a plain PNG reports one still frame."""
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    p = 8
+    w = h = None
+    n_frames = None
+    loop = None
+    total_ms = 0
+    while p + 8 <= len(data):
+        ln, tag = struct.unpack_from(">I4s", data, p)
+        body = data[p + 8 : p + 8 + ln]
+        if tag == b"IHDR":
+            w, h = struct.unpack_from(">II", body, 0)
+        elif tag == b"acTL":
+            n_frames, loop = struct.unpack_from(">II", body, 0)
+        elif tag == b"fcTL":
+            num, den = struct.unpack_from(">HH", body, 20)
+            total_ms += num * 1000 // (den or 100)
+        elif tag == b"IEND":
+            break
+        p += 12 + ln
+    return {
+        "w": int(w), "h": int(h),
+        "n_frames": int(n_frames) if n_frames is not None else 1,
+        "total_ms": total_ms,
+        "loop": int(loop) if n_frames is not None else None,
+    }
+
+
+def webp_anim_probe(data: bytes) -> dict | None:
+    """Animated-WebP metadata from the RIFF walk: VP8X canvas, ANIM
+    loop count, ANMF headers (durations summed, frame bytes never
+    parsed).  None for non-WebP bytes; a still WebP reports one
+    frame."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        return None
+    p = 12
+    w = h = None
+    loop = None
+    frames = 0
+    total_ms = 0
+    animated = False
+    while p + 8 <= len(data):
+        tag = data[p : p + 4]
+        (ln,) = struct.unpack_from("<I", data, p + 4)
+        body = data[p + 8 : p + 8 + ln]
+        if tag == b"VP8X":
+            animated = bool(body[0] & 0x02)
+            w = 1 + int.from_bytes(body[4:7], "little")
+            h = 1 + int.from_bytes(body[7:10], "little")
+        elif tag == b"ANIM":
+            loop = struct.unpack_from("<H", body, 4)[0]
+        elif tag == b"ANMF":
+            frames += 1
+            total_ms += int.from_bytes(body[12:15], "little")
+        elif tag == b"VP8L" and not animated and w is None:
+            if body and body[0] == 0x2F:
+                bits = int.from_bytes(body[1:5], "little")
+                w = (bits & 0x3FFF) + 1
+                h = ((bits >> 14) & 0x3FFF) + 1
+        p += 8 + ln + (ln & 1)
+    return {
+        "w": int(w), "h": int(h),
+        "n_frames": frames if animated else 1,
+        "total_ms": total_ms,
+        "loop": loop,
+    }

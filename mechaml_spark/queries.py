@@ -147,6 +147,87 @@ def q_politeness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_anim_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Animation metadata WITHOUT pixel decode (mediaprobe.gif/apng/
+    webp_anim_probe): frame count, total duration, loop count from
+    block/chunk walks alone — the "skip 10-minute GIFs before
+    decoding" gate; image data bytes are length-skipped, never
+    LZW/inflate/VP8L-touched.  Each doc writes a real animation in
+    its doc_id%3 container (GIF via the LZW encoder, APNG via
+    fcTL/fdAT, WebP via ANMF) with F = 2 + doc_id%3 frames and
+    delays 100+10k ms; every reported field is the stated closed
+    form (GIF loop is NULL — the fixture writes no NETSCAPE
+    extension; APNG/WebP loop = doc_id%4).  Scale posture:
+    header-walk in mapInPandas, 6 small columns out, zero
+    shuffle."""
+    import numpy as _np
+    import pandas as _pd
+
+    from mechaml_spark import imaging as _im
+    from mechaml_spark import mediaprobe as _mp
+    from mechaml_spark import webp as _wp
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 450
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "fmt": [], "w": [], "h": [],
+                   "n_frames": [], "total_ms": [], "loop": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                nf = 2 + did % 3
+                delays = [100 + 10 * k for k in range(nf)]
+                px = [
+                    _np.full((4, 6, 3), (did * 7 + 31 * k) % 251,
+                             _np.uint8)
+                    for k in range(nf)
+                ]
+                fmt = ("gif", "apng", "webp")[did % 3]
+                if fmt == "gif":
+                    data = _im.gif_encode_animated(px, delays)
+                    got = _mp.gif_anim_probe(data)
+                elif fmt == "apng":
+                    fcs = []
+                    for k in range(nf):
+                        rgba = _np.empty((4, 6, 4), _np.uint8)
+                        rgba[..., :3] = px[k]
+                        rgba[..., 3] = 255
+                        fcs.append(
+                            {"x": 0, "y": 0, "px": rgba,
+                             "delay_ms": delays[k]}
+                        )
+                    data = _im.apng_encode_ext(
+                        6, 4, fcs, num_plays=did % 4
+                    )
+                    got = _mp.apng_anim_probe(data)
+                else:
+                    data = _wp.webp_encode_anim(
+                        [(delays[k], 0, 0, px[k], False, False)
+                         for k in range(nf)],
+                        canvas_wh=(6, 4),
+                        loop=did % 4,
+                    )
+                    got = _mp.webp_anim_probe(data)
+                out["doc_id"].append(did)
+                out["fmt"].append(fmt)
+                out["w"].append(got["w"])
+                out["h"].append(got["h"])
+                out["n_frames"].append(got["n_frames"])
+                out["total_ms"].append(got["total_ms"])
+                out["loop"].append(got["loop"])
+            yield _pd.DataFrame(out)
+
+    return d.mapInPandas(
+        gen,
+        schema=(
+            "doc_id long, fmt string, w int, h int, n_frames int, "
+            "total_ms int, loop int"
+        ),
+    )
+
+
 def q_bitext_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bitext candidate mining from URL structure — the
     WMT/ParaCrawl-style first stage: pages whose URLs differ ONLY by
@@ -8173,6 +8254,7 @@ QUERIES = {
     "cookie_match": q_cookie_match,
     "politeness_topk": q_politeness_topk,
     "politeness_by_ip": q_politeness_by_ip,
+    "anim_probe": q_anim_probe,
     "bitext_candidates": q_bitext_candidates,
     "webdataset_roundtrip": q_webdataset_roundtrip,
     "media_discovery": q_media_discovery,
@@ -8530,6 +8612,22 @@ ORACLES = {
                CASE WHEN c_custkey % 5 = 0 THEN ''
                     ELSE 'sess=' || n_name END AS cookie_header
         FROM customer JOIN nation ON n_nationkey = c_nationkey
+    """,
+    # F = 2 + d%3 frames at delays 100+10k -> total = 100F + 5F(F-1);
+    # GIF loop NULL (no NETSCAPE ext in the fixture), else d%4.
+    "anim_probe": """
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN 'gif' WHEN 1 THEN 'apng'
+                    ELSE 'webp' END AS fmt,
+               CAST(6 AS INT) AS w, CAST(4 AS INT) AS h,
+               CAST(2 + doc_id % 3 AS INT) AS n_frames,
+               CAST(100 * (2 + doc_id % 3)
+                    + 5 * (2 + doc_id % 3) * (1 + doc_id % 3)
+                    AS INT) AS total_ms,
+               CAST(CASE WHEN doc_id % 3 = 0 THEN NULL
+                    ELSE doc_id % 4 END AS INT) AS loop
+        FROM documents
+        WHERE doc_id < 450
     """,
     # Pages < 25: 12 URLs across en/de/fr; pages >= 25: the 4
     # English-only URLs.  Same collapse replayed in SQL.

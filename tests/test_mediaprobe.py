@@ -306,3 +306,50 @@ def test_jxl_probe_bare_and_container():
 
     with pytest.raises(ValueError):
         mp.jxl_write(100, 8)  # not a multiple of 8
+
+
+def test_anim_probes_no_decode():
+    import numpy as np
+
+    from mechaml_spark import imaging, webp
+    from mechaml_spark import mediaprobe as mp
+
+    frames = [np.full((6, 4, 3), v, np.uint8) for v in (10, 200, 90)]
+    gif = imaging.gif_encode_animated(frames, [120, 80, 50])
+    assert mp.gif_anim_probe(gif) == {
+        "w": 4, "h": 6, "n_frames": 3, "total_ms": 250, "loop": None
+    }
+    # a still GIF is one zero-delay frame
+    assert mp.gif_anim_probe(imaging.gif_encode(frames[0]))[
+        "n_frames"
+    ] == 1
+
+    full = np.empty((4, 4, 4), np.uint8)
+    full[..., :3] = 5
+    full[..., 3] = 255
+    apng = imaging.apng_encode_ext(4, 4, [
+        {"x": 0, "y": 0, "px": full, "delay_ms": 100},
+        {"x": 0, "y": 0, "px": full, "delay_ms": 250},
+    ], num_plays=3)
+    assert mp.apng_anim_probe(apng) == {
+        "w": 4, "h": 4, "n_frames": 2, "total_ms": 350, "loop": 3
+    }
+    still = mp.apng_anim_probe(imaging.png_encode(frames[0]))
+    assert still["n_frames"] == 1 and still["loop"] is None
+
+    anim = webp.webp_encode_anim(
+        [(120, 0, 0, np.full((4, 4, 3), 9, np.uint8), False, False),
+         (80, 0, 0, np.full((4, 4, 3), 8, np.uint8), False, False)],
+        canvas_wh=(4, 4), loop=5,
+    )
+    assert mp.webp_anim_probe(anim) == {
+        "w": 4, "h": 4, "n_frames": 2, "total_ms": 200, "loop": 5
+    }
+    ws = mp.webp_anim_probe(
+        webp.webp_encode(np.full((3, 7, 3), 1, np.uint8))
+    )
+    assert (ws["w"], ws["h"], ws["n_frames"]) == (7, 3, 1)
+
+    for probe in (mp.gif_anim_probe, mp.apng_anim_probe,
+                  mp.webp_anim_probe):
+        assert probe(b"not media") is None
