@@ -35,15 +35,23 @@ from pyspark.sql import types as T
 Rule = tuple[bool, str]  # (allow, pattern) in file order
 
 
-def parse_robots(body: str | None) -> list[Rule]:
-    """``(allow, pattern)`` rules for ``User-agent: *`` (pure).
+def parse_robots(body: str | None, agent: str | None = None) -> list[Rule]:
+    """``(allow, pattern)`` rules applying to this crawler (pure).
 
     A group = one or more consecutive ``User-agent`` lines followed
-    by directives; the group applies to us iff any of its agent lines
-    is ``*``.  Empty values are dropped (they can match nothing)."""
+    by directives.  With ``agent=None`` (the default every existing
+    call site uses) only ``*`` groups apply — the anonymous-crawler
+    reading.  With a product token, RFC 9309 §2.2.1 group selection:
+    a group matches when one of its agent values (case-insensitive)
+    is a prefix of the token (``googlebot-images`` groups beat
+    ``googlebot`` groups beat ``*`` — the most-specific-match rule
+    every major crawler documents); ALL groups at the longest
+    matching value merge, and ``*`` groups apply only when no
+    specific group matched at all.  Empty patterns are dropped (they
+    can match nothing)."""
     if not body:
         return []
-    rules: list[Rule] = []
+    groups: list[tuple[list[str], list[Rule]]] = []
     group_agents: list[str] = []
     in_agent_block = False
     for raw in body.splitlines():
@@ -56,12 +64,33 @@ def parse_robots(body: str | None) -> list[Rule]:
         if key == "user-agent":
             if not in_agent_block:
                 group_agents = []
+                groups.append((group_agents, []))
                 in_agent_block = True
             group_agents.append(val)
         else:
             in_agent_block = False
-            if key in ("allow", "disallow") and "*" in group_agents and val:
-                rules.append((key == "allow", val))
+            if key in ("allow", "disallow") and val and groups:
+                groups[-1][1].append((key == "allow", val))
+    tok = (agent or "").lower()
+    best_len = -1
+    if agent is not None:
+        for agents, _rules in groups:
+            for a in agents:
+                al = a.lower()
+                if al != "*" and tok.startswith(al):
+                    best_len = max(best_len, len(al))
+    rules: list[Rule] = []
+    for agents, grules in groups:
+        lens = [
+            len(a) for a in agents
+            if a.lower() != "*" and tok.startswith(a.lower())
+        ]
+        use = (
+            (best_len >= 0 and lens and max(lens) == best_len)
+            or (best_len < 0 and "*" in agents)
+        )
+        if use:
+            rules.extend(grules)
     return rules
 
 

@@ -147,6 +147,63 @@ def q_politeness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_robots_agent_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 §2.2.1 user-agent GROUP SELECTION (the piece beyond
+    `robots_rfc`'s ``*``-only reading): a crawler with a product
+    token obeys the most specific matching group — ``mybot-images``
+    groups beat ``mybot`` groups beat ``*``, all groups at the
+    winning specificity merge, and ``*`` applies only when nothing
+    matched.  Per doc, a closed-form robots body with three groups;
+    three agents evaluate it (otherbot -> ``*``, mybot, mybot-images)
+    and two paths decide through the REAL matcher
+    (robots.parse_robots(agent=...) + robots_allowed).  The oracle
+    states rule counts and decisions literally.  Scale posture:
+    pure-Python parse inside an Arrow stage, same shape as the
+    robots fetch path; zero shuffle."""
+    import pandas as _pd
+
+    from mechaml_spark.frontier.robots import parse_robots, robots_allowed
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 450
+    )
+
+    def run(batches):
+        agents = ["otherbot", "mybot", "mybot-images"]
+        for pdf in batches:
+            out = {"doc_id": [], "agent": [], "n_rules": [],
+                   "allowed_ok": [], "allowed_z": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                k = did % 5
+                body = (
+                    f"User-agent: *\nDisallow: /a{k}\n\n"
+                    f"User-agent: mybot\nDisallow: /b{k}\n"
+                    f"Allow: /b{k}/ok\n\n"
+                    f"User-agent: MyBot-Images\nDisallow: /c{k}\n"
+                )
+                agent = agents[did % 3]
+                rules = parse_robots(body, agent=agent)
+                out["doc_id"].append(did)
+                out["agent"].append(agent)
+                out["n_rules"].append(len(rules))
+                out["allowed_ok"].append(
+                    robots_allowed(f"/b{k}/ok/x", rules)
+                )
+                out["allowed_z"].append(
+                    robots_allowed(f"/b{k}/z", rules)
+                )
+            yield _pd.DataFrame(out)
+
+    return d.mapInPandas(
+        run,
+        schema=(
+            "doc_id long, agent string, n_rules int, "
+            "allowed_ok boolean, allowed_z boolean"
+        ),
+    )
+
+
 def q_anim_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Animation metadata WITHOUT pixel decode (mediaprobe.gif/apng/
     webp_anim_probe): frame count, total duration, loop count from
@@ -8254,6 +8311,7 @@ QUERIES = {
     "cookie_match": q_cookie_match,
     "politeness_topk": q_politeness_topk,
     "politeness_by_ip": q_politeness_by_ip,
+    "robots_agent_groups": q_robots_agent_groups,
     "anim_probe": q_anim_probe,
     "bitext_candidates": q_bitext_candidates,
     "webdataset_roundtrip": q_webdataset_roundtrip,
@@ -8612,6 +8670,22 @@ ORACLES = {
                CASE WHEN c_custkey % 5 = 0 THEN ''
                     ELSE 'sess=' || n_name END AS cookie_header
         FROM customer JOIN nation ON n_nationkey = c_nationkey
+    """,
+    # otherbot -> the * group (1 rule, both paths allowed);
+    # mybot -> its 2-rule group (/b blocked, /b/ok allowed by the
+    # longer allow); mybot-images -> the images group (1 rule, both
+    # /b paths allowed).
+    "robots_agent_groups": """
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN 'otherbot'
+                    WHEN 1 THEN 'mybot' ELSE 'mybot-images' END
+                   AS agent,
+               CAST(CASE doc_id % 3 WHEN 1 THEN 2 ELSE 1 END AS INT)
+                   AS n_rules,
+               TRUE AS allowed_ok,
+               doc_id % 3 <> 1 AS allowed_z
+        FROM documents
+        WHERE doc_id < 450
     """,
     # F = 2 + d%3 frames at delays 100+10k -> total = 100F + 5F(F-1);
     # GIF loop NULL (no NETSCAPE ext in the fixture), else d%4.

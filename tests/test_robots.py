@@ -207,3 +207,35 @@ def test_crawl_delay_budgets_df(spark):
         ).collect()
     }
     assert got == {"a.test": 8, "b.test": 1, "c.test": 2, "d.test": 64}
+
+
+def test_agent_group_selection_rfc9309():
+    from mechaml_spark.frontier.robots import parse_robots
+
+    body = (
+        "User-agent: *\nDisallow: /all\n\n"
+        "User-agent: googlebot\nDisallow: /gb\nAllow: /gb/ok\n\n"
+        "User-agent: googlebot-images\nUser-agent: bingbot\n"
+        "Disallow: /img\n\n"
+        "User-agent: GoogleBot\nDisallow: /gb2\n"
+    )
+    # default (anonymous) reading unchanged: * group only
+    assert parse_robots(body) == [(False, "/all")]
+    # unknown token falls back to *
+    assert parse_robots(body, agent="unknownbot") == [(False, "/all")]
+    # exact token: BOTH same-specificity groups merge, case folded
+    assert parse_robots(body, agent="googlebot") == [
+        (False, "/gb"), (True, "/gb/ok"), (False, "/gb2")
+    ]
+    # more specific group beats the shorter prefix AND *
+    assert parse_robots(body, agent="googlebot-images") == [
+        (False, "/img")
+    ]
+    # shared group reachable from its other agent line
+    assert parse_robots(body, agent="bingbot") == [(False, "/img")]
+    # prefix semantics: token extends the group value
+    assert parse_robots(body, agent="googlebot-news") == [
+        (False, "/gb"), (True, "/gb/ok"), (False, "/gb2")
+    ]
+    # no groups at all
+    assert parse_robots("", agent="googlebot") == []
