@@ -147,6 +147,110 @@ def q_politeness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_login_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auth-wall detection — the gate that keeps login forms,
+    signup walls, and paywall interstitials out of a training corpus
+    (their boilerplate is dense, duplicated, and content-free).
+    Signals: a password input ON THE REAL PARSE PATH
+    (parse_pages -> forms_with -> input family scan), a login-path
+    URL (/login, /signin, /account per the pinned list), and
+    paywall phrases in the text ("subscribe to continue" et al.);
+    the gate is their union.  Four closed-form page classes per
+    doc_id%4: login form (password input), paywall interstitial,
+    login-path URL with an ordinary form, plain article.  Scale
+    posture: the parse is the shared crawl stage; the flags are
+    codegen expressions over its output; one explode-free boolean
+    aggregate per page."""
+    import pandas as _pd
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 600
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                cls = did % 4
+                if cls == 0:
+                    body = (
+                        "<html><body><form action='/auth'>"
+                        "<input type='text' name='user'>"
+                        "<input type='password' name='pw'>"
+                        "</form></body></html>"
+                    )
+                    url = f"http://s{did % 9}.test/members"
+                elif cls == 1:
+                    body = (
+                        "<html><body><p>Subscribe to continue "
+                        f"reading article {did}.</p></body></html>"
+                    )
+                    url = f"http://s{did % 9}.test/story{did % 50}"
+                elif cls == 2:
+                    body = (
+                        "<html><body><form action='/search'>"
+                        "<input type='text' name='q'></form>"
+                        "</body></html>"
+                    )
+                    url = f"http://s{did % 9}.test/login"
+                else:
+                    body = (
+                        f"<html><body><p>plain article {did} text"
+                        "</p></body></html>"
+                    )
+                    url = f"http://s{did % 9}.test/a{did % 50}"
+                rows.append({"doc_id": did, "url": url, "body": body})
+            yield _pd.DataFrame(rows, columns=["doc_id", "url", "body"])
+
+    pages = d.mapInPandas(
+        gen, schema="doc_id long, url string, body string"
+    )
+    parsed = extract.parse_pages(pages)
+    forms = page.forms_with(parsed, "", page_cols=("doc_id",))
+    has_pw = (
+        forms.select(
+            "doc_id",
+            F.exists(
+                F.col("node")["inputs"],
+                lambda i: F.lower(i["itype"]) == "password",
+            ).alias("pw"),
+        )
+        .groupBy("doc_id")
+        .agg(F.max("pw").alias("has_password"))
+    )
+    flags = (
+        pages.join(F.broadcast(has_pw), "doc_id", "left")
+        .withColumn(
+            "has_password", F.coalesce(F.col("has_password"), F.lit(False))
+        )
+        .withColumn(
+            "login_path",
+            F.col("url").rlike(
+                r"(?i)/(login|signin|sign-in|account|members?)(/|$|\?)"
+            ),
+        )
+        .withColumn(
+            "paywall_text",
+            F.col("body").rlike(
+                r"(?i)(subscribe to continue|already a subscriber|"
+                r"create a free account to|sign in to read)"
+            ),
+        )
+    )
+    return flags.select(
+        "doc_id",
+        "has_password",
+        "login_path",
+        "paywall_text",
+        (
+            F.col("has_password")
+            | F.col("login_path")
+            | F.col("paywall_text")
+        ).alias("auth_walled"),
+    )
+
+
 def q_robots_agent_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFC 9309 §2.2.1 user-agent GROUP SELECTION (the piece beyond
     `robots_rfc`'s ``*``-only reading): a crawler with a product
@@ -8311,6 +8415,7 @@ QUERIES = {
     "cookie_match": q_cookie_match,
     "politeness_topk": q_politeness_topk,
     "politeness_by_ip": q_politeness_by_ip,
+    "login_pages": q_login_pages,
     "robots_agent_groups": q_robots_agent_groups,
     "anim_probe": q_anim_probe,
     "bitext_candidates": q_bitext_candidates,
@@ -8670,6 +8775,17 @@ ORACLES = {
                CASE WHEN c_custkey % 5 = 0 THEN ''
                     ELSE 'sess=' || n_name END AS cookie_header
         FROM customer JOIN nation ON n_nationkey = c_nationkey
+    """,
+    # Class table: login form (password+members path), paywall
+    # phrase, login-path plain form, plain article.
+    "login_pages": """
+        SELECT doc_id,
+               doc_id % 4 = 0 AS has_password,
+               doc_id % 4 IN (0, 2) AS login_path,
+               doc_id % 4 = 1 AS paywall_text,
+               doc_id % 4 < 3 AS auth_walled
+        FROM documents
+        WHERE doc_id < 600
     """,
     # otherbot -> the * group (1 rule, both paths allowed);
     # mybot -> its 2-rule group (/b blocked, /b/ok allowed by the
