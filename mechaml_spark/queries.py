@@ -8407,6 +8407,68 @@ def q_aspect_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_svg_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SVG structure probe (svgkit.svg_probe): intrinsic size in exact
+    milli-px (CSS 96-dpi unit ratios, rational round-half-up — doc_id%6
+    cycles px/pt/mm/cm/in/pc), viewBox sizing fallback when the
+    width/height attributes are absent (doc_id%5==0), element counts,
+    and the sanitizer flags (script element, on* event attribute,
+    external http ref) — the "is this image markup safe/usable"
+    gate a crawl must answer before serving or training on SVG.
+    Every field is the stated closed form over doc_id.  Scale
+    posture: XML walk in mapInPandas, bytes never shuffle, small
+    typed columns out, zero exchanges."""
+    import pandas as _pd
+
+    from mechaml_spark import svgkit as _svg
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 500
+    )
+
+    def gen(batches):
+        units = ["px", "pt", "mm", "cm", "in", "pc"]
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                wv, hv = 20 + did % 80, 10 + did % 40
+                data = _svg.svg_write(
+                    wv, hv, units[did % 6],
+                    viewbox_only=(did % 5 == 0),
+                    n_rects=1 + did % 4,
+                    n_paths=did % 3,
+                    n_texts=did % 2,
+                    with_script=(did % 7 == 0),
+                    with_event=(did % 11 == 0),
+                    with_external_image=(did % 13 == 0),
+                )
+                p = _svg.svg_probe(data)
+                rows.append(
+                    (did, p["w_milli_px"], p["h_milli_px"],
+                     p["from_viewbox"], p["n_elems"], p["n_paths"],
+                     p["n_rasters"], p["n_texts"], p["has_script"],
+                     p["has_event_attrs"], p["has_external_ref"])
+                )
+            yield _pd.DataFrame(
+                rows,
+                columns=["doc_id", "w_milli", "h_milli",
+                         "from_viewbox", "n_elems", "n_paths",
+                         "n_rasters", "n_texts", "has_script",
+                         "has_event", "has_external"],
+            )
+
+    return d.mapInPandas(
+        gen,
+        schema=(
+            "doc_id long, w_milli long, h_milli long, "
+            "from_viewbox boolean, n_elems int, n_paths int, "
+            "n_rasters int, n_texts int, has_script boolean, "
+            "has_event boolean, has_external boolean"
+        ),
+    )
+
+
 QUERIES = {
     "extract_links": q_extract_links,
     "selector_suffix": q_selector_suffix,
@@ -8418,6 +8480,7 @@ QUERIES = {
     "login_pages": q_login_pages,
     "robots_agent_groups": q_robots_agent_groups,
     "anim_probe": q_anim_probe,
+    "svg_probe": q_svg_probe,
     "bitext_candidates": q_bitext_candidates,
     "webdataset_roundtrip": q_webdataset_roundtrip,
     "media_discovery": q_media_discovery,
@@ -8818,6 +8881,44 @@ ORACLES = {
                     ELSE doc_id % 4 END AS INT) AS loop
         FROM documents
         WHERE doc_id < 450
+    """,
+    # Milli-px via the same integer round-half-up rational the probe
+    # uses (px/pt/mm/cm/in/pc at doc_id%6); element counts and
+    # sanitizer flags are the fixture's own closed forms.
+    "svg_probe": """
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0 THEN (20 + doc_id % 80) * 1000
+                    ELSE CASE doc_id % 6
+                      WHEN 0 THEN (20 + doc_id % 80) * 1000
+                      WHEN 1 THEN ((20 + doc_id % 80) * 96000 + 36) // 72
+                      WHEN 2 THEN ((20 + doc_id % 80) * 960000 + 127) // 254
+                      WHEN 3 THEN ((20 + doc_id % 80) * 9600000 + 127) // 254
+                      WHEN 4 THEN (20 + doc_id % 80) * 96000
+                      ELSE (20 + doc_id % 80) * 16000 END
+               END AS w_milli,
+               CASE WHEN doc_id % 5 = 0 THEN (10 + doc_id % 40) * 1000
+                    ELSE CASE doc_id % 6
+                      WHEN 0 THEN (10 + doc_id % 40) * 1000
+                      WHEN 1 THEN ((10 + doc_id % 40) * 96000 + 36) // 72
+                      WHEN 2 THEN ((10 + doc_id % 40) * 960000 + 127) // 254
+                      WHEN 3 THEN ((10 + doc_id % 40) * 9600000 + 127) // 254
+                      WHEN 4 THEN (10 + doc_id % 40) * 96000
+                      ELSE (10 + doc_id % 40) * 16000 END
+               END AS h_milli,
+               doc_id % 5 = 0 AS from_viewbox,
+               CAST(2 + doc_id % 4 + doc_id % 3 + doc_id % 2
+                    + CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END
+                    + CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END
+                    AS INT) AS n_elems,
+               CAST(doc_id % 3 AS INT) AS n_paths,
+               CAST(CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END
+                    AS INT) AS n_rasters,
+               CAST(doc_id % 2 AS INT) AS n_texts,
+               doc_id % 7 = 0 AS has_script,
+               doc_id % 11 = 0 AS has_event,
+               doc_id % 13 = 0 AS has_external
+        FROM documents
+        WHERE doc_id < 500
     """,
     # Pages < 25: 12 URLs across en/de/fr; pages >= 25: the 4
     # English-only URLs.  Same collapse replayed in SQL.
