@@ -8469,6 +8469,124 @@ def q_svg_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zip_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIP central-directory walk (office.zip_walk): member name,
+    method, sizes, CRC-32 — routing facts with ZERO decompression,
+    EOCD found by backward scan so trailing garbage (docs < 100, a
+    crawl reality) is tolerated exactly like real unzip.  Fixture:
+    1 + doc_id%4 STORED members ``f{k}.txt`` of ``b'x'*(10+k)`` (CRCs
+    are the four pinned constants), odd docs DEFLATED (method 8,
+    stored-size column NULL).  Scale posture: struct walk in
+    mapInPandas over the directory tail only, zero exchanges."""
+    import pandas as _pd
+
+    from mechaml_spark import office as _of
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 400
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                members = [(f"f{k}.txt", b"x" * (10 + k))
+                           for k in range(1 + did % 4)]
+                data = _of.zip_write(members, deflate=(did % 2 == 1))
+                if did < 100:
+                    data += b"\xde\xadtrailing"
+                for m in _of.zip_walk(data):
+                    rows.append((
+                        did, m["name"], m["method"], m["usize"],
+                        m["csize"] if m["method"] == 0 else None,
+                        m["crc32"],
+                    ))
+            yield _pd.DataFrame(
+                rows, columns=["doc_id", "name", "method", "usize",
+                               "csize_stored", "crc32"])
+
+    return d.mapInPandas(
+        gen,
+        schema=("doc_id long, name string, method int, usize long, "
+                "csize_stored long, crc32 long"),
+    )
+
+
+def q_docx_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOCX text extraction (office.docx_text): WordprocessingML
+    paragraph walk — w:t runs, w:tab → tab, document order — through
+    a REAL zip + XML parse of a conformant fixture (2 + doc_id%3
+    paragraphs, paragraph 1 carries a w:tab element).  The office-doc
+    text source every CommonCrawl-derived corpus mines.  Scale
+    posture: unzip+parse in mapInPandas, text column out, zero
+    exchanges."""
+    import pandas as _pd
+
+    from mechaml_spark import office as _of
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 400
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                paras = []
+                for k in range(2 + did % 3):
+                    if k == 1:
+                        paras.append(f"Doc {did}\tparagraph {k}")
+                    else:
+                        paras.append(f"Doc {did} paragraph {k}")
+                got = _of.docx_text(_of.docx_write(paras))
+                text = "\n".join(got)
+                rows.append((did, len(got), text, len(text)))
+            yield _pd.DataFrame(
+                rows, columns=["doc_id", "n_paras", "text", "n_chars"])
+
+    return d.mapInPandas(
+        gen, schema="doc_id long, n_paras int, text string, n_chars int"
+    )
+
+
+def q_epub_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPUB chapter extraction in SPINE order (office.epub_text):
+    container.xml → OPF → spine → XHTML visible text.  The fixture
+    writes chapter FILES in reverse zip order while the spine lists
+    reading order, so zip-member-order shortcuts provably fail; text
+    goes through the real OCF/OPF chain + tag-strip.  2 + doc_id%3
+    chapters per doc.  Scale posture: per-row unzip in mapInPandas,
+    zero exchanges."""
+    import pandas as _pd
+
+    from mechaml_spark import office as _of
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 300
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                chapters = [
+                    (f"Chapter {i}", f"text of chapter {i} in doc {did}")
+                    for i in range(2 + did % 3)
+                ]
+                got = _of.epub_text(_of.epub_write(chapters))
+                for idx, (href, text) in enumerate(got):
+                    rows.append((did, idx, href, text))
+            yield _pd.DataFrame(
+                rows, columns=["doc_id", "idx", "href", "text"])
+
+    return d.mapInPandas(
+        gen, schema="doc_id long, idx int, href string, text string"
+    )
+
+
 QUERIES = {
     "extract_links": q_extract_links,
     "selector_suffix": q_selector_suffix,
@@ -8481,6 +8599,9 @@ QUERIES = {
     "robots_agent_groups": q_robots_agent_groups,
     "anim_probe": q_anim_probe,
     "svg_probe": q_svg_probe,
+    "zip_probe": q_zip_probe,
+    "docx_text": q_docx_text,
+    "epub_spine": q_epub_spine,
     "bitext_candidates": q_bitext_candidates,
     "webdataset_roundtrip": q_webdataset_roundtrip,
     "media_discovery": q_media_discovery,
@@ -8919,6 +9040,54 @@ ORACLES = {
                doc_id % 13 = 0 AS has_external
         FROM documents
         WHERE doc_id < 500
+    """,
+    # Member facts are the fixture's closed forms; CRC-32 of
+    # b'x'*(10+k) pinned (zlib.crc32, IEEE 802.3 polynomial).
+    "zip_probe": """
+        WITH ks AS (SELECT * FROM (VALUES (0),(1),(2),(3)) t(k))
+        SELECT d.doc_id,
+               'f' || k.k || '.txt' AS name,
+               CAST(CASE WHEN d.doc_id % 2 = 1 THEN 8 ELSE 0 END
+                    AS INT) AS method,
+               CAST(10 + k.k AS BIGINT) AS usize,
+               CASE WHEN d.doc_id % 2 = 1 THEN NULL
+                    ELSE CAST(10 + k.k AS BIGINT) END AS csize_stored,
+               CAST(CASE k.k WHEN 0 THEN 2396997495
+                    WHEN 1 THEN 1110650203 WHEN 2 THEN 1881648594
+                    ELSE 3832644310 END AS BIGINT) AS crc32
+        FROM documents d, ks k
+        WHERE d.doc_id < 400 AND k.k < 1 + d.doc_id % 4
+    """,
+    # Paragraph strings reconstructed closed-form (chr(10) joins,
+    # chr(9) is the w:tab in paragraph 1).
+    "docx_text": """
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(2 + doc_id % 3 AS INT) AS n_paras,
+                 'Doc ' || doc_id || ' paragraph 0' || chr(10)
+                 || 'Doc ' || doc_id || chr(9) || 'paragraph 1'
+                 || CASE WHEN doc_id % 3 >= 1
+                    THEN chr(10) || 'Doc ' || doc_id || ' paragraph 2'
+                    ELSE '' END
+                 || CASE WHEN doc_id % 3 >= 2
+                    THEN chr(10) || 'Doc ' || doc_id || ' paragraph 3'
+                    ELSE '' END AS text
+          FROM documents WHERE doc_id < 400)
+        SELECT doc_id, n_paras, text,
+               CAST(length(text) AS INT) AS n_chars
+        FROM t
+    """,
+    # Spine order == idx order; visible text = h1 title + p body
+    # (head title stripped), whitespace-collapsed.
+    "epub_spine": """
+        WITH ks AS (SELECT * FROM (VALUES (0),(1),(2),(3)) t(i))
+        SELECT d.doc_id,
+               CAST(k.i AS INT) AS idx,
+               'ch' || k.i || '.xhtml' AS href,
+               'Chapter ' || k.i || ' text of chapter ' || k.i
+               || ' in doc ' || d.doc_id AS text
+        FROM documents d, ks k
+        WHERE d.doc_id < 300 AND k.i < 2 + d.doc_id % 3
     """,
     # Pages < 25: 12 URLs across en/de/fr; pages >= 25: the 4
     # English-only URLs.  Same collapse replayed in SQL.
