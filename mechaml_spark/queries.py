@@ -8587,6 +8587,42 @@ def q_epub_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mojibake_fix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake repair (textclean.fix_mojibake — the ftfy core move):
+    UTF-8-read-as-cp1252 text is detected by its lead-byte telltales
+    and repaired by the strict round-trip (sloppy-cp1252 encode →
+    strict UTF-8 decode), up to two passes for doubly-damaged text.
+    Fixture: doc_id%3==1 clean, ==0 singly-garbled, ==2 doubly-garbled
+    forms of the same closed-form string (damage applied at plan time
+    with the genuine encode/decode chain, digits pass through
+    unchanged so doc_id survives garbling).  Every row repairs back
+    to the clean form with the expected pass count.  Scale posture:
+    one Arrow-batched pandas_udf, zero exchanges."""
+    seg_a, seg_b = "café déjà vu ", "’s ‘quote‘ end"
+
+    def _m(s: str) -> str:
+        return s.encode("utf-8").decode("cp1252")
+
+    m1a, m1b = _m(seg_a), _m(seg_b)
+    m2a, m2b = _m(m1a), _m(m1b)
+    did = F.col("doc_id")
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(did < 600)
+    text = (
+        F.when(did % 3 == 1,
+               F.concat(F.lit(seg_a), did, F.lit(seg_b)))
+        .when(did % 3 == 0,
+              F.concat(F.lit(m1a), did, F.lit(m1b)))
+        .otherwise(F.concat(F.lit(m2a), did, F.lit(m2b)))
+    )
+    out = textclean.repair_mojibake(d.select("doc_id", text.alias("text")))
+    return out.select(
+        "doc_id",
+        (F.col("n_fixes") > 0).alias("was_mojibake"),
+        "n_fixes",
+        "fixed",
+    )
+
+
 QUERIES = {
     "extract_links": q_extract_links,
     "selector_suffix": q_selector_suffix,
@@ -8602,6 +8638,7 @@ QUERIES = {
     "zip_probe": q_zip_probe,
     "docx_text": q_docx_text,
     "epub_spine": q_epub_spine,
+    "mojibake_fix": q_mojibake_fix,
     "bitext_candidates": q_bitext_candidates,
     "webdataset_roundtrip": q_webdataset_roundtrip,
     "media_discovery": q_media_discovery,
@@ -9040,6 +9077,17 @@ ORACLES = {
                doc_id % 13 = 0 AS has_external
         FROM documents
         WHERE doc_id < 500
+    """,
+    # Every row repairs to the same clean closed form; pass count
+    # follows the damage depth (0 clean / 1 single / 2 double).
+    "mojibake_fix": """
+        SELECT doc_id,
+               doc_id % 3 <> 1 AS was_mojibake,
+               CAST(CASE doc_id % 3 WHEN 1 THEN 0 WHEN 0 THEN 1
+                    ELSE 2 END AS INT) AS n_fixes,
+               'café déjà vu ' || doc_id || '’s ‘quote‘ end' AS fixed
+        FROM documents
+        WHERE doc_id < 600
     """,
     # Member facts are the fixture's closed forms; CRC-32 of
     # b'x'*(10+k) pinned (zlib.crc32, IEEE 802.3 polynomial).

@@ -171,3 +171,94 @@ def normalize_unicode(
         return s.map(one)
 
     return df.withColumn(out_col, _norm(F.col(text_col)))
+
+
+# ------------------------------------------------------------- mojibake
+
+# UTF-8-bytes-read-as-cp1252/latin-1 leaves telltale lead-byte
+# characters: 'Ã'/'Â' (C3/C2 leads for Latin-1-range text) and 'â'
+# (E2 lead for the curly-punctuation family).  The hint only gates
+# the repair ATTEMPT; legit text containing these letters (château,
+# SÃO) fails the strict UTF-8 re-decode and is left alone — the
+# round-trip is the proof.
+_MOJIBAKE_HINT = "[ÃÂâ]"
+
+# When the damage came from a latin-1 decode, C1 control codepoints
+# (U+0080-U+009F) ride along raw; "sloppy cp1252" (ftfy's name) maps
+# any cp1252-unencodable char <= U+00FF back by byte value — the
+# unencodable ones are exactly those C1 controls, since cp1252 covers
+# 0x00-0x7F and 0xA0-0xFF identically to latin-1.
+
+
+def _sloppy_cp1252_encode(s: str) -> bytes | None:
+    try:
+        return s.encode("cp1252")
+    except UnicodeEncodeError:
+        pass
+    out = bytearray()
+    for ch in s:
+        try:
+            out += ch.encode("cp1252")
+        except UnicodeEncodeError:
+            o = ord(ch)
+            if o <= 0xFF:
+                out.append(o)
+            else:
+                return None
+    return bytes(out)
+
+
+def fix_mojibake(s: str, max_passes: int = 2) -> tuple[str, int]:
+    """Repair UTF-8-decoded-as-cp1252 mojibake (the ftfy core move):
+    while the hint pattern matches, re-encode as (sloppy) cp1252 and
+    re-decode as strict UTF-8; keep the result only when the full
+    round-trip succeeds and changes the string.  ``max_passes`` = 2
+    covers the doubly-encoded case; clean text with real 'Ã'
+    characters fails the strict UTF-8 re-decode and is left alone.
+    """
+    import re as _re
+
+    hint = _re.compile(_MOJIBAKE_HINT)
+    n = 0
+    while n < max_passes and hint.search(s):
+        b = _sloppy_cp1252_encode(s)
+        if b is None:
+            break
+        try:
+            s2 = b.decode("utf-8")
+        except UnicodeDecodeError:
+            break
+        if s2 == s:
+            break
+        s = s2
+        n += 1
+    return s, n
+
+
+def repair_mojibake(
+    df: DataFrame, text_col: str = "text",
+    fixed_col: str = "fixed", n_col: str = "n_fixes",
+) -> DataFrame:
+    """Column form of :func:`fix_mojibake` — one Arrow-batched
+    ``pandas_udf`` returning a struct (the JVM has no charset
+    round-trip expression), projected to (fixed, n_fixes) columns.
+    Per-row pure work, shuffles nothing."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<fixed:string,n_fixes:int>")
+    def _fix(s: pd.Series) -> pd.DataFrame:
+        fixed, counts = [], []
+        for x in s:
+            if x is None:
+                fixed.append(None)
+                counts.append(None)
+            else:
+                f, n = fix_mojibake(x)
+                fixed.append(f)
+                counts.append(n)
+        return pd.DataFrame({"fixed": fixed, "n_fixes": counts})
+
+    st = _fix(F.col(text_col))
+    return df.withColumn(fixed_col, st["fixed"]).withColumn(
+        n_col, st["n_fixes"]
+    )
