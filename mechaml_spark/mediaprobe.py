@@ -1484,3 +1484,142 @@ def webp_anim_probe(data: bytes) -> dict | None:
         "total_ms": total_ms,
         "loop": loop,
     }
+
+
+# --------------------------------------------------------------------------
+# Color-management probes (PNG ancillary chunks / JPEG APPn markers)
+# --------------------------------------------------------------------------
+#
+# Training pipelines normalize color before anything touches pixels:
+# an sRGB-tagged image, a gamma-only image, and an ICC-profiled image
+# need different transforms, and the facts live in container metadata
+# (PNG 1.2 gAMA/sRGB/iCCP chunks; ICC.1 "ICC_PROFILE" APP2 segments
+# and the Adobe APP14 transform byte in JFIF streams).  Probing is a
+# chunk/marker walk — no pixel decode, no profile parse beyond size.
+
+def png_add_color_chunks(
+    data: bytes,
+    *,
+    gamma_micro: int | None = None,
+    srgb_intent: int | None = None,
+    icc_name: str | None = None,
+    icc_profile: bytes | None = None,
+) -> bytes:
+    """Splice gAMA / sRGB / iCCP chunks right after IHDR of an
+    existing PNG (fixture writer; CRCs computed properly)."""
+    import zlib as _z
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I", _z.crc32(tag + payload)))
+
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    ihdr_end = 8 + 8 + struct.unpack(">I", data[8:12])[0] + 4
+    extra = b""
+    if icc_name is not None:
+        extra += chunk(
+            b"iCCP",
+            icc_name.encode("latin-1") + b"\x00\x00"
+            + _z.compress(icc_profile or b""),
+        )
+    if srgb_intent is not None:
+        extra += chunk(b"sRGB", bytes([srgb_intent]))
+    if gamma_micro is not None:
+        extra += chunk(b"gAMA", struct.pack(">I", gamma_micro))
+    return data[:ihdr_end] + extra + data[ihdr_end:]
+
+
+def png_color_probe(data: bytes) -> dict | None:
+    """PNG chunk walk → color facts; None if not a PNG."""
+    import zlib as _z
+
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    out = {"gamma_micro": None, "srgb_intent": None,
+           "icc_name": None, "icc_size": None}
+    p = 8
+    while p + 8 <= len(data):
+        (ln,) = struct.unpack(">I", data[p:p + 4])
+        tag = data[p + 4:p + 8]
+        payload = data[p + 8:p + 8 + ln]
+        if tag == b"gAMA" and ln == 4:
+            out["gamma_micro"] = struct.unpack(">I", payload)[0]
+        elif tag == b"sRGB" and ln == 1:
+            out["srgb_intent"] = payload[0]
+        elif tag == b"iCCP":
+            z = payload.find(b"\x00")
+            if z > 0 and len(payload) > z + 1:
+                out["icc_name"] = payload[:z].decode(
+                    "latin-1", errors="replace")
+                try:
+                    out["icc_size"] = len(
+                        _z.decompress(payload[z + 2:]))
+                except _z.error:
+                    out["icc_size"] = None
+        elif tag == b"IEND":
+            break
+        p += 8 + ln + 4
+    return out
+
+
+def jpeg_add_icc(
+    data: bytes,
+    profile: bytes | None,
+    *,
+    chunk_size: int = 65519 - 14,
+    adobe_transform: int | None = None,
+) -> bytes:
+    """Splice ICC_PROFILE APP2 segment(s) (and optionally an Adobe
+    APP14) right after SOI; multi-segment split per ICC.1 Annex B.
+    ``profile=None`` writes no APP2 (Adobe-only streams exist)."""
+    assert data[:2] == b"\xff\xd8"
+    segs = b""
+    if profile is not None:
+        chunks = [profile[i:i + chunk_size]
+                  for i in range(0, len(profile), chunk_size)] or [b""]
+        for i, c in enumerate(chunks):
+            payload = (b"ICC_PROFILE\x00"
+                       + bytes([i + 1, len(chunks)]) + c)
+            segs += b"\xff\xe2" + struct.pack(">H", len(payload) + 2) \
+                + payload
+    if adobe_transform is not None:
+        payload = (b"Adobe" + b"\x00\x64\x00\x00\x00\x00"
+                   + bytes([adobe_transform]))
+        segs += b"\xff\xee" + struct.pack(">H", len(payload) + 2) \
+            + payload
+    return data[:2] + segs + data[2:]
+
+
+def jpeg_color_probe(data: bytes) -> dict | None:
+    """JPEG marker walk → ICC/Adobe color facts; None if not JPEG.
+    Multi-segment ICC payloads are reassembled in sequence order."""
+    if data[:2] != b"\xff\xd8":
+        return None
+    icc_parts: dict[int, bytes] = {}
+    adobe = None
+    p = 2
+    while p + 4 <= len(data):
+        if data[p] != 0xFF:
+            break
+        marker = data[p + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            p += 2
+            continue
+        if marker == 0xD9 or marker == 0xDA:
+            break  # EOI / entropy-coded data starts
+        (ln,) = struct.unpack(">H", data[p + 2:p + 4])
+        payload = data[p + 4:p + 2 + ln]
+        if marker == 0xE2 and payload[:12] == b"ICC_PROFILE\x00" \
+                and len(payload) >= 14:
+            icc_parts[payload[12]] = payload[14:]
+        elif marker == 0xEE and payload[:5] == b"Adobe" \
+                and len(payload) >= 12:
+            adobe = payload[11]
+        p += 2 + ln
+    icc = b"".join(icc_parts[k] for k in sorted(icc_parts)) \
+        if icc_parts else None
+    return {
+        "icc_size": len(icc) if icc is not None else None,
+        "icc_segments": len(icc_parts) if icc_parts else None,
+        "adobe_transform": adobe,
+    }

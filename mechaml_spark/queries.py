@@ -8623,6 +8623,80 @@ def q_mojibake_fix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_color_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Color-management probe (mediaprobe.png_color_probe /
+    jpeg_color_probe): gAMA/sRGB/iCCP chunk facts for PNG, reassembled
+    multi-segment ICC_PROFILE APP2 size + Adobe APP14 transform for
+    JPEG — the "which color transform does this image need" gate a
+    training pipeline runs BEFORE pixels are touched, with zero pixel
+    decode and zero profile parse.  Fixtures splice real chunks/
+    markers (proper CRCs, ICC Annex-B segment split) into streams
+    from the repo's own codecs; every fact is the stated closed form
+    (JPEG ICC of 60000 + doc_id%10000 bytes crosses the 65505-byte
+    segment boundary, so the segment count flips 1→2 exactly when
+    the size does).  Scale posture: chunk/marker walk in mapInPandas,
+    zero exchanges."""
+    import numpy as _np
+    import pandas as _pd
+
+    from mechaml_spark import imaging as _im
+    from mechaml_spark import jpeg as _jp
+    from mechaml_spark import mediaprobe as _mp
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 450
+    )
+
+    def gen(batches):
+        png_base = _im.png_encode(_np.zeros((4, 6, 3), _np.uint8))
+        jpg_base = _jp.jpeg_encode(_np.zeros((8, 8, 3), _np.uint8), 90)
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 2 == 0:
+                    data = _mp.png_add_color_chunks(
+                        png_base,
+                        gamma_micro=(45455 if did % 3 == 0 else None),
+                        srgb_intent=(did % 4 if did % 5 == 0 else None),
+                        icc_name=(f"p{did % 9}" if did % 7 == 0
+                                  else None),
+                        icc_profile=(b"\x00" * (128 + did % 100)
+                                     if did % 7 == 0 else None),
+                    )
+                    p = _mp.png_color_probe(data)
+                    rows.append((did, "png", p["gamma_micro"],
+                                 p["srgb_intent"], p["icc_name"],
+                                 p["icc_size"], None, None))
+                else:
+                    data = jpg_base
+                    if did % 7 == 0:
+                        data = _mp.jpeg_add_icc(
+                            data, b"\x00" * (60000 + did % 10000),
+                            adobe_transform=(did % 3 if did % 5 == 0
+                                             else None),
+                        )
+                    elif did % 5 == 0:
+                        data = _mp.jpeg_add_icc(
+                            data, None, adobe_transform=did % 3
+                        )
+                    p = _mp.jpeg_color_probe(data)
+                    rows.append((did, "jpeg", None, None, None,
+                                 p["icc_size"], p["icc_segments"],
+                                 p["adobe_transform"]))
+            yield _pd.DataFrame(
+                rows, columns=["doc_id", "fmt", "gamma_micro",
+                               "srgb_intent", "icc_name", "icc_size",
+                               "icc_segments", "adobe_transform"])
+
+    return d.mapInPandas(
+        gen,
+        schema=("doc_id long, fmt string, gamma_micro long, "
+                "srgb_intent int, icc_name string, icc_size long, "
+                "icc_segments int, adobe_transform int"),
+    )
+
+
 QUERIES = {
     "extract_links": q_extract_links,
     "selector_suffix": q_selector_suffix,
@@ -8639,6 +8713,7 @@ QUERIES = {
     "docx_text": q_docx_text,
     "epub_spine": q_epub_spine,
     "mojibake_fix": q_mojibake_fix,
+    "color_probe": q_color_probe,
     "bitext_candidates": q_bitext_candidates,
     "webdataset_roundtrip": q_webdataset_roundtrip,
     "media_discovery": q_media_discovery,
@@ -9077,6 +9152,33 @@ ORACLES = {
                doc_id % 13 = 0 AS has_external
         FROM documents
         WHERE doc_id < 500
+    """,
+    # Fixture closed forms; the JPEG ICC segment count flips 1→2
+    # exactly when 60000 + doc_id%10000 crosses 65505 (ICC Annex-B
+    # max payload per APP2).
+    "color_probe": """
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END
+                 AS fmt,
+               CASE WHEN doc_id % 2 = 0 AND doc_id % 3 = 0
+                    THEN 45455 END AS gamma_micro,
+               CAST(CASE WHEN doc_id % 2 = 0 AND doc_id % 5 = 0
+                    THEN doc_id % 4 END AS INT) AS srgb_intent,
+               CASE WHEN doc_id % 2 = 0 AND doc_id % 7 = 0
+                    THEN 'p' || (doc_id % 9) END AS icc_name,
+               CASE WHEN doc_id % 2 = 0 AND doc_id % 7 = 0
+                      THEN 128 + doc_id % 100
+                    WHEN doc_id % 2 = 1 AND doc_id % 7 = 0
+                      THEN 60000 + doc_id % 10000
+               END AS icc_size,
+               CAST(CASE WHEN doc_id % 2 = 1 AND doc_id % 7 = 0
+                    THEN CASE WHEN 60000 + doc_id % 10000 > 65505
+                         THEN 2 ELSE 1 END
+               END AS INT) AS icc_segments,
+               CAST(CASE WHEN doc_id % 2 = 1 AND doc_id % 5 = 0
+                    THEN doc_id % 3 END AS INT) AS adobe_transform
+        FROM documents
+        WHERE doc_id < 450
     """,
     # Every row repairs to the same clean closed form; pass count
     # follows the damage depth (0 clean / 1 single / 2 double).

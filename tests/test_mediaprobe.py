@@ -353,3 +353,46 @@ def test_anim_probes_no_decode():
     for probe in (mp.gif_anim_probe, mp.apng_anim_probe,
                   mp.webp_anim_probe):
         assert probe(b"not media") is None
+
+
+def test_png_color_chunks_roundtrip():
+    import numpy as np
+
+    from mechaml_spark import imaging
+    from mechaml_spark import mediaprobe as mp
+
+    png = imaging.png_encode(np.zeros((4, 6, 3), np.uint8))
+    tagged = mp.png_add_color_chunks(
+        png, gamma_micro=45455, srgb_intent=3,
+        icc_name="nice profile", icc_profile=b"\x01" * 517)
+    got = mp.png_color_probe(tagged)
+    assert got == {"gamma_micro": 45455, "srgb_intent": 3,
+                   "icc_name": "nice profile", "icc_size": 517}
+    # spliced chunks keep the stream decodable
+    assert imaging.png_decode(tagged).shape == (4, 6, 3)
+    # untagged stream: all None
+    assert mp.png_color_probe(png) == {
+        "gamma_micro": None, "srgb_intent": None,
+        "icc_name": None, "icc_size": None}
+    assert mp.png_color_probe(b"notapng") is None
+
+
+def test_jpeg_icc_multisegment_reassembly():
+    import numpy as np
+
+    from mechaml_spark import jpeg
+    from mechaml_spark import mediaprobe as mp
+
+    j = jpeg.jpeg_encode(np.zeros((8, 8, 3), np.uint8), 90)
+    big = b"\x02" * 100000  # > 65505 -> 2 APP2 segments
+    tagged = mp.jpeg_add_icc(j, big, adobe_transform=2)
+    got = mp.jpeg_color_probe(tagged)
+    assert got == {"icc_size": 100000, "icc_segments": 2,
+                   "adobe_transform": 2}
+    assert jpeg.jpeg_decode(tagged).shape == (8, 8, 3)
+    # Adobe-only stream (profile=None): no APP2 at all
+    adobe_only = mp.jpeg_add_icc(j, None, adobe_transform=1)
+    assert mp.jpeg_color_probe(adobe_only) == {
+        "icc_size": None, "icc_segments": None, "adobe_transform": 1}
+    assert mp.jpeg_color_probe(j)["icc_size"] is None
+    assert mp.jpeg_color_probe(b"\x00\x01") is None
