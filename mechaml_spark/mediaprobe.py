@@ -1623,3 +1623,127 @@ def jpeg_color_probe(data: bytes) -> dict | None:
         "icc_segments": len(icc_parts) if icc_parts else None,
         "adobe_transform": adobe,
     }
+
+
+# --------------------------------------------------------------------------
+# Payload integrity verification (truncation / corruption gates)
+# --------------------------------------------------------------------------
+#
+# Interrupted transfers and bit-rot make corrupt payloads a constant
+# of crawl data; a pipeline must cheaply split "decodes cleanly" from
+# "truncated" from "corrupt" BEFORE paying decode cost.  Each verifier
+# checks container-level invariants only: PNG per-chunk CRC-32 +
+# chunk-bounds + IEND, JPEG SOI→SOS marker walk + EOI trailer, GIF
+# header + block walk to the 0x3B trailer.
+
+def png_verify(data: bytes) -> dict:
+    """PNG container integrity: per-chunk CRC, bounds, IEND."""
+    import zlib as _z
+
+    out = {"is_png": False, "truncated": False, "bad_crc": 0,
+           "has_end": False}
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        return out
+    out["is_png"] = True
+    p = 8
+    while True:
+        if p == len(data):
+            break  # clean end (has_end says whether IEND was seen)
+        if p + 8 > len(data):
+            out["truncated"] = True
+            break
+        (ln,) = struct.unpack(">I", data[p:p + 4])
+        tag = data[p + 4:p + 8]
+        if p + 8 + ln + 4 > len(data):
+            out["truncated"] = True
+            break
+        body = data[p + 8:p + 8 + ln]
+        (crc,) = struct.unpack(">I", data[p + 8 + ln:p + 12 + ln])
+        if _z.crc32(tag + body) != crc:
+            out["bad_crc"] += 1
+        if tag == b"IEND":
+            out["has_end"] = True
+            break
+        p += 12 + ln
+    return out
+
+
+def jpeg_verify(data: bytes) -> dict:
+    """JPEG stream integrity: SOI, marker walk to SOS, EOI trailer."""
+    out = {"is_jpeg": False, "truncated": False, "has_end": False}
+    if data[:2] != b"\xff\xd8":
+        return out
+    out["is_jpeg"] = True
+    p = 2
+    while p + 4 <= len(data):
+        if data[p] != 0xFF:
+            out["truncated"] = True
+            return out
+        marker = data[p + 1]
+        if marker == 0xDA:  # SOS: entropy data until EOI
+            out["has_end"] = data.rstrip(b"\x00")[-2:] == b"\xff\xd9"
+            out["truncated"] = not out["has_end"]
+            return out
+        if marker == 0x01 or 0xD0 <= marker <= 0xD9:
+            p += 2
+            continue
+        (ln,) = struct.unpack(">H", data[p + 2:p + 4])
+        if p + 2 + ln > len(data):
+            out["truncated"] = True
+            return out
+        p += 2 + ln
+    out["truncated"] = True
+    return out
+
+
+def gif_verify(data: bytes) -> dict:
+    """GIF container integrity: header, block walk, 0x3B trailer."""
+    out = {"is_gif": False, "truncated": False, "has_end": False}
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        return out
+    out["is_gif"] = True
+    if len(data) < 13:
+        out["truncated"] = True
+        return out
+    flags = data[10]
+    p = 13 + (3 * (2 << (flags & 7)) if flags & 0x80 else 0)
+
+    def skip_subblocks(q: int) -> int | None:
+        while True:
+            if q >= len(data):
+                return None
+            sz = data[q]
+            q += 1
+            if sz == 0:
+                return q
+            q += sz
+
+    while p < len(data):
+        b = data[p]
+        if b == 0x3B:
+            out["has_end"] = True
+            return out
+        if b == 0x21:  # extension
+            if p + 2 > len(data):
+                break
+            q = skip_subblocks(p + 2)
+            if q is None:
+                break
+            p = q
+        elif b == 0x2C:  # image descriptor
+            if p + 10 > len(data):
+                break
+            lflags = data[p + 9]
+            q = p + 10 + (3 * (2 << (lflags & 7))
+                          if lflags & 0x80 else 0)
+            if q + 1 > len(data):
+                break
+            q = skip_subblocks(q + 1)  # skip LZW min-code byte
+            if q is None:
+                break
+            p = q
+        else:
+            out["truncated"] = True
+            return out
+    out["truncated"] = True
+    return out

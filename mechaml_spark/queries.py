@@ -8697,6 +8697,73 @@ def q_color_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_payload_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container-integrity gate (mediaprobe.png/jpeg/gif_verify):
+    split "decodes cleanly" / "truncated" / "corrupt" BEFORE paying
+    decode cost — interrupted transfers make broken payloads a
+    constant of crawl data.  PNG verifies per-chunk CRC-32 + bounds +
+    IEND; JPEG walks SOI→SOS markers and requires the EOI trailer;
+    GIF walks blocks to the 0x3B trailer.  Fixture per doc (doc_id%3
+    picks the container, repo codecs encode real streams): doc_id%4
+    ∈ {0,3} intact, ==1 tail-truncated (7 bytes cut — always lands
+    inside the final chunk/trailer), ==2 corrupted (PNG: one IDAT
+    data byte flipped → exactly 1 bad CRC, stream still walks to
+    IEND; JPEG/GIF: end marker stripped).  Scale posture: header
+    walk in mapInPandas, zero exchanges."""
+    import numpy as _np
+    import pandas as _pd
+
+    from mechaml_spark import imaging as _im
+    from mechaml_spark import jpeg as _jp
+    from mechaml_spark import mediaprobe as _mp
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 600
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                px = _np.full((6, 8, 3), (did * 13) % 251, _np.uint8)
+                fmt = ("png", "jpeg", "gif")[did % 3]
+                if fmt == "png":
+                    data = _im.png_encode(px)
+                elif fmt == "jpeg":
+                    data = _jp.jpeg_encode(px, 90)
+                else:
+                    data = _im.gif_encode(px)
+                cse = did % 4
+                if cse == 1:
+                    data = data[:-7]
+                elif cse == 2:
+                    if fmt == "png":
+                        b = bytearray(data)
+                        b[45] ^= 0xFF  # inside IDAT data
+                        data = bytes(b)
+                    elif fmt == "jpeg":
+                        data = data[:-2]  # strip EOI
+                    else:
+                        data = data[:-1]  # strip 0x3B trailer
+                v = {"png": _mp.png_verify, "jpeg": _mp.jpeg_verify,
+                     "gif": _mp.gif_verify}[fmt](data)
+                bad_crc = v.get("bad_crc", 0)
+                keep = (not v["truncated"] and bad_crc == 0
+                        and v["has_end"])
+                rows.append((did, fmt, v["truncated"], bad_crc,
+                             v["has_end"], keep))
+            yield _pd.DataFrame(
+                rows, columns=["doc_id", "fmt", "truncated",
+                               "bad_crc", "has_end", "keep"])
+
+    return d.mapInPandas(
+        gen,
+        schema=("doc_id long, fmt string, truncated boolean, "
+                "bad_crc int, has_end boolean, keep boolean"),
+    )
+
+
 QUERIES = {
     "extract_links": q_extract_links,
     "selector_suffix": q_selector_suffix,
@@ -8714,6 +8781,7 @@ QUERIES = {
     "epub_spine": q_epub_spine,
     "mojibake_fix": q_mojibake_fix,
     "color_probe": q_color_probe,
+    "payload_integrity": q_payload_integrity,
     "bitext_candidates": q_bitext_candidates,
     "webdataset_roundtrip": q_webdataset_roundtrip,
     "media_discovery": q_media_discovery,
@@ -9152,6 +9220,23 @@ ORACLES = {
                doc_id % 13 = 0 AS has_external
         FROM documents
         WHERE doc_id < 500
+    """,
+    # Damage class drives every flag: %4∈{0,3} intact, ==1 truncated,
+    # ==2 corrupt (PNG: 1 bad CRC but walk reaches IEND; JPEG/GIF:
+    # missing end marker reads as truncation).
+    "payload_integrity": """
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                    ELSE 'gif' END AS fmt,
+               doc_id % 4 = 1
+                 OR (doc_id % 4 = 2 AND doc_id % 3 <> 0) AS truncated,
+               CAST(CASE WHEN doc_id % 4 = 2 AND doc_id % 3 = 0
+                    THEN 1 ELSE 0 END AS INT) AS bad_crc,
+               doc_id % 4 IN (0, 3)
+                 OR (doc_id % 4 = 2 AND doc_id % 3 = 0) AS has_end,
+               doc_id % 4 IN (0, 3) AS keep
+        FROM documents
+        WHERE doc_id < 600
     """,
     # Fixture closed forms; the JPEG ICC segment count flips 1→2
     # exactly when 60000 + doc_id%10000 crosses 65505 (ICC Annex-B

@@ -396,3 +396,39 @@ def test_jpeg_icc_multisegment_reassembly():
         "icc_size": None, "icc_segments": None, "adobe_transform": 1}
     assert mp.jpeg_color_probe(j)["icc_size"] is None
     assert mp.jpeg_color_probe(b"\x00\x01") is None
+
+
+def test_integrity_verifiers():
+    import numpy as np
+
+    from mechaml_spark import imaging, jpeg
+    from mechaml_spark import mediaprobe as mp
+
+    px = np.full((6, 8, 3), 77, np.uint8)
+    png, j, g = (imaging.png_encode(px), jpeg.jpeg_encode(px, 90),
+                 imaging.gif_encode(px))
+    assert mp.png_verify(png) == {"is_png": True, "truncated": False,
+                                  "bad_crc": 0, "has_end": True}
+    assert mp.jpeg_verify(j) == {"is_jpeg": True, "truncated": False,
+                                 "has_end": True}
+    assert mp.gif_verify(g) == {"is_gif": True, "truncated": False,
+                                "has_end": True}
+    # tail truncation always detected
+    for data, fn in ((png, mp.png_verify), (j, mp.jpeg_verify),
+                     (g, mp.gif_verify)):
+        got = fn(data[:-7])
+        assert got["truncated"] is True and got["has_end"] is False
+    # PNG: single flipped IDAT byte -> exactly one bad CRC, stream
+    # still walks to IEND
+    b = bytearray(png)
+    b[45] ^= 0xFF
+    got = mp.png_verify(bytes(b))
+    assert got == {"is_png": True, "truncated": False, "bad_crc": 1,
+                   "has_end": True}
+    # JPEG: stripped EOI reads as truncation
+    got = mp.jpeg_verify(j[:-2])
+    assert got["truncated"] is True and got["has_end"] is False
+    # non-members
+    assert mp.png_verify(b"x")["is_png"] is False
+    assert mp.jpeg_verify(b"x")["is_jpeg"] is False
+    assert mp.gif_verify(b"x")["is_gif"] is False
