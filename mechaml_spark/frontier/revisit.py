@@ -79,3 +79,56 @@ def revisit_schedule(
         (F.col("last_ts") + clamped).cast("long").alias("next_due"),
         ((F.col("last_ts") + clamped) <= F.lit(now_ts)).alias("due"),
     )
+
+
+# ---------------------------------------------------------- AIMD delay
+
+def adaptive_delay(
+    df,
+    *,
+    host_col: str = "host",
+    epoch_col: str = "epoch",
+    status_col: str = "status",
+    init_ms: int = 1000,
+    dec_ms: int = 250,
+    min_ms: int = 1000,
+    max_ms: int = 60000,
+):
+    """AIMD per-host politeness controller (the BUbiNG/IRLbot move):
+    the crawl-delay for a host ADAPTS to what the server says —
+    multiplicative increase on back-pressure (429/5xx/timeout ⇒
+    ``delay*2`` capped at ``max_ms``), additive decrease on success
+    (``delay-dec_ms`` floored at ``min_ms``) — instead of one static
+    budget for every host on the internet.  Input: one row per
+    (host, epoch, status) fetch outcome; output adds ``delay_ms``,
+    the delay in force AFTER that epoch's outcome.
+
+    Scale shape: the recurrence is sequential ONLY within a host, so
+    ``applyInPandas`` over ``groupBy(host)`` is the honest scale
+    path — hosts are the parallel unit (10^7 of them at design
+    point), per-host history is bounded by revisit horizon, and the
+    one shuffle carries (host, epoch, status) triples, never bodies.
+    The result feeds the scheduler's ``host_budgets`` override
+    (scheduler.crawl: budget ≈ window/delay), closing the loop
+    from server signals to frontier scheduling.
+    """
+    import pandas as pd
+
+    out_schema = (f"{host_col} string, {epoch_col} long, "
+                  f"{status_col} int, delay_ms long")
+
+    def one_host(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(epoch_col)
+        delay = init_ms
+        delays = []
+        for st in pdf[status_col]:
+            if st == 429 or st >= 500 or st == 0:
+                delay = min(delay * 2, max_ms)
+            else:
+                delay = max(delay - dec_ms, min_ms)
+            delays.append(delay)
+        pdf = pdf[[host_col, epoch_col, status_col]].copy()
+        pdf["delay_ms"] = delays
+        return pdf
+
+    return df.groupBy(host_col).applyInPandas(one_host, out_schema)

@@ -8764,6 +8764,31 @@ def q_payload_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_adaptive_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AIMD per-host politeness (frontier.revisit.adaptive_delay):
+    delay doubles (cap 60 s) on 429/5xx/transport-0, decreases by
+    250 ms (floor 1 s) on success — per-host server back-pressure
+    adapted into the scheduler's host_budgets override.  Fixture: 20
+    hosts × 20 epochs; host h errors every (3 + h%4)th epoch, so each
+    host walks a different saw-tooth.  The oracle replays the exact
+    recurrence with a recursive CTE.  Scale posture: ONE shuffle of
+    (host, epoch, status) triples; the recurrence is sequential only
+    within a host — hosts are the parallel unit."""
+    from mechaml_spark.frontier.revisit import adaptive_delay
+
+    did = F.col("doc_id")
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(did < 400)
+    base = d.select(
+        F.concat(F.lit("h"), did % 20).alias("host"),
+        (did / 20).cast("long").alias("epoch"),
+        F.when(
+            (F.floor(did / 20) % (3 + (did % 20) % 4)) == 0,
+            F.lit(503),
+        ).otherwise(F.lit(200)).cast("int").alias("status"),
+    )
+    return adaptive_delay(base)
+
+
 QUERIES = {
     "extract_links": q_extract_links,
     "selector_suffix": q_selector_suffix,
@@ -8782,6 +8807,7 @@ QUERIES = {
     "mojibake_fix": q_mojibake_fix,
     "color_probe": q_color_probe,
     "payload_integrity": q_payload_integrity,
+    "adaptive_delay": q_adaptive_delay,
     "bitext_candidates": q_bitext_candidates,
     "webdataset_roundtrip": q_webdataset_roundtrip,
     "media_discovery": q_media_discovery,
@@ -9220,6 +9246,32 @@ ORACLES = {
                doc_id % 13 = 0 AS has_external
         FROM documents
         WHERE doc_id < 500
+    """,
+    # The AIMD recurrence replayed exactly: epoch-0 anchor, then
+    # join epoch e+1 onto the epoch-e state per host.
+    "adaptive_delay": """
+        WITH RECURSIVE base AS (
+          SELECT 'h' || (doc_id % 20) AS host,
+                 doc_id // 20 AS epoch,
+                 CAST(CASE WHEN (doc_id // 20)
+                               % (3 + (doc_id % 20) % 4) = 0
+                      THEN 503 ELSE 200 END AS INT) AS status
+          FROM documents WHERE doc_id < 400),
+        rec AS (
+          SELECT host, epoch, status,
+                 CASE WHEN status >= 500 THEN 2000
+                      ELSE 1000 END AS delay_ms
+          FROM base WHERE epoch = 0
+          UNION ALL
+          SELECT b.host, b.epoch, b.status,
+                 CASE WHEN b.status >= 500
+                      THEN LEAST(r.delay_ms * 2, 60000)
+                      ELSE GREATEST(r.delay_ms - 250, 1000) END
+          FROM rec r
+          JOIN base b ON b.host = r.host AND b.epoch = r.epoch + 1)
+        SELECT host, CAST(epoch AS BIGINT) AS epoch, status,
+               CAST(delay_ms AS BIGINT) AS delay_ms
+        FROM rec
     """,
     # Damage class drives every flag: %4∈{0,3} intact, ==1 truncated,
     # ==2 corrupt (PNG: 1 bad CRC but walk reaches IEND; JPEG/GIF:

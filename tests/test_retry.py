@@ -202,3 +202,40 @@ def test_resume_from_pre_retry_snapshot(spark, tmp_path):
     a = {r["url_norm"] for r in resumed.seen.seen_df.collect()}
     b = {r["url_norm"] for r in control.seen.seen_df.collect()}
     assert a == b
+
+
+def test_adaptive_delay_aimd_recurrence(spark):
+    from pyspark.sql import functions as F
+
+    from mechaml_spark.frontier.revisit import adaptive_delay
+
+    rows = [
+        ("a", 0, 200), ("a", 1, 503), ("a", 2, 503), ("a", 3, 200),
+        ("a", 4, 429), ("a", 5, 0),
+        ("b", 0, 500), ("b", 1, 200),
+    ]
+    df = spark.createDataFrame(rows, "host string, epoch long, status int")
+    got = {(r.host, r.epoch): r.delay_ms
+           for r in adaptive_delay(df).collect()}
+    # host a: 1000 -> 1000(succ floor) -> 2000 -> 4000 -> 3750 ->
+    # 7500(429) -> 15000(status 0)
+    assert [got[("a", e)] for e in range(6)] == [
+        1000, 2000, 4000, 3750, 7500, 15000]
+    # host b: 2000 (5xx from init 1000) -> 1750
+    assert [got[("b", e)] for e in range(2)] == [2000, 1750]
+
+
+def test_adaptive_delay_caps_and_floor(spark):
+    from mechaml_spark.frontier.revisit import adaptive_delay
+
+    rows = [("c", e, 503) for e in range(10)] + \
+           [("c", e, 200) for e in range(10, 14)]
+    df = spark.createDataFrame(rows, "host string, epoch long, status int")
+    got = [r.delay_ms for r in
+           adaptive_delay(df).orderBy("epoch").collect()]
+    assert got[:7] == [2000, 4000, 8000, 16000, 32000, 60000, 60000]
+    assert got[-1] == 60000 - 4 * 250
+    # floor: long success run never drops below min_ms
+    rows2 = [("d", e, 200) for e in range(30)]
+    df2 = spark.createDataFrame(rows2, "host string, epoch long, status int")
+    assert min(r.delay_ms for r in adaptive_delay(df2).collect()) == 1000
