@@ -8789,6 +8789,88 @@ def q_adaptive_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adaptive_delay(base)
 
 
+def q_lang_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level language segmentation (the mC4 move: documents
+    are filtered per-PARAGRAPH because web pages mix languages —
+    boilerplate in one, content in another).  Paragraphs split on
+    blank lines; each scores against four pinned stopword marker sets
+    (en/de/fr/es, 3 markers each, padded-word occurrence counts);
+    per-paragraph argmax rolls up to a doc majority with the pinned
+    tie rule (max count, then smallest lang index — exercised for
+    real by the 4-paragraph docs where all four langs tie).  Fixture:
+    2 + doc_id%4 paragraphs; doc_id%5==0 docs are pure English,
+    others cycle langs at (doc_id+k)%4, so majority / n_langs /
+    mixed are the stated closed forms.  Scale posture: detection is
+    expression-only (posexplode + length-replace counts, codegen);
+    the rollup is ONE partial-agg groupBy carrying (doc_id, lang_idx)
+    — never text."""
+    did = F.col("doc_id")
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(did < 500)
+
+    templates = F.array(
+        F.lit("the cat and the dog of the house"),
+        F.lit("der hund und die katze der stadt"),
+        F.lit("le chien et les maisons le soir"),
+        F.lit("el perro y los campos el dia"),
+    )
+    n_paras = (2 + did % 4).cast("int")
+    paras = F.transform(
+        F.sequence(F.lit(0), n_paras - 1),
+        lambda k: F.when(
+            did % 5 == 0, F.element_at(templates, 1)
+        ).otherwise(
+            F.element_at(templates, ((did + k) % 4 + 1).cast("int"))
+        ),
+    )
+    doc = d.select("doc_id", n_paras.alias("n_paras"),
+                   F.array_join(paras, "\n\n").alias("text"))
+
+    ex = doc.select(
+        "doc_id", "n_paras",
+        F.posexplode(F.split(F.col("text"), r"\n\n")).alias("k", "para"),
+    )
+    padded = F.concat(F.lit(" "), F.col("para"), F.lit(" "))
+
+    def cnt(word):
+        pad = f" {word} "
+        return (
+            (F.length(padded) - F.length(F.replace(padded, F.lit(pad))))
+            / len(pad)
+        ).cast("long")
+
+    markers = [["the", "and", "of"], ["der", "und", "die"],
+               ["le", "et", "les"], ["el", "y", "los"]]
+    scores = [sum(cnt(w) for w in ws) for ws in markers]
+    best = F.greatest(*scores)
+    # argmax with smallest-index tie rule
+    lang_idx = (
+        F.when(scores[0] == best, F.lit(0))
+        .when(scores[1] == best, F.lit(1))
+        .when(scores[2] == best, F.lit(2))
+        .otherwise(F.lit(3))
+    )
+    names = F.array(F.lit("en"), F.lit("de"), F.lit("fr"), F.lit("es"))
+    per_para = ex.select("doc_id", "n_paras",
+                         lang_idx.alias("lang_idx"))
+    # majority via count-per-(doc,lang) argmax; the struct max orders
+    # by (count, -lang_idx), so ties go to the SMALLEST lang index
+    counts = per_para.groupBy("doc_id", "n_paras", "lang_idx").agg(
+        F.count("*").alias("c")
+    )
+    return counts.groupBy("doc_id", "n_paras").agg(
+        F.max(F.struct(F.col("c"), (-F.col("lang_idx")).alias("ni"),
+                       F.col("lang_idx"))).alias("m"),
+        F.count("*").cast("int").alias("n_langs"),
+    ).select(
+        "doc_id",
+        "n_paras",
+        F.element_at(names, (F.col("m.lang_idx") + 1).cast("int"))
+        .alias("majority"),
+        "n_langs",
+        (F.col("n_langs") > 1).alias("mixed"),
+    )
+
+
 QUERIES = {
     "extract_links": q_extract_links,
     "selector_suffix": q_selector_suffix,
@@ -8808,6 +8890,7 @@ QUERIES = {
     "color_probe": q_color_probe,
     "payload_integrity": q_payload_integrity,
     "adaptive_delay": q_adaptive_delay,
+    "lang_segments": q_lang_segments,
     "bitext_candidates": q_bitext_candidates,
     "webdataset_roundtrip": q_webdataset_roundtrip,
     "media_discovery": q_media_discovery,
@@ -9244,6 +9327,25 @@ ORACLES = {
                doc_id % 7 = 0 AS has_script,
                doc_id % 11 = 0 AS has_event,
                doc_id % 13 = 0 AS has_external
+        FROM documents
+        WHERE doc_id < 500
+    """,
+    # Closed forms from the correlated fixture (P = 2 + doc_id%4,
+    # langs cycle at (doc_id+k)%4 so P determines the winner):
+    # pure-English docs (doc_id%5==0) → en/1; else P=2→en, P=3→de,
+    # P=4→en (four-way tie, smallest index), P=5→es (wraps, es twice).
+    "lang_segments": """
+        SELECT doc_id,
+               CAST(2 + doc_id % 4 AS INT) AS n_paras,
+               CASE WHEN doc_id % 5 = 0 THEN 'en'
+                    ELSE CASE 2 + doc_id % 4
+                      WHEN 2 THEN 'en' WHEN 3 THEN 'de'
+                      WHEN 4 THEN 'en' ELSE 'es' END
+               END AS majority,
+               CAST(CASE WHEN doc_id % 5 = 0 THEN 1
+                    ELSE LEAST(2 + doc_id % 4, 4) END AS INT)
+                 AS n_langs,
+               doc_id % 5 <> 0 AS mixed
         FROM documents
         WHERE doc_id < 500
     """,
