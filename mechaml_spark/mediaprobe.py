@@ -1747,3 +1747,174 @@ def gif_verify(data: bytes) -> dict:
             return out
     out["truncated"] = True
     return out
+
+
+# --------------------------------------------------------------------------
+# ID3v2 tag mining (the audio caption channel)
+# --------------------------------------------------------------------------
+#
+# For crawled audio, the caption-grade text (title/artist/album) rides
+# in the ID3v2 header that mp3_probe length-skips.  Implemented from
+# the public id3v2.3/2.4 specs: syncsafe tag size, 10-byte frame
+# headers (v2.4 frame sizes syncsafe, v2.3 plain big-endian), text
+# frames ('T***') with the 4 published encodings (latin-1, UTF-16
+# with BOM, UTF-16BE, UTF-8), NUL-terminator strip.
+
+_ID3_TEXT = {0: "latin-1", 1: "utf-16", 2: "utf-16-be", 3: "utf-8"}
+
+
+def _syncsafe(n: int) -> bytes:
+    return bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F,
+                  (n >> 7) & 0x7F, n & 0x7F])
+
+
+def id3v2_write(tags: dict[str, str], *, version: int = 3,
+                encoding: int = 3) -> bytes:
+    """Deterministic ID3v2.3/2.4 tag block (prepend to an MP3).
+    ``encoding`` picks the text-frame encoding byte; v2.3 streams
+    use encoding 0/1 only (2/3 are v2.4 additions, enforced)."""
+    if version == 3 and encoding not in (0, 1):
+        raise ValueError("id3v2.3 allows encodings 0/1 only")
+    frames = b""
+    for fid, text in sorted(tags.items()):
+        enc = _ID3_TEXT[encoding]
+        payload = bytes([encoding]) + text.encode(enc) + (
+            b"\x00\x00" if encoding in (1, 2) else b"\x00")
+        size = (_syncsafe(len(payload)) if version == 4
+                else struct.pack(">I", len(payload)))
+        frames += fid.encode("latin-1") + size + b"\x00\x00" + payload
+    return (b"ID3" + bytes([version, 0, 0]) + _syncsafe(len(frames))
+            + frames)
+
+
+def id3v2_tags(data: bytes) -> dict | None:
+    """Text frames from a leading ID3v2 block; None when absent.
+    Returns {frame_id: text} plus ``_version``."""
+    if data[:3] != b"ID3" or len(data) < 10:
+        return None
+    version = data[3]
+    if version not in (2, 3, 4):
+        return None
+    size = ((data[6] & 0x7F) << 21 | (data[7] & 0x7F) << 14
+            | (data[8] & 0x7F) << 7 | (data[9] & 0x7F))
+    end = min(10 + size, len(data))
+    out: dict = {"_version": version}
+    p = 10
+    while p + 10 <= end:
+        fid = data[p:p + 4]
+        if not fid.strip(b"\x00"):
+            break  # padding
+        if version == 4:
+            fsize = ((data[p + 4] & 0x7F) << 21
+                     | (data[p + 5] & 0x7F) << 14
+                     | (data[p + 6] & 0x7F) << 7
+                     | (data[p + 7] & 0x7F))
+        else:
+            (fsize,) = struct.unpack(">I", data[p + 4:p + 8])
+        body = data[p + 10:p + 10 + fsize]
+        if fid[:1] == b"T" and body:
+            enc = _ID3_TEXT.get(body[0])
+            if enc is not None:
+                try:
+                    text = body[1:].decode(enc)
+                except UnicodeDecodeError:
+                    text = None
+                if text is not None:
+                    out[fid.decode("latin-1")] = text.rstrip("\x00")
+        p += 10 + fsize
+    return out
+
+
+# --------------------------------------------------------------------------
+# Vorbis/Opus comment mining (the Ogg caption channel)
+# --------------------------------------------------------------------------
+#
+# Same role as ID3v2 for MP3: TITLE/ARTIST/ALBUM ride the second
+# header packet — Vorbis I §5 comment header ("\x03vorbis") or RFC
+# 7845 §5.2 OpusTags — as length-prefixed UTF-8 "KEY=value" strings
+# with case-insensitive keys.
+
+def ogg_write_tagged(
+    codec: str,
+    rate: int,
+    channels: int,
+    granule_end: int,
+    comments: dict[str, str],
+    *,
+    vendor: str = "fixture",
+    serial: int = 0x1234,
+) -> bytes:
+    """Like :func:`ogg_write` but with a real comment header on page
+    1 (sorted keys for determinism)."""
+    base = ogg_write(codec, rate, channels, granule_end, serial=serial)
+    items = [f"{k}={v}".encode() for k, v in sorted(comments.items())]
+    body = (struct.pack("<I", len(vendor)) + vendor.encode()
+            + struct.pack("<I", len(items))
+            + b"".join(struct.pack("<I", len(i)) + i for i in items))
+    if codec == "vorbis":
+        pkt = b"\x03vorbis" + body + b"\x01"  # framing bit
+    elif codec == "opus":
+        pkt = b"OpusTags" + body
+    else:
+        raise ValueError(codec)
+    # splice as a new page seq 1, bumping later page sequence numbers
+    pages = []
+    off = 0
+    while off + 27 <= len(base):
+        nseg = base[off + 26]
+        body_len = sum(base[off + 27:off + 27 + nseg])
+        end = off + 27 + nseg + body_len
+        pages.append(base[off:end])
+        off = end
+    out = pages[0] + _ogg_page(serial, 1, 0, pkt)
+    for i, pg in enumerate(pages[1:], start=2):
+        granule = struct.unpack_from("<q", pg, 6)[0]
+        flags = pg[5]
+        seg0 = 27 + pg[26]
+        out += _ogg_page(serial, i, granule, pg[seg0:], flags=flags)
+    return out
+
+
+def ogg_comments(data: bytes) -> dict | None:
+    """Comment header fields from an Ogg stream: walks CRC-validated
+    pages for the "\\x03vorbis" / "OpusTags" packet and returns
+    {vendor, comments: {UPPER_KEY: value}} (keys case-folded per the
+    spec, first occurrence wins).  None when no comment header."""
+    off, n = 0, len(data)
+    while off + 27 <= n:
+        if data[off:off + 4] != b"OggS":
+            break
+        nseg = data[off + 26]
+        if off + 27 + nseg > n:
+            break
+        body_len = sum(data[off + 27:off + 27 + nseg])
+        end = off + 27 + nseg + body_len
+        if end > n:
+            break
+        body = data[off + 27 + nseg:end]
+        hdr = None
+        if body.startswith(b"\x03vorbis"):
+            hdr = body[7:]
+        elif body.startswith(b"OpusTags"):
+            hdr = body[8:]
+        if hdr is not None:
+            try:
+                (vlen,) = struct.unpack_from("<I", hdr, 0)
+                vendor = hdr[4:4 + vlen].decode("utf-8")
+                p = 4 + vlen
+                (cnt,) = struct.unpack_from("<I", hdr, p)
+                p += 4
+                comments: dict[str, str] = {}
+                for _ in range(cnt):
+                    (ln,) = struct.unpack_from("<I", hdr, p)
+                    p += 4
+                    item = hdr[p:p + ln].decode("utf-8")
+                    p += ln
+                    if "=" in item:
+                        k, v = item.split("=", 1)
+                        comments.setdefault(k.upper(), v)
+                return {"vendor": vendor, "comments": comments}
+            except (struct.error, UnicodeDecodeError):
+                return None
+        off = end
+    return None

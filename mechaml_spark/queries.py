@@ -8871,6 +8871,265 @@ def q_lang_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sitemap_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Google image-sitemap extension (sitemap.parse_image_sitemaps):
+    the channel through which sites EXPLICITLY hand crawlers
+    image+caption pairs — the highest-precision discovery source the
+    image pipeline has.  Fixture: 1 + doc_id%3 <url> entries per
+    sitemap, each carrying doc_id%4 <image:image> blocks (docs with
+    doc_id%4==0 contribute no rows); captions on even image indices,
+    titles only on index 0 — absent fields must surface as NULL, not
+    empty string.  Scale posture: two-level explode, all fields JVM
+    regexp — codegen end to end."""
+    did = F.col("doc_id")
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(did < 400)
+
+    def img_block(u, i):
+        return F.concat(
+            F.lit("<image:image><image:loc>http://cdn.test/i"),
+            did, F.lit("_"), u, F.lit("_"), i, F.lit(".jpg"),
+            F.lit("</image:loc>"),
+            F.when(
+                i % 2 == 0,
+                F.concat(F.lit("<image:caption>img "), i,
+                         F.lit(" of page "), u, F.lit(" doc "), did,
+                         F.lit("</image:caption>")),
+            ).otherwise(F.lit("")),
+            F.when(
+                i == 0,
+                F.concat(F.lit("<image:title>t"), did,
+                         F.lit("</image:title>")),
+            ).otherwise(F.lit("")),
+            F.lit("</image:image>"),
+        )
+
+    def url_block(u):
+        imgs = F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), (did % 4 - 1).cast("int")),
+                lambda i: img_block(u, i),
+            ),
+            "",
+        )
+        return F.concat(
+            F.lit("<url><loc>http://site"), did % 10,
+            F.lit(".test/p"), did, F.lit("/"), u, F.lit("</loc>"),
+            F.when(did % 4 > 0, imgs).otherwise(F.lit("")),
+            F.lit("</url>"),
+        )
+
+    body = F.concat(
+        F.lit('<?xml version="1.0"?><urlset>'),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), (did % 3).cast("int")),
+                url_block,
+            ),
+            "",
+        ),
+        F.lit("</urlset>"),
+    )
+    from mechaml_spark import sitemap as _sm
+
+    return _sm.parse_image_sitemaps(
+        d.select("doc_id", body.alias("body")), keep_cols=("doc_id",)
+    )
+
+
+def q_id3_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ID3v2 text-frame mining (mediaprobe.id3v2_tags): the audio
+    caption channel — title/artist/album ride in the tag block that
+    duration probing length-skips.  Fixture cycles the four published
+    (version, encoding) shapes by doc_id%4 — v2.3+latin-1,
+    v2.3+UTF-16-BOM, v2.4+UTF-16BE, v2.4+UTF-8 (v2.4 frame sizes
+    syncsafe, v2.3 plain) — over real MP3 streams; non-ASCII text
+    exercises every decode path; TALB present only for doc_id%3==0
+    (absent → NULL).  Scale posture: header walk in mapInPandas,
+    zero shuffle."""
+    import pandas as _pd
+
+    from mechaml_spark import mediaprobe as _mp
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 400
+    )
+
+    def gen(batches):
+        mp3 = _mp.mp3_write(3)
+        shapes = ((3, 0), (3, 1), (4, 2), (4, 3))
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                ver, enc = shapes[did % 4]
+                tags = {"TIT2": f"Tïtle {did}",
+                        "TPE1": f"Ärtist {did % 7}"}
+                if did % 3 == 0:
+                    tags["TALB"] = f"Album {did % 5}"
+                data = _mp.id3v2_write(tags, version=ver,
+                                       encoding=enc) + mp3
+                got = _mp.id3v2_tags(data)
+                rows.append((did, got["_version"], got.get("TIT2"),
+                             got.get("TPE1"), got.get("TALB")))
+            yield _pd.DataFrame(
+                rows, columns=["doc_id", "version", "title",
+                               "artist", "album"])
+
+    return d.mapInPandas(
+        gen,
+        schema=("doc_id long, version int, title string, "
+                "artist string, album string"),
+    )
+
+
+def q_ogg_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vorbis-comment mining (mediaprobe.ogg_comments): the Ogg
+    caption channel — TITLE/ARTIST/ALBUM as length-prefixed UTF-8
+    KEY=value fields in the second header packet (Vorbis I §5 /
+    OpusTags RFC 7845 §5.2), keys case-folded per the spec.  Fixture
+    alternates vorbis/opus by doc_id%2 over CRC-valid pages (the
+    comment page is spliced with later sequence numbers rebuilt, so
+    the duration probe still reads the same stream); lowercase keys
+    in the fixture prove the fold; ALBUM only on doc_id%4==0.
+    Scale posture: page walk in mapInPandas, zero shuffle."""
+    import pandas as _pd
+
+    from mechaml_spark import mediaprobe as _mp
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 400
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                codec = ("vorbis", "opus")[did % 2]
+                comments = {"title": f"Sträck {did}",
+                            "Artist": f"Günd {did % 6}"}
+                if did % 4 == 0:
+                    comments["ALBUM"] = f"LP {did % 9}"
+                data = _mp.ogg_write_tagged(
+                    codec, 44100, 2, 44100 * (1 + did % 5), comments
+                )
+                got = _mp.ogg_comments(data)
+                c = got["comments"]
+                rows.append((did, codec, got["vendor"],
+                             c.get("TITLE"), c.get("ARTIST"),
+                             c.get("ALBUM")))
+            yield _pd.DataFrame(
+                rows, columns=["doc_id", "codec", "vendor", "title",
+                               "artist", "album"])
+
+    return d.mapInPandas(
+        gen,
+        schema=("doc_id long, codec string, vendor string, "
+                "title string, artist string, album string"),
+    )
+
+
+def q_hls_playlists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLS playlist parse (RFC 8216) — how video actually ships on
+    the web: master playlists explode into renditions (#EXT-X-
+    STREAM-INF BANDWIDTH/RESOLUTION + following URI line, the
+    "which rendition do we fetch" decision), media playlists reduce
+    to segment count / total #EXTINF duration / VOD-vs-live
+    (#EXT-X-ENDLIST absent ⇒ live ⇒ skip — a crawler must not tail
+    live streams).  Fixture: even docs are masters with 2 + doc_id%3
+    variants (pinned bandwidth/resolution ladder), odd docs media
+    lists with 3 + doc_id%4 segments of 4+(k%3) s; doc_id%5==0 media
+    lists omit ENDLIST.  Scale posture: block regexp_extract_all +
+    per-block field extracts — expression-only both halves, one
+    union, codegen end to end."""
+    did = F.col("doc_id")
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(did < 500)
+
+    ladder_w = F.array(F.lit(640), F.lit(1280), F.lit(1920),
+                       F.lit(2560))
+    ladder_h = F.array(F.lit(360), F.lit(720), F.lit(1080),
+                       F.lit(1440))
+    n_var = (2 + did % 3).cast("int")
+    master_body = F.concat(
+        F.lit("#EXTM3U\n"),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), n_var - 1),
+                lambda v: F.concat(
+                    F.lit("#EXT-X-STREAM-INF:BANDWIDTH="),
+                    (500000 * (v + 1)).cast("long"),
+                    F.lit(",RESOLUTION="),
+                    F.element_at(ladder_w, (v + 1).cast("int")),
+                    F.lit("x"),
+                    F.element_at(ladder_h, (v + 1).cast("int")),
+                    F.lit("\nrendition_"), v, F.lit(".m3u8"),
+                ),
+            ),
+            "\n",
+        ),
+    )
+    n_seg = (3 + did % 4).cast("int")
+    media_body = F.concat(
+        F.lit("#EXTM3U\n#EXT-X-TARGETDURATION:7\n"),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), n_seg - 1),
+                lambda k: F.concat(
+                    F.lit("#EXTINF:"), (4 + k % 3).cast("int"),
+                    F.lit(".0,\nseg"), k, F.lit(".ts"),
+                ),
+            ),
+            "\n",
+        ),
+        F.when(did % 5 == 0, F.lit("")).otherwise(
+            F.lit("\n#EXT-X-ENDLIST")),
+    )
+    body = F.when(did % 2 == 0, master_body).otherwise(media_body)
+    src = d.select("doc_id", body.alias("body"))
+
+    blk = r"(?m)^#EXT-X-STREAM-INF:([^\n]*)\n([^\n#][^\n]*)"
+    inf = F.regexp_extract_all(F.col("body"), F.lit(blk), 0)
+    masters = (
+        src.where(did % 2 == 0)
+        .select("doc_id", F.posexplode(inf).alias("variant", "b"))
+        .select(
+            "doc_id",
+            F.lit("master").alias("kind"),
+            F.col("variant").cast("int").alias("variant"),
+            F.regexp_extract(F.col("b"), r"BANDWIDTH=(\d+)", 1)
+            .cast("long").alias("bandwidth"),
+            F.regexp_extract(F.col("b"), r"RESOLUTION=(\d+)x", 1)
+            .cast("int").alias("width"),
+            F.regexp_extract(F.col("b"), r"RESOLUTION=\d+x(\d+)", 1)
+            .cast("int").alias("height"),
+            F.regexp_extract(F.col("b"), r"\n([^\n]+)$", 1)
+            .alias("uri"),
+            F.lit(None).cast("int").alias("n_segments"),
+            F.lit(None).cast("long").alias("total_ms"),
+            F.lit(None).cast("boolean").alias("live"),
+        )
+    )
+    durs = F.transform(
+        F.regexp_extract_all(F.col("body"),
+                             F.lit(r"(?m)^#EXTINF:([0-9.]+),"), 1),
+        lambda s: s.cast("double"),
+    )
+    media = src.where(did % 2 == 1).select(
+        "doc_id",
+        F.lit("media").alias("kind"),
+        F.lit(None).cast("int").alias("variant"),
+        F.lit(None).cast("long").alias("bandwidth"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("string").alias("uri"),
+        F.size(durs).cast("int").alias("n_segments"),
+        (F.aggregate(durs, F.lit(0.0), lambda a, x: a + x) * 1000)
+        .cast("long").alias("total_ms"),
+        (~F.col("body").contains("#EXT-X-ENDLIST")).alias("live"),
+    )
+    return masters.unionByName(media)
+
+
 QUERIES = {
     "extract_links": q_extract_links,
     "selector_suffix": q_selector_suffix,
@@ -8891,6 +9150,10 @@ QUERIES = {
     "payload_integrity": q_payload_integrity,
     "adaptive_delay": q_adaptive_delay,
     "lang_segments": q_lang_segments,
+    "sitemap_images": q_sitemap_images,
+    "id3_tags": q_id3_tags,
+    "ogg_tags": q_ogg_tags,
+    "hls_playlists": q_hls_playlists,
     "bitext_candidates": q_bitext_candidates,
     "webdataset_roundtrip": q_webdataset_roundtrip,
     "media_discovery": q_media_discovery,
@@ -9329,6 +9592,81 @@ ORACLES = {
                doc_id % 13 = 0 AS has_external
         FROM documents
         WHERE doc_id < 500
+    """,
+    # Master rows follow the pinned rendition ladder; media totals
+    # are the two reachable segment sums (odd docs ⇒ S ∈ {4, 6}).
+    "hls_playlists": """
+        WITH vs AS (SELECT * FROM (VALUES (0),(1),(2),(3)) t(v))
+        SELECT d.doc_id, 'master' AS kind,
+               CAST(v.v AS INT) AS variant,
+               CAST(500000 * (v.v + 1) AS BIGINT) AS bandwidth,
+               CAST(CASE v.v WHEN 0 THEN 640 WHEN 1 THEN 1280
+                    WHEN 2 THEN 1920 ELSE 2560 END AS INT) AS width,
+               CAST(CASE v.v WHEN 0 THEN 360 WHEN 1 THEN 720
+                    WHEN 2 THEN 1080 ELSE 1440 END AS INT) AS height,
+               'rendition_' || v.v || '.m3u8' AS uri,
+               CAST(NULL AS INT) AS n_segments,
+               CAST(NULL AS BIGINT) AS total_ms,
+               CAST(NULL AS BOOLEAN) AS live
+        FROM documents d, vs v
+        WHERE d.doc_id < 500 AND d.doc_id % 2 = 0
+          AND v.v < 2 + d.doc_id % 3
+        UNION ALL
+        SELECT doc_id, 'media', CAST(NULL AS INT),
+               CAST(NULL AS BIGINT), CAST(NULL AS INT),
+               CAST(NULL AS INT), CAST(NULL AS VARCHAR),
+               CAST(3 + doc_id % 4 AS INT),
+               CAST(CASE 3 + doc_id % 4 WHEN 4 THEN 19000
+                    ELSE 30000 END AS BIGINT),
+               doc_id % 5 = 0
+        FROM documents
+        WHERE doc_id < 500 AND doc_id % 2 = 1
+    """,
+    # Case-folded keys land on the same closed forms either codec.
+    "ogg_tags": """
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'vorbis'
+                    ELSE 'opus' END AS codec,
+               'fixture' AS vendor,
+               'Sträck ' || doc_id AS title,
+               'Günd ' || (doc_id % 6) AS artist,
+               CASE WHEN doc_id % 4 = 0
+                    THEN 'LP ' || (doc_id % 9) END AS album
+        FROM documents
+        WHERE doc_id < 400
+    """,
+    # Tag text round-trips every (version, encoding) shape to the
+    # same closed forms; album only on doc_id%3==0.
+    "id3_tags": """
+        SELECT doc_id,
+               CAST(CASE WHEN doc_id % 4 < 2 THEN 3 ELSE 4 END
+                    AS INT) AS version,
+               'Tïtle ' || doc_id AS title,
+               'Ärtist ' || (doc_id % 7) AS artist,
+               CASE WHEN doc_id % 3 = 0
+                    THEN 'Album ' || (doc_id % 5) END AS album
+        FROM documents
+        WHERE doc_id < 400
+    """,
+    # One row per (url u, image i) with i < doc_id%4 and
+    # u <= doc_id%3; caption on even i, title only on i=0.
+    "sitemap_images": """
+        WITH us AS (SELECT * FROM (VALUES (0),(1),(2)) t(u)),
+             im AS (SELECT * FROM (VALUES (0),(1),(2)) t(i))
+        SELECT d.doc_id,
+               'http://site' || (d.doc_id % 10) || '.test/p'
+                 || d.doc_id || '/' || u.u AS page_loc,
+               CAST(i.i AS INT) AS img_pos,
+               'http://cdn.test/i' || d.doc_id || '_' || u.u || '_'
+                 || i.i || '.jpg' AS img_loc,
+               CASE WHEN i.i % 2 = 0
+                    THEN 'img ' || i.i || ' of page ' || u.u
+                         || ' doc ' || d.doc_id END AS caption,
+               CASE WHEN i.i = 0 THEN 't' || d.doc_id END AS title
+        FROM documents d, us u, im i
+        WHERE d.doc_id < 400
+          AND u.u <= d.doc_id % 3
+          AND i.i < d.doc_id % 4
     """,
     # Closed forms from the correlated fixture (P = 2 + doc_id%4,
     # langs cycle at (doc_id+k)%4 so P determines the winner):

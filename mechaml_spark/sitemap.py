@@ -155,3 +155,56 @@ def gunzip_text(
         return s.map(one)
 
     return df.withColumn(out_col, _gunzip(F.col(bytes_col)))
+
+
+# -------------------------------------------- Google image extension
+
+_IMG_BLOCK = r"(?s)<image:image>(.*?)</image:image>"
+_IMG_LOC = r"(?s)<image:loc>\s*(.*?)\s*</image:loc>"
+_IMG_CAPTION = r"(?s)<image:caption>\s*(.*?)\s*</image:caption>"
+_IMG_TITLE = r"(?s)<image:title>\s*(.*?)\s*</image:title>"
+
+
+def parse_image_sitemaps(
+    df: DataFrame, xml_col: str = "body", keep_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Google image-sitemap extension: one row per ``<image:image>``
+    inside each ``<url>`` — the sitemap channel through which sites
+    EXPLICITLY feed image+caption pairs to crawlers (up to 1000
+    images per page per the published spec), i.e. the
+    highest-precision discovery source an image-caption pipeline has.
+
+    Output: ``keep_cols`` + ``page_loc`` (canonicalized), ``img_pos``
+    (order within the page entry), ``img_loc`` (canonicalized),
+    ``caption`` and ``title`` (null where absent).  Two-level
+    explode, all fields via JVM regexp — codegen end to end, no
+    Python worker."""
+    xml = F.col(xml_col)
+    urls = df.select(
+        *[F.col(c) for c in keep_cols],
+        F.explode(F.regexp_extract_all(xml, F.lit(_URL_BLOCK), 1))
+        .alias("entry"),
+    )
+    page_loc = page.canonicalize_col(
+        F.replace(_field(F.col("entry"), _LOC), F.lit("&amp;"),
+                  F.lit("&"))
+    )
+    imgs = urls.select(
+        *keep_cols,
+        page_loc.alias("page_loc"),
+        F.posexplode(
+            F.regexp_extract_all(F.col("entry"), F.lit(_IMG_BLOCK), 1)
+        ).alias("img_pos", "img"),
+    ).where(F.col("page_loc").isNotNull())
+    img_loc = page.canonicalize_col(
+        F.replace(_field(F.col("img"), _IMG_LOC), F.lit("&amp;"),
+                  F.lit("&"))
+    )
+    return imgs.select(
+        *keep_cols,
+        "page_loc",
+        "img_pos",
+        img_loc.alias("img_loc"),
+        _field(F.col("img"), _IMG_CAPTION).alias("caption"),
+        _field(F.col("img"), _IMG_TITLE).alias("title"),
+    ).where(F.col("img_loc").isNotNull())

@@ -445,3 +445,60 @@ def sessionize_stream(
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# applyInPandasWithState — the streaming twin of the batch
+# `adaptive_delay` driver query (frontier.revisit.adaptive_delay):
+# AIMD politeness driven by a LIVE feed of fetch outcomes instead of
+# a parquet history snapshot.
+
+_AIMD_OUT_SCHEMA = "host string, epoch long, status int, delay_ms long"
+_AIMD_STATE_SCHEMA = "delay long"
+
+
+def adaptive_delay_stream(
+    outcomes: DataFrame,
+    *,
+    init_ms: int = 1000,
+    dec_ms: int = 250,
+    min_ms: int = 1000,
+    max_ms: int = 60000,
+) -> DataFrame:
+    """Streaming AIMD per-host politeness: same recurrence as the
+    batch ``adaptive_delay`` (×2 capped on 429/5xx/transport-0,
+    −dec floored on success), with the in-force delay carried as ONE
+    long of state per live host across micro-batches.  Fed the same
+    (host, epoch, status) rows in epoch order, the emitted rows are
+    exactly the batch operator's output — asserted by the parity
+    test.  State is bounded by live-host count, partitioned by host,
+    no timeout (politeness state lives as long as the host does)."""
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.streaming.state import (  # noqa: PLC0415
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        (host,) = key
+        delay = state.get[0] if state.exists else init_ms
+        frames = [pdf for pdf in pdfs]
+        pdf = pd.concat(frames).sort_values("epoch")
+        delays = []
+        for st in pdf["status"]:
+            if st == 429 or st >= 500 or st == 0:
+                delay = min(delay * 2, max_ms)
+            else:
+                delay = max(delay - dec_ms, min_ms)
+            delays.append(delay)
+        state.update((int(delay),))
+        out = pdf[["host", "epoch", "status"]].copy()
+        out["delay_ms"] = delays
+        yield out
+
+    return outcomes.groupBy("host").applyInPandasWithState(
+        fn,
+        outputStructType=_AIMD_OUT_SCHEMA,
+        stateStructType=_AIMD_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

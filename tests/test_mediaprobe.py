@@ -432,3 +432,50 @@ def test_integrity_verifiers():
     assert mp.png_verify(b"x")["is_png"] is False
     assert mp.jpeg_verify(b"x")["is_jpeg"] is False
     assert mp.gif_verify(b"x")["is_gif"] is False
+
+
+def test_id3v2_versions_and_encodings():
+    from mechaml_spark import mediaprobe as mp
+
+    tags = {"TIT2": "Tïtle – 1", "TPE1": "Ärtist", "TALB": "Al–bum"}
+    for ver, enc in ((3, 0), (3, 1), (4, 2), (4, 3)):
+        if ver == 3 and enc == 0:
+            use = {k: v.replace("–", "-") for k, v in tags.items()}
+        else:
+            use = tags
+        blob = mp.id3v2_write(use, version=ver, encoding=enc)
+        got = mp.id3v2_tags(blob + mp.mp3_write(4))
+        assert got["_version"] == ver
+        for k, v in use.items():
+            assert got[k] == v
+    # v2.3 rejects v2.4-only encodings
+    import pytest
+
+    with pytest.raises(ValueError):
+        mp.id3v2_write({"TIT2": "x"}, version=3, encoding=3)
+    # the stream behind the tag still probes
+    pr = mp.mp3_probe(mp.id3v2_write({"TIT2": "x"}, version=4,
+                                     encoding=3) + mp.mp3_write(4))
+    assert pr["n_frames"] == 4
+    assert mp.id3v2_tags(b"not mp3") is None
+    assert mp.id3v2_tags(mp.mp3_write(2)) is None
+
+
+def test_ogg_comment_mining():
+    from mechaml_spark import mediaprobe as mp
+
+    for codec in ("vorbis", "opus"):
+        data = mp.ogg_write_tagged(
+            codec, 48000, 2, 96000,
+            {"title": "Sönd", "Artist": "Bänd", "ALBUM": "LP",
+             "weird": "a=b=c"})
+        got = mp.ogg_comments(data)
+        assert got["vendor"] == "fixture"
+        # keys case-folded; value split only on the FIRST '='
+        assert got["comments"] == {"TITLE": "Sönd", "ARTIST": "Bänd",
+                                   "ALBUM": "LP", "WEIRD": "a=b=c"}
+        # spliced comment page leaves the probe chain intact
+        pr = mp.ogg_probe(data)
+        assert pr["audio_codec"] == codec and pr["duration_ms"] > 0
+    assert mp.ogg_comments(mp.ogg_write("vorbis", 44100, 1, 10)) is None
+    assert mp.ogg_comments(b"zzz") is None

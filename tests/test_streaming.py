@@ -231,3 +231,51 @@ def test_events_per_window_drops_late_rows(spark, tmp_path):
     # [180,240): 2 (events at 180 and 185).  The 600s event's window
     # never finalizes before end-of-stream and is correctly absent.
     assert got == {(0, 2), (60, 1), (180, 2)}
+
+
+def test_adaptive_delay_stream_matches_batch(spark, tmp_path):
+    """The streaming AIMD controller (one long of state per host)
+    emits exactly the batch adaptive_delay rows when fed the same
+    outcomes in epoch order across micro-batch boundaries."""
+    from mechaml_spark.frontier.revisit import adaptive_delay
+    from mechaml_spark.streaming import adaptive_delay_stream
+
+    rows = [
+        ("a", 0, 200), ("a", 1, 503), ("b", 0, 500),
+        ("a", 2, 503), ("a", 3, 200), ("b", 1, 200),
+        ("a", 4, 429), ("a", 5, 0), ("b", 2, 429),
+    ]
+    # file i = micro-batch i: epochs strictly increase per host
+    files = [rows[0:3], rows[3:6], rows[6:9]]
+    in_dir = tmp_path / "outcomes"
+    in_dir.mkdir()
+    schema = "host string, epoch long, status int"
+    for i, chunk in enumerate(files):
+        spark.createDataFrame(chunk, schema).coalesce(1).write.parquet(
+            str(in_dir / f"f{i}")
+        )
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(in_dir / "f*"))
+    out_dir = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    q = (
+        adaptive_delay_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(ckpt))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.host, r.epoch): (r.status, r.delay_ms)
+        for r in spark.read.parquet(str(out_dir)).collect()
+    }
+    batch = spark.createDataFrame(rows, schema)
+    want = {
+        (r.host, r.epoch): (r.status, r.delay_ms)
+        for r in adaptive_delay(batch).collect()
+    }
+    assert got == want and len(got) == len(rows)
