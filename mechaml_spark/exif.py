@@ -455,3 +455,69 @@ def exif_strip_gps(jpeg: bytes) -> tuple[bytes, bool]:
         kept.pop(k, None)
     payload = exif_payload(kept, byte_order=order, thumbnail=thumb)
     return jpeg_set_exif(jpeg, payload), True
+
+
+# ------------------------------------------ non-JPEG EXIF containers
+
+def png_add_exif(png: bytes, tiff: bytes) -> bytes:
+    """Splice a PNG 1.5 ``eXIf`` chunk (raw TIFF payload, proper CRC)
+    right after IHDR — the fixture writer for PNG-borne EXIF."""
+    import zlib as _z
+
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    ihdr_end = 8 + 8 + struct.unpack(">I", png[8:12])[0] + 4
+    chunk = (struct.pack(">I", len(tiff)) + b"eXIf" + tiff
+             + struct.pack(">I", _z.crc32(b"eXIf" + tiff)))
+    return png[:ihdr_end] + chunk + png[ihdr_end:]
+
+
+def webp_add_exif(webp: bytes, tiff: bytes) -> bytes:
+    """Rewrite a simple-format WebP into extended format (VP8X with
+    the EXIF flag, RFC-draft/container spec) and append the ``EXIF``
+    chunk.  Width/height for VP8X come from the existing decoder's
+    canvas; chunks are padded to even length per RIFF."""
+    from mechaml_spark import webp as _wp
+
+    assert webp[:4] == b"RIFF" and webp[8:12] == b"WEBP"
+    h, w = _wp.webp_decode(webp).shape[:2]
+    body = webp[12:]
+    vp8x = (b"VP8X" + struct.pack("<I", 10)
+            + bytes([0x08, 0, 0, 0])        # EXIF flag bit 3
+            + struct.pack("<I", w - 1)[:3]
+            + struct.pack("<I", h - 1)[:3])
+    exif = b"EXIF" + struct.pack("<I", len(tiff)) + tiff
+    if len(tiff) % 2:
+        exif += b"\x00"
+    out_body = b"WEBP" + vp8x + body + exif
+    return b"RIFF" + struct.pack("<I", len(out_body)) + out_body
+
+
+def exif_from_container(data: bytes) -> dict:
+    """Container-dispatched EXIF: JPEG APP1 (existing scan), PNG
+    ``eXIf`` chunk, WebP ``EXIF`` chunk (with or without the
+    ``Exif\\x00\\x00`` prefix some writers emit).  Empty dict when
+    the container carries no EXIF."""
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        p = 8
+        while p + 8 <= len(data):
+            (ln,) = struct.unpack(">I", data[p:p + 4])
+            tag = data[p + 4:p + 8]
+            if tag == b"eXIf":
+                return exif_parse(data[p + 8:p + 8 + ln])
+            if tag == b"IEND":
+                break
+            p += 12 + ln
+        return {}
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        p = 12
+        while p + 8 <= len(data):
+            tag = data[p:p + 4]
+            (ln,) = struct.unpack("<I", data[p + 4:p + 8])
+            if tag == b"EXIF":
+                payload = data[p + 8:p + 8 + ln]
+                if payload[:6] == b"Exif\x00\x00":
+                    payload = payload[6:]
+                return exif_parse(payload)
+            p += 8 + ln + (ln & 1)
+        return {}
+    return exif_parse(data)

@@ -9130,6 +9130,73 @@ def q_hls_playlists(spark: SparkSession, sf_dir: str) -> DataFrame:
     return masters.unionByName(media)
 
 
+def q_exif_containers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF across ALL the image containers a crawl sees (exif.
+    exif_from_container): JPEG APP1 (Exif 2.32 §4.5.4 position),
+    PNG 1.5 ``eXIf`` chunk (raw TIFF payload), WebP extended-format
+    ``EXIF`` chunk (VP8X flag bit set, RIFF even-padding) — one
+    dispatched parse so orientation/GPS policy (rotation, privacy
+    scrub) is container-blind.  Fixture: doc_id%3 picks the
+    container, the SAME exif_payload TIFF rides in each (orientation
+    1 + doc_id%8, alternating II/MM wire order, GPS only on
+    doc_id%5==0), every spliced stream still decodes with the repo
+    codecs (tested).  Scale posture: header walk in mapInPandas,
+    zero shuffle."""
+    import numpy as _np
+    import pandas as _pd
+
+    from mechaml_spark import exif as _exif
+    from mechaml_spark import imaging as _im
+    from mechaml_spark import jpeg as _jp
+    from mechaml_spark import webp as _wp
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 450
+    )
+
+    def gen(batches):
+        px = _np.zeros((4, 6, 3), _np.uint8)
+        jpg = _jp.jpeg_encode(px, 90)
+        png = _im.png_encode(px)
+        wpb = _wp.webp_encode(px)
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                tags = {"Make": f"Cam{did % 4}",
+                        "Orientation": 1 + did % 8}
+                if did % 5 == 0:
+                    tags["GPSLatitudeRef"] = "N"
+                    tags["GPSLatitude"] = [(did % 90, 1), (30, 1),
+                                           (0, 1)]
+                payload = _exif.exif_payload(
+                    tags, byte_order=("II", "MM")[did % 2])
+                tiff = payload[6:]
+                fmt = ("jpeg", "png", "webp")[did % 3]
+                if fmt == "jpeg":
+                    data = _exif.jpeg_set_exif(jpg, payload)
+                elif fmt == "png":
+                    data = _exif.png_add_exif(png, tiff)
+                else:
+                    data = _exif.webp_add_exif(wpb, tiff)
+                got = _exif.exif_from_container(data)
+                rows.append((
+                    did, fmt, got.get("Make"), got.get("Orientation"),
+                    "GPSLatitude" in got,
+                    int(got["GPSLatitude"][0][0])
+                    if "GPSLatitude" in got else None,
+                ))
+            yield _pd.DataFrame(
+                rows, columns=["doc_id", "fmt", "make", "orientation",
+                               "has_gps", "gps_lat_deg"])
+
+    return d.mapInPandas(
+        gen,
+        schema=("doc_id long, fmt string, make string, "
+                "orientation int, has_gps boolean, gps_lat_deg int"),
+    )
+
+
 QUERIES = {
     "extract_links": q_extract_links,
     "selector_suffix": q_selector_suffix,
@@ -9154,6 +9221,7 @@ QUERIES = {
     "id3_tags": q_id3_tags,
     "ogg_tags": q_ogg_tags,
     "hls_playlists": q_hls_playlists,
+    "exif_containers": q_exif_containers,
     "bitext_candidates": q_bitext_candidates,
     "webdataset_roundtrip": q_webdataset_roundtrip,
     "media_discovery": q_media_discovery,
@@ -9592,6 +9660,19 @@ ORACLES = {
                doc_id % 13 = 0 AS has_external
         FROM documents
         WHERE doc_id < 500
+    """,
+    # Same TIFF payload round-trips through all three containers.
+    "exif_containers": """
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+                    ELSE 'webp' END AS fmt,
+               'Cam' || (doc_id % 4) AS make,
+               CAST(1 + doc_id % 8 AS INT) AS orientation,
+               doc_id % 5 = 0 AS has_gps,
+               CAST(CASE WHEN doc_id % 5 = 0 THEN doc_id % 90 END
+                    AS INT) AS gps_lat_deg
+        FROM documents
+        WHERE doc_id < 450
     """,
     # Master rows follow the pinned rendition ladder; media totals
     # are the two reachable segment sums (odd docs ⇒ S ∈ {4, 6}).

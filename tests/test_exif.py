@@ -206,3 +206,35 @@ def test_strip_gps_no_exif_passthrough():
     base = jpeg.jpeg_encode(np.full((8, 8, 3), 50, np.uint8), quality=85)
     out, had = exif.exif_strip_gps(base)
     assert not had and out == base
+
+
+def test_exif_in_png_and_webp_containers():
+    import numpy as np
+
+    from mechaml_spark import exif, imaging, webp
+
+    payload = exif.exif_payload(
+        {"Make": "Cam", "Orientation": 6, "GPSLatitudeRef": "N",
+         "GPSLatitude": [(48, 1), (30, 1), (0, 1)]}, "MM")
+    tiff = payload[6:]
+    px = np.zeros((4, 6, 3), np.uint8)
+
+    png = exif.png_add_exif(imaging.png_encode(px), tiff)
+    got = exif.exif_from_container(png)
+    assert got["Orientation"] == 6 and got["Make"] == "Cam"
+    assert imaging.png_decode(png).shape == (4, 6, 3)
+
+    wp = exif.webp_add_exif(webp.webp_encode(px), tiff)
+    got = exif.exif_from_container(wp)
+    assert got["Orientation"] == 6
+    assert webp.webp_decode(wp).shape == (4, 6, 3)
+    # odd-length payload exercises RIFF even-padding
+    wp2 = exif.webp_add_exif(webp.webp_encode(px), tiff + b"\x00")
+    assert exif.exif_from_container(wp2)["Orientation"] == 6
+    # Exif\0\0-prefixed WebP payloads (some writers) also parse
+    wp3 = exif.webp_add_exif(webp.webp_encode(px), payload)
+    assert exif.exif_from_container(wp3)["Orientation"] == 6
+
+    # containers without EXIF -> {}
+    assert exif.exif_from_container(imaging.png_encode(px)) == {}
+    assert exif.exif_from_container(webp.webp_encode(px)) == {}
