@@ -9197,6 +9197,93 @@ def q_exif_containers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jsonld_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """schema.org JSON-LD entity extraction — the dominant
+    structured-data carrier on today's web (microdata's successor;
+    the `microdata` query covers the older format): every
+    ``<script type="application/ld+json">`` block parses as JSON,
+    ``@graph`` arrays flatten, and (type, name, image) project out —
+    image+caption pairs with PUBLISHER-ASSERTED semantics.  Broken
+    JSON (doc_id%7==0 carries a trailing comma) contributes zero
+    rows, never a task kill — crawled JSON-LD is malformed
+    constantly.  Block discovery is a JVM regexp; only the JSON
+    parse is Python (JSON-LD has no fixed schema, so ``from_json``
+    can't express it honestly).  Scale posture: regexp + per-row
+    json.loads in mapInPandas, zero shuffle."""
+    import json as _json
+
+    import pandas as _pd
+
+    did = F.col("doc_id")
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(did < 500)
+
+    typ = F.element_at(
+        F.array(F.lit("Article"), F.lit("Product"),
+                F.lit("ImageObject")),
+        (did % 3 + 1).cast("int"),
+    )
+    single = F.concat(
+        F.lit('{"@context":"https://schema.org","@type":"'), typ,
+        F.lit('","name":"Entity '), did,
+        F.lit('","image":"http://img.test/'), did, F.lit('.jpg"}'),
+    )
+    graph = F.concat(
+        F.lit('{"@context":"https://schema.org","@graph":['),
+        F.lit('{"@type":"Article","name":"Graph A '), did,
+        F.lit('"},{"@type":"ImageObject","name":"Graph B '), did,
+        F.lit('","image":"http://img.test/g'), did, F.lit('.jpg"}]}'),
+    )
+    broken = F.concat(
+        F.lit('{"@type":"Article","name":"Broken '), did,
+        F.lit('",}'),
+    )
+    payload = (
+        F.when(did % 7 == 0, broken)
+        .when(did % 4 == 0, graph)
+        .otherwise(single)
+    )
+    body = F.concat(
+        F.lit('<html><head><script type="application/ld+json">'),
+        payload,
+        F.lit("</script></head><body>x</body></html>"),
+    )
+    src = d.select("doc_id", body.alias("body"))
+    blocks = F.regexp_extract_all(
+        F.col("body"),
+        F.lit(r'(?s)<script type="application/ld\+json">(.*?)</script>'),
+        1,
+    )
+    withb = src.select("doc_id", F.explode(blocks).alias("block"))
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did_, block in zip(pdf["doc_id"], pdf["block"]):
+                did_ = int(did_)
+                try:
+                    obj = _json.loads(block)
+                except ValueError:
+                    continue
+                ents = obj.get("@graph", [obj]) \
+                    if isinstance(obj, dict) else []
+                idx = 0
+                for e in ents:
+                    if not isinstance(e, dict) or "@type" not in e:
+                        continue
+                    rows.append((did_, idx, str(e["@type"]),
+                                 e.get("name"), e.get("image")))
+                    idx += 1
+            yield _pd.DataFrame(
+                rows, columns=["doc_id", "idx", "type", "name",
+                               "image"])
+
+    return withb.mapInPandas(
+        gen,
+        schema=("doc_id long, idx int, type string, name string, "
+                "image string"),
+    )
+
+
 QUERIES = {
     "extract_links": q_extract_links,
     "selector_suffix": q_selector_suffix,
@@ -9222,6 +9309,7 @@ QUERIES = {
     "ogg_tags": q_ogg_tags,
     "hls_playlists": q_hls_playlists,
     "exif_containers": q_exif_containers,
+    "jsonld_entities": q_jsonld_entities,
     "bitext_candidates": q_bitext_candidates,
     "webdataset_roundtrip": q_webdataset_roundtrip,
     "media_discovery": q_media_discovery,
@@ -9660,6 +9748,29 @@ ORACLES = {
                doc_id % 13 = 0 AS has_external
         FROM documents
         WHERE doc_id < 500
+    """,
+    # Broken-JSON docs (%7==0) emit nothing; @graph docs (%4==0)
+    # emit two entities, the rest one.
+    "jsonld_entities": """
+        SELECT doc_id, CAST(0 AS INT) AS idx,
+               CASE doc_id % 3 WHEN 0 THEN 'Article'
+                    WHEN 1 THEN 'Product' ELSE 'ImageObject'
+               END AS type,
+               'Entity ' || doc_id AS name,
+               'http://img.test/' || doc_id || '.jpg' AS image
+        FROM documents
+        WHERE doc_id < 500 AND doc_id % 7 <> 0 AND doc_id % 4 <> 0
+        UNION ALL
+        SELECT doc_id, CAST(0 AS INT), 'Article',
+               'Graph A ' || doc_id, CAST(NULL AS VARCHAR)
+        FROM documents
+        WHERE doc_id < 500 AND doc_id % 7 <> 0 AND doc_id % 4 = 0
+        UNION ALL
+        SELECT doc_id, CAST(1 AS INT), 'ImageObject',
+               'Graph B ' || doc_id,
+               'http://img.test/g' || doc_id || '.jpg'
+        FROM documents
+        WHERE doc_id < 500 AND doc_id % 7 <> 0 AND doc_id % 4 = 0
     """,
     # Same TIFF payload round-trips through all three containers.
     "exif_containers": """
