@@ -9284,6 +9284,61 @@ def q_jsonld_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_amp_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMP page detection + canonical pairing — AMP mirrors are one
+    of the largest systematic duplicate sources in a web crawl: every
+    AMP page must be folded onto its canonical before dedup counts
+    anything.  Detection per the published AMP HTML spec: the ``⚡``
+    or ``amp`` attribute on ``<html>`` marks an AMP document (its
+    ``rel=canonical`` names the original); a canonical page instead
+    advertises its mirror via ``rel=amphtml``.  Fixture: doc_id%3==0
+    canonical pages with an amphtml link, ==1 their AMP mirrors
+    (⚡ on even, ``amp`` attr on odd doc_ids — both spellings
+    exercised), ==2 plain pages with neither.  Output: flags + the
+    fold-target URL (canonical for AMP pages, self otherwise).
+    Scale posture: expression-only regexp over the html column —
+    codegen, zero shuffle."""
+    did = F.col("doc_id")
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(did < 600)
+
+    canon_url = F.concat(F.lit("http://site.test/page"), did)
+    amp_url = F.concat(F.lit("http://site.test/page"), did,
+                       F.lit("/amp"))
+    html_canon = F.concat(
+        F.lit('<html><head><link rel="amphtml" href="'), amp_url,
+        F.lit('"></head><body>c</body></html>'),
+    )
+    amp_attr = F.when(did % 2 == 0, F.lit("⚡")).otherwise(F.lit("amp"))
+    html_amp = F.concat(
+        F.lit("<html "), amp_attr,
+        F.lit('><head><link rel="canonical" href="'), canon_url,
+        F.lit('"></head><body>a</body></html>'),
+    )
+    html_plain = F.lit("<html><head></head><body>p</body></html>")
+    body = (
+        F.when(did % 3 == 0, html_canon)
+        .when(did % 3 == 1, html_amp)
+        .otherwise(html_plain)
+    )
+    own_url = F.when(did % 3 == 1, amp_url).otherwise(canon_url)
+    src = d.select("doc_id", own_url.alias("url"),
+                   body.alias("body"))
+    is_amp = F.col("body").rlike(r"(?s)<html\s[^>]*(?:⚡|\bamp\b)")
+    amphtml = F.regexp_extract(
+        F.col("body"),
+        r'<link rel="amphtml" href="([^"]*)"', 1)
+    canonical = F.regexp_extract(
+        F.col("body"),
+        r'<link rel="canonical" href="([^"]*)"', 1)
+    return src.select(
+        "doc_id",
+        is_amp.alias("is_amp"),
+        F.when(amphtml != "", amphtml).alias("amphtml_url"),
+        F.when(is_amp & (canonical != ""), canonical)
+        .otherwise(F.col("url")).alias("fold_url"),
+    )
+
+
 QUERIES = {
     "extract_links": q_extract_links,
     "selector_suffix": q_selector_suffix,
@@ -9310,6 +9365,7 @@ QUERIES = {
     "hls_playlists": q_hls_playlists,
     "exif_containers": q_exif_containers,
     "jsonld_entities": q_jsonld_entities,
+    "amp_pages": q_amp_pages,
     "bitext_candidates": q_bitext_candidates,
     "webdataset_roundtrip": q_webdataset_roundtrip,
     "media_discovery": q_media_discovery,
@@ -9748,6 +9804,18 @@ ORACLES = {
                doc_id % 13 = 0 AS has_external
         FROM documents
         WHERE doc_id < 500
+    """,
+    # AMP mirrors fold onto their canonical; everything else folds
+    # onto itself.
+    "amp_pages": """
+        SELECT doc_id,
+               doc_id % 3 = 1 AS is_amp,
+               CASE WHEN doc_id % 3 = 0
+                    THEN 'http://site.test/page' || doc_id || '/amp'
+               END AS amphtml_url,
+               'http://site.test/page' || doc_id AS fold_url
+        FROM documents
+        WHERE doc_id < 600
     """,
     # Broken-JSON docs (%7==0) emit nothing; @graph docs (%4==0)
     # emit two entities, the rest one.
