@@ -9339,6 +9339,38 @@ def q_amp_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid-retrieval fusion (retrieval.rrf_fuse — Cormack et al.
+    2009 reciprocal-rank fusion): lexical and dense rankings merge as
+    Σ 1/(60 + rank) without score calibration — the standard way
+    BM25 and embedding top-k combine.  Fixture: 3 queries × 200 docs
+    with two deterministic incomparable score functions (mod-101 and
+    mod-97 residues — collisions exercise the pinned tie rule);
+    output is each query's top-10 with both source ranks and the
+    fused score as an exact micro-int.  Scale posture: windows
+    partition by query (never global), the join carries (query, doc,
+    rank) triples only."""
+    from mechaml_spark.retrieval import rrf_fuse
+
+    did = F.col("doc_id")
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(did < 200)
+    base = d.select(
+        F.explode(F.sequence(F.lit(0), F.lit(2))).alias("query_id"),
+        "doc_id",
+    )
+    a = base.select(
+        "query_id", "doc_id",
+        ((F.col("doc_id") * 7 + F.col("query_id") * 11) % 101)
+        .alias("score"),
+    )
+    b = base.select(
+        "query_id", "doc_id",
+        ((F.col("doc_id") * 13 + F.col("query_id") * 5) % 97)
+        .alias("score"),
+    )
+    return rrf_fuse(a, b)
+
+
 QUERIES = {
     "extract_links": q_extract_links,
     "selector_suffix": q_selector_suffix,
@@ -9366,6 +9398,7 @@ QUERIES = {
     "exif_containers": q_exif_containers,
     "jsonld_entities": q_jsonld_entities,
     "amp_pages": q_amp_pages,
+    "hybrid_rrf": q_hybrid_rrf,
     "bitext_candidates": q_bitext_candidates,
     "webdataset_roundtrip": q_webdataset_roundtrip,
     "media_discovery": q_media_discovery,
@@ -9804,6 +9837,41 @@ ORACLES = {
                doc_id % 13 = 0 AS has_external
         FROM documents
         WHERE doc_id < 500
+    """,
+    # The identical rank windows + fused floor replayed in SQL.
+    "hybrid_rrf": """
+        WITH qs AS (SELECT * FROM (VALUES (0),(1),(2)) t(q)),
+        base AS (
+          SELECT q.q AS query_id, d.doc_id
+          FROM documents d, qs q WHERE d.doc_id < 200),
+        a AS (
+          SELECT query_id, doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY (doc_id*7 + query_id*11) % 101 DESC,
+                            doc_id) AS r1
+          FROM base),
+        b AS (
+          SELECT query_id, doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY (doc_id*13 + query_id*5) % 97 DESC,
+                            doc_id) AS r2
+          FROM base),
+        f AS (
+          SELECT a.query_id, a.doc_id, a.r1, b.r2,
+                 1.0/(60 + a.r1) + 1.0/(60 + b.r2) AS rrf
+          FROM a JOIN b USING (query_id, doc_id)),
+        ranked AS (
+          SELECT query_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY rrf DESC, doc_id) AS pos,
+                 doc_id, r1, r2,
+                 CAST(FLOOR(rrf * 1000000) AS BIGINT) AS rrf_micro
+          FROM f)
+        SELECT CAST(query_id AS INT) AS query_id,
+               CAST(pos AS INT) AS pos, doc_id,
+               CAST(r1 AS INT) AS r1, CAST(r2 AS INT) AS r2,
+               rrf_micro
+        FROM ranked WHERE pos <= 10
     """,
     # AMP mirrors fold onto their canonical; everything else folds
     # onto itself.

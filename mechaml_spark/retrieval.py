@@ -130,3 +130,65 @@ def bm25(
         .groupBy(id_col)
         .agg(F.sum("ts").alias("score_scaled"))
     )
+
+
+def rrf_fuse(
+    a: DataFrame,
+    b: DataFrame,
+    *,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    score_col: str = "score",
+    k: int = 60,
+    top_n: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) — the standard
+    hybrid-retrieval combiner: each input list contributes
+    ``1/(k + rank)`` per document and the fused ranking is the sum,
+    which is how lexical (BM25) and dense (embedding) scores are
+    merged without calibrating their incomparable scales.
+
+    Ranks are per-query windows with the PINNED tie rule (score
+    desc, then doc asc) so fusion is deterministic; documents present
+    in only one list contribute only that list's term (full-outer
+    join).  Returns the top ``top_n`` per query with ``rrf_milli``
+    (fused score ×10^6 floored to a long — exact cross-engine
+    comparison without float-hash drift).
+
+    Scale posture: every window partitions by ``query_col`` (never a
+    global sort); shuffles carry (query, doc, rank) triples, not
+    text or vectors.
+    """
+    from pyspark.sql import Window
+
+    def ranked(df: DataFrame, out: str) -> DataFrame:
+        w = Window.partitionBy(query_col).orderBy(
+            F.col(score_col).desc(), F.col(doc_col)
+        )
+        return df.select(
+            query_col, doc_col, F.row_number().over(w).alias(out)
+        )
+
+    ra, rb = ranked(a, "r1"), ranked(b, "r2")
+    fused = ra.join(rb, [query_col, doc_col], "full_outer").select(
+        query_col,
+        doc_col,
+        "r1",
+        "r2",
+        (
+            F.coalesce(1.0 / (F.lit(k) + F.col("r1")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(k) + F.col("r2")), F.lit(0.0))
+        ).alias("_rrf"),
+    )
+    wtop = Window.partitionBy(query_col).orderBy(
+        F.col("_rrf").desc(), F.col(doc_col)
+    )
+    return (
+        fused.withColumn("pos", F.row_number().over(wtop))
+        .where(F.col("pos") <= top_n)
+        .select(
+            query_col, "pos", doc_col, "r1", "r2",
+            F.floor(F.col("_rrf") * 1000000).cast("long")
+            .alias("rrf_micro"),
+        )
+    )
