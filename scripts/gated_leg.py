@@ -23,7 +23,7 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from scaling_bench import cpu_probe, run_at  # noqa: E402
+from scaling_bench import cpu_probe, idle_cores, run_at, steal_frac  # noqa: E402
 
 
 def main() -> None:
@@ -58,13 +58,17 @@ def main() -> None:
             break
         time.sleep(args.poll)
 
+    idle_before, steal_before = idle_cores(), steal_frac()
     res = run_at(args.cpus, args)
     p_after = cpu_probe()
+    idle_after, steal_after = idle_cores(), steal_frac()
     out = {
         "cpus": args.cpus,
         "probe_before": p,
         "probe_after": p_after,
         "probe_history": probes,
+        "idle_cores": [idle_before, idle_after],
+        "steal_frac": [steal_before, steal_after],
         "throughput": res["value"],
         "crawl": res["crawl"],
         "total_sec": res["total_sec"],

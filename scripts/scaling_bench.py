@@ -54,6 +54,59 @@ _PROBE = (
 )
 
 
+def idle_cores(sample_s: float = 1.0, idle_frac: float = 0.90) -> int:
+    """Count cores that are >= ``idle_frac`` idle over a /proc/stat
+    sample — the per-CORE availability gate.  The timing probe below
+    measures WHOLE-HOST contention, which cannot distinguish "quiet
+    enough for a 2-core taskset" from "quiet enough for an 8-core
+    one"; a narrow leg can dodge external load by sitting on the
+    quiet cores while a wide leg must overlap it (BENCH.md session-9
+    asymmetry).  Gating each leg on idle-core COUNT >= its own width
+    (plus margin) makes the two legs' conditions comparable in the
+    dimension that actually matters."""
+    import time
+
+    def snap():
+        rows = {}
+        with open("/proc/stat") as f:
+            for ln in f:
+                if ln.startswith("cpu") and ln[3:4].isdigit():
+                    parts = ln.split()
+                    vals = list(map(int, parts[1:]))
+                    rows[parts[0]] = (vals[3] + vals[4], sum(vals))
+        return rows
+
+    a = snap()
+    time.sleep(sample_s)
+    b = snap()
+    n = 0
+    for cpu, (idle1, tot1) in a.items():
+        idle2, tot2 = b[cpu]
+        dt = tot2 - tot1
+        if dt > 0 and (idle2 - idle1) / dt >= idle_frac:
+            n += 1
+    return n
+
+
+def steal_frac(sample_s: float = 1.0) -> float:
+    """Hypervisor steal fraction over a /proc/stat sample — the VM's
+    view of physical-host contention.  When the timing probe is slow
+    while every core reads idle, THIS is the contention channel (the
+    session-9 finding: 32 idle cores, probe 3.5+)."""
+    import time
+
+    def snap():
+        with open("/proc/stat") as f:
+            vals = list(map(int, f.readline().split()[1:]))
+        return vals[7] if len(vals) > 7 else 0, sum(vals)
+
+    s1, t1 = snap()
+    time.sleep(sample_s)
+    s2, t2 = snap()
+    dt = t2 - t1
+    return round((s2 - s1) / dt, 4) if dt else 0.0
+
+
 def cpu_probe(n: int = 8) -> float:
     ps = [
         subprocess.Popen(
