@@ -303,6 +303,9 @@ def _iter_jpeg_segments(data: bytes):
     while p + 4 <= len(data):
         if data[p] != 0xFF:
             raise ExifError(f"bad marker sync at {p}")
+        # ITU T.81 B.1.1.2: markers may be preceded by fill bytes
+        while p + 1 < len(data) and data[p + 1] == 0xFF:
+            p += 1
         marker = data[p + 1]
         if marker in (0xDA, 0xD9):  # SOS / EOI: header section over
             return

@@ -1601,6 +1601,9 @@ def jpeg_color_probe(data: bytes) -> dict | None:
     while p + 4 <= len(data):
         if data[p] != 0xFF:
             break
+        # ITU T.81 B.1.1.2: markers may be preceded by 0xFF fill bytes
+        while p + 1 < len(data) and data[p + 1] == 0xFF:
+            p += 1
         marker = data[p + 1]
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             p += 2
@@ -1679,6 +1682,9 @@ def jpeg_verify(data: bytes) -> dict:
         if data[p] != 0xFF:
             out["truncated"] = True
             return out
+        # ITU T.81 B.1.1.2: markers may be preceded by 0xFF fill bytes
+        while p + 1 < len(data) and data[p + 1] == 0xFF:
+            p += 1
         marker = data[p + 1]
         if marker == 0xDA:  # SOS: entropy data until EOI
             out["has_end"] = data.rstrip(b"\x00")[-2:] == b"\xff\xd9"
@@ -1800,18 +1806,24 @@ def id3v2_tags(data: bytes) -> dict | None:
     end = min(10 + size, len(data))
     out: dict = {"_version": version}
     p = 10
-    while p + 10 <= end:
-        fid = data[p:p + 4]
+    # v2.2 frames use a 6-byte header (3-byte ID, 3-byte big-endian
+    # size, no flags); v2.3/v2.4 use 10 bytes (4-byte ID, 4-byte
+    # size — syncsafe only in v2.4 — 2 flag bytes).
+    hdr = 6 if version == 2 else 10
+    while p + hdr <= end:
+        fid = data[p:p + (3 if version == 2 else 4)]
         if not fid.strip(b"\x00"):
             break  # padding
-        if version == 4:
+        if version == 2:
+            fsize = int.from_bytes(data[p + 3:p + 6], "big")
+        elif version == 4:
             fsize = ((data[p + 4] & 0x7F) << 21
                      | (data[p + 5] & 0x7F) << 14
                      | (data[p + 6] & 0x7F) << 7
                      | (data[p + 7] & 0x7F))
         else:
             (fsize,) = struct.unpack(">I", data[p + 4:p + 8])
-        body = data[p + 10:p + 10 + fsize]
+        body = data[p + hdr:p + hdr + fsize]
         if fid[:1] == b"T" and body:
             enc = _ID3_TEXT.get(body[0])
             if enc is not None:
@@ -1821,7 +1833,7 @@ def id3v2_tags(data: bytes) -> dict | None:
                     text = None
                 if text is not None:
                     out[fid.decode("latin-1")] = text.rstrip("\x00")
-        p += 10 + fsize
+        p += hdr + fsize
     return out
 
 

@@ -1359,10 +1359,17 @@ def q_image_colorhist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = d.mapInPandas(gen, schema="doc_id long, bytes binary, fmt string")
     ch = multimodal.color_histogram(media)
+    # hist is serialized to a comma-joined string: the driver's pandas
+    # canonicalization lexsorts rows and cannot factorize list cells, so
+    # no queries() entry may emit array/map/struct columns (pinned by
+    # tests/test_driver_contract.py::test_no_complex_output_columns).
     return ch.select(
         "doc_id",
         F.col("colorhist")["n_px"].alias("n_px"),
-        F.col("colorhist")["hist"].alias("hist"),
+        F.concat_ws(
+            ",",
+            F.transform(F.col("colorhist")["hist"], lambda x: x.cast("string")),
+        ).alias("hist"),
         F.col("colorhist")["dom_bin"].alias("dom_bin"),
         F.col("colorhist")["dom_milli"].alias("dom_milli"),
     )
@@ -11510,10 +11517,11 @@ ORACLES = {
             FROM documents WHERE doc_id < 200)
         SELECT doc_id,
                CAST(64 AS BIGINT) AS n_px,
-               list_transform(range(0, 64), i -> CAST(
-                   CASE WHEN i = bin_a AND bin_a = bin_b THEN 64
-                        WHEN i = bin_a OR i = bin_b THEN 32
-                        ELSE 0 END AS BIGINT)) AS hist,
+               array_to_string(
+                   list_transform(range(0, 64), i -> CAST(
+                       CASE WHEN i = bin_a AND bin_a = bin_b THEN 64
+                            WHEN i = bin_a OR i = bin_b THEN 32
+                            ELSE 0 END AS BIGINT)), ',') AS hist,
                CAST(least(bin_a, bin_b) AS INT) AS dom_bin,
                CAST(CASE WHEN bin_a = bin_b THEN 1000 ELSE 500 END
                     AS BIGINT) AS dom_milli

@@ -151,7 +151,7 @@ def rrf_fuse(
     Ranks are per-query windows with the PINNED tie rule (score
     desc, then doc asc) so fusion is deterministic; documents present
     in only one list contribute only that list's term (full-outer
-    join).  Returns the top ``top_n`` per query with ``rrf_milli``
+    join).  Returns the top ``top_n`` per query with ``rrf_micro``
     (fused score ×10^6 floored to a long — exact cross-engine
     comparison without float-hash drift).
 

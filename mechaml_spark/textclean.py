@@ -176,12 +176,15 @@ def normalize_unicode(
 # ------------------------------------------------------------- mojibake
 
 # UTF-8-bytes-read-as-cp1252/latin-1 leaves telltale lead-byte
-# characters: 'Ã'/'Â' (C3/C2 leads for Latin-1-range text) and 'â'
-# (E2 lead for the curly-punctuation family).  The hint only gates
-# the repair ATTEMPT; legit text containing these letters (château,
-# SÃO) fails the strict UTF-8 re-decode and is left alone — the
-# round-trip is the proof.
-_MOJIBAKE_HINT = "[ÃÂâ]"
+# characters: the full 2-byte lead class 0xC2-0xDF ('Â'..'ß' —
+# Latin-1-range text but also Cyrillic 'Ð'/'Ñ', Greek 'Î'/'Ï',
+# Hebrew '×'…), the 3-byte leads 0xE0-0xEF ('à'..'ï', incl. 'â' for
+# curly punctuation and 'ã' for CJK) and the 4-byte leads 0xF0-0xF4
+# ('ð'..'ô', emoji/astral).  The hint only gates the repair ATTEMPT;
+# legit text containing these letters (château, SÃO, coração) fails
+# the strict UTF-8 re-decode and is left alone — the round-trip is
+# the proof.
+_MOJIBAKE_HINT = "[Â-ô]"
 
 # When the damage came from a latin-1 decode, C1 control codepoints
 # (U+0080-U+009F) ride along raw; "sloppy cp1252" (ftfy's name) maps

@@ -18,9 +18,11 @@ Specification (the ``VP8L`` chunk of RIFF/WEBP containers):
   ops 16/17/18, optional max-symbol header), canonical DEFLATE code
   assignment read MSB-first from the LSB-first bitstream.
 
-Lossy WebP (``VP8 `` chunks — boolean arithmetic coder + loop filter)
-and animated WebP (``ANIM``/``ANMF``) raise ``NotImplementedError``
-loudly: out of in-sandbox scope, documented engine boundary.
+Animated WebP (``ANIM``/``ANMF``) is implemented — chunk walk,
+frame compositing (dispose/blend), encoder for fixtures (see
+``webp_decode_anim``/``webp_encode_anim``).  Lossy WebP (``VP8 ``
+chunks) raises ``NotImplementedError`` loudly: out of in-sandbox
+scope, documented engine boundary.
 
 Encoder: a real, conformant VP8L writer used for fixtures and
 round-trip tests — optional subtract-green or color-indexing

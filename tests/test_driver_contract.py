@@ -70,6 +70,25 @@ def test_query_matches_oracle(spark, ddb, name):
     assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
 
 
+def test_no_complex_output_columns(spark):
+    """The driver's oracle harness canonicalizes result rows with a
+    pandas lexsort that cannot factorize list/dict cells, so a query
+    emitting array/map/struct columns crashes the gate even when its
+    values are right (this cost round 3 its one red row,
+    image_colorhist).  Pin structurally: every queries() entry must
+    emit only atomic-typed columns.  Schema analysis only — no
+    execution."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad = []
+    for name, q in sorted(entrymod.queries().items()):
+        schema = q(spark, SF_DIR).schema
+        for f in schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                bad.append((name, f.name, f.dataType.simpleString()))
+    assert not bad, f"complex-typed output columns: {bad}"
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     rows = df.collect()

@@ -461,6 +461,50 @@ def test_id3v2_versions_and_encodings():
     assert mp.id3v2_tags(mp.mp3_write(2)) is None
 
 
+def test_id3v22_six_byte_frames():
+    """ID3v2.2 frames use 6-byte headers (3-byte IDs, 3-byte sizes);
+    parsing them with the v2.3 10-byte layout silently drops every
+    frame (the round-3 ADVICE finding)."""
+    from mechaml_spark import mediaprobe as mp
+
+    def frame22(fid: bytes, text: str) -> bytes:
+        body = b"\x00" + text.encode("latin-1") + b"\x00"
+        return fid + len(body).to_bytes(3, "big") + body
+
+    frames = frame22(b"TT2", "My Title") + frame22(b"TP1", "Artist")
+    size = len(frames)
+    blob = (b"ID3" + bytes([2, 0, 0])
+            + bytes([(size >> 21) & 0x7F, (size >> 14) & 0x7F,
+                     (size >> 7) & 0x7F, size & 0x7F]) + frames)
+    got = mp.id3v2_tags(blob + mp.mp3_write(3))
+    assert got == {"_version": 2, "TT2": "My Title", "TP1": "Artist"}
+    # UCS-2 text (encoding 1, the only other v2.2 encoding)
+    body = b"\x01" + "Tïtlé".encode("utf-16") + b"\x00\x00"
+    f = b"TT2" + len(body).to_bytes(3, "big") + body
+    blob = (b"ID3" + bytes([2, 0, 0])
+            + bytes([0, 0, len(f) >> 7, len(f) & 0x7F]) + f)
+    assert mp.id3v2_tags(blob)["TT2"] == "Tïtlé"
+
+
+def test_jpeg_fill_bytes_before_marker():
+    """ITU T.81 B.1.1.2 allows 0xFF fill bytes before any marker;
+    padded-but-valid JPEGs must not read as truncated (ADVICE r3)."""
+    import numpy as np
+
+    from mechaml_spark import exif, jpeg
+    from mechaml_spark import mediaprobe as mp
+
+    j = jpeg.jpeg_encode(np.full((6, 8, 3), 99, np.uint8), 90)
+    # inject two fill bytes before the first post-SOI marker
+    padded = j[:2] + b"\xff\xff" + j[2:]
+    assert mp.jpeg_verify(padded) == {
+        "is_jpeg": True, "truncated": False, "has_end": True}
+    assert mp.jpeg_color_probe(padded) == mp.jpeg_color_probe(j)
+    # the EXIF segment walker takes the same padding in stride
+    assert ([m for m, _, _ in exif._iter_jpeg_segments(padded)]
+            == [m for m, _, _ in exif._iter_jpeg_segments(j)])
+
+
 def test_ogg_comment_mining():
     from mechaml_spark import mediaprobe as mp
 

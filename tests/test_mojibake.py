@@ -19,6 +19,15 @@ def test_single_and_double_mojibake_repair():
     assert fix_mojibake(_garble(one)) == (base, 2)
 
 
+def test_non_latin_scripts_repaired():
+    """The hint class covers ALL UTF-8 lead bytes decoded as
+    cp1252/latin-1 (0xC2-0xF4), not just the Latin-1-range leads —
+    Cyrillic/Greek garble was a false-negative class before r4."""
+    for clean in ["привет", "Ελλάδα", "çağrı", "🙂 ok"]:
+        garbled = clean.encode("utf-8").decode("cp1252")
+        assert fix_mojibake(garbled) == (clean, 1), clean
+
+
 def test_clean_text_untouched():
     for s in ("plain ascii", "café déjà", "日本語テキスト", ""):
         assert fix_mojibake(s) == (s, 0)
