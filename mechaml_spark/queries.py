@@ -1413,6 +1413,57 @@ def _phash_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(gen, schema="doc_id long, bytes binary, fmt string")
 
 
+def q_image_webp_lossy_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossy (VP8) WebP through the REAL decode path: conformant
+    flat-color VP8 keyframes (vp8.vp8_encode_flat, libwebp-verified
+    writer) -> RFC 6386 arithmetic decode -> BT.601 RGB ->
+    image_features means.  DC tokens (vy, vu, vv) and the quantizer
+    index derive from doc_id, so the whole pipeline — dc_qlookup
+    dequant, inverse-WHT DC distribution, IDCT DC path, 128-plane
+    prediction, YUV->RGB — is a closed-form integer expression the
+    DuckDB oracle re-derives from scratch (incl. the full 128-entry
+    quantizer table, exercised via qi = doc_id % 128)."""
+    import pandas as _pd
+
+    from mechaml_spark import multimodal
+    from mechaml_spark.webp import webp_encode_lossy_flat
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 300
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "bytes": webp_encode_lossy_flat(
+                            16, 16,
+                            (did * 7) % 256,
+                            (did * 11) % 200,
+                            (did * 13) % 200,
+                            did % 128,
+                        ),
+                        "fmt": "webp",
+                    }
+                )
+            yield _pd.DataFrame(rows, columns=["doc_id", "bytes", "fmt"])
+
+    media = d.mapInPandas(gen, schema="doc_id long, bytes binary, fmt string")
+    feats = multimodal.image_features(media)
+    return feats.select(
+        "doc_id",
+        F.col("features")["w"].alias("w"),
+        F.col("features")["h"].alias("h"),
+        F.col("features")["mean_r"].alias("mean_r"),
+        F.col("features")["mean_g"].alias("mean_g"),
+        F.col("features")["mean_b"].alias("mean_b"),
+    )
+
+
 def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual hash (dHash) through the REAL decode path: PNG bytes
     -> pixels -> 9x8 block-mean -> 64 comparison bits (input_hint's
@@ -9425,6 +9476,7 @@ QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "image_features": q_image_features,
     "image_colorhist": q_image_colorhist,
+    "image_webp_lossy_features": q_image_webp_lossy_features,
     "image_phash": q_image_phash,
     "image_neardup": q_image_neardup,
     "image_jpeg_features": q_image_jpeg_features,
@@ -11526,6 +11578,39 @@ ORACLES = {
                CAST(CASE WHEN bin_a = bin_b THEN 1000 ELSE 500 END
                     AS BIGINT) AS dom_milli
         FROM c
+    """,
+    "image_webp_lossy_features": """
+        WITH p AS (
+            SELECT doc_id,
+                   (doc_id * 7) % 256 AS vy,
+                   (doc_id * 11) % 200 AS vu,
+                   (doc_id * 13) % 200 AS vv,
+                   list_value(4, 5, 6, 7, 8, 9, 10, 10, 11, 12, 13, 14, 15, 16, 17, 17, 18, 19, 20, 20, 21, 21, 22, 22, 23, 23, 24, 25, 25, 26, 27, 28, 29, 30, 31, 32, 33, 34, 35, 36, 37, 37, 38, 39, 40, 41, 42, 43, 44, 45, 46, 46, 47, 48, 49, 50, 51, 52, 53, 54, 55, 56, 57, 58, 59, 60, 61, 62, 63, 64, 65, 66, 67, 68, 69, 70, 71, 72, 73, 74, 75, 76, 76, 77, 78, 79, 80, 81, 82, 83, 84, 85, 86, 87, 88, 89, 91, 93, 95, 96, 98, 100, 101, 102, 104, 106, 108, 110, 112, 114, 116, 118, 122, 124, 126, 128, 130, 132, 134, 136, 138, 140, 143, 145, 148, 151, 154, 157)[(doc_id % 128) + 1] AS dcq
+            FROM documents WHERE doc_id < 300),
+        yuv AS (
+            SELECT doc_id,
+                   least(255, 128 + (((vy * dcq * 2 + 3) // 8) + 4) // 8)
+                       AS yy,
+                   least(255, 128 + (vu * least(dcq, 132) + 4) // 8) AS uu,
+                   least(255, 128 + (vv * least(dcq, 132) + 4) // 8) AS vv2
+            FROM p),
+        rgb AS (
+            SELECT doc_id,
+                   greatest(0, least(255, CAST(floor(
+                       (298 * (yy - 16) + 409 * (vv2 - 128) + 128) / 256.0
+                   ) AS BIGINT))) AS r,
+                   greatest(0, least(255, CAST(floor(
+                       (298 * (yy - 16) - 100 * (uu - 128)
+                        - 208 * (vv2 - 128) + 128) / 256.0
+                   ) AS BIGINT))) AS g,
+                   greatest(0, least(255, CAST(floor(
+                       (298 * (yy - 16) + 516 * (uu - 128) + 128) / 256.0
+                   ) AS BIGINT))) AS b
+            FROM yuv)
+        SELECT doc_id,
+               CAST(16 AS INT) AS w, CAST(16 AS INT) AS h,
+               r * 1000 AS mean_r, g * 1000 AS mean_g, b * 1000 AS mean_b
+        FROM rgb
     """,
     "warc_wat": """
         WITH t AS (

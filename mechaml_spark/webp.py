@@ -21,8 +21,9 @@ Specification (the ``VP8L`` chunk of RIFF/WEBP containers):
 Animated WebP (``ANIM``/``ANMF``) is implemented — chunk walk,
 frame compositing (dispose/blend), encoder for fixtures (see
 ``webp_decode_anim``/``webp_encode_anim``).  Lossy WebP (``VP8 ``
-chunks) raises ``NotImplementedError`` loudly: out of in-sandbox
-scope, documented engine boundary.
+keyframes) decodes through vp8.py — a from-scratch RFC 6386
+implementation pinned bit-exact (YUV) against the system libwebp;
+``webp_decode`` routes both flavors.
 
 Encoder: a real, conformant VP8L writer used for fixtures and
 round-trip tests — optional subtract-green or color-indexing
@@ -605,7 +606,9 @@ def vp8l_decode(data: bytes) -> np.ndarray:
 def webp_decode(data: bytes) -> np.ndarray:
     """WebP bytes -> uint8 HxWx3 RGB (alpha dropped, repo-wide
     convention — the pipeline consumes pixels for features/dedup).
-    Lossless (VP8L) only; lossy/animated raise loudly."""
+    Both still flavors decode: lossless (VP8L, this module) and
+    lossy (VP8 keyframes, vp8.py — bit-exact YUV vs libwebp, RGB via
+    the documented BT.601 conversion)."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise ValueError("not a WebP (RIFF/WEBP header missing)")
     pos = 12
@@ -618,10 +621,9 @@ def webp_decode(data: bytes) -> np.ndarray:
             argb = vp8l_decode(payload)
             return np.ascontiguousarray(argb[..., 1:4])
         if fourcc == b"VP8 ":
-            raise NotImplementedError(
-                "lossy WebP (VP8 arithmetic decoder) not available "
-                "in-sandbox; plug libwebp here on a full cluster image"
-            )
+            from mechaml_spark import vp8 as _vp8
+
+            return _vp8.vp8_decode_rgb(payload)
         if fourcc == b"ANMF" or (
             fourcc == b"VP8X" and size >= 1 and payload[0] & 0x02
         ):
@@ -629,7 +631,23 @@ def webp_decode(data: bytes) -> np.ndarray:
                 "animated WebP not available in-sandbox"
             )
         # VP8X / ICCP / EXIF / XMP / ALPH: keep scanning for VP8L
-    raise ValueError("WebP: no VP8L chunk found")
+    raise ValueError("WebP: no VP8L/VP8 image chunk found")
+
+
+def webp_encode_lossy_flat(
+    width: int, height: int, vy: int, vu: int, vv: int, qi: int = 0
+) -> bytes:
+    """RIFF/WEBP container around :func:`vp8.vp8_encode_flat` — a
+    conformant flat-color LOSSY WebP whose decoded planes are the
+    closed forms of :func:`vp8.webp_lossy_flat_value` (fixture
+    writer for oracle queries and tests; libwebp-verified)."""
+    from mechaml_spark import vp8 as _vp8
+
+    payload = _vp8.vp8_encode_flat(width, height, vy, vu, vv, qi)
+    chunk = b"VP8 " + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
 
 
 # ---------------------------------------------------------- encoders
@@ -941,10 +959,14 @@ def webp_decode_frames(data: bytes) -> list:
                     argb = vp8l_decode(payload[ip + 8 : ip + 8 + sz])
                     break
                 if fc == b"VP8 ":
-                    raise NotImplementedError(
-                        "lossy animated WebP frame (VP8) not available "
-                        "in-sandbox"
+                    from mechaml_spark import vp8 as _vp8
+
+                    rgb = _vp8.vp8_decode_rgb(payload[ip + 8 : ip + 8 + sz])
+                    argb = np.concatenate(
+                        [np.full(rgb.shape[:2] + (1,), 255, np.uint8), rgb],
+                        axis=-1,
                     )
+                    break
                 ip += 8 + sz + (sz & 1)
             if argb is None or argb.shape[:2] != (fh, fw):
                 raise ValueError("ANMF frame data missing or wrong size")

@@ -320,11 +320,18 @@ def test_cross_color_transform_inverse():
 # --------------------------------------------------- container errors
 
 
-def test_lossy_and_animated_raise():
-    vp8 = b"RIFF" + struct.pack("<I", 12) + b"WEBP" + b"VP8 " + \
+def test_lossy_decodes_and_garbage_raises():
+    # lossy VP8 now decodes through vp8.py (round 4); garbage VP8
+    # payloads raise VP8Error (a ValueError), not NotImplementedError
+    from mechaml_spark.vp8 import VP8Error
+    from mechaml_spark.webp import webp_encode_lossy_flat
+
+    rgb = webp_decode(webp_encode_lossy_flat(16, 16, 8, 4, -4, 0))
+    assert rgb.shape == (16, 16, 3)
+    bad = b"RIFF" + struct.pack("<I", 12) + b"WEBP" + b"VP8 " + \
         struct.pack("<I", 4) + b"\x00" * 4
-    with pytest.raises(NotImplementedError, match="lossy"):
-        webp_decode(vp8)
+    with pytest.raises(VP8Error):
+        webp_decode(bad)
     vp8x = b"RIFF" + struct.pack("<I", 22) + b"WEBP" + b"VP8X" + \
         struct.pack("<I", 10) + bytes([0x02]) + b"\x00" * 9
     with pytest.raises(NotImplementedError, match="animated"):
