@@ -786,6 +786,224 @@ def mkv_probe(data: bytes) -> dict | None:
 
 
 # --------------------------------------------------------------------------
+# Matroska/WebM Cluster expansion (the mp4_samples twin)
+# --------------------------------------------------------------------------
+#
+# `mp4_samples` gives MP4 frames as exact (offset, size, keyframe)
+# byte ranges with zero codec touch — the right 100-TB routing stage
+# before any decode spend.  This extends the same slice-without-decode
+# contract to WebM/Matroska: walk Segment > Cluster > SimpleBlock /
+# BlockGroup (matroska.org element IDs over RFC 8794 EBML) down to
+# per-frame byte ranges, timecodes (cluster timecode + signed 16-bit
+# relative), keyframe flags (SimpleBlock bit 0x80; BlockGroup =
+# no ReferenceBlock), and all three lacing modes (Xiph, fixed-size,
+# EBML) with per-lace offsets.
+
+
+def _ebml_lace_sizes(data: bytes, off: int, end: int, mode: int,
+                     ) -> tuple[list[int], int] | None:
+    """Frame sizes for a laced block starting at the lace header
+    (RFC 9559 §10.3); returns (sizes, payload_start)."""
+    if off >= end:
+        return None
+    n_frames = data[off] + 1
+    off += 1
+    if mode == 0x02:  # Xiph: u8 sums per frame, last implicit
+        sizes = []
+        for _ in range(n_frames - 1):
+            v = 0
+            while True:
+                if off >= end:
+                    return None
+                b = data[off]
+                off += 1
+                v += b
+                if b != 255:
+                    break
+            sizes.append(v)
+    elif mode == 0x04:  # fixed-size: equal split, last implicit
+        total = end - off
+        if total % n_frames:
+            return None
+        sizes = [total // n_frames] * (n_frames - 1)
+    else:  # 0x06 EBML: first absolute vint, rest signed vint deltas
+        r = _ebml_read_vint(data, off, keep_marker=False)
+        if r is None:
+            return None
+        first, off = r
+        sizes = [first]
+        prev = first
+        for _ in range(n_frames - 2):
+            r = _ebml_read_vint(data, off, keep_marker=False)
+            if r is None:
+                return None
+            raw, noff = r
+            width = noff - off
+            off = noff
+            # signed vint: subtract 2^(7w-1) - 1
+            prev += raw - ((1 << (7 * width - 1)) - 1)
+            sizes.append(prev)
+    remaining = (end - off) - sum(sizes)
+    if remaining < 0:
+        return None
+    sizes.append(remaining)
+    return sizes, off
+
+
+def _mkv_one_block(data: bytes, s: int, e: int, cluster_tc: int,
+                   keyframe: bool | None) -> list[dict]:
+    """Decode one (Simple)Block payload into per-frame rows.
+    ``keyframe=None`` reads the SimpleBlock keyframe flag bit."""
+    r = _ebml_read_vint(data, s, keep_marker=False)
+    if r is None:
+        return []
+    track, off = r
+    if off + 3 > e:
+        return []
+    (rel_tc,) = struct.unpack_from(">h", data, off)
+    flags = data[off + 2]
+    off += 3
+    if keyframe is None:
+        keyframe = bool(flags & 0x80)
+    lacing = flags & 0x06
+    if lacing:
+        lr = _ebml_lace_sizes(data, off, e, lacing)
+        if lr is None:
+            return []
+        sizes, off = lr
+    else:
+        sizes = [e - off]
+    rows = []
+    for lace, sz in enumerate(sizes):
+        rows.append({
+            "track": track,
+            "timecode": cluster_tc + rel_tc,
+            "keyframe": bool(keyframe),
+            "offset": off,
+            "size": sz,
+            "lace": lace,
+        })
+        off += sz
+    return rows
+
+
+def mkv_blocks(data: bytes) -> list[dict] | None:
+    """Per-frame byte ranges from a Matroska/WebM stream; None when
+    not EBML.  Each row: {track, timecode (cluster timecode + signed
+    relative, in TimecodeScale ticks), keyframe, offset, size, lace}.
+    A BlockGroup's Block is a keyframe iff the group carries no
+    ReferenceBlock (RFC 9559 §10.3.8)."""
+    if data[:4] != b"\x1a\x45\xdf\xa3":
+        return None
+    rows: list[dict] = []
+    for eid, s, e in _ebml_walk(data, 0, len(data)):
+        if eid != 0x18538067:  # Segment
+            continue
+        for i2, s2, e2 in _ebml_walk(data, s, e):
+            if i2 != 0x1F43B675:  # Cluster
+                continue
+            cluster_tc = 0
+            for i3, s3, e3 in _ebml_walk(data, s2, e2):
+                if i3 == 0xE7:  # Timecode
+                    cluster_tc = int.from_bytes(data[s3:e3], "big")
+                elif i3 == 0xA3:  # SimpleBlock
+                    rows.extend(
+                        _mkv_one_block(data, s3, e3, cluster_tc, None)
+                    )
+                elif i3 == 0xA0:  # BlockGroup
+                    block_span = None
+                    has_ref = False
+                    for i4, s4, e4 in _ebml_walk(data, s3, e3):
+                        if i4 == 0xA1:  # Block
+                            block_span = (s4, e4)
+                        elif i4 == 0xFB:  # ReferenceBlock
+                            has_ref = True
+                    if block_span is not None:
+                        rows.extend(
+                            _mkv_one_block(
+                                data, block_span[0], block_span[1],
+                                cluster_tc, not has_ref,
+                            )
+                        )
+    return rows
+
+
+def mkv_write_clusters(
+    clusters: list[tuple[int, list[dict]]],
+    duration_ms: int = 4000,
+    doctype: str = "webm",
+    video: tuple[str, int, int] | None = ("V_VP9", 640, 360),
+) -> bytes:
+    """Matroska/WebM fixture with real Cluster payloads.  Each
+    cluster is ``(timecode, blocks)``; each block dict:
+    ``{track, rel_tc, keyframe, payload, group?: bool, lacing?:
+    ('xiph'|'fixed'|'ebml', [payloads])}``.  ``group=True`` wraps a
+    BlockGroup whose keyframe-ness rides on ReferenceBlock absence."""
+    base = mkv_write(duration_ms, doctype=doctype, video=video)
+    # re-open the Segment: mkv_write emits header + Segment(info+tracks)
+    for eid, s, e in _ebml_walk(base, 0, len(base)):
+        if eid == 0x18538067:
+            header, seg_payload = base[:s - len(_ebml_size(e - s)) - 4], \
+                base[s:e]
+            break
+    else:  # pragma: no cover
+        raise ValueError("fixture base lost its Segment")
+
+    out_clusters = b""
+    for tc, blocks in clusters:
+        body = _el_uint(b"\xe7", tc)
+        for blk in blocks:
+            track = blk.get("track", 1)
+            flags = 0
+            lacing = blk.get("lacing")
+            if lacing is None:
+                payload = blk["payload"]
+            else:
+                mode, parts = lacing
+                flags |= {"xiph": 0x02, "fixed": 0x04, "ebml": 0x06}[mode]
+                head = bytes([len(parts) - 1])
+                if mode == "xiph":
+                    for p in parts[:-1]:
+                        n = len(p)
+                        while n >= 255:
+                            head += b"\xff"
+                            n -= 255
+                        head += bytes([n])
+                elif mode == "ebml":
+                    head += _ebml_size(len(parts[0]))
+                    prev = len(parts[0])
+                    for p in parts[1:-1]:
+                        delta = len(p) - prev
+                        # signed vint, 2-byte form: value + (2^13 - 1)
+                        head += (0x4000 | (delta + 0x1FFF)).to_bytes(
+                            2, "big"
+                        )
+                        prev = len(p)
+                payload = head + b"".join(parts)
+            inner = (
+                bytes([0x80 | track])
+                + struct.pack(">h", blk.get("rel_tc", 0))
+                + bytes([flags | (
+                    0x80 if blk.get("keyframe") and not blk.get("group")
+                    else 0
+                )])
+                + payload
+            )
+            if blk.get("group"):
+                g = _el(b"\xa1", inner)
+                if not blk.get("keyframe"):
+                    g += _el(b"\xfb", b"\x01")
+                body += _el(b"\xa0", g)
+            else:
+                body += _el(b"\xa3", inner)
+        out_clusters += _el(b"\x1f\x43\xb6\x75", body)
+
+    new_payload = seg_payload + out_clusters
+    return header + b"\x18\x53\x80\x67" + _ebml_size(len(new_payload)) \
+        + new_payload
+
+
+# --------------------------------------------------------------------------
 # FLAC STREAMINFO (xiph.org spec: the mandatory first metadata block)
 # --------------------------------------------------------------------------
 

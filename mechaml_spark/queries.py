@@ -1464,6 +1464,60 @@ def q_image_webp_lossy_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_webm_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebM/Matroska Cluster expansion to per-frame byte ranges
+    (mediaprobe.mkv_blocks — the mp4_samples twin: slice a video
+    file's frames WITHOUT any codec touch).  Deterministic fixtures:
+    one cluster per doc with 3..6 SimpleBlocks whose sizes, relative
+    timecodes, and keyframe flags derive from doc_id, so the EBML
+    layout arithmetic (every varint width is pinned by construction;
+    first frame's payload starts at byte 103) is a pure closed form
+    the DuckDB oracle recomputes with a running sum."""
+    import pandas as _pd
+
+    from mechaml_spark import mediaprobe as _mp
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 400
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 3 + did % 4
+                ctc = 1000 + (did % 9) * 1000
+                blocks = [
+                    {"track": 1, "rel_tc": i * 40,
+                     "keyframe": i % 3 == 0,
+                     "payload": bytes([65 + i % 26])
+                     * (40 + ((did * 7 + i * 13) % 50))}
+                    for i in range(n)
+                ]
+                data = _mp.mkv_write_clusters([(ctc, blocks)])
+                for i, r in enumerate(_mp.mkv_blocks(data)):
+                    rows.append(
+                        {"doc_id": did, "block": i, "track": r["track"],
+                         "timecode": r["timecode"],
+                         "keyframe": r["keyframe"],
+                         "offset": r["offset"], "size": r["size"]}
+                    )
+            yield _pd.DataFrame(
+                rows,
+                columns=["doc_id", "block", "track", "timecode",
+                         "keyframe", "offset", "size"],
+            )
+
+    return d.mapInPandas(
+        gen,
+        schema=(
+            "doc_id long, block int, track long, timecode long, "
+            "keyframe boolean, offset long, size long"
+        ),
+    )
+
+
 def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual hash (dHash) through the REAL decode path: PNG bytes
     -> pixels -> 9x8 block-mean -> 64 comparison bits (input_hint's
@@ -9477,6 +9531,7 @@ QUERIES = {
     "image_features": q_image_features,
     "image_colorhist": q_image_colorhist,
     "image_webp_lossy_features": q_image_webp_lossy_features,
+    "webm_blocks": q_webm_blocks,
     "image_phash": q_image_phash,
     "image_neardup": q_image_neardup,
     "image_jpeg_features": q_image_jpeg_features,
@@ -11611,6 +11666,36 @@ ORACLES = {
                CAST(16 AS INT) AS w, CAST(16 AS INT) AS h,
                r * 1000 AS mean_r, g * 1000 AS mean_g, b * 1000 AS mean_b
         FROM rgb
+    """,
+    "webm_blocks": """
+        WITH p AS (
+            SELECT doc_id,
+                   3 + doc_id % 4 AS n,
+                   1000 + (doc_id % 9) * 1000 AS ctc
+            FROM documents WHERE doc_id < 400),
+        b AS (
+            SELECT doc_id, ctc,
+                   CAST(unnest(range(0, n)) AS INT) AS i
+            FROM p),
+        b2 AS (
+            SELECT doc_id, ctc, i,
+                   40 + ((doc_id * 7 + i * 13) % 50) AS ps
+            FROM b),
+        c AS (
+            SELECT doc_id, ctc, i, ps,
+                   COALESCE(SUM(ps + 6) OVER (
+                       PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS cum
+            FROM b2)
+        SELECT doc_id,
+               i AS block,
+               CAST(1 AS BIGINT) AS track,
+               CAST(ctc + i * 40 AS BIGINT) AS timecode,
+               i % 3 = 0 AS keyframe,
+               103 + cum AS "offset",
+               CAST(ps AS BIGINT) AS size
+        FROM c
     """,
     "warc_wat": """
         WITH t AS (

@@ -461,6 +461,58 @@ def test_id3v2_versions_and_encodings():
     assert mp.id3v2_tags(mp.mp3_write(2)) is None
 
 
+def test_mkv_blocks_clusters_groups_and_lacing():
+    """WebM Cluster expansion (the mp4_samples twin): SimpleBlock
+    keyframe flags, BlockGroup keyframe-iff-no-ReferenceBlock, all
+    three lacing modes with per-lace byte ranges, and cluster+relative
+    timecode composition — every (offset, size) must slice exactly
+    the written frame payload out of the file."""
+    from mechaml_spark import mediaprobe as mp
+
+    payloads = [b"A" * 20, b"B" * 33, b"C" * 15, b"D" * 40]
+    clusters = [
+        (0, [
+            {"track": 1, "rel_tc": 0, "keyframe": True,
+             "payload": payloads[0]},
+            {"track": 1, "rel_tc": 40, "keyframe": False,
+             "payload": payloads[1]},
+            {"track": 1, "rel_tc": 80, "keyframe": False,
+             "payload": payloads[2], "group": True},
+        ]),
+        (1000, [
+            {"track": 1, "rel_tc": 0, "keyframe": True,
+             "payload": payloads[3], "group": True},
+            {"track": 2, "rel_tc": -8, "keyframe": False,
+             "lacing": ("xiph", [b"x" * 7, b"y" * 300, b"z" * 5])},
+            {"track": 2, "rel_tc": 12, "keyframe": False,
+             "lacing": ("fixed", [b"p" * 9, b"q" * 9, b"r" * 9])},
+            {"track": 2, "rel_tc": 20, "keyframe": False,
+             "lacing": ("ebml", [b"k" * 30, b"l" * 12, b"m" * 44])},
+        ]),
+    ]
+    data = mp.mkv_write_clusters(clusters)
+    rows = mp.mkv_blocks(data)
+    assert len(rows) == 4 + 9  # 4 plain/group + 3 lanes x 3 laced
+    # every row slices its exact payload
+    expected = (
+        payloads
+        + [b"x" * 7, b"y" * 300, b"z" * 5]
+        + [b"p" * 9, b"q" * 9, b"r" * 9]
+        + [b"k" * 30, b"l" * 12, b"m" * 44]
+    )
+    for r, exp in zip(rows, expected):
+        assert data[r["offset"]:r["offset"] + r["size"]] == exp
+    # keyframes: SimpleBlock flag for rows 0/1, group ref-absence
+    # for rows 2/3; negative relative timecode composes signed
+    assert [r["keyframe"] for r in rows[:4]] == [True, False, False, True]
+    assert rows[4]["timecode"] == 992  # 1000 - 8
+    assert {r["lace"] for r in rows[4:7]} == {0, 1, 2}
+    # the probe still reads the same stream's metadata
+    probe = mp.mkv_probe(data)
+    assert probe["video_codec"] == "V_VP9"
+    assert mp.mkv_blocks(b"not ebml") is None
+
+
 def test_id3v22_six_byte_frames():
     """ID3v2.2 frames use 6-byte headers (3-byte IDs, 3-byte sizes);
     parsing them with the v2.3 10-byte layout silently drops every
