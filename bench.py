@@ -19,6 +19,53 @@ import sys
 import time
 
 
+def _regressions(
+    timings: dict[str, float], ratio: float = 1.5, floor_sec: float = 0.5
+) -> dict:
+    """Per-query deltas vs the previous round's driver bench.
+
+    The r3 lesson: per-query slowdowns (seen_dedupe 2.0->6.1 s) sat
+    unflagged in a 170-entry timing dict until a human diffed rounds
+    by hand — make the harness do the diff.  Loads the newest
+    ``BENCH_r*.json`` next to this file (or ``$BENCH_HISTORY``),
+    reads its per-query timings, and reports every query that got
+    more than ``ratio`` x slower AND slower by more than
+    ``floor_sec`` (sub-second jitter on a shared host is not a
+    regression signal).  Purely advisory — never fails the bench."""
+    import glob
+    import re
+
+    hist_path = os.environ.get("BENCH_HISTORY")
+    if not hist_path:
+        here = os.path.dirname(os.path.abspath(__file__))
+        cands = glob.glob(os.path.join(here, "BENCH_r*.json"))
+
+        def rnd(p):
+            m = re.search(r"BENCH_r(\d+)\.json$", p)
+            return int(m.group(1)) if m else -1
+
+        cands = [p for p in cands if rnd(p) >= 0]
+        if not cands:
+            return {"baseline": None, "flagged": {}}
+        hist_path = max(cands, key=rnd)
+    try:
+        with open(hist_path) as f:
+            hist = json.load(f)
+    except (OSError, ValueError):
+        return {"baseline": hist_path, "flagged": {}}
+    prev = hist.get("parsed", hist).get("queries", {})
+    flagged = {}
+    for name, now in timings.items():
+        old = prev.get(name)
+        if old is None or old <= 0:
+            continue
+        if now > old * ratio and now - old > floor_sec:
+            flagged[name] = {
+                "prev": old, "now": now, "ratio": round(now / old, 2)
+            }
+    return {"baseline": os.path.basename(hist_path), "flagged": flagged}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -179,6 +226,7 @@ def main() -> None:
         "value": round(urls_per_sec, 2),
         "unit": "urls/sec",
         "queries": timings,
+        "regressions": _regressions(timings),
         "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
         "total_sec": total,
         "crawl": {

@@ -1194,6 +1194,7 @@ def fetch(
     max_redirect: int = MAX_REDIRECT,
     carry_cols: tuple[str, ...] = (),
     adaptive: bool = False,
+    jar_size_hint: int | None = None,
 ) -> FetchResult:
     """The fetch stage: cookie injection, bounded redirect following,
     per-hop cookie collection.
@@ -1211,6 +1212,19 @@ def fetch(
     one limit-1 job per hop, so the fetch becomes EAGER (requests are
     issued at call time, not at the first action); the default stays
     fully lazy for callers that compose the plan before executing it.
+
+    ``jar_size_hint``: approximate row count of ``jar``, carried by
+    the caller (an agent session knows how many cookies it holds; a
+    crawl scheduler tracks jar size in its shard metrics).  The hop
+    loop picks the cookie-injection strategy from the hint WITHOUT a
+    ``count()`` job — counting inside the per-hop loop would both
+    break this function's laziness and add a driver job per hop.
+    ``None`` (default) keeps the small-session-jar assumption
+    (broadcast scan, optimal for per-site agent jars); a hint above
+    the cookies.small_jar_threshold (4096) routes every hop through
+    the O(host-depth) suffix-chain hash equi-join, so a crawl-scale
+    jar (10^7 rows) can never silently ride the O(|jar|)-per-row
+    scan path.  Outputs are identical either way (tested equal).
     """
     carry = list(carry_cols)
     # effective verb/body per hop: the original request's method/body
@@ -1245,15 +1259,21 @@ def fetch(
     # Exhausted hops contribute empty branches that AQE collapses at
     # run time (the filter after the cached-corpus join yields 0 rows
     # and the downstream joins/unions are near-free).
+    # count-free strategy gate: hint-driven, decided once for all hops
+    hop_strategy = "scan"
+    if jar_size_hint is not None and jar_size_hint > 4096:
+        hop_strategy = "join"
     for _hop in range(max_redirect + 1):
         req = cur
         if jar is not None:
-            # explicit "scan": the agent's session jar is small by
+            # "scan" (default): the agent's session jar is small by
             # design (per-site cookies), the map-only broadcast-array
-            # plan is optimal AND avoids the auto gate's count() job
-            # inside the per-hop loop; a crawl-wide 10^7-cookie jar
-            # would pass strategy="join" (hash equi-join) instead
-            req = ck.add_to_headers(cur, jar, url_col="cur_url", strategy="scan")
+            # plan is optimal AND avoids any count() job inside the
+            # per-hop loop; a crawl-wide jar passes jar_size_hint and
+            # rides the suffix-chain hash equi-join instead
+            req = ck.add_to_headers(
+                cur, jar, url_col="cur_url", strategy=hop_strategy
+            )
         # lazy checkpoint per hop: ev/done/nxt all branch off `j`, so
         # materializing it once (blocks cached, lineage truncated)
         # stops the downstream unions from re-running the join chain —

@@ -32,6 +32,61 @@ def test_get_and_redirect(spark, fetcher):
     assert tgt["url_norm"] == "http://host0.test/p5"
 
 
+def test_jar_size_hint_join_path_through_hop_loop(spark, fetcher):
+    """A crawl-scale jar (10^5 rows) with ``jar_size_hint`` set must
+    route EVERY redirect hop's cookie injection through the
+    suffix-chain hash equi-join (never the O(|jar|)/row scan) with
+    outputs unchanged vs the scan path — the round-3 scale item: a
+    big jar can no longer silently ride the per-row linear scan."""
+    # 10^5 decoy cookies on unrelated domains + 2 that actually match
+    decoys = spark.range(100_000).selectExpr(
+        "concat('d', id, '.decoy.test') AS domain",
+        "'/' AS path",
+        "concat('k', id) AS name",
+        "'v' AS value",
+        "CAST(id AS LONG) AS order_key",
+    )
+    live = spark.createDataFrame(
+        [("host0.test", "/", "sid", "abc", 100_001),
+         ("host0.test", "/", "tok", "xyz", 100_002)],
+        "domain string, path string, name string, value string, "
+        "order_key long",
+    )
+    jar = decoys.unionByName(live)
+    reqs = spark.createDataFrame(
+        [("http://host0.test/p0",), ("http://host0.test/r0",)],
+        "url_norm string",
+    )
+    hinted = agent.fetch(
+        reqs, fetcher, jar=jar, jar_size_hint=100_002
+    ).finals.collect()
+    unhinted = agent.fetch(reqs, fetcher, jar=jar).finals.collect()
+    key = lambda r: r["url_norm"]  # noqa: E731
+    assert sorted(map(tuple, hinted)) == sorted(map(tuple, unhinted))
+    rows = {r["url_norm"]: r for r in hinted}
+    # the redirect still chases through the hop loop under the hint
+    assert rows["http://host0.test/r0"]["final_url"] == \
+        "http://host0.test/p5"
+    # and every hop really selected the join strategy under the hint
+    # (the scan strategy under no hint) — observed at the cookies API
+    calls = []
+    orig = agent.ck.add_to_headers
+
+    def spy(*a, **k):
+        calls.append(k.get("strategy"))
+        return orig(*a, **k)
+
+    agent.ck.add_to_headers = spy
+    try:
+        agent.fetch(reqs, fetcher, jar=jar, jar_size_hint=100_002)
+        assert calls and set(calls) == {"join"}
+        calls.clear()
+        agent.fetch(reqs, fetcher, jar=jar)
+        assert calls and set(calls) == {"scan"}
+    finally:
+        agent.ck.add_to_headers = orig
+
+
 def test_click(spark, fetcher):
     reqs = spark.createDataFrame([("http://host0.test/p0",)], "url_norm string")
     fr = agent.get(reqs, fetcher)
