@@ -99,6 +99,13 @@ class StreamingCrawl:
         self._tpl_counts = spark.createDataFrame(
             [], "host string, template string, n_urls long"
         )
+        # incremental line-frequency table for CCNet-style line-level
+        # dedup (the batch line_dedupe stage): running (line-hash ->
+        # distinct-doc count) folded per micro-batch.  Per-batch
+        # count_distinct sums correctly ONLY because the seen-set
+        # guarantees each URL's body enters exactly one batch — the
+        # same single-delivery invariant the visit log asserts.
+        self._line_counts = spark.createDataFrame([], "lh long, n_docs long")
 
     def _robots_filter(self, df: DataFrame) -> DataFrame:
         # literally the batch scheduler's robots stage
@@ -169,6 +176,29 @@ class StreamingCrawl:
         self._minhash_counts = (
             self._minhash_counts.unionByName(new_sigs)
             .groupBy("sig0", "sig1")
+            .agg(F.sum("n_docs").alias("n_docs"))
+            .localCheckpoint(eager=True)
+        )
+        # line-level dedup state, same fold shape as the batch
+        # line_dedupe query: explode lines -> per-doc distinct hash ->
+        # partial count per batch -> merge groupBy (one row per live
+        # line hash crosses the shuffle, never lines or bodies)
+        # doc key = the REQUEST url (url_norm): single delivery is
+        # guaranteed per request URL by the seen-set; two requests may
+        # land on one final_url via redirects, in different batches
+        new_lines = (
+            ok.select(
+                F.col("url_norm").alias("doc"),
+                F.explode(F.split(F.col("body"), "\n")).alias("line"),
+            )
+            .select("doc", F.xxhash64("line").alias("lh"))
+            .distinct()
+            .groupBy("lh")
+            .agg(F.count("*").alias("n_docs"))
+        )
+        self._line_counts = (
+            self._line_counts.unionByName(new_lines)
+            .groupBy("lh")
             .agg(F.sum("n_docs").alias("n_docs"))
             .localCheckpoint(eager=True)
         )
@@ -295,6 +325,14 @@ class StreamingCrawl:
         index — must equal the batch dedup_minhash stage run once over
         all fetched bodies (asserted in tests)."""
         return self._minhash_counts.where(F.col("n_docs") > 1)
+
+    def line_counts(self) -> DataFrame:
+        """The incrementally folded (line-hash, distinct-doc count)
+        table — must equal the batch line_dedupe frequency stage run
+        once over all fetched bodies (asserted in tests); a line is
+        CCNet boilerplate when its count crosses the caller's
+        threshold (>= 10 in the batch query)."""
+        return self._line_counts
 
     def url_template_counts(self) -> DataFrame:
         """Incrementally maintained (host, template) cardinality —

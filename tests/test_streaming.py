@@ -95,6 +95,29 @@ def test_streaming_crawl_visits_reachable_set(spark, tmp_path):
     want_t = sorted(map(tuple, batch_tpl.collect()))
     assert got_t == want_t and len(got_t) > 0
 
+    # text-dedup-tier parity (round-4 item): the incrementally folded
+    # line-frequency table must equal the batch line_dedupe frequency
+    # stage run ONCE over all fetched bodies — byte-equal, incl. the
+    # boilerplate set at the batch query's >= 10 threshold
+    batch_lines = (
+        bodies.select(
+            F.col("url_norm").alias("doc"),
+            F.explode(F.split(F.col("body"), "\n")).alias("line"),
+        )
+        .select("doc", F.xxhash64("line").alias("lh"))
+        .distinct()
+        .groupBy("lh")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    got_l = sorted(map(tuple, sc.line_counts().collect()))
+    want_l = sorted(map(tuple, batch_lines.collect()))
+    assert got_l == want_l and len(got_l) > 0
+    got_boiler = {r["lh"] for r in sc.line_counts()
+                  .where(F.col("n_docs") >= 10).collect()}
+    want_boiler = {r["lh"] for r in batch_lines
+                   .where(F.col("n_docs") >= 10).collect()}
+    assert got_boiler == want_boiler
+
 
 @pytest.mark.timeout(300)
 def test_sessionize_stream_matches_batch_rule(spark, tmp_path):
