@@ -354,6 +354,67 @@ def mp3_write(
     return bytes(out)
 
 
+def mp3_frames(data: bytes) -> list[dict] | None:
+    """Per-frame byte ranges from a Layer-III stream — the
+    slice-without-decode contract (mp4_samples / webm_blocks twin)
+    for MP3: each row {idx, offset, size, bitrate_kbps, samplerate,
+    samples, padded} bounds one whole frame (header + payload), so a
+    pipeline can route/split/transcode audio at frame granularity
+    with zero codec touch.  Skips a leading ID3v2 block (syncsafe
+    length) and the ID3v1 trailer exactly like :func:`mp3_probe`.
+    Returns None when no valid Layer-III frame starts the stream.
+
+    PCM decode stays a documented engine boundary: this sandbox has
+    no reference MP3 decoder or encoder to pin a from-scratch
+    Layer-III implementation against (the repo's codec bar is
+    differential bit-exactness — vp8.py meets it via libwebp,
+    jpeg.py via libjpeg; the Layer-III Huffman tables are normative
+    data that cannot be independently verified here)."""
+    off, end = 0, len(data)
+    if data[:3] == b"ID3" and end >= 10:
+        sz = 0
+        for b in data[6:10]:
+            sz = (sz << 7) | (b & 0x7F)
+        off = 10 + sz + (10 if (data[5] & 0x10) else 0)
+    if end - off >= 128 and data[end - 128:end - 125] == b"TAG":
+        end -= 128
+    rows: list[dict] = []
+    sr = None
+    while off + 4 <= end:
+        b0, b1, b2, _b3 = data[off:off + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            break
+        ver_bits = (b1 >> 3) & 0b11
+        layer_bits = (b1 >> 1) & 0b11
+        if layer_bits != 0b01 or ver_bits == 0b01:
+            break
+        bi = (b2 >> 4) & 0xF
+        si = (b2 >> 2) & 0b11
+        pad = (b2 >> 1) & 1
+        if bi in (0, 15) or si == 3:
+            break
+        if ver_bits == 0b11:
+            br, fsr, coef, spf = _BR_V1L3[bi], _SR_V1[si], 144, 1152
+        elif ver_bits == 0b10:
+            br, fsr, coef, spf = _BR_V2L3[bi], _SR_V2[si], 72, 576
+        else:
+            br, fsr, coef, spf = _BR_V2L3[bi], _SR_V25[si], 72, 576
+        flen = coef * br * 1000 // fsr + pad
+        if off + flen > end:
+            break
+        if sr is None:
+            sr = fsr
+        elif fsr != sr:
+            break
+        rows.append({
+            "idx": len(rows), "offset": off, "size": flen,
+            "bitrate_kbps": br, "samplerate": fsr, "samples": spf,
+            "padded": bool(pad),
+        })
+        off += flen
+    return rows if rows else None
+
+
 def mp3_probe(data: bytes) -> dict | None:
     """Frame-header walk: skips ID3v2 (syncsafe length) and the ID3v1
     trailer, validates each sync, decodes version/layer/bitrate/

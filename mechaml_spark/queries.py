@@ -1518,6 +1518,123 @@ def q_webm_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mp3_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3 frame-accurate byte ranges (mediaprobe.mp3_frames — the
+    slice-without-decode contract extended to Layer-III audio, the
+    mp4_samples / webm_blocks twin).  Fixtures: deterministic CBR/VBR
+    streams with doc_id-derived frame counts, bitrate ladders,
+    alternating padding, and ID3v2 preambles; the DuckDB oracle
+    recomputes every frame's length (144*br*1000 // sr + pad) and
+    cumulative offset from the ISO 11172-3 bitrate/samplerate tables
+    inlined as SQL."""
+    import pandas as _pd
+
+    from mechaml_spark import mediaprobe as _mp
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 400
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                data = _mp.mp3_write(
+                    3 + did % 5,
+                    bitrate_idx=1 + did % 14,
+                    sr_idx=did % 3,
+                    id3v2_size=(did % 4) * 10,
+                    vbr_step=did % 2,
+                    id3v1=(did % 5 == 0),
+                )
+                for r in _mp.mp3_frames(data):
+                    rows.append(
+                        {"doc_id": did, "idx": r["idx"],
+                         "offset": r["offset"], "size": r["size"],
+                         "bitrate_kbps": r["bitrate_kbps"],
+                         "samplerate": r["samplerate"],
+                         "padded": r["padded"]}
+                    )
+            yield _pd.DataFrame(
+                rows,
+                columns=["doc_id", "idx", "offset", "size",
+                         "bitrate_kbps", "samplerate", "padded"],
+            )
+
+    return d.mapInPandas(
+        gen,
+        schema=(
+            "doc_id long, idx int, offset long, size long, "
+            "bitrate_kbps int, samplerate int, padded boolean"
+        ),
+    )
+
+
+def q_webm_vp8_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-codec frame pixels out of a WebM container with no
+    external library: mkv_blocks slices the V_VP8 track's SimpleBlock
+    keyframes by byte range, and each frame decodes through the
+    from-scratch RFC 6386 VP8 decoder (vp8.py, bit-exact vs libwebp).
+    Fixtures: per-doc WebM files whose 2..4 keyframes are conformant
+    flat VP8 streams (vp8_encode_flat) with doc_id+frame-derived DC
+    tokens, so every decoded frame's RGB is the same closed-form
+    integer expression the image_webp_lossy_features oracle uses."""
+    import pandas as _pd
+
+    from mechaml_spark import mediaprobe as _mp
+    from mechaml_spark import vp8 as _vp8
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 200
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 2 + did % 3
+                blocks = [
+                    {"track": 1, "rel_tc": i * 33, "keyframe": True,
+                     "payload": _vp8.vp8_encode_flat(
+                         16, 16,
+                         (did * 7 + i * 31) % 256,
+                         (did * 11 + i * 17) % 200,
+                         (did * 13 + i * 23) % 200,
+                         did % 128,
+                     )}
+                    for i in range(n)
+                ]
+                data = _mp.mkv_write_clusters(
+                    [(0, blocks)], video=("V_VP8", 16, 16)
+                )
+                for i, b in enumerate(_mp.mkv_blocks(data)):
+                    frame = data[b["offset"]:b["offset"] + b["size"]]
+                    rgb = _vp8.vp8_decode_rgb(frame)
+                    rows.append(
+                        {"doc_id": did, "frame": i,
+                         "timecode": b["timecode"],
+                         "keyframe": b["keyframe"],
+                         "w": rgb.shape[1], "h": rgb.shape[0],
+                         "r": int(rgb[0, 0, 0]), "g": int(rgb[0, 0, 1]),
+                         "b": int(rgb[0, 0, 2])}
+                    )
+            yield _pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame", "timecode", "keyframe",
+                         "w", "h", "r", "g", "b"],
+            )
+
+    return d.mapInPandas(
+        gen,
+        schema=(
+            "doc_id long, frame int, timecode long, keyframe boolean, "
+            "w int, h int, r int, g int, b int"
+        ),
+    )
+
+
 def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual hash (dHash) through the REAL decode path: PNG bytes
     -> pixels -> 9x8 block-mean -> 64 comparison bits (input_hint's
@@ -9532,6 +9649,8 @@ QUERIES = {
     "image_colorhist": q_image_colorhist,
     "image_webp_lossy_features": q_image_webp_lossy_features,
     "webm_blocks": q_webm_blocks,
+    "mp3_frames": q_mp3_frames,
+    "webm_vp8_frames": q_webm_vp8_frames,
     "image_phash": q_image_phash,
     "image_neardup": q_image_neardup,
     "image_jpeg_features": q_image_jpeg_features,
@@ -11696,6 +11815,84 @@ ORACLES = {
                103 + cum AS "offset",
                CAST(ps AS BIGINT) AS size
         FROM c
+    """,
+    "mp3_frames": """
+        WITH p AS (
+            SELECT doc_id,
+                   3 + doc_id % 5 AS n,
+                   1 + doc_id % 14 AS bi0,
+                   doc_id % 3 AS si,
+                   (doc_id % 4) * 10 AS v2,
+                   doc_id % 2 AS step
+            FROM documents WHERE doc_id < 400),
+        f AS (
+            SELECT doc_id, si, v2,
+                   CAST(unnest(range(0, n)) AS INT) AS i,
+                   bi0, step
+            FROM p),
+        f2 AS (
+            SELECT doc_id, i, si, v2,
+                   least(bi0 + (i % 3) * step, 14) AS bi,
+                   i % 2 AS pad
+            FROM f),
+        f3 AS (
+            SELECT doc_id, i, v2, pad,
+                   list_value(0,32,40,48,56,64,80,96,112,128,160,192,
+                              224,256,320)[bi + 1] AS br,
+                   list_value(44100,48000,32000)[si + 1] AS sr
+            FROM f2),
+        f4 AS (
+            SELECT doc_id, i, v2, pad, br, sr,
+                   144 * br * 1000 // sr + pad AS flen
+            FROM f3)
+        SELECT doc_id,
+               i AS idx,
+               CAST(CASE WHEN v2 = 0 THEN 0 ELSE 10 + v2 END
+                    + COALESCE(SUM(flen) OVER (
+                        PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                      ), 0) AS BIGINT) AS "offset",
+               CAST(flen AS BIGINT) AS size,
+               CAST(br AS INT) AS bitrate_kbps,
+               CAST(sr AS INT) AS samplerate,
+               pad = 1 AS padded
+        FROM f4
+    """,
+    "webm_vp8_frames": """
+        WITH p AS (
+            SELECT doc_id,
+                   CAST(unnest(range(0, 2 + doc_id % 3)) AS INT) AS i
+            FROM documents WHERE doc_id < 200),
+        t AS (
+            SELECT doc_id, i,
+                   (doc_id * 7 + i * 31) % 256 AS vy,
+                   (doc_id * 11 + i * 17) % 200 AS vu,
+                   (doc_id * 13 + i * 23) % 200 AS vv,
+                   list_value(4, 5, 6, 7, 8, 9, 10, 10, 11, 12, 13, 14, 15, 16, 17, 17, 18, 19, 20, 20, 21, 21, 22, 22, 23, 23, 24, 25, 25, 26, 27, 28, 29, 30, 31, 32, 33, 34, 35, 36, 37, 37, 38, 39, 40, 41, 42, 43, 44, 45, 46, 46, 47, 48, 49, 50, 51, 52, 53, 54, 55, 56, 57, 58, 59, 60, 61, 62, 63, 64, 65, 66, 67, 68, 69, 70, 71, 72, 73, 74, 75, 76, 76, 77, 78, 79, 80, 81, 82, 83, 84, 85, 86, 87, 88, 89, 91, 93, 95, 96, 98, 100, 101, 102, 104, 106, 108, 110, 112, 114, 116, 118, 122, 124, 126, 128, 130, 132, 134, 136, 138, 140, 143, 145, 148, 151, 154, 157)[(doc_id % 128) + 1] AS dcq
+            FROM p),
+        yuv AS (
+            SELECT doc_id, i,
+                   least(255, 128 + (((vy * dcq * 2 + 3) // 8) + 4) // 8)
+                       AS yy,
+                   least(255, 128 + (vu * least(dcq, 132) + 4) // 8) AS uu,
+                   least(255, 128 + (vv * least(dcq, 132) + 4) // 8) AS vv2
+            FROM t)
+        SELECT doc_id,
+               i AS frame,
+               CAST(i * 33 AS BIGINT) AS timecode,
+               TRUE AS keyframe,
+               CAST(16 AS INT) AS w, CAST(16 AS INT) AS h,
+               CAST(greatest(0, least(255, CAST(floor(
+                   (298 * (yy - 16) + 409 * (vv2 - 128) + 128) / 256.0
+               ) AS BIGINT))) AS INT) AS r,
+               CAST(greatest(0, least(255, CAST(floor(
+                   (298 * (yy - 16) - 100 * (uu - 128)
+                    - 208 * (vv2 - 128) + 128) / 256.0
+               ) AS BIGINT))) AS INT) AS g,
+               CAST(greatest(0, least(255, CAST(floor(
+                   (298 * (yy - 16) + 516 * (uu - 128) + 128) / 256.0
+               ) AS BIGINT))) AS INT) AS b
+        FROM yuv
     """,
     "warc_wat": """
         WITH t AS (

@@ -513,6 +513,27 @@ def test_mkv_blocks_clusters_groups_and_lacing():
     assert mp.mkv_blocks(b"not ebml") is None
 
 
+def test_mp3_frames_byte_ranges():
+    """Per-frame MP3 byte ranges: contiguous, header-sync'd, sized by
+    the 144*br*1000//sr+pad formula, ID3v2/ID3v1 skipped; agrees with
+    mp3_probe's frame count."""
+    from mechaml_spark import mediaprobe as mp
+
+    data = mp.mp3_write(5, bitrate_idx=9, sr_idx=1, id3v2_size=30,
+                        vbr_step=1, id3v1=True)
+    rows = mp.mp3_frames(data)
+    assert len(rows) == 5 == mp.mp3_probe(data)["n_frames"]
+    off = 40  # 10-byte ID3v2 header + 30 payload
+    for i, r in enumerate(rows):
+        assert r["offset"] == off
+        assert data[r["offset"]] == 0xFF  # frame sync at every range
+        bi = min(9 + (i % 3), 14)
+        want = 144 * mp._BR_V1L3[bi] * 1000 // 48000 + (i % 2)
+        assert r["size"] == want and r["padded"] == bool(i % 2)
+        off += r["size"]
+    assert mp.mp3_frames(b"junk") is None
+
+
 def test_id3v22_six_byte_frames():
     """ID3v2.2 frames use 6-byte headers (3-byte IDs, 3-byte sizes);
     parsing them with the v2.3 10-byte layout silently drops every
