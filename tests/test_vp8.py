@@ -247,3 +247,70 @@ def test_rgb_psnr_vs_libwebp_rgb():
     mse = np.mean((ours - theirs) ** 2)
     psnr = 10 * np.log10(255.0 ** 2 / mse) if mse else np.inf
     assert psnr >= 40.0, f"RGB PSNR {psnr:.1f} dB vs libwebp"
+
+
+def test_animated_webp_with_lossy_vp8_frames():
+    """ANMF frames carrying ``VP8 `` (lossy) payloads decode through
+    vp8.py inside the shared animation compositor — hand-assembled
+    container, flat frames, closed-form colors."""
+    import struct as _struct
+
+    from mechaml_spark.webp import _chunk, _u24, webp_decode_frames
+
+    def anmf(x, y, w, h, dur, payload):
+        hdr = (_u24(x // 2) + _u24(y // 2) + _u24(w - 1) + _u24(h - 1)
+               + _u24(dur) + bytes([0x02]))  # no blend, no dispose
+        return _chunk(b"ANMF", hdr + _chunk(b"VP8 ", payload))
+
+    f0 = vp8.vp8_encode_flat(16, 16, 40, 0, 0, 0)
+    f1 = vp8.vp8_encode_flat(16, 16, 0, 0, 120, 0)
+    body = _chunk(
+        b"VP8X", bytes([0x02]) + b"\x00\x00\x00" + _u24(15) + _u24(15)
+    )
+    body += _chunk(b"ANIM", bytes([0, 0, 0, 255]) + _struct.pack("<H", 0))
+    body += anmf(0, 0, 16, 16, 100, f0) + anmf(0, 0, 16, 16, 200, f1)
+    data = b"RIFF" + _struct.pack("<I", 4 + len(body)) + b"WEBP" + body
+
+    frames = webp_decode_frames(data)
+    assert [d for d, _ in frames] == [100, 200]
+    ey0, eu0, ev0 = vp8.webp_lossy_flat_value(40, 0, 0, 0)
+    exp0 = vp8.yuv_to_rgb(
+        np.full((16, 16), ey0, np.uint8),
+        np.full((8, 8), eu0, np.uint8),
+        np.full((8, 8), ev0, np.uint8),
+    )
+    assert np.array_equal(frames[0][1], exp0)
+    ey1, eu1, ev1 = vp8.webp_lossy_flat_value(0, 0, 120, 0)
+    exp1 = vp8.yuv_to_rgb(
+        np.full((16, 16), ey1, np.uint8),
+        np.full((8, 8), eu1, np.uint8),
+        np.full((8, 8), ev1, np.uint8),
+    )
+    assert np.array_equal(frames[1][1], exp1)
+
+
+def test_corrupt_streams_fail_cleanly():
+    """Crawl reality: truncated/garbage payloads must raise (ValueError
+    family) promptly — never hang, never return garbage silently."""
+    rng = np.random.default_rng(9)
+    good = vp8.vp8_encode_flat(32, 32, 50, 20, -20, 10)
+    for blob in [
+        b"", b"\x00", b"\xff" * 10,
+        good[:9],                       # header truncation
+        good[:len(good) // 2],          # mid-stream truncation
+        b"\x00" * 3 + good[3:],         # broken frame tag
+        bytes(rng.integers(0, 256, 200, dtype=np.uint8)),
+    ]:
+        try:
+            vp8.decode_yuv(blob)
+        except ValueError:
+            pass  # VP8Error is a ValueError
+    # bit flips in the token partition: decode returns SOMETHING or
+    # raises, but always terminates (bounded loops by construction)
+    for pos in range(20, min(len(good), 60), 7):
+        b = bytearray(good)
+        b[pos] ^= 0xFF
+        try:
+            vp8.decode_yuv(bytes(b))
+        except ValueError:
+            pass
