@@ -1064,12 +1064,23 @@ def _write_eob(be, probs_row):
 
 
 def vp8_encode_flat(width: int, height: int, vy: int, vu: int, vv: int,
-                    qi: int = 0) -> bytes:
+                    qi: int = 0, n_token_partitions: int = 1) -> bytes:
     """Conformant VP8 keyframe: flat image whose decoded planes are
     the closed forms in :func:`webp_lossy_flat_value` for DC tokens
     ``vy``/``vu``/``vv`` (each in [-2048, 2047]) at quantizer index
     ``qi``.  Loop filter off; MB (0,0) carries the coefficients and
-    every other MB is skip-coded."""
+    every other MB is skip-coded.
+
+    ``n_token_partitions`` in {1, 2, 4, 8} exercises the
+    multi-partition token layout (§9.5: 3-byte little-endian sizes
+    for all but the last partition; MB row r reads partition
+    r % n).  With n > 1 the FIRST MB of every row is coded skip=0
+    with explicit all-EOB token blocks so every partition carries
+    real reads — libwebp's simple encoder only ever writes one
+    partition, so this writer is the only in-sandbox source of
+    multi-partition streams (validated against libwebp decode)."""
+    if n_token_partitions not in (1, 2, 4, 8):
+        raise VP8Error("n_token_partitions must be 1, 2, 4, or 8")
     mb_w, mb_h = (width + 15) >> 4, (height + 15) >> 4
 
     # ---- partition 0: header + modes
@@ -1081,7 +1092,7 @@ def vp8_encode_flat(width: int, height: int, vy: int, vu: int, vv: int,
     b0.literal(6, 0)  # loop filter level 0
     b0.literal(3, 0)  # sharpness
     b0.write(128, 0)  # no lf deltas
-    b0.literal(2, 0)  # one token partition
+    b0.literal(2, {1: 0, 2: 1, 4: 2, 8: 3}[n_token_partitions])
     b0.literal(7, qi)  # y_ac_qi
     for _ in range(5):
         b0.write(128, 0)  # no quant deltas
@@ -1094,49 +1105,77 @@ def vp8_encode_flat(width: int, height: int, vy: int, vu: int, vv: int,
                     b0.write(int(upd[i, j, k, m]), 0)
     b0.write(128, 1)  # mb_no_coeff_skip enabled
     b0.literal(8, 128)  # prob_skip_false
-    for mb in range(mb_w * mb_h):
-        b0.write(128, 0 if mb == 0 else 1)  # skip flag
-        b0.tree(KF_YMODE_TREE, KF_YMODE_PROBS, DC_PRED)
-        b0.tree(UV_MODE_TREE, KF_UV_MODE_PROBS, DC_PRED)
+    # with multi-partition output, the first MB of every row carries
+    # explicit (all-EOB beyond MB 0,0) token blocks so each partition
+    # gets real reads; everything else is skip-coded
+    def has_tokens(mb_r: int, mb_c: int) -> bool:
+        if mb_r == 0 and mb_c == 0:
+            return True
+        return n_token_partitions > 1 and mb_c == 0
+
+    for mb_r in range(mb_h):
+        for mb_c in range(mb_w):
+            b0.write(128, 0 if has_tokens(mb_r, mb_c) else 1)
+            b0.tree(KF_YMODE_TREE, KF_YMODE_PROBS, DC_PRED)
+            b0.tree(UV_MODE_TREE, KF_UV_MODE_PROBS, DC_PRED)
     part0 = b0.flush()
 
-    # ---- token partition: MB (0,0) only
+    # ---- token partitions (MB row r -> partition r % n)
     probs = DEFAULT_COEFF_PROBS
-    bt = BoolEncoder()
-    # Y2: DC token + EOB (plane 1, coeff 0 then band of coeff 1).
-    # vy == 0 must be an EMPTY block (immediate EOB): a ZERO token
-    # followed by EOB is non-conformant (no EOB after a zero, §13.3).
-    row = probs[1][COEFF_BANDS[0]][0]
-    if vy:
-        _write_token(bt, row, vy, prev_zero=False)
-        _write_eob(bt, probs[1][COEFF_BANDS[1]][1 if abs(vy) == 1 else 2])
-    else:
-        _write_eob(bt, row)
-    # 16 Y blocks: immediate EOB at coeff 1 (plane 0), ctx from
-    # neighbors' nonzero flags — all zero here
-    for sb in range(16):
-        _write_eob(bt, probs[0][COEFF_BANDS[1]][0])
-    # chroma: 4 U then 4 V; first block carries DC, rest EOB.
-    # Context: U sb0 writes DC (nz=1); sb1 (left neighbor... above=0
-    # left=... ) — keep EVERY chroma block carrying the same DC so
-    # all four reconstruct identically and contexts are explicit.
-    for vc in (vu, vv):
-        nz_a = [0, 0]
-        nz_l = [0, 0]
-        for sb in range(4):
-            r, c = sb >> 1, sb & 1
-            ctx = nz_a[c] + nz_l[r]
-            row = probs[2][COEFF_BANDS[0]][ctx]
-            if vc:
-                _write_token(bt, row, vc, prev_zero=False)
-                _write_eob(
-                    bt, probs[2][COEFF_BANDS[1]][1 if abs(vc) == 1 else 2]
-                )
-                nz_a[c] = nz_l[r] = 1
-            else:
-                _write_eob(bt, row)
-                nz_a[c] = nz_l[r] = 0
-    tokens = bt.flush()
+    bts = [BoolEncoder() for _ in range(n_token_partitions)]
+
+    def write_mb_tokens(bt: BoolEncoder, y2_ctx: int, uv_ctx,
+                        dcs) -> None:
+        """One MB's token blocks.  ``dcs`` = (vy, vu, vv) or all-0
+        for an explicit empty MB; ``uv_ctx`` = first-coeff ctx for
+        chroma subblocks [sb0, sb1] (sb2/sb3 are always 0 here)."""
+        wy, wu, wv = dcs
+        # Y2: DC token + EOB.  vy == 0 must be an EMPTY block
+        # (immediate EOB): ZERO then EOB is non-conformant (§13.3).
+        row = probs[1][COEFF_BANDS[0]][y2_ctx]
+        if wy:
+            _write_token(bt, row, wy, prev_zero=False)
+            _write_eob(
+                bt, probs[1][COEFF_BANDS[1]][1 if abs(wy) == 1 else 2]
+            )
+        else:
+            _write_eob(bt, row)
+        # 16 Y blocks: immediate EOB at coeff 1; all neighbor nz = 0
+        # (Y blocks never carry their own coeffs in this writer)
+        for _sb in range(16):
+            _write_eob(bt, probs[0][COEFF_BANDS[1]][0])
+        # chroma: 4 U then 4 V
+        for vc, ctx01 in ((wu, uv_ctx[0]), (wv, uv_ctx[1])):
+            nz_a = [ctx01, ctx01]
+            nz_l = [0, 0]
+            for sb in range(4):
+                r, c = sb >> 1, sb & 1
+                ctx = nz_a[c] + nz_l[r]
+                row = probs[2][COEFF_BANDS[0]][ctx]
+                if vc:
+                    _write_token(bt, row, vc, prev_zero=False)
+                    _write_eob(
+                        bt,
+                        probs[2][COEFF_BANDS[1]][1 if abs(vc) == 1 else 2],
+                    )
+                    nz_a[c] = nz_l[r] = 1
+                else:
+                    _write_eob(bt, row)
+                    nz_a[c] = nz_l[r] = 0
+
+    write_mb_tokens(bts[0], 0, (0, 0), (vy, vu, vv))
+    if n_token_partitions > 1:
+        for mb_r in range(1, mb_h):
+            # contexts at the row's first MB: above = MB (r-1, 0)'s
+            # flags (nonzero only for r == 1, inherited from the DC
+            # carrier), left = 0 (row start)
+            y2_ctx = 1 if (mb_r == 1 and vy) else 0
+            uvc = (1 if (mb_r == 1 and vu) else 0,
+                   1 if (mb_r == 1 and vv) else 0)
+            write_mb_tokens(
+                bts[mb_r % n_token_partitions], y2_ctx, uvc, (0, 0, 0)
+            )
+    parts = [bt.flush() for bt in bts]
 
     first_part_size = len(part0)
     tag = (0) | (0 << 1) | (1 << 4) | (first_part_size << 5)
@@ -1144,7 +1183,10 @@ def vp8_encode_flat(width: int, height: int, vy: int, vu: int, vv: int,
     header += b"\x9d\x01\x2a"
     header += struct.pack("<H", width)
     header += struct.pack("<H", height)
-    return header + part0 + tokens
+    sizes = b"".join(
+        len(p).to_bytes(3, "little") for p in parts[:-1]
+    )
+    return header + part0 + sizes + b"".join(parts)
 
 
 def webp_lossy_flat_value(vy: int, vu: int, vv: int, qi: int = 0):

@@ -314,3 +314,26 @@ def test_corrupt_streams_fail_cleanly():
             vp8.decode_yuv(bytes(b))
         except ValueError:
             pass
+
+
+@pytest.mark.parametrize("nparts", [2, 4, 8])
+def test_multi_token_partitions(nparts):
+    """§9.5 multi-partition token layout (MB row r reads partition
+    r % n; 3-byte little-endian sizes): libwebp's simple encoder
+    never emits this, so the writer is the only in-sandbox source —
+    both our decoder and libwebp (when present) must land on the
+    closed forms."""
+    vy, vu, vv, qi = 37, 21, -14, 6
+    p = vp8.vp8_encode_flat(48, 80, vy, vu, vv, qi,
+                            n_token_partitions=nparts)
+    y, u, v = vp8.decode_yuv(p)
+    ey, eu, ev = vp8.webp_lossy_flat_value(vy, vu, vv, qi)
+    assert (y == ey).all() and (u == eu).all() and (v == ev).all()
+    lib = _libwebp()
+    if lib is not None:
+        chunk = b"VP8 " + struct.pack("<I", len(p)) + p
+        if len(p) & 1:
+            chunk += b"\x00"
+        data = b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+        ly, lu, lv = _lib_yuv(lib, data)
+        assert (ly == ey).all() and (lu == eu).all() and (lv == ev).all()
