@@ -30,6 +30,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpus", type=int, required=True)
     ap.add_argument("--quiet", type=float, default=3.3)
+    # round-4 methodology fix (BENCH.md "Instrumented leg"): gate on
+    # per-core idleness and hypervisor steal, not just the timing
+    # probe — a narrow taskset can dodge load the whole-host probe
+    # misses, and a wide one can't
+    ap.add_argument("--idle-margin", type=int, default=2)
+    ap.add_argument("--max-steal", type=float, default=0.002)
     ap.add_argument("--max-wait", type=float, default=3600)
     ap.add_argument("--poll", type=float, default=120)
     ap.add_argument("--out", default=None)
@@ -48,9 +54,12 @@ def main() -> None:
     probes = []
     while True:
         p = cpu_probe()
-        probes.append(p)
-        print(f"probe {p}", flush=True)
-        if p <= args.quiet:
+        idle = idle_cores()
+        st = steal_frac()
+        probes.append({"probe": p, "idle": idle, "steal": st})
+        print(f"probe {p} idle {idle} steal {st}", flush=True)
+        if (p <= args.quiet and idle >= args.cpus + args.idle_margin
+                and st <= args.max_steal):
             break
         if time.time() > deadline:
             print("gave up waiting for quiet window", flush=True)
