@@ -1261,7 +1261,7 @@ def fetch(
     # and the downstream joins/unions are near-free).
     # count-free strategy gate: hint-driven, decided once for all hops
     hop_strategy = "scan"
-    if jar_size_hint is not None and jar_size_hint > 4096:
+    if jar_size_hint is not None and jar_size_hint > ck.SMALL_JAR_THRESHOLD:
         hop_strategy = "join"
     for _hop in range(max_redirect + 1):
         req = cur

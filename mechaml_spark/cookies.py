@@ -272,13 +272,19 @@ def cookie_match_cond(host: Column, uri_path: Column, jar) -> Column:
     return domain_ok & path_ok
 
 
+# jar sizes up to this ride the broadcast-scan strategy; beyond it the
+# suffix-chain hash equi-join wins (shared with agent.fetch's
+# count-free jar_size_hint gate)
+SMALL_JAR_THRESHOLD = 4096
+
+
 def add_to_headers(
     requests: DataFrame,
     jar_df: DataFrame,
     url_col: str = "url",
     out_col: str = "cookie_header",
     strategy: str = "auto",
-    small_jar_threshold: int = 4096,
+    small_jar_threshold: int = SMALL_JAR_THRESHOLD,
 ) -> DataFrame:
     """Append the matched ``Cookie`` header value (jar key order,
     possibly "") to every request row (cookiejar.ml:123-137).

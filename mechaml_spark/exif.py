@@ -306,6 +306,8 @@ def _iter_jpeg_segments(data: bytes):
         # ITU T.81 B.1.1.2: markers may be preceded by fill bytes
         while p + 1 < len(data) and data[p + 1] == 0xFF:
             p += 1
+        if p + 4 > len(data):  # fill run reached the buffer end
+            raise ExifError(f"truncated inside fill bytes at {p}")
         marker = data[p + 1]
         if marker in (0xDA, 0xD9):  # SOS / EOI: header section over
             return

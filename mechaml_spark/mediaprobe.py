@@ -420,52 +420,14 @@ def mp3_probe(data: bytes) -> dict | None:
     trailer, validates each sync, decodes version/layer/bitrate/
     samplerate/padding, and accumulates sample-exact duration.  Returns
     None when no valid Layer-III frame is found at the start."""
-    off, end = 0, len(data)
-    if data[:3] == b"ID3" and end >= 10:
-        sz = 0
-        for b in data[6:10]:
-            sz = (sz << 7) | (b & 0x7F)
-        off = 10 + sz + (10 if (data[5] & 0x10) else 0)
-    if end - off >= 128 and data[end - 128:end - 125] == b"TAG":
-        end -= 128
-    n_frames = 0
-    samples = 0
-    total_bytes = 0
-    sr = None
-    bitrates: set[int] = set()
-    while off + 4 <= end:
-        b0, b1, b2, _b3 = data[off:off + 4]
-        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
-            break
-        ver_bits = (b1 >> 3) & 0b11
-        layer_bits = (b1 >> 1) & 0b11
-        if layer_bits != 0b01 or ver_bits == 0b01:  # not L3 / reserved
-            break
-        bi = (b2 >> 4) & 0xF
-        si = (b2 >> 2) & 0b11
-        pad = (b2 >> 1) & 1
-        if bi in (0, 15) or si == 3:
-            break
-        if ver_bits == 0b11:
-            br, fsr, coef, spf = _BR_V1L3[bi], _SR_V1[si], 144, 1152
-        elif ver_bits == 0b10:
-            br, fsr, coef, spf = _BR_V2L3[bi], _SR_V2[si], 72, 576
-        else:  # MPEG-2.5
-            br, fsr, coef, spf = _BR_V2L3[bi], _SR_V25[si], 72, 576
-        flen = coef * br * 1000 // fsr + pad
-        if off + flen > end:
-            break
-        if sr is None:
-            sr = fsr
-        elif fsr != sr:
-            break
-        n_frames += 1
-        samples += spf
-        total_bytes += flen
-        bitrates.add(br)
-        off += flen
-    if n_frames == 0 or sr is None:
+    rows = mp3_frames(data)
+    if rows is None:
         return None
+    n_frames = len(rows)
+    samples = sum(r["samples"] for r in rows)
+    total_bytes = sum(r["size"] for r in rows)
+    sr = rows[0]["samplerate"]
+    bitrates = {r["bitrate_kbps"] for r in rows}
     dur_ms = samples * 1000 // sr
     cbr = len(bitrates) == 1
     kbps = (
@@ -888,22 +850,28 @@ def _ebml_lace_sizes(data: bytes, off: int, end: int, mode: int,
             return None
         sizes = [total // n_frames] * (n_frames - 1)
     else:  # 0x06 EBML: first absolute vint, rest signed vint deltas
-        r = _ebml_read_vint(data, off, keep_marker=False)
-        if r is None:
-            return None
-        first, off = r
-        sizes = [first]
-        prev = first
-        for _ in range(n_frames - 2):
+        sizes = []
+        if n_frames >= 2:
+            # RFC 9559 §10.3.4: with ONE frame there are NO size
+            # fields at all — the first vint exists only from 2 up
             r = _ebml_read_vint(data, off, keep_marker=False)
             if r is None:
                 return None
-            raw, noff = r
-            width = noff - off
-            off = noff
-            # signed vint: subtract 2^(7w-1) - 1
-            prev += raw - ((1 << (7 * width - 1)) - 1)
-            sizes.append(prev)
+            first, off = r
+            sizes = [first]
+            prev = first
+            for _ in range(n_frames - 2):
+                r = _ebml_read_vint(data, off, keep_marker=False)
+                if r is None:
+                    return None
+                raw, noff = r
+                width = noff - off
+                off = noff
+                # signed vint: subtract 2^(7w-1) - 1
+                prev += raw - ((1 << (7 * width - 1)) - 1)
+                sizes.append(prev)
+    if any(s < 0 for s in sizes):  # corrupt deltas, not a valid lace
+        return None
     remaining = (end - off) - sum(sizes)
     if remaining < 0:
         return None
@@ -1030,7 +998,9 @@ def mkv_write_clusters(
                             head += b"\xff"
                             n -= 255
                         head += bytes([n])
-                elif mode == "ebml":
+                elif mode == "ebml" and len(parts) >= 2:
+                    # single-frame EBML lacing carries NO size fields
+                    # (RFC 9559 §10.3.4)
                     head += _ebml_size(len(parts[0]))
                     prev = len(parts[0])
                     for p in parts[1:-1]:
@@ -1883,6 +1853,8 @@ def jpeg_color_probe(data: bytes) -> dict | None:
         # ITU T.81 B.1.1.2: markers may be preceded by 0xFF fill bytes
         while p + 1 < len(data) and data[p + 1] == 0xFF:
             p += 1
+        if p + 4 > len(data):  # fill run reached the buffer end
+            break
         marker = data[p + 1]
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             p += 2
@@ -1964,6 +1936,9 @@ def jpeg_verify(data: bytes) -> dict:
         # ITU T.81 B.1.1.2: markers may be preceded by 0xFF fill bytes
         while p + 1 < len(data) and data[p + 1] == 0xFF:
             p += 1
+        if p + 4 > len(data):  # fill run reached the buffer end
+            out["truncated"] = True
+            return out
         marker = data[p + 1]
         if marker == 0xDA:  # SOS: entropy data until EOI
             out["has_end"] = data.rstrip(b"\x00")[-2:] == b"\xff\xd9"

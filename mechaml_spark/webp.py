@@ -628,7 +628,8 @@ def webp_decode(data: bytes) -> np.ndarray:
             fourcc == b"VP8X" and size >= 1 and payload[0] & 0x02
         ):
             raise NotImplementedError(
-                "animated WebP not available in-sandbox"
+                "webp_decode returns ONE still image; this file is "
+                "animated — use webp_decode_frames / webp_decode_anim"
             )
         # VP8X / ICCP / EXIF / XMP / ALPH: keep scanning for VP8L
     raise ValueError("WebP: no VP8L/VP8 image chunk found")

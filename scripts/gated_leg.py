@@ -58,7 +58,11 @@ def main() -> None:
         st = steal_frac()
         probes.append({"probe": p, "idle": idle, "steal": st})
         print(f"probe {p} idle {idle} steal {st}", flush=True)
-        if (p <= args.quiet and idle >= args.cpus + args.idle_margin
+        # cap the idle requirement at the host's core count: a leg as
+        # wide as the box could otherwise never satisfy the gate and
+        # would silently run ungated after --max-wait
+        need_idle = min(args.cpus + args.idle_margin, os.cpu_count() or 1)
+        if (p <= args.quiet and idle >= need_idle
                 and st <= args.max_steal):
             break
         if time.time() > deadline:

@@ -596,3 +596,40 @@ def test_ogg_comment_mining():
         assert pr["audio_codec"] == codec and pr["duration_ms"] > 0
     assert mp.ogg_comments(mp.ogg_write("vorbis", 44100, 1, 10)) is None
     assert mp.ogg_comments(b"zzz") is None
+
+
+def test_fill_byte_truncation_classified_not_raised():
+    """Corrupt streams ending inside a 0xFF fill run must CLASSIFY
+    (truncated) in the verifiers and raise ExifError (not IndexError/
+    struct.error) in the EXIF walker — review finding r4."""
+    import pytest
+
+    from mechaml_spark import exif
+    from mechaml_spark import mediaprobe as mp
+
+    for blob in (b"\xff\xd8" + b"\xff" * 5, b"\xff\xd8\xff\xff\xff\xdb"):
+        got = mp.jpeg_verify(blob)
+        assert got["is_jpeg"] and got["truncated"]
+        mp.jpeg_color_probe(blob)  # must not raise
+        with pytest.raises(exif.ExifError):
+            list(exif._iter_jpeg_segments(blob))
+
+
+def test_ebml_single_frame_lacing_has_no_size_fields():
+    """RFC 9559 §10.3.4: one laced frame -> zero size fields; the
+    walker must not consume payload bytes as a phantom size vint and
+    must emit exactly one lace row — review finding r4."""
+    from mechaml_spark import mediaprobe as mp
+
+    data = mp.mkv_write_clusters([(0, [
+        {"track": 1, "rel_tc": 0, "keyframe": True,
+         "lacing": ("ebml", [b"Q" * 20])},
+        {"track": 1, "rel_tc": 5, "keyframe": False,
+         "lacing": ("xiph", [b"R" * 9])},
+    ])])
+    rows = mp.mkv_blocks(data)
+    assert len(rows) == 2
+    assert data[rows[0]["offset"]:rows[0]["offset"] + rows[0]["size"]] \
+        == b"Q" * 20
+    assert data[rows[1]["offset"]:rows[1]["offset"] + rows[1]["size"]] \
+        == b"R" * 9
