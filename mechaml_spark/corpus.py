@@ -91,16 +91,41 @@ def image_ids(spec: CorpusSpec) -> list[str]:
 
 def img_variant(spec: CorpusSpec, iid: str) -> int:
     """0 plain PNG / 1 Adam7 PNG / 2 baseline JPEG / 3 progressive
-    JPEG / 4 QOI / 5 lossless WebP (VP8L) — deterministic per image
-    id; always 0 with the mix off."""
+    JPEG / 4 QOI / 5 lossless WebP (VP8L) / 6 lossy WebP (VP8) —
+    deterministic per image id; always 0 with the mix off."""
     if not spec.img_fmt_mix:
         return 0
-    return (zlib.crc32(iid.encode()) ^ spec.seed) % 6
+    return (zlib.crc32(iid.encode()) ^ spec.seed) % 7
+
+
+def vp8_flat_tokens(spec: CorpusSpec, iid: str) -> tuple:
+    """(vy, vu, vv, qi) DC tokens for the variant-6 lossy-WebP
+    payload — the in-sandbox VP8 encoder writes flat keyframes, so
+    the 'original' pixels ARE the decoded closed form (the payload
+    invariant then holds exactly; real lossy round-trip tolerance is
+    exercised by the JPEG variants and the libwebp differential
+    suite in tests/test_vp8.py)."""
+    key = zlib.crc32(iid.encode()) ^ spec.seed
+    return ((key >> 3) % 256, (key >> 11) % 200, (key >> 19) % 200,
+            (key >> 27) % 128)
 
 
 def image_pixels(spec: CorpusSpec, iid: str) -> np.ndarray:
     key = zlib.crc32(iid.encode()) ^ spec.seed
     rng = np.random.default_rng(key)
+    if img_variant(spec, iid) == 6:
+        from mechaml_spark import vp8
+
+        vy, vu, vv, qi = vp8_flat_tokens(spec, iid)
+        yv, uv_, vv_ = vp8.webp_lossy_flat_value(vy, vu, vv, qi)
+        rgb = vp8.yuv_to_rgb(
+            np.full((spec.img_h, spec.img_w), yv, np.uint8),
+            np.full(((spec.img_h + 1) // 2, (spec.img_w + 1) // 2),
+                    uv_, np.uint8),
+            np.full(((spec.img_h + 1) // 2, (spec.img_w + 1) // 2),
+                    vv_, np.uint8),
+        )
+        return rgb
     if img_variant(spec, iid) in (2, 3):
         # JPEG variants get SMOOTH content (linear ramps, no clipping)
         # — random noise is the DCT worst case and would not clear the
@@ -345,6 +370,13 @@ def images_df(spark: SparkSession, spec: CorpusSpec) -> DataFrame:
                     from mechaml_spark.webp import webp_encode
 
                     data, fmt = webp_encode(px), "webp"
+                elif v == 6:
+                    from mechaml_spark.webp import webp_encode_lossy_flat
+
+                    data, fmt = webp_encode_lossy_flat(
+                        spec.img_w, spec.img_h,
+                        *vp8_flat_tokens(spec, iid),
+                    ), "webp"
                 else:
                     data, fmt = imaging.png_encode(px), "png"
                 rows.append(

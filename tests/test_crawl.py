@@ -105,8 +105,8 @@ def test_payload_ids_and_invariant(oracle_result, spark_result):
 
 def test_payload_format_mix_invariant(spark):
     """With the corpus image-format mix on (plain PNG / Adam7 PNG /
-    baseline JPEG / progressive JPEG / QOI / lossless WebP by
-    image-id hash), the crawl is still byte-equal to the oracle and
+    baseline JPEG / progressive JPEG / QOI / lossless WebP / lossy
+    VP8 WebP by image-id hash), the crawl is byte-equal to the oracle and
     every payload row satisfies the format-agnostic invariant:
     lossless bit-exact, lossy PSNR >= 40 dB, caption equality."""
     spec = cp.CorpusSpec(n_hosts=3, pages_per_host=8, img_fmt_mix=True)
@@ -128,12 +128,13 @@ def test_payload_format_mix_invariant(spark):
         assert r["alt"] == r["caption"] == cp.caption_of(r["image_id"])
         v = cp.img_variant(spec, r["image_id"])
         variants.add(v)
-        want_fmt = {2: "jpg", 3: "jpg", 4: "qoi", 5: "webp"}.get(v, "png")
+        want_fmt = {2: "jpg", 3: "jpg", 4: "qoi", 5: "webp",
+                    6: "webp"}.get(v, "png")
         assert r["fmt"] == want_fmt
         if v in (2, 3):  # genuinely lossy: bytes decode != reference pixels
             decoded = imaging.decode(bytes(r["bytes"]), "jpg")
             assert imaging.psnr(decoded, ref_px) >= 40.0
-    assert variants == {0, 1, 2, 3, 4, 5}  # all six formats crossed
+    assert variants == {0, 1, 2, 3, 4, 5, 6}  # all seven formats crossed
 
 
 def test_cookie_jar_equivalence(oracle_result, spark_result):
