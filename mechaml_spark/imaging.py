@@ -1,11 +1,12 @@
-"""Stdlib image codecs (PNG / PPM / BMP / GIF) + PSNR — no PIL in-sandbox.
+"""Stdlib image codecs (PNG / PPM / BMP / GIF / TIFF / ICO / QOI)
++ PSNR — no PIL in-sandbox; JPEG lives in jpeg.py, WebP (VP8L
+lossless AND VP8 lossy) in webp.py / vp8.py.
 
 The crawl's payload rows are ``(image_id, bytes, w, h, fmt, caption,
 phash)`` (BASELINE.json input_hint).  The per-row invariant is
 decoded-pixel fidelity: bit-exact for lossless formats, PSNR >= 40 dB
-for lossy ones (we only emit lossless PNG/PPM in-sandbox, so the
-check is exact equality; the PSNR path is exercised by tests with
-synthetic noise).
+for lossy ones (JPEG corpus variants take the PSNR path; the lossy
+VP8 variant's flat frames decode exactly).
 
 PNG decode covers the full static-image spec surface a crawl sees:
 all five color types (gray / truecolor / palette / gray+alpha /

@@ -90,6 +90,81 @@ def image_features(
     return df.mapInPandas(run, schema=out_schema)
 
 
+def patchify(
+    df: DataFrame,
+    patch: int,
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+    id_cols: tuple = ("doc_id",),
+) -> DataFrame:
+    """ViT-style patch extraction — the tiling stage in front of a
+    vision encoder: decode once, split the pixel grid into
+    ``patch`` x ``patch`` tiles (excess right/bottom pixels cropped,
+    the standard ViT convention), and emit ONE ROW PER PATCH with its
+    grid position and exact per-channel mean (x1000 fixed point, the
+    repo's cross-engine integer convention).
+
+    Scale posture: decode + tiling happen inside one mapInPandas
+    batch (pixels never leave the task); the output rows carry 6
+    small integers per patch, so a 100-TB image corpus shuffles
+    patch statistics, not pixels.  Undecodable rows yield zero
+    patches (crawl-tolerant), matching image_features' ok=False
+    convention."""
+    out_fields = [df.schema[c] for c in id_cols]
+    out_schema = T.StructType(
+        list(out_fields) + [
+            T.StructField("patch_row", T.IntegerType()),
+            T.StructField("patch_col", T.IntegerType()),
+            T.StructField("mean_r", T.LongType()),
+            T.StructField("mean_g", T.LongType()),
+            T.StructField("mean_b", T.LongType()),
+        ]
+    )
+    idc = list(id_cols)
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = idc + ["patch_row", "patch_col",
+                      "mean_r", "mean_g", "mean_b"]
+        for pdf in batches:
+            rows = []
+            for _, rec in pdf.iterrows():
+                data = rec[bytes_col]
+                if data is None:
+                    continue
+                try:
+                    px = imaging.decode(bytes(data), rec[fmt_col])
+                except NotImplementedError:
+                    raise
+                except Exception:
+                    continue
+                h, w = px.shape[:2]
+                nr, nc = h // patch, w // patch
+                if nr == 0 or nc == 0:
+                    continue
+                tiles = (
+                    px[:nr * patch, :nc * patch]
+                    .reshape(nr, patch, nc, patch, 3)
+                    .astype(np.int64)
+                )
+                # exact x1000 integer mean per tile (sum*1000 then
+                # round-half-up division — reproducible in SQL)
+                sums = tiles.sum(axis=(1, 3))
+                n = patch * patch
+                means = (sums * 1000 + n // 2) // n
+                base = [rec[c] for c in idc]
+                for r in range(nr):
+                    for c in range(nc):
+                        rows.append(base + [
+                            r, c,
+                            int(means[r, c, 0]),
+                            int(means[r, c, 1]),
+                            int(means[r, c, 2]),
+                        ])
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 def resize_images(
     df: DataFrame,
     out_w: int,

@@ -1635,6 +1635,47 @@ def q_webm_vp8_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-style patch extraction (multimodal.patchify): decode ->
+    4x4 tiling -> one row per patch with grid position and exact
+    x1000 per-channel means — the tiling stage in front of a vision
+    encoder, over the REAL PNG decode path.  Fixtures: 16x16 PNGs
+    whose every 4x4 tile is a flat color derived from (doc_id,
+    patch_row, patch_col), so each patch mean is the pixel value
+    x1000 and the oracle is pure integer arithmetic."""
+    import numpy as _np
+    import pandas as _pd
+
+    from mechaml_spark import imaging as _imaging
+    from mechaml_spark import multimodal
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 300
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                px = _np.empty((16, 16, 3), _np.uint8)
+                for pr in range(4):
+                    for pc in range(4):
+                        base = (did * 3 + pr * 4 + pc) * 17
+                        px[pr * 4:pr * 4 + 4, pc * 4:pc * 4 + 4] = (
+                            base % 256, (base + 85) % 256,
+                            (base + 170) % 256,
+                        )
+                rows.append(
+                    {"doc_id": did, "bytes": _imaging.png_encode(px),
+                     "fmt": "png"}
+                )
+            yield _pd.DataFrame(rows, columns=["doc_id", "bytes", "fmt"])
+
+    media = d.mapInPandas(gen, schema="doc_id long, bytes binary, fmt string")
+    return multimodal.patchify(media, 4)
+
+
 def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual hash (dHash) through the REAL decode path: PNG bytes
     -> pixels -> 9x8 block-mean -> 64 comparison bits (input_hint's
@@ -9651,6 +9692,7 @@ QUERIES = {
     "webm_blocks": q_webm_blocks,
     "mp3_frames": q_mp3_frames,
     "webm_vp8_frames": q_webm_vp8_frames,
+    "image_patches": q_image_patches,
     "image_phash": q_image_phash,
     "image_neardup": q_image_neardup,
     "image_jpeg_features": q_image_jpeg_features,
@@ -11893,6 +11935,26 @@ ORACLES = {
                    (298 * (yy - 16) + 516 * (uu - 128) + 128) / 256.0
                ) AS BIGINT))) AS INT) AS b
         FROM yuv
+    """,
+    "image_patches": """
+        WITH p AS (
+            SELECT doc_id,
+                   CAST(unnest(range(0, 4)) AS INT) AS pr
+            FROM documents WHERE doc_id < 300),
+        g AS (
+            SELECT doc_id, pr, CAST(unnest(range(0, 4)) AS INT) AS pc
+            FROM p),
+        v AS (
+            SELECT doc_id, pr, pc,
+                   (doc_id * 3 + pr * 4 + pc) * 17 AS base
+            FROM g)
+        SELECT doc_id,
+               pr AS patch_row,
+               pc AS patch_col,
+               (base % 256) * 1000 AS mean_r,
+               ((base + 85) % 256) * 1000 AS mean_g,
+               ((base + 170) % 256) * 1000 AS mean_b
+        FROM v
     """,
     "warc_wat": """
         WITH t AS (

@@ -736,3 +736,52 @@ def test_posterize_stats_semantics():
     big = rng.randint(0, 256, (80, 80, 3)).astype(np.uint8)
     dc, _ = im.posterize_stats(big, cap=100)
     assert dc == 100
+
+
+def test_patchify_tiling_and_crop(spark):
+    """patchify: exact x1000 per-tile means, right/bottom crop on
+    non-divisible sizes, zero rows for undecodable payloads."""
+    import numpy as np
+
+    from mechaml_spark import imaging, multimodal
+
+    px = np.zeros((10, 13, 3), np.uint8)
+    px[:4, :4] = (8, 16, 24)       # tile (0,0)
+    px[:4, 4:8] = (100, 0, 50)     # tile (0,1)
+    px[4:8, :4] = 7                # tile (1,0)
+    # cols 8..12 and rows 8..9 are cropped at patch=4 (13//4=3, 10//4=2)
+    px[4:8, 4:8] = (1, 2, 3)
+    px[4:8, 8:12] = 9
+    px[:4, 8:12] = 5
+    df = spark.createDataFrame(
+        [(1, imaging.png_encode(px), "png"), (2, b"junk", "png"),
+         (3, None, "png")],
+        "doc_id long, bytes binary, fmt string",
+    )
+    rows = {(r["doc_id"], r["patch_row"], r["patch_col"]):
+            (r["mean_r"], r["mean_g"], r["mean_b"])
+            for r in multimodal.patchify(df, 4).collect()}
+    assert len(rows) == 6  # 2x3 grid from doc 1 only
+    assert rows[(1, 0, 0)] == (8000, 16000, 24000)
+    assert rows[(1, 0, 1)] == (100000, 0, 50000)
+    assert rows[(1, 1, 0)] == (7000, 7000, 7000)
+    assert rows[(1, 1, 1)] == (1000, 2000, 3000)
+    assert rows[(1, 0, 2)] == (5000, 5000, 5000)
+    assert rows[(1, 1, 2)] == (9000, 9000, 9000)
+
+
+def test_patchify_mixed_tile_rounding(spark):
+    """Non-flat tile: mean is sum*1000 with round-half-up division."""
+    import numpy as np
+
+    from mechaml_spark import imaging, multimodal
+
+    px = np.zeros((4, 4, 3), np.uint8)
+    px[0, 0] = (255, 0, 0)  # R sum 255 over 16 px -> (255000+8)//16
+    df = spark.createDataFrame(
+        [(1, imaging.png_encode(px), "png")],
+        "doc_id long, bytes binary, fmt string",
+    )
+    [r] = multimodal.patchify(df, 4).collect()
+    assert r["mean_r"] == (255 * 1000 + 8) // 16 == 15938
+    assert r["mean_g"] == 0
