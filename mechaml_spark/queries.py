@@ -9206,6 +9206,76 @@ def q_sitemap_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sitemap_videos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Google video-sitemap extension (sitemap.parse_video_sitemaps):
+    the explicit video+description discovery channel — content URL,
+    thumbnail, title, description, duration per <video:video> block,
+    the video twin of sitemap_images.  Fixture: 1 + doc_id%3 <url>
+    entries, each with doc_id%3 <video:video> blocks (doc_id%3==0
+    docs contribute no rows); descriptions only on even video
+    indices, thumbnails only on index 0, duration = 30 + 10*vid_pos
+    — absent fields must surface as NULL.  Scale posture: two-level
+    explode, all fields JVM regexp — codegen end to end."""
+    did = F.col("doc_id")
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(did < 400)
+
+    def vid_block(u, i):
+        return F.concat(
+            F.lit("<video:video><video:content_loc>"
+                  "http://cdn.test/v"),
+            did, F.lit("_"), u, F.lit("_"), i, F.lit(".mp4"),
+            F.lit("</video:content_loc>"),
+            F.when(
+                i == 0,
+                F.concat(F.lit("<video:thumbnail_loc>"
+                               "http://cdn.test/t"),
+                         did, F.lit(".jpg</video:thumbnail_loc>")),
+            ).otherwise(F.lit("")),
+            F.lit("<video:title>v"), i, F.lit(" p"), u,
+            F.lit("</video:title>"),
+            F.when(
+                i % 2 == 0,
+                F.concat(F.lit("<video:description>video "), i,
+                         F.lit(" of doc "), did,
+                         F.lit("</video:description>")),
+            ).otherwise(F.lit("")),
+            F.lit("<video:duration>"), F.lit(30) + i * 10,
+            F.lit("</video:duration></video:video>"),
+        )
+
+    def url_block(u):
+        vids = F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), (did % 3 - 1).cast("int")),
+                lambda i: vid_block(u, i),
+            ),
+            "",
+        )
+        return F.concat(
+            F.lit("<url><loc>http://site"), did % 10,
+            F.lit(".test/p"), did, F.lit("/"), u, F.lit("</loc>"),
+            F.when(did % 3 > 0, vids).otherwise(F.lit("")),
+            F.lit("</url>"),
+        )
+
+    body = F.concat(
+        F.lit('<?xml version="1.0"?><urlset>'),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), (did % 3).cast("int")),
+                url_block,
+            ),
+            "",
+        ),
+        F.lit("</urlset>"),
+    )
+    from mechaml_spark import sitemap as _sm
+
+    return _sm.parse_video_sitemaps(
+        d.select("doc_id", body.alias("body")), keep_cols=("doc_id",)
+    )
+
+
 def q_id3_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ID3v2 text-frame mining (mediaprobe.id3v2_tags): the audio
     caption channel — title/artist/album ride in the tag block that
@@ -9662,6 +9732,7 @@ QUERIES = {
     "adaptive_delay": q_adaptive_delay,
     "lang_segments": q_lang_segments,
     "sitemap_images": q_sitemap_images,
+    "sitemap_videos": q_sitemap_videos,
     "id3_tags": q_id3_tags,
     "ogg_tags": q_ogg_tags,
     "hls_playlists": q_hls_playlists,
@@ -10253,6 +10324,28 @@ ORACLES = {
     """,
     # One row per (url u, image i) with i < doc_id%4 and
     # u <= doc_id%3; caption on even i, title only on i=0.
+    "sitemap_videos": """
+        WITH us AS (SELECT * FROM (VALUES (0),(1),(2)) t(u)),
+             vs AS (SELECT * FROM (VALUES (0),(1)) t(i))
+        SELECT d.doc_id,
+               'http://site' || (d.doc_id % 10) || '.test/p'
+                 || d.doc_id || '/' || u.u AS page_loc,
+               CAST(i.i AS INT) AS vid_pos,
+               'http://cdn.test/v' || d.doc_id || '_' || u.u || '_'
+                 || i.i || '.mp4' AS content_loc,
+               CASE WHEN i.i = 0
+                    THEN 'http://cdn.test/t' || d.doc_id || '.jpg'
+               END AS thumbnail_loc,
+               'v' || i.i || ' p' || u.u AS title,
+               CASE WHEN i.i % 2 = 0
+                    THEN 'video ' || i.i || ' of doc ' || d.doc_id
+               END AS description,
+               CAST(30 + i.i * 10 AS INT) AS duration_s
+        FROM documents d, us u, vs i
+        WHERE d.doc_id < 400
+          AND u.u <= d.doc_id % 3
+          AND i.i < d.doc_id % 3
+    """,
     "sitemap_images": """
         WITH us AS (SELECT * FROM (VALUES (0),(1),(2)) t(u)),
              im AS (SELECT * FROM (VALUES (0),(1),(2)) t(i))

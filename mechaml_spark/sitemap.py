@@ -157,6 +157,69 @@ def gunzip_text(
     return df.withColumn(out_col, _gunzip(F.col(bytes_col)))
 
 
+# -------------------------------------------- Google video extension
+
+_VID_BLOCK = r"(?s)<video:video>(.*?)</video:video>"
+_VID_CONTENT = r"(?s)<video:content_loc>\s*(.*?)\s*</video:content_loc>"
+_VID_THUMB = r"(?s)<video:thumbnail_loc>\s*(.*?)\s*</video:thumbnail_loc>"
+_VID_TITLE = r"(?s)<video:title>\s*(.*?)\s*</video:title>"
+_VID_DESC = r"(?s)<video:description>\s*(.*?)\s*</video:description>"
+_VID_DURATION = r"(?s)<video:duration>\s*(\d+)\s*</video:duration>"
+
+
+def parse_video_sitemaps(
+    df: DataFrame, xml_col: str = "body", keep_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Google video-sitemap extension: one row per ``<video:video>``
+    inside each ``<url>`` — the channel through which sites
+    EXPLICITLY hand crawlers video+description pairs (content URL,
+    thumbnail, title, description, duration per the published spec),
+    the video twin of :func:`parse_image_sitemaps` and the
+    highest-precision discovery source a video-caption pipeline has.
+
+    Output: ``keep_cols`` + ``page_loc``, ``vid_pos``,
+    ``content_loc`` and ``thumbnail_loc`` (canonicalized),
+    ``title`` / ``description`` (null where absent),
+    ``duration_s`` (int, null where absent — the spec caps it at
+    28800 s but out-of-range values are surfaced, not judged, so a
+    policy stage can flag them).  Two-level explode, all fields JVM
+    regexp — codegen end to end, no Python worker."""
+    xml = F.col(xml_col)
+    urls = df.select(
+        *[F.col(c) for c in keep_cols],
+        F.explode(F.regexp_extract_all(xml, F.lit(_URL_BLOCK), 1))
+        .alias("entry"),
+    )
+    page_loc = page.canonicalize_col(
+        F.replace(_field(F.col("entry"), _LOC), F.lit("&amp;"),
+                  F.lit("&"))
+    )
+    vids = urls.select(
+        *keep_cols,
+        page_loc.alias("page_loc"),
+        F.posexplode(
+            F.regexp_extract_all(F.col("entry"), F.lit(_VID_BLOCK), 1)
+        ).alias("vid_pos", "vid"),
+    ).where(F.col("page_loc").isNotNull())
+    v = F.col("vid")
+    content = page.canonicalize_col(
+        F.replace(_field(v, _VID_CONTENT), F.lit("&amp;"), F.lit("&"))
+    )
+    thumb = page.canonicalize_col(
+        F.replace(_field(v, _VID_THUMB), F.lit("&amp;"), F.lit("&"))
+    )
+    return vids.select(
+        *keep_cols,
+        "page_loc",
+        "vid_pos",
+        content.alias("content_loc"),
+        thumb.alias("thumbnail_loc"),
+        _field(v, _VID_TITLE).alias("title"),
+        _field(v, _VID_DESC).alias("description"),
+        _field(v, _VID_DURATION).cast("int").alias("duration_s"),
+    ).where(F.col("content_loc").isNotNull())
+
+
 # -------------------------------------------- Google image extension
 
 _IMG_BLOCK = r"(?s)<image:image>(.*?)</image:image>"
