@@ -47,6 +47,21 @@ def _brotli_decoder():
     try:  # a real brotli wheel wins if a deployment installs one
         import brotli  # type: ignore
 
+        if hasattr(brotli, "Decompressor"):
+            # bounded loop: feed input in chunks, stop the moment the
+            # output crosses the cap — a bomb never allocates past it
+            # (the one-shot decompress() would inflate fully first)
+            def _decode(data: bytes, cap: int) -> bytes:
+                dec = brotli.Decompressor()
+                feed = getattr(dec, "process", None) or dec.decompress
+                out = bytearray()
+                for i in range(0, len(data), 1 << 16):
+                    out += feed(data[i : i + (1 << 16)])
+                    if len(out) >= cap:
+                        break
+                return bytes(out[:cap])
+
+            return _decode
         return lambda data, cap: brotli.decompress(data)[:cap]
     except ImportError:
         pass

@@ -32,6 +32,40 @@ import numpy as np
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
+#: Pixel-allocation budget per decoded image (w*h).  A crawl decodes
+#: hostile bytes; a 10^5 x 10^5 header would otherwise ask for a 30 GB
+#: canvas before a single pixel is read.  2^26 = 67.1 M pixels covers
+#: every real photograph (a 8192x8192 texture is 2^26 exactly) while
+#: capping the canvas at ~256 MB RGBA.
+MAX_PIXELS = 1 << 26
+
+
+def pixel_gate(w: int, h: int, what: str = "image") -> None:
+    """Reject dimension headers whose pixel product exceeds
+    :data:`MAX_PIXELS` BEFORE any allocation happens (decompression /
+    canvas bombs).  Loud by design — callers on the crawl path already
+    convert decode errors to per-row nulls."""
+    if w < 0 or h < 0 or w * h > MAX_PIXELS:
+        raise ValueError(
+            f"{what} dimensions {w}x{h} exceed the {MAX_PIXELS}-pixel "
+            "decode budget"
+        )
+
+
+def inflate_bounded(data: bytes, cap: int, what: str = "deflate stream") -> bytes:
+    """zlib-inflate at most ``cap`` bytes; raise loudly on streams that
+    would produce more (decompression bombs) WITHOUT allocating them.
+    Allocation is bounded at ``cap + 1`` bytes no matter what the
+    stream claims (django's bomb-safe recipe: ``max_length`` +
+    unconsumed-tail probe)."""
+    d = zlib.decompressobj()
+    out = d.decompress(bytes(data), cap + 1)
+    if len(out) > cap or (
+        d.unconsumed_tail and d.decompress(d.unconsumed_tail, 1)
+    ):
+        raise ValueError(f"{what} inflates beyond the {cap}-byte cap")
+    return out
+
 
 def _chunk(tag: bytes, data: bytes) -> bytes:
     return (
@@ -163,6 +197,7 @@ def png_decode(data: bytes) -> np.ndarray:
             w, h, bit_depth, color_type, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
+            pixel_gate(w, h, "PNG")
             if color_type not in _PNG_CHANNELS:
                 raise ValueError(f"unsupported PNG color type {color_type}")
             if bit_depth not in _PNG_DEPTHS[color_type]:
@@ -181,7 +216,18 @@ def png_decode(data: bytes) -> np.ndarray:
     if w is None:
         raise ValueError("missing IHDR")
     channels = _PNG_CHANNELS[color_type]
-    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    if interlace == 0:
+        expected = h * (_png_stride(w, bit_depth, channels) + 1)
+    else:
+        expected = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = max(0, -(-(w - x0) // dx))
+            ph = max(0, -(-(h - y0) // dy))
+            if pw and ph:
+                expected += ph * (_png_stride(pw, bit_depth, channels) + 1)
+    raw = np.frombuffer(
+        inflate_bounded(bytes(idat), expected, "PNG IDAT"), dtype=np.uint8
+    )
     if interlace == 0:
         samples, _ = _decode_subimage(raw, 0, w, h, bit_depth, channels)
     else:
@@ -372,6 +418,7 @@ def apng_decode_frames(data: bytes) -> list[tuple[int, np.ndarray]]:
             w, h, bit_depth, color_type, _c, _f, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
+            pixel_gate(w, h, "APNG canvas")
         elif tag == b"PLTE":
             palette = np.frombuffer(body, np.uint8).reshape(-1, 3)
         elif tag == b"tRNS":
@@ -415,7 +462,10 @@ def apng_decode_frames(data: bytes) -> list[tuple[int, np.ndarray]]:
     channels = _PNG_CHANNELS[color_type]
 
     def region_rgba(raw_z: bytes, fw: int, fh: int) -> np.ndarray:
-        raw = np.frombuffer(zlib.decompress(raw_z), np.uint8)
+        expected = fh * (_png_stride(fw, bit_depth, channels) + 1)
+        raw = np.frombuffer(
+            inflate_bounded(raw_z, expected, "APNG frame fdAT"), np.uint8
+        )
         samples, _ = _decode_subimage(raw, 0, fw, fh, bit_depth, channels)
         return _png_rgba(samples, color_type, bit_depth, palette, trns)
 
@@ -637,6 +687,7 @@ def gif_decode_frames(data: bytes) -> list[tuple[int, np.ndarray]]:
 
 def _gif_decode_frames(data: bytes) -> list[tuple[int, np.ndarray]]:
     sw, sh, flags, bg, _ar = struct.unpack_from("<HHBBB", data, 6)
+    pixel_gate(sw, sh, "GIF logical screen")
     pos = 13
     gct = None
     if flags & 0x80:
@@ -843,10 +894,12 @@ def gif_encode_animated(
 # in a JPEG APP1.  LZW/PackBits/tiled TIFFs refuse loudly.
 
 
-def _tiff_lzw_decode(data: bytes) -> bytes:
+def _tiff_lzw_decode(data: bytes, cap: int | None = None) -> bytes:
     """TIFF 6.0 LZW (section 13): MSB-first code packing, 9->12 bit
     codes, Clear=256 / EOI=257, and the spec's EARLY-CHANGE width
-    bump (one code earlier than GIF's LZW — the documented wart)."""
+    bump (one code earlier than GIF's LZW — the documented wart).
+    ``cap`` bounds the output (strip size is known to the caller) so
+    a hostile stream can't inflate unboundedly."""
     out = bytearray()
     pos = 0  # bit position
     nbits = len(data) * 8
@@ -886,6 +939,8 @@ def _tiff_lzw_decode(data: bytes) -> bytes:
         else:
             raise ValueError("TIFF LZW: code out of range")
         out += entry
+        if cap is not None and len(out) > cap:
+            raise ValueError(f"TIFF LZW strip inflates beyond {cap} bytes")
         if len(table) == (1 << width) - 1 and width < 12:  # early change
             width += 1
         prev = entry
@@ -943,8 +998,9 @@ def _tiff_lzw_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
-def _packbits_decode(data: bytes) -> bytes:
-    """TIFF PackBits (Apple RLE, TIFF 6.0 section 9)."""
+def _packbits_decode(data: bytes, cap: int | None = None) -> bytes:
+    """TIFF PackBits (Apple RLE, TIFF 6.0 section 9).  ``cap`` bounds
+    the output like :func:`_tiff_lzw_decode`'s."""
     out = bytearray()
     i = 0
     n = len(data)
@@ -958,6 +1014,8 @@ def _packbits_decode(data: bytes) -> bytes:
             out += data[i : i + 1] * (257 - c)
             i += 1
         # 128: no-op
+        if cap is not None and len(out) > cap:
+            raise ValueError(f"PackBits strip inflates beyond {cap} bytes")
     return bytes(out)
 
 
@@ -1078,10 +1136,10 @@ def tiff_decode(data: bytes) -> np.ndarray:
         raise ValueError(f"bad TIFF: {exc}") from exc
     comp = ifd.get(259, 1)
     unpackers = {
-        1: lambda b: b,
+        1: lambda b, cap: b,
         5: _tiff_lzw_decode,
-        8: zlib.decompress,
-        32946: zlib.decompress,
+        8: lambda b, cap: inflate_bounded(b, cap, "TIFF deflate strip"),
+        32946: lambda b, cap: inflate_bounded(b, cap, "TIFF deflate strip"),
         32773: _packbits_decode,
     }
     if comp not in unpackers:
@@ -1092,6 +1150,7 @@ def tiff_decode(data: bytes) -> np.ndarray:
     if ifd.get(284, 1) != 1:
         raise NotImplementedError("planar TIFF not supported")
     w, h = int(ifd[256]), int(ifd[257])
+    pixel_gate(w, h, "TIFF")
     spp = int(ifd.get(277, 1))
     bits = ifd.get(258, 8)
     bits = bits if isinstance(bits, list) else [bits]
@@ -1104,8 +1163,14 @@ def tiff_decode(data: bytes) -> np.ndarray:
     cnts = ifd[279]
     offs = offs if isinstance(offs, list) else [offs]
     cnts = cnts if isinstance(cnts, list) else [cnts]
+    # Per-strip inflation cap: RowsPerStrip * stride (padded last strip
+    # allowed).  Bounds every unpacker's output so a 1-KB bomb strip
+    # cannot allocate past the (already pixel-gated) image size.
+    rps = int(ifd.get(278, h) or h)
+    strip_cap = max(1, rps) * max(1, w * spp)
     raw = b"".join(
-        unpackers[comp](data[o : o + c]) for o, c in zip(offs, cnts)
+        unpackers[comp](data[o : o + c], strip_cap)
+        for o, c in zip(offs, cnts)
     )
     if len(raw) < h * w * spp:
         raise ValueError("TIFF strip data truncated")
@@ -1263,6 +1328,7 @@ def qoi_decode(data: bytes) -> np.ndarray:
     if len(data) < 22 or data[:4] != b"qoif":
         raise ValueError("not a QOI stream")
     w, h, channels, _colorspace = struct.unpack_from(">IIBB", data, 4)
+    pixel_gate(w, h, "QOI")
     if channels not in (3, 4):
         raise ValueError(f"QOI channels must be 3 or 4, got {channels}")
     if data[-8:] != b"\x00" * 7 + b"\x01":

@@ -30,6 +30,8 @@ import struct
 
 import numpy as np
 
+from mechaml_spark.imaging import pixel_gate
+
 # ---------------------------------------------------------------- tables
 
 # Annex K.1/K.2 base quantization tables (natural row-major order)
@@ -861,6 +863,7 @@ def _jpeg_decode(data: bytes) -> np.ndarray:
         elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             progressive = marker == 0xC2
             _prec, h, w0, nc = struct.unpack_from(">BHHB", body, 0)
+            pixel_gate(w0, h, "JPEG")
             if nc != 3:
                 raise ValueError("only 3-component JPEG supported")
             for i in range(nc):

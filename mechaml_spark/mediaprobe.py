@@ -1005,7 +1005,13 @@ def mkv_write_clusters(
                     prev = len(parts[0])
                     for p in parts[1:-1]:
                         delta = len(p) - prev
-                        # signed vint, 2-byte form: value + (2^13 - 1)
+                        # signed vint, 2-byte form: value + (2^13 - 1);
+                        # a delta outside the form's range would corrupt
+                        # the marker bit silently — fail loudly instead
+                        assert -0x1FFF <= delta <= 0x1FFF, (
+                            f"EBML lace delta {delta} exceeds the 2-byte "
+                            "signed-vint range"
+                        )
                         head += (0x4000 | (delta + 0x1FFF)).to_bytes(
                             2, "big"
                         )
@@ -1801,8 +1807,11 @@ def png_color_probe(data: bytes) -> dict | None:
                 out["icc_name"] = payload[:z].decode(
                     "latin-1", errors="replace")
                 try:
+                    # bounded: report at most 16 MiB (real ICC profiles
+                    # are <= a few MB; a zlib bomb stops at the cap)
                     out["icc_size"] = len(
-                        _z.decompress(payload[z + 2:]))
+                        _z.decompressobj().decompress(
+                            payload[z + 2:], 1 << 24))
                 except _z.error:
                     out["icc_size"] = None
         elif tag == b"IEND":

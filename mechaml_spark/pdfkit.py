@@ -31,6 +31,12 @@ from __future__ import annotations
 import re
 import zlib
 
+from mechaml_spark.imaging import inflate_bounded
+
+# Bomb cap for PDF streams with no declared output size (content
+# streams).  Image XObjects get a tighter /Width * /Height-derived cap.
+_MAX_INFLATE = 1 << 26  # 64 MiB
+
 _OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b(.*?)\bendobj", re.S)
 _CONTENTS_REF = re.compile(rb"/Contents\s+(\d+)\s+\d+\s+R")
 _CONTENTS_ARR = re.compile(rb"/Contents\s*\[([^\]]*)\]")
@@ -74,7 +80,7 @@ def _content_bytes(head: bytes, raw: bytes) -> bytes:
         return raw
     filters = re.findall(rb"/(\w+)", fm.group(1))
     if filters == [b"FlateDecode"]:
-        return zlib.decompress(raw)
+        return inflate_bounded(raw, _MAX_INFLATE, "PDF content stream")
     raise NotImplementedError(
         f"PDF content-stream filter {[f.decode() for f in filters]} not "
         "available in-sandbox (FlateDecode/plain are real); plug a full "
@@ -406,9 +412,15 @@ def pdf_extract_images(data: bytes) -> list:
         if filt == "DCTDecode":
             payload = raw
         elif filt == "FlateDecode":
+            # cap by the object's own declared dimensions when present
+            # (<= 8 bytes/pixel covers 16-bit RGBA), else the global cap;
+            # a bomb becomes payload=None (recorded, not crashed)
+            cap = _MAX_INFLATE
+            if wm and hm:
+                cap = min(cap, int(wm.group(1)) * int(hm.group(1)) * 8 + 4096)
             try:
-                payload = zlib.decompress(raw)
-            except zlib.error:
+                payload = inflate_bounded(raw, cap, "PDF image stream")
+            except (zlib.error, ValueError):
                 payload = None
         elif filt == "raw":
             payload = raw

@@ -10835,10 +10835,10 @@ ORACLES = {
             FROM documents d CROSS JOIN s
             WHERE d.doc_id < 400)
         SELECT doc_id, CAST(sample_no AS INT) AS sample_no,
-               680 + COALESCE(SUM(size) OVER (
+               CAST(680 + COALESCE(SUM(size) OVER (
                    PARTITION BY doc_id ORDER BY sample_no
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                   0) AS offset,
+                   0) AS BIGINT) AS offset,
                size,
                CAST(COALESCE(SUM(delta) OVER (
                    PARTITION BY doc_id ORDER BY sample_no
@@ -11833,9 +11833,9 @@ ORACLES = {
             FROM c),
         t AS (
             SELECT domain, n_docs, weight,
-                   LEAST(CAST(4294967296 AS BIGINT),
-                         (300 * CAST(4294967296 AS BIGINT) * weight)
-                         // (s.sum_w * n_docs)) AS threshold
+                   CAST(LEAST(CAST(4294967296 AS BIGINT),
+                              (300 * CAST(4294967296 AS BIGINT) * weight)
+                              // (s.sum_w * n_docs)) AS BIGINT) AS threshold
             FROM w CROSS JOIN
                  (SELECT SUM(weight) AS sum_w FROM w) s),
         k AS (
@@ -11947,7 +11947,7 @@ ORACLES = {
                CAST(1 AS BIGINT) AS track,
                CAST(ctc + i * 40 AS BIGINT) AS timecode,
                i % 3 = 0 AS keyframe,
-               103 + cum AS "offset",
+               CAST(103 + cum AS BIGINT) AS "offset",
                CAST(ps AS BIGINT) AS size
         FROM c
     """,

@@ -50,6 +50,8 @@ import struct
 
 import numpy as np
 
+from mechaml_spark.imaging import pixel_gate
+
 from mechaml_spark.vp8_tables import (
     AC_QLOOKUP,
     COEFF_BANDS,
@@ -563,6 +565,7 @@ def decode_frame(data: bytes) -> dict:
     (wr,) = struct.unpack_from("<H", data, 6)
     (hr,) = struct.unpack_from("<H", data, 8)
     width, height = wr & 0x3FFF, hr & 0x3FFF
+    pixel_gate(width, height, "VP8 frame")
     if not width or not height:
         raise VP8Error("VP8: zero dimension")
     mb_w, mb_h = (width + 15) >> 4, (height + 15) >> 4

@@ -45,6 +45,8 @@ import struct
 
 import numpy as np
 
+from mechaml_spark.imaging import pixel_gate
+
 # ----------------------------------------------------------- bit I/O
 
 
@@ -385,6 +387,7 @@ def _decode_image_stream(
         for _ in range(num_groups)
     ]
 
+    pixel_gate(w, h, "VP8L")
     n = w * h
     buf = np.zeros((n, 4), np.uint8)
     pos = 0
@@ -934,6 +937,7 @@ def webp_decode_frames(data: bytes) -> list:
             animated = bool(payload[0] & 0x02)
             cw = 1 + int.from_bytes(payload[4:7], "little")
             ch = 1 + int.from_bytes(payload[7:10], "little")
+            pixel_gate(cw, ch, "WebP canvas")
             canvas = np.zeros((ch, cw, 4), dtype=np.uint8)
         elif fourcc == b"ANIM":
             # stored B,G,R,A

@@ -1,17 +1,26 @@
-"""Self-check of the driver correctness gate: run every
-`__spark_entry__.queries()` entry AND its `oracle_sql()` DuckDB
-equivalent at sf0.01, compare row count, column-name set, and a
-value multiset (columns sorted by name, floats rounded) per query.
+"""Pandas-strict self-check of the driver correctness gate.
 
-Usage: python scripts/oracle_check.py [sf_dir]
+Runs every `__spark_entry__.queries()` entry AND its `oracle_sql()`
+DuckDB twin, converts BOTH sides to pandas (Spark ``toPandas()`` vs
+DuckDB ``.df()``) and compares with `mechaml_spark.selfcheck` — dtype
+equality asserted per column, exact string canonicalization, multiset
+compare with columns sorted by name.  This is at least as strict as
+the driver's gate (which is pandas-based and dtype-sensitive), so a
+query green here cannot go red in a driver round on a typing defect.
+
+Writes the standing per-round artifact SELFCHECK_r{N}.json (same
+per-query fields as the driver's CORRECTNESS_r{N}.json plus
+``dtype_match``) when --out is given.
+
+Usage: python scripts/oracle_check.py [sf_dir] [--out SELFCHECK.json] [names...]
 """
 
 from __future__ import annotations
 
-import math
+import json
 import os
 import sys
-from collections import Counter
+import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
@@ -22,31 +31,20 @@ TABLES = (
 ).split()
 
 
-def canon(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        return f"{v:.6g}"
-    if isinstance(v, (list, tuple)):
-        return tuple(canon(x) for x in v)
-    if isinstance(v, dict):
-        return tuple(sorted((k, canon(x)) for k, x in v.items()))
-    if isinstance(v, (bytes, bytearray)):
-        return bytes(v)
-    return v
-
-
-def multiset(rows, cols):
-    return Counter(tuple(canon(r[c]) for c in cols) for r in rows)
-
-
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:]]
+    out_path = None
+    if "--out" in args:
+        i = args.index("--out")
+        out_path = args[i + 1]
+        del args[i : i + 2]
+    sf_dir = args.pop(0) if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
+    only = set(args)
 
     import duckdb
 
     import __spark_entry__ as entry
+    from mechaml_spark.selfcheck import compare_frames
     from mechaml_spark.session import get_spark
 
     spark = get_spark(app_name="oracle_check")
@@ -54,41 +52,67 @@ def main() -> None:
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
-            )
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     qs, oracles = entry.queries(), entry.oracle_sql()
-    bad = []
-    for name, fn in qs.items():
+    results, bad = {}, []
+    t0 = time.time()
+    for name, fn in sorted(qs.items()):
         if only and name not in only:
             continue
         sql = oracles.get(name)
-        sdf = fn(spark, sf_dir)
-        srows = sdf.collect()
-        if sql is None:
-            print(f"{name}: rows={len(srows)} (no oracle — rows-only check)")
-            continue
-        ores = con.execute(sql)
-        ocols = [d[0] for d in ores.description]
-        orows = ores.fetchall()
-        scols = sorted(sdf.columns)
-        ok_schema = scols == sorted(ocols)
-        ok_rows = len(srows) == len(orows)
-        ok_hash = False
-        if ok_schema and ok_rows:
-            om = Counter(
-                tuple(canon(r[ocols.index(c)]) for c in scols) for r in orows
-            )
-            ok_hash = multiset(srows, scols) == om
-        status = "OK" if (ok_schema and ok_rows and ok_hash) else "FAIL"
-        print(
-            f"{name}: {status} rows {len(srows)}/{len(orows)} "
-            f"schema={ok_schema} hash={ok_hash}"
-        )
-        if status == "FAIL":
+        try:
+            spdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001 — record, keep sweeping
+            results[name] = {"err": f"spark: {e!r}"}
             bad.append(name)
+            print(f"{name}: SPARK ERROR {e!r}")
+            continue
+        if sql is None:
+            results[name] = {
+                "rows_match": len(spdf) > 0,
+                "spark_rows": int(len(spdf)),
+                "oracle_rows": None,
+                "err": None if len(spdf) else "empty rows-only result",
+            }
+            print(f"{name}: rows={len(spdf)} (no oracle — rows-only check)")
+            if not len(spdf):
+                bad.append(name)
+            continue
+        try:
+            odf = con.execute(sql).df()
+        except Exception as e:  # noqa: BLE001
+            results[name] = {"err": f"oracle: {e!r}"}
+            bad.append(name)
+            print(f"{name}: ORACLE ERROR {e!r}")
+            continue
+        rec = compare_frames(spdf, odf)
+        results[name] = rec
+        ok = rec["rows_match"] and rec["schema_match"] and rec["dtype_match"] and rec["hash_match"]
+        print(
+            f"{name}: {'OK' if ok else 'FAIL'} rows {rec['spark_rows']}/"
+            f"{rec['oracle_rows']} schema={rec['schema_match']} "
+            f"dtype={rec['dtype_match']} hash={rec['hash_match']}"
+            + (f" err={rec['err']}" if rec["err"] else "")
+        )
+        if not ok:
+            bad.append(name)
+    elapsed = time.time() - t0
+    print(f"checked {len(results)} queries in {elapsed:.1f}s")
     print("FAILURES:", bad if bad else "none")
+    if out_path:
+        payload = {
+            "sf_dir": sf_dir,
+            "n_queries": len(results),
+            "n_failures": len(bad),
+            "failures": bad,
+            "elapsed_sec": round(elapsed, 1),
+            "comparator": "pandas dtype-strict (mechaml_spark.selfcheck)",
+            "queries": results,
+        }
+        with open(out_path, "w") as f:
+            json.dump(payload, f, indent=1, default=str)
+        print(f"wrote {out_path}")
     spark.stop()
     sys.exit(1 if bad else 0)
 

@@ -1,17 +1,20 @@
 """Mimics the driver's correctness gate: run every queries() entry
 and its oracle_sql() side-by-side (DuckDB) at sf0.001 and compare
-row multisets (columns sorted by name — same normalization the
-driver hashes)."""
+via pandas frames with dtype equality asserted — the same (strictly:
+a stricter) normalization the driver hashes.  Round 4's red row
+(`webm_blocks`) was value-correct but dtype-drifted (DuckDB window
+SUM → HUGEINT → float64 → '103.0' vs '103'); this gate now fails on
+any such uncast oracle column before the driver can see it."""
 
 from __future__ import annotations
 
-import math
 import pathlib
 
 import duckdb
 import pytest
 
 import __spark_entry__ as entrymod
+from mechaml_spark.selfcheck import compare_frames
 
 SF_DIR = "/root/testdata/sf0.001"
 TABLES = (
@@ -29,45 +32,23 @@ def ddb():
     return con
 
 
-def _norm_cell(v):
-    if isinstance(v, float):
-        return round(v, 9)
-    return v
-
-
-def _normalize(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
-    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
-    return [cols[i] for i in order], out
-
-
 @pytest.mark.parametrize("name", sorted(entrymod.queries().keys()))
 def test_query_matches_oracle(spark, ddb, name):
     q = entrymod.queries()[name]
     sql = entrymod.oracle_sql().get(name)
-    sdf = q(spark, SF_DIR)
-    srows = [tuple(r) for r in sdf.collect()]
-    scols = sdf.columns
+    spdf = q(spark, SF_DIR).toPandas()
     if sql is None:
         # every current op is oracle-checkable; a new non-SQL op must
         # be registered here explicitly
         assert name in set(), f"{name} missing an oracle"
-        assert len(srows) > 0
+        assert len(spdf) > 0
         return
-    ores = ddb.execute(sql)
-    ocols = [d[0] for d in ores.description]
-    orows = [tuple(r) for r in ores.fetchall()]
-    assert sorted(scols) == sorted(ocols), f"{name}: column names differ"
-    ncols, nsrows = _normalize(scols, srows)
-    _, norows = _normalize(ocols, orows)
-    assert len(nsrows) == len(norows), (
-        f"{name}: row count {len(nsrows)} vs oracle {len(norows)}"
-    )
-    mismatches = [
-        (i, a, b) for i, (a, b) in enumerate(zip(nsrows, norows)) if a != b
-    ]
-    assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
+    odf = ddb.execute(sql).df()
+    rec = compare_frames(spdf, odf)
+    assert rec["schema_match"], f"{name}: {rec['err']}"
+    assert rec["dtype_match"], f"{name}: {rec['err']}"
+    assert rec["rows_match"], f"{name}: {rec['err']}"
+    assert rec["hash_match"], f"{name}: {rec['err']}"
 
 
 def test_no_complex_output_columns(spark):
