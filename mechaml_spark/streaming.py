@@ -106,6 +106,13 @@ class StreamingCrawl:
         # guarantees each URL's body enters exactly one batch — the
         # same single-delivery invariant the visit log asserts.
         self._line_counts = spark.createDataFrame([], "lh long, n_docs long")
+        # incremental token-SPAN window-frequency table (the batch
+        # span_dedupe stage, Lee et al. 2021 at window size 8): running
+        # (window-hash -> occurrence count) folded per micro-batch.
+        # Occurrence count (not distinct docs) is the batch query's
+        # semantics, so a plain partial-count + merge-sum fold is
+        # exact under the seen-set's single-delivery invariant.
+        self._span_counts = spark.createDataFrame([], "wh long, n long")
 
     def _robots_filter(self, df: DataFrame) -> DataFrame:
         # literally the batch scheduler's robots stage
@@ -200,6 +207,38 @@ class StreamingCrawl:
             self._line_counts.unionByName(new_lines)
             .groupBy("lh")
             .agg(F.sum("n_docs").alias("n_docs"))
+            .localCheckpoint(eager=True)
+        )
+        # span-dedup state, same fold shape at token granularity: every
+        # 8-token sliding window hashed (whitespace tokens), partial
+        # count per batch, merge groupBy — one 8-byte hash per live
+        # window crosses the shuffle, never token text
+        W = 8
+        new_spans = (
+            ok.select(
+                F.split(F.col("body"), r"\s+").alias("toks")
+            )
+            .select(
+                F.explode(
+                    F.when(
+                        F.size("toks") >= W,
+                        F.sequence(F.lit(0), F.size("toks") - W),
+                    ).otherwise(F.array().cast("array<int>"))
+                ).alias("ws"),
+                "toks",
+            )
+            .select(
+                F.xxhash64(
+                    F.array_join(F.slice("toks", F.col("ws") + 1, W), " ")
+                ).alias("wh")
+            )
+            .groupBy("wh")
+            .agg(F.count("*").alias("n"))
+        )
+        self._span_counts = (
+            self._span_counts.unionByName(new_spans)
+            .groupBy("wh")
+            .agg(F.sum("n").alias("n"))
             .localCheckpoint(eager=True)
         )
         # crawl-analytics layer, same fold shape: URL-template
@@ -333,6 +372,14 @@ class StreamingCrawl:
         CCNet boilerplate when its count crosses the caller's
         threshold (>= 10 in the batch query)."""
         return self._line_counts
+
+    def span_window_counts(self) -> DataFrame:
+        """The incrementally folded (8-token-window hash, occurrence
+        count) table — must equal the batch span_dedupe frequency
+        stage run once over all fetched bodies (asserted in tests); a
+        window with count >= 2 is a duplicated span whose covered
+        tokens the batch query drops."""
+        return self._span_counts
 
     def url_template_counts(self) -> DataFrame:
         """Incrementally maintained (host, template) cardinality —

@@ -118,6 +118,40 @@ def test_streaming_crawl_visits_reachable_set(spark, tmp_path):
                    .where(F.col("n_docs") >= 10).collect()}
     assert got_boiler == want_boiler
 
+    # span-dedup-tier parity (round-5 item, closing the last un-twinned
+    # text-dedup tier): the incrementally folded 8-token-window hash
+    # table must equal the batch span_dedupe frequency stage run ONCE
+    # over all fetched bodies — byte-equal, incl. the duplicated-span
+    # set at the batch query's >= 2 threshold
+    W = 8
+    batch_spans = (
+        bodies.select(F.split(F.col("body"), r"\s+").alias("toks"))
+        .select(
+            F.explode(
+                F.when(
+                    F.size("toks") >= W,
+                    F.sequence(F.lit(0), F.size("toks") - W),
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("ws"),
+            "toks",
+        )
+        .select(
+            F.xxhash64(
+                F.array_join(F.slice("toks", F.col("ws") + 1, W), " ")
+            ).alias("wh")
+        )
+        .groupBy("wh")
+        .agg(F.count("*").alias("n"))
+    )
+    got_s = sorted(map(tuple, sc.span_window_counts().collect()))
+    want_s = sorted(map(tuple, batch_spans.collect()))
+    assert got_s == want_s and len(got_s) > 0
+    got_dup = {r["wh"] for r in sc.span_window_counts()
+               .where(F.col("n") >= 2).collect()}
+    want_dup = {r["wh"] for r in batch_spans
+                .where(F.col("n") >= 2).collect()}
+    assert got_dup == want_dup and len(got_dup) > 0
+
 
 @pytest.mark.timeout(300)
 def test_sessionize_stream_matches_batch_rule(spark, tmp_path):
