@@ -118,7 +118,7 @@ def cpu_probe(n: int = 8) -> float:
     return round(sum(outs) / n, 2)
 
 
-def run_at(cpus: int, args) -> dict:
+def run_at(cpus: int, args, cores: str | None = None, background: bool = False):
     env = dict(
         os.environ,
         SPARK_GRAFT_CPUS=str(cpus),
@@ -135,7 +135,15 @@ def run_at(cpus: int, args) -> dict:
         env["BENCH_CRAWL_SEED_ALL"] = "1"
     cmd = [sys.executable, os.path.join(REPO, "bench.py")]
     if shutil.which("taskset"):
-        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+        # `cores` pins to an explicit range (equal-occupancy legs run
+        # several jobs on DISJOINT ranges concurrently); default is the
+        # classic 0..cpus-1 pin
+        cmd = ["taskset", "-c", cores or f"0-{cpus - 1}"] + cmd
+    if background:
+        return subprocess.Popen(
+            cmd, env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True, cwd=REPO,
+        )
     out = subprocess.run(
         cmd, env=env, capture_output=True, text=True, check=True, cwd=REPO
     )
