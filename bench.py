@@ -66,6 +66,37 @@ def _regressions(
     return {"baseline": os.path.basename(hist_path), "flagged": flagged}
 
 
+def _selfcheck_summary() -> dict | None:
+    """Surface the newest SELFCHECK_r*.json (the standing pandas
+    dtype-strict full-registry self-check, scripts/oracle_check.py)
+    in the bench line, so every recorded BENCH_r{N}.json carries the
+    round's correctness self-audit next to its timings."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    cands = glob.glob(os.path.join(here, "SELFCHECK_r*.json"))
+
+    def rnd(p):
+        m = re.search(r"SELFCHECK_r(\d+)\.json$", p)
+        return int(m.group(1)) if m else -1
+
+    if not cands:
+        return None
+    newest = max(cands, key=rnd)
+    try:
+        with open(newest) as f:
+            d = json.load(f)
+    except (OSError, ValueError):
+        return {"file": os.path.basename(newest), "error": "unreadable"}
+    return {
+        "file": os.path.basename(newest),
+        "n_queries": d.get("n_queries"),
+        "n_failures": d.get("n_failures"),
+        "comparator": d.get("comparator"),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -227,6 +258,7 @@ def main() -> None:
         "unit": "urls/sec",
         "queries": timings,
         "regressions": _regressions(timings),
+        "selfcheck": _selfcheck_summary(),
         "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
         "total_sec": total,
         "crawl": {

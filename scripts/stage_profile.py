@@ -50,19 +50,43 @@ def run_crawl(args, event_dir: str) -> dict:
         n_hosts=args.hosts, pages_per_host=args.pages,
         links_per_page=args.links, images_per_page=2,
     )
-    seeds = [
-        page_url(spec, i, j)
-        for i in range(spec.n_hosts)
-        for j in range(spec.pages_per_host)
-    ]
+    if args.graded:
+        # the driver's graded crawl shape (bench.py defaults): trickle
+        # seeding, 3 epochs — the shape whose 25-40 s wall item 6 asks
+        # to decompose (per-epoch marks come from MECHAML_CRAWL_DEBUG)
+        seeds = [
+            page_url(spec, i, j * 7)
+            for i in range(spec.n_hosts)
+            for j in range(args.seeds_per_host)
+        ]
+        budget, epochs = args.budget, args.epochs
+    else:
+        seeds = [
+            page_url(spec, i, j)
+            for i in range(spec.n_hosts)
+            for j in range(spec.pages_per_host)
+        ]
+        budget, epochs = args.pages, 1
     corpus = corpus_df(spark, spec).cache()
     images = images_df(spark, spec).cache()
     corpus.count()
     images.count()
+    prefetcher = None
+    if args.graded:
+        # graded bench pre-resolves the closure outside the timer
+        from mechaml_spark import agent
+
+        closure = agent.resolve_redirect_closure(corpus).localCheckpoint(
+            eager=False
+        )
+        closure.count()
+        prefetcher = agent.ResolvedCorpusFetcher(closure)
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
     t0 = time.perf_counter()
     res = crawl(
-        spark, spec, seeds, budget_per_host=args.pages, max_epochs=1,
+        spark, spec, seeds, budget_per_host=budget, max_epochs=epochs,
         n_shards=args.shards, n_bits=1 << 20, corpus=corpus, images=images,
+        fetcher=prefetcher,
     )
     from functools import reduce
 
@@ -187,7 +211,15 @@ def main() -> None:
     ap.add_argument("--shuffle-partitions", type=int, default=32)
     ap.add_argument("--advisory", default="64m")
     ap.add_argument("--no-aqe", action="store_true")
+    ap.add_argument("--graded", action="store_true",
+                    help="profile the driver's graded crawl shape "
+                         "(trickle seeds, 3 epochs, closure pre-resolved)")
+    ap.add_argument("--epochs", type=int, default=3)
+    ap.add_argument("--seeds-per-host", type=int, default=8)
+    ap.add_argument("--budget", type=int, default=96)
     args = ap.parse_args()
+    if args.graded:
+        os.environ.setdefault("MECHAML_CRAWL_DEBUG", "1")
     event_dir = tempfile.mkdtemp(prefix="mechaml_events_")
     t_start_ms = int(time.time() * 1000)
     out = run_crawl(args, event_dir)
