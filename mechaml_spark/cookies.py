@@ -198,6 +198,61 @@ def jar_upsert(jar_df: DataFrame, new_df: DataFrame) -> DataFrame:
     return merged.where(F.col("max_age").isNull() | (F.col("max_age") != 0))
 
 
+def fold_cookie_events(base_jar: DataFrame, events: DataFrame | None) -> DataFrame:
+    """ONE global last-write-wins fold over parsed cookie events
+    carrying ``(epoch, depth, discovered_epoch, url_norm, hop, idx,
+    c)`` — the whole-crawl equivalent of the per-epoch winner window +
+    :func:`jar_upsert` chain, collapsed to a single window + filter.
+
+    Equivalence: chained upserts mean "the last epoch to touch a key
+    owns it, with the within-epoch winner picked by the (depth,
+    discovered_epoch, url_norm, hop, idx) visit-order tuple, and a
+    winning ``max_age == 0`` deleting the key".  Making ``epoch`` the
+    LEADING sort key of one global window reproduces exactly that
+    (later epoch always wins; within an epoch the original tuple
+    decides), and applying the delete filter to the single global
+    winner matches the chain because an upsert's delete only ever
+    removes what a later epoch doesn't re-add.  ``base_jar`` (a
+    resumed snapshot jar, one row per key, deletes already applied)
+    enters as epoch ``-1`` pseudo-events so any new touch of its key
+    wins.  Scale: the shuffle carries one row per Set-Cookie EVENT
+    (not per URL), partitioned by cookie key — no epoch-count factor
+    in plan depth, which is what makes a 10^4-epoch crawl's jar plan
+    O(1) instead of O(epochs)."""
+    base_ev = base_jar.select(
+        F.lit(-1).alias("epoch"),
+        F.lit(-1).alias("depth"),
+        F.lit(-1).alias("discovered_epoch"),
+        F.lit("").alias("url_norm"),
+        F.lit(-1).alias("hop"),
+        F.lit(-1).alias("idx"),
+        F.struct(*[F.col(f.name) for f in COOKIE_FIELDS]).alias("c"),
+    )
+    ev = base_ev if events is None else base_ev.unionByName(
+        events.select(
+            "epoch", "depth", "discovered_epoch", "url_norm", "hop", "idx", "c"
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(
+        F.col("c")["name"], F.col("c")["domain"], F.col("c")["path"]
+    ).orderBy(
+        F.desc("epoch"),
+        F.desc("depth"),
+        F.desc("discovered_epoch"),
+        F.desc("url_norm"),
+        F.desc("hop"),
+        F.desc("idx"),
+    )
+    return (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("c.*")
+        .where(F.col("max_age").isNull() | (F.col("max_age") != 0))
+    )
+
+
 def jar_remove(jar_df: DataFrame, remove_df: DataFrame) -> DataFrame:
     key = ["name", "domain", "path"]
     return jar_df.join(remove_df.select(*key), on=key, how="left_anti")

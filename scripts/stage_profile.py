@@ -86,7 +86,7 @@ def run_crawl(args, event_dir: str) -> dict:
     res = crawl(
         spark, spec, seeds, budget_per_host=budget, max_epochs=epochs,
         n_shards=args.shards, n_bits=1 << 20, corpus=corpus, images=images,
-        fetcher=prefetcher,
+        fetcher=prefetcher, truncate_every=args.truncate_every,
     )
     from functools import reduce
 
@@ -217,6 +217,7 @@ def main() -> None:
     ap.add_argument("--epochs", type=int, default=3)
     ap.add_argument("--seeds-per-host", type=int, default=8)
     ap.add_argument("--budget", type=int, default=96)
+    ap.add_argument("--truncate-every", type=int, default=4)
     args = ap.parse_args()
     if args.graded:
         os.environ.setdefault("MECHAML_CRAWL_DEBUG", "1")
