@@ -135,6 +135,50 @@ def q_cookie_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jar_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-crawl cookie-jar fold (:func:`cookies.fold_cookie_events`
+    — the round-5 single-window replacement for the scheduler's
+    per-epoch winner + jar_upsert chain, reference semantics
+    src/cookiejar.ml repeated ``add`` + ``Max_age 0`` delete): parsed
+    Set-Cookie EVENTS carrying (epoch, visit-order tuple, cookie)
+    fold to the final jar in ONE window with epoch as the leading
+    sort key; a winning ``max_age == 0`` deletes its key.
+
+    Corpus: one closed-form event per doc (55 keys x ~9 touches,
+    unique total order via the url tie-breaker); doc_id%17==0 rows
+    are deletes, so some keys vanish iff their delete is the global
+    winner.  Scale posture: the shuffle carries one row per
+    Set-Cookie event partitioned by cookie key, and the plan is O(1)
+    in epoch count — a 10^4-epoch crawl's jar reads the same
+    single-window plan."""
+    d = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 500
+    )
+    did = F.col("doc_id")
+    events = d.select(
+        (did % 3).cast("int").alias("epoch"),
+        (did % 4).cast("int").alias("depth"),
+        (did % 2).cast("int").alias("discovered_epoch"),
+        F.concat(
+            F.lit("http://h"), did % 7, F.lit(".test/p"), did
+        ).alias("url_norm"),
+        (did % 2).cast("int").alias("hop"),
+        (did % 5).cast("int").alias("idx"),
+        F.struct(
+            F.concat(F.lit("c"), did % 5).alias("name"),
+            F.concat(F.lit("v"), did).alias("value"),
+            F.when(did % 17 == 0, F.lit(0))
+            .when(did % 5 == 1, F.lit(7200))
+            .cast("long")
+            .alias("max_age"),
+            F.concat(F.lit("d"), did % 11, F.lit(".test")).alias("domain"),
+            F.lit("/").alias("path"),
+            (did % 2 == 0).alias("secure"),
+        ).alias("c"),
+    )
+    return ck.fold_cookie_events(ck.empty_jar(spark), events)
+
+
 def q_politeness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     host = F.concat(F.lit("h"), o.o_custkey % 20)
@@ -9717,6 +9761,7 @@ QUERIES = {
     "selector_class": q_selector_class,
     "url_canonicalize": q_url_canonicalize,
     "cookie_match": q_cookie_match,
+    "jar_fold": q_jar_fold,
     "politeness_topk": q_politeness_topk,
     "politeness_by_ip": q_politeness_by_ip,
     "login_pages": q_login_pages,
@@ -10096,6 +10141,36 @@ ORACLES = {
         SELECT doc_id,
                'http://host' || (doc_id % 5) || '.test/a/d' || doc_id AS url_norm
         FROM documents
+    """,
+    # same event synthesis; the fold is one row_number window ordered
+    # by the (epoch, visit-order) tuple desc + the Max_age-0 delete
+    # filter on the winner
+    "jar_fold": """
+        WITH e AS (
+            SELECT doc_id % 3 AS epoch,
+                   doc_id % 4 AS depth,
+                   doc_id % 2 AS de,
+                   'http://h' || (doc_id % 7) || '.test/p' || doc_id
+                       AS url_norm,
+                   doc_id % 2 AS hop,
+                   doc_id % 5 AS idx,
+                   'c' || (doc_id % 5) AS name,
+                   'v' || doc_id AS value,
+                   CASE WHEN doc_id % 17 = 0 THEN 0
+                        WHEN doc_id % 5 = 1 THEN 7200 END AS max_age,
+                   'd' || (doc_id % 11) || '.test' AS domain,
+                   '/' AS path,
+                   doc_id % 2 = 0 AS secure
+            FROM documents WHERE doc_id < 500),
+        w AS (
+            SELECT *, row_number() OVER (
+                       PARTITION BY name, domain, path
+                       ORDER BY epoch DESC, depth DESC, de DESC,
+                                url_norm DESC, hop DESC, idx DESC) AS rn
+            FROM e)
+        SELECT name, value, CAST(max_age AS BIGINT) AS max_age,
+               domain, path, secure
+        FROM w WHERE rn = 1 AND (max_age IS NULL OR max_age <> 0)
     """,
     "cookie_match": """
         SELECT c_custkey,

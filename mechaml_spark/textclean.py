@@ -184,7 +184,24 @@ def normalize_unicode(
 # legit text containing these letters (château, SÃO, coração) fails
 # the strict UTF-8 re-decode and is left alone — the round-trip is
 # the proof.
-_MOJIBAKE_HINT = "[Â-ô]"
+#
+# r5 tightening (ADVICE): a bare lead-class match fired the repair
+# attempt on virtually every clean accented Western word, eroding the
+# cheap-gate purpose.  Genuine damage ALWAYS puts a continuation byte
+# (0x80-0xBF) right after the lead, and the cp1252/latin-1 characters
+# those bytes decode to are exactly: raw C1 controls U+0080-U+009F
+# (latin-1 damage), U+00A0-U+00BF ('¡'..'¿' incl. '©'/'°'), and the
+# 27 cp1252 remaps of 0x80-0x9F ('€', curly quotes, dashes, 'Š'…).
+# Requiring one of those AFTER the lead keeps every repairable string
+# matched (undefined cp1252 bytes can't appear in decodable damage)
+# while 'château'/'coração' no longer trigger the encode round trip.
+_MOJIBAKE_CONT = (
+    "-¿"  # raw C1 + latin-1 A0-BF block
+    "€‚ƒ„…†‡ˆ‰Š"
+    "‹ŒŽ‘’“”•–—"
+    "˜™š›œžŸ"  # cp1252 0x80-0x9F remaps
+)
+_MOJIBAKE_HINT = f"[Â-ô][{_MOJIBAKE_CONT}]"
 
 # When the damage came from a latin-1 decode, C1 control codepoints
 # (U+0080-U+009F) ride along raw; "sloppy cp1252" (ftfy's name) maps
