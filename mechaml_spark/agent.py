@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import sys
 import tempfile
 from dataclasses import dataclass
 
@@ -1274,10 +1275,20 @@ def fetch(
     # Exhausted hops contribute empty branches that AQE collapses at
     # run time (the filter after the cached-corpus join yields 0 rows
     # and the downstream joins/unions are near-free).
-    # count-free strategy gate: hint-driven, decided once for all hops
+    # count-free strategy gate: hint-driven, decided once for all hops.
+    # The hint is trusted verbatim (validating would need the count()
+    # job this gate exists to avoid); log the choice for observability
+    # so a stale/understated hint is visible in crawl-debug output.
     hop_strategy = "scan"
     if jar_size_hint is not None and jar_size_hint > ck.SMALL_JAR_THRESHOLD:
         hop_strategy = "join"
+    if jar is not None and os.environ.get("MECHAML_CRAWL_DEBUG"):
+        print(
+            f"[fetch] cookie hop strategy={hop_strategy} "
+            f"(jar_size_hint={jar_size_hint}, "
+            f"threshold={ck.SMALL_JAR_THRESHOLD})",
+            file=sys.stderr,
+        )
     for _hop in range(max_redirect + 1):
         req = cur
         if jar is not None:
