@@ -68,9 +68,10 @@ def wait_quiet(args, width: int) -> list[dict]:
         st = steal_frac()
         log.append({"probe": p, "idle": idle, "steal": st})
         print(f"[gate w={width}] probe {p} idle {idle} steal {st}", flush=True)
+        need_idle = min(width + args.idle_margin, os.cpu_count() or width)
         if args.skip_gate or (
             p <= args.quiet
-            and idle >= width + args.idle_margin
+            and idle >= need_idle
             and st <= args.max_steal
         ):
             return log
@@ -100,8 +101,12 @@ def main() -> None:
     ap.add_argument("--max-wait", type=float, default=3600)
     ap.add_argument("--poll", type=float, default=90)
     ap.add_argument("--skip-gate", action="store_true")
+    ap.add_argument("--n", type=int, default=2,
+                    help="base leg width; legs are soloN / 4x concurrent "
+                         "N-core / one 4N-core")
     ap.add_argument("--legs", default="solo2,quad2,wide8",
-                    help="comma list; rerun a single leg by naming it")
+                    help="comma list (names fixed as solo2/quad2/wide8 "
+                         "regardless of --n); rerun a single leg by naming it")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     legs = args.legs.split(",")
@@ -116,10 +121,12 @@ def main() -> None:
         "legs": {},
     }
 
+    n = args.n
+    result["base_width"] = n
     if "solo2" in legs:
-        result["legs"]["solo2"] = {"gate": wait_quiet(args, 2)[-1]}
+        result["legs"]["solo2"] = {"gate": wait_quiet(args, n)[-1]}
         t0 = time.time()
-        r = run_at(2, args, cores="0-1")
+        r = run_at(n, args, cores=f"0-{n - 1}")
         result["legs"]["solo2"].update(
             throughput=r["value"], wall=round(time.time() - t0, 1),
             visited=r["crawl"]["visited"], after=snapshot(),
@@ -127,10 +134,10 @@ def main() -> None:
         print(json.dumps(result["legs"]["solo2"]), flush=True)
 
     if "quad2" in legs:
-        result["legs"]["quad2"] = {"gate": wait_quiet(args, 8)[-1]}
+        result["legs"]["quad2"] = {"gate": wait_quiet(args, 4 * n)[-1]}
         t0 = time.time()
         procs = [
-            run_at(2, args, cores=f"{2 * i}-{2 * i + 1}", background=True)
+            run_at(n, args, cores=f"{n * i}-{n * i + n - 1}", background=True)
             for i in range(4)
         ]
         vals, visited = [], []
@@ -153,9 +160,9 @@ def main() -> None:
         print(json.dumps(result["legs"]["quad2"]), flush=True)
 
     if "wide8" in legs:
-        result["legs"]["wide8"] = {"gate": wait_quiet(args, 8)[-1]}
+        result["legs"]["wide8"] = {"gate": wait_quiet(args, 4 * n)[-1]}
         t0 = time.time()
-        r = run_at(8, args, cores="0-7")
+        r = run_at(4 * n, args, cores=f"0-{4 * n - 1}")
         result["legs"]["wide8"].update(
             throughput=r["value"], wall=round(time.time() - t0, 1),
             visited=r["crawl"]["visited"], after=snapshot(),
