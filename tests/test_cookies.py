@@ -280,3 +280,72 @@ def test_spark_add_to_headers_uri_invalid_urls(spark, jar_df):
     oracle = fresh_jar()
     for u in urls:
         assert got[u] == oracle.header_for(u), u
+
+
+def test_fold_cookie_events_equals_chained_upserts(spark):
+    """The round-5 single-window fold must be SET-equal to the
+    original per-epoch winner-window + jar_upsert chain on a
+    deterministic 240-event corpus covering: multi-epoch overwrites,
+    within-epoch tie-breaks on every tuple position, max_age==0
+    deletes (both winning and shadowed-by-later-epoch), and keys
+    untouched after epoch 0."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = []
+    for i in range(240):
+        rows.append(
+            (
+                i % 4,                      # epoch
+                i % 3,                      # depth
+                i % 2,                      # discovered_epoch
+                f"http://h{i % 5}.test/p{i}",  # url_norm (total order)
+                i % 2,                      # hop
+                i % 6,                      # idx
+                (
+                    f"c{i % 6}",            # name: 6x7=42 keys
+                    f"v{i}",
+                    0 if i % 13 == 0 else (3600 if i % 5 == 2 else None),
+                    f"d{i % 7}.test",
+                    "/",
+                    i % 2 == 0,
+                ),
+            )
+        )
+    events = spark.createDataFrame(
+        rows,
+        "epoch int, depth int, discovered_epoch int, url_norm string, "
+        "hop int, idx int, c struct<name:string,value:string,"
+        "max_age:bigint,domain:string,path:string,secure:boolean>",
+    )
+    base = ck.empty_jar(spark)
+
+    # reference: the pre-r5 chain, epoch by epoch
+    jar = base
+    for ep in range(4):
+        epoch_ev = events.where(F.col("epoch") == ep)
+        w = Window.partitionBy(
+            F.col("c")["name"], F.col("c")["domain"], F.col("c")["path"]
+        ).orderBy(
+            F.desc("depth"), F.desc("discovered_epoch"),
+            F.desc("url_norm"), F.desc("hop"), F.desc("idx"),
+        )
+        winners = (
+            epoch_ev.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("c.*")
+        )
+        jar = ck.jar_upsert(jar, winners)
+    # the chain's anti-join moves key columns first — compare by name
+    want = {tuple(sorted(r.asDict().items())) for r in jar.collect()}
+
+    got = {
+        tuple(sorted(r.asDict().items()))
+        for r in ck.fold_cookie_events(base, events).collect()
+    }
+    assert got == want and len(got) > 0
+    # and deletes actually removed something: fewer keys than touched
+    touched = events.select(
+        F.col("c")["name"], F.col("c")["domain"], F.col("c")["path"]
+    ).distinct().count()
+    assert len(got) < touched

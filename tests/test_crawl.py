@@ -188,6 +188,11 @@ def test_snapshot_lineage_and_resume(spark, spark_result, oracle_result):
     }
     assert got == oracle_result.seen
     assert _spark_visit_list(res2) == oracle_result.visit_log
+    # the resumed jar rides fold_cookie_events' epoch -1 base path
+    # (snapshot rows as pseudo-events): must stay byte-equal
+    got_jar = {tuple(r) for r in res2.jar.collect()}
+    want_jar = {tuple(r) for r in spark_result.jar.collect()}
+    assert got_jar == want_jar and len(got_jar) > 0
 
 
 def test_politeness_split_skew_equals_naive_window(spark):
